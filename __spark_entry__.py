@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The actual registry lives in
+``bigquery_postgres_events_etl_spark.registry``; operator modules
+register (spark_fn, oracle_sql) pairs there.
 """
 
 from __future__ import annotations
@@ -15,24 +18,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The reference's full extract pipeline (filters → nested param
+    extraction → projection → idempotent dedup) as one declarative
+    Spark plan (reference: extract_bq.py:86-185).
+    """
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.etl import flagship_pipeline
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    return flagship_pipeline(events)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI-SQL twins for each entry in ``queries()``.
+
+    Keys absent here (non-SQL-expressible ops) get the driver's weaker
+    rows-only check.
     """
-    return {}
+    from bigquery_postgres_events_etl_spark.registry import all_oracles
+
+    return all_oracles()

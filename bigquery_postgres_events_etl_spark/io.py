@@ -1,0 +1,49 @@
+"""Fixture table loading.
+
+At 100 TB the source would be a date-partitioned parquet/Delta lake (or
+the BigQuery DSv2 connector); reading via ``spark.read.parquet`` keeps
+column pruning + predicate/partition pushdown (the Spark-native
+equivalent of the reference's `_TABLE_SUFFIX BETWEEN` shard pruning,
+reference: extract_bq.py:98-100,110).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _pin_session(spark: SparkSession) -> None:
+    """Runtime confs every query needs, applied defensively because the
+    driver may hand us a session it built itself.
+
+    - UTC session timezone: the DuckDB oracle reads the fixtures'
+      timezone-naive timestamps as-is; Spark must interpret the same
+      instants.
+    - nanosAsLong: the fixture ``events.ts`` column is parquet
+      TIMESTAMP(NANOS), which Spark does not support natively; read the
+      raw int64 nanos and convert (see :func:`load_table`).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes ``events.ts`` to TimestampType.
+
+    The ns→µs truncation matches DuckDB's ``CAST(ts AS TIMESTAMP)``
+    semantics, so both engines see identical instants.
+    """
+    _pin_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]

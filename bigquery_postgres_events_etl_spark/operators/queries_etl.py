@@ -1,0 +1,250 @@
+"""ETL-parity queries (SURVEY §2.1-§2.2, §2.4, §2.6, §2.8) over the
+fixture ``events`` table, each with a DuckDB oracle twin.
+
+These are the reference's own data operations re-expressed as
+declarative Spark plans: projection P1, param extraction P2, filters
+F1-F5, running-max watermark A1, counts A2, sorts/top-k O1, scalar
+functions X2/X4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum, json_param, to_shard_suffix
+from ..io import load_table
+from ..registry import register
+from ..schemas import FIXTURE_TRACKED_EVENTS
+from .etl import (
+    date_range_filter,
+    flagship_pipeline,
+    tracked_events_filter,
+    valid_user_filter,
+    watermark_filter,
+)
+
+_TRACKED_SQL = ", ".join(f"'{e}'" for e in FIXTURE_TRACKED_EVENTS)
+# mid-window watermark over the fixtures' 2024-01 event-time axis
+WATERMARK_US = 1705276800000000  # 2024-01-15 00:00:00 UTC
+
+# In oracle SQL, events.ts is TIMESTAMP_NS — cast to µs first so both
+# engines compare identical instants.
+_TS = "CAST(ts AS TIMESTAMP)"
+
+
+@register(
+    "etl_flagship",
+    f"""
+    WITH filtered AS (
+      SELECT user_id,
+             CAST({_TS} AS DATE) AS event_date,
+             epoch_us({_TS}) AS event_timestamp,
+             event_type AS event_name,
+             CAST(event_id AS VARCHAR) AS event_id,
+             json_extract_string(props, '$.k') AS event_name_detail,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, epoch_us({_TS}), event_type
+               ORDER BY event_id
+             ) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ({_TRACKED_SQL})
+    )
+    SELECT user_id, event_date, event_timestamp, event_name, event_id,
+           event_name_detail
+    FROM filtered WHERE rn = 1
+    """,
+)
+def etl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1/EP2 end-to-end: filters → param extraction → projection →
+    deterministic dedup (reference: extract_bq.py:86-185)."""
+    return flagship_pipeline(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "filter_valid_users",
+    "SELECT event_id, user_id, event_type, value FROM events WHERE user_id IS NOT NULL",
+)
+def filter_valid_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 — NULL/empty user rejection (reference: extract_bq.py:111-112)."""
+    df = valid_user_filter(load_table(spark, sf_dir, "events"))
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "filter_tracked_events",
+    f"SELECT event_id, user_id, event_type FROM events WHERE event_type IN ({_TRACKED_SQL})",
+)
+def filter_tracked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — set-membership filter (reference: extract_bq.py:89-93,113)."""
+    df = tracked_events_filter(load_table(spark, sf_dir, "events"), FIXTURE_TRACKED_EVENTS)
+    return df.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "filter_watermark",
+    f"""
+    SELECT event_id, user_id, event_type, epoch_us({_TS}) AS ts_us
+    FROM events WHERE epoch_us({_TS}) > {WATERMARK_US}
+    """,
+)
+def filter_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — incremental high-water-mark predicate
+    (reference: flask_server.py:151)."""
+    df = watermark_filter(load_table(spark, sf_dir, "events"), WATERMARK_US)
+    return df.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@register(
+    "filter_date_range",
+    f"""
+    SELECT event_id, user_id, event_type, CAST({_TS} AS DATE) AS event_date
+    FROM events
+    WHERE CAST({_TS} AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10'
+    """,
+)
+def filter_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/F5 — `_TABLE_SUFFIX BETWEEN` shard pruning re-expressed as a
+    partition-prunable date predicate (reference: extract_bq.py:98-110)."""
+    df = date_range_filter(load_table(spark, sf_dir, "events"), "2024-01-05", "2024-01-10")
+    return df.select(
+        "event_id", "user_id", "event_type", F.to_date("ts").alias("event_date")
+    )
+
+
+@register(
+    "param_extract_json",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS event_k,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS event_k_int,
+           json_extract_string(props, '$.missing') AS missing_param
+    FROM events
+    """,
+)
+def param_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (JSON variant) — nested param extraction; absent key → NULL
+    (reference: extract_bq.py:159-164)."""
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        json_param("props", "k").alias("event_k"),
+        json_param("props", "k").cast("int").alias("event_k_int"),
+        json_param("props", "missing").alias("missing_param"),
+    )
+
+
+@register(
+    "sort_topk_events",
+    f"""
+    SELECT event_id, user_id, event_type, epoch_us({_TS}) AS ts_us
+    FROM events ORDER BY ts_us DESC, event_id LIMIT 100
+    """,
+)
+def sort_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 + top-k — global sort DESC with LIMIT; Spark plans
+    TakeOrderedAndProject (no full global sort at scale).
+    (reference: extract_bq.py:114)."""
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.select(
+            "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+        .orderBy(F.desc("ts_us"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
+@register(
+    "watermark_running_max",
+    f"""
+    SELECT max(epoch_us({_TS})) AS max_ts_us,
+           count(*) AS n_rows
+    FROM events WHERE user_id IS NOT NULL
+    """,
+)
+def watermark_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 — the watermark-advance aggregate: running max + fetched
+    count, as one distributed agg instead of a Python loop
+    (reference: flask_server.py:161,184-185)."""
+    df = valid_user_filter(load_table(spark, sf_dir, "events"))
+    return df.agg(
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "event_counts_by_type",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def event_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 generalized to hash aggregation (the reference counts only
+    in Python loops; Spark does partial+final agg map-side)."""
+    df = load_table(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value", "sum_value"),
+    )
+
+
+@register(
+    "csv_projection",
+    f"""
+    SELECT user_id,
+           CAST({_TS} AS DATE) AS event_date,
+           epoch_us({_TS}) AS event_timestamp,
+           event_type AS event_name,
+           CAST(event_id AS VARCHAR) AS event_id,
+           json_extract_string(props, '$.k') AS event_name_detail
+    FROM events
+    """,
+)
+def csv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/K1 — the exact CSV export column set and order
+    (reference: extract_bq.py:149)."""
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "user_id",
+        F.to_date("ts").alias("event_date"),
+        F.unix_micros("ts").alias("event_timestamp"),
+        F.col("event_type").alias("event_name"),
+        F.col("event_id").cast("string").alias("event_id"),
+        json_param("props", "k").alias("event_name_detail"),
+    )
+
+
+@register(
+    "scalar_date_functions",
+    f"""
+    SELECT event_id,
+           strftime({_TS}, '%Y%m%d') AS shard_suffix,
+           epoch_us({_TS}) AS ts_us,
+           make_timestamp(epoch_us({_TS})) AS ts_roundtrip,
+           CAST(strptime('2024/01/15', '%Y/%m/%d') AS DATE) AS parsed_multi
+    FROM events
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1-X4 — date→shard-suffix, µs-epoch round-trip, multi-format
+    date parse (reference: extract_bq.py:99-100,278-288;
+    flask_server.py:66,96)."""
+    from ..functions.scalars import micros_to_ts, parse_date_multi, ts_to_micros
+
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        to_shard_suffix("ts").alias("shard_suffix"),
+        ts_to_micros("ts").alias("ts_us"),
+        micros_to_ts(ts_to_micros("ts")).alias("ts_roundtrip"),
+        parse_date_multi(F.lit("2024/01/15")).alias("parsed_multi"),
+    )
