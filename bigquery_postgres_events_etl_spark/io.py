@@ -30,6 +30,14 @@ def _pin_session(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Perf confs (runtime-settable): AQE coalesces the fixture-scale
+    # shuffles and splits skewed partitions at cluster scale.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass  # immutable under AQE in some configs; AQE coalesce covers it
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,1 +1,500 @@
-"""Placeholder — populated in a later milestone."""
+"""Relational operator library (SURVEY §2.3-§2.8 rebuild layer).
+
+The reference outsources every relational operation to BigQuery /
+PostgreSQL SQL strings (SURVEY §2: "no joins, no group-by, no windows
+exist locally"); this module supplies them as native Catalyst plans:
+hash aggregation with map-side partials, broadcast joins for dims,
+sort-merge for fact-fact, semi/anti joins (the dedup-writer primitive),
+grouping sets/rollup/cube, pivot, set ops, and scalar string/case
+expressions.
+
+Scale notes (100 TB): dims (region/nation/part/supplier/customer) are
+broadcast — no shuffle of the fact side; fact-fact joins shuffle on the
+join key and AQE handles skew; every agg is partial+final so the
+exchange carries pre-aggregated rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import davg, dsum
+from ..io import load_table
+from ..registry import register
+
+# Exact-sum oracle fragment (see functions.scalars.dsum)
+def _dsum_sql(expr: str, alias: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def _davg_sql(expr: str, alias: str, scale: int = 4) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------
+# Aggregation pipelines (TPC-H-shaped headliners)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity', 'sum_qty')},
+           {_dsum_sql('l_extendedprice', 'sum_base_price')},
+           {_dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))', 'sum_disc_price')},
+           {_dsum_sql('CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))', 'sum_charge', 6)},
+           {_davg_sql('l_quantity', 'avg_qty')},
+           {_davg_sql('l_extendedprice', 'avg_price')},
+           {_davg_sql('l_discount', 'avg_disc')},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → 2-key hash agg with 8 aggregates.
+    Catalyst plans partial aggregation before the exchange, so the
+    shuffle carries ≤ (flags×statuses) rows per task regardless of SF.
+
+    The fixture money columns hold 2-decimal values, so disc_price and
+    charge are computed in exact decimal arithmetic (cast the 2-decimal
+    inputs, multiply in decimal) — a double product has 6 decimal
+    digits and double→decimal rounding of such values TIES differently
+    across engines (Java shortest-repr HALF_UP vs exact-binary-value
+    rounding).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast("decimal(18,2)")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    disc_price = ext * (one - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge", scale=6),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey AS o_orderkey,
+           o.o_orderdate,
+           o.o_orderpriority,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered dim broadcast → fact join → agg → top-k.
+    customer is broadcast (no shuffle of orders/lineitem on custkey);
+    the final top-10 is TakeOrderedAndProject, not a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            li.l_orderkey.alias("o_orderkey"), o.o_orderdate, o.o_orderpriority
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table snowflake join. All dims broadcast; the
+    only shuffles are lineitem⨝orders on orderkey and the final agg."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    cnr = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey)
+    ocnr = o.join(F.broadcast(cnr), o.o_custkey == cnr.c_custkey)
+    joined = li.join(F.broadcast(ocnr), li.l_orderkey == ocnr.o_orderkey).join(
+        F.broadcast(s),
+        (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == F.col("n_nationkey")),
+    )
+    return joined.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+@register(
+    "agg_global_stats",
+    f"""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           {_dsum_sql('l_quantity', 'sum_qty')},
+           {_davg_sql('l_extendedprice', 'avg_price')}
+    FROM lineitem
+    """,
+)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregation — single-stage partial+final."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dsum("l_quantity", "sum_qty"),
+        davg("l_extendedprice", "avg_price"),
+    )
+
+
+@register(
+    "agg_rollup",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority,
+           count(*) AS n_orders,
+           {_dsum_sql('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING markers — hierarchy subtotals in one pass
+    (Catalyst expands to grouping sets, still partial-aggregated)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "pivot_priority_by_status",
+    f"""
+    SELECT o_orderpriority,
+           {_dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 'O')},
+           {_dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 'F')},
+           {_dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", 'P')}
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (explicit list avoids the
+    extra distinct-values job — required practice at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,4)")).cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_dim",
+    f"""
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join fact⨝dim: the canonical star-schema join —
+    dim ships to every executor, fact never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@register(
+    "join_sort_merge_fact",
+    f"""
+    SELECT o.o_orderstatus,
+           count(*) AS n_lineitems,
+           {_dsum_sql('l.l_quantity', 'sum_qty')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_sort_merge_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join without a broadcast hint: Catalyst/AQE picks
+    sort-merge (or shuffled-hash) on l_orderkey — the shuffle both
+    sides share; at 100 TB this is where bucketing on orderkey would
+    remove the exchange entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "join_left_outer",
+    """
+    SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI = EXISTS — returns each left row at most once; at
+    scale semi-joins shuffle only the key column of the right side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI = NOT EXISTS — the primitive behind the idempotent
+    conflict-skipping writer (reference K4: `ON CONFLICT DO NOTHING`,
+    extract_bq.py:216-221 — new-batch left_anti existing-keys)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------
+# Set operations (SURVEY §2.7 — rebuild layer)
+# ---------------------------------------------------------------------
+
+_BIG_ORDER = 400000.0
+
+
+@register(
+    "set_union",
+    f"""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > {_BIG_ORDER}
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+        .union(o.where(F.col("o_totalprice") > _BIG_ORDER).select(F.col("o_custkey").alias("custkey")))
+        .distinct()
+    )
+
+
+@register(
+    "set_intersect",
+    f"""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > {_BIG_ORDER}
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    ).intersect(
+        o.where(F.col("o_totalprice") > _BIG_ORDER).select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+@register(
+    "set_except",
+    f"""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > {_BIG_ORDER}
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    ).exceptAll(
+        o.where(F.col("o_totalprice") > _BIG_ORDER).select(F.col("o_custkey").alias("custkey"))
+    ).distinct()
+
+
+@register(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------
+# Scalar expressions (strings, case/when)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "string_functions",
+    r"""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 3) AS name_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+           replace(p_name, ' ', '_') AS name_snake,
+           string_split(p_name, ' ')[1] AS first_word
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-series scalar string functions — all codegen'd built-ins."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 3).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+    )
+
+
+@register(
+    "case_when_bucketing",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS balance_bucket,
+           count(*) AS n_customers,
+           count(DISTINCT c_nationkey) AS n_nations
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return c.groupBy(bucket.alias("balance_bucket")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )

@@ -1,1 +1,167 @@
-"""Placeholder — populated in a later milestone."""
+"""Temporal operators: as-of join, range join, tumbling/sliding
+windows (batch twins of the streaming layer's windowed aggregations).
+
+Spark has no native AS-OF join; the scalable composition is the
+union+window trick (tag both streams, union, one window over
+(key, time) carrying forward the last right-side row) — a single
+shuffle on the key, no cross/theta join, no per-group pandas. The
+DuckDB oracle uses its native ASOF JOIN, which pins the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+_TS = "CAST(ts AS TIMESTAMP)"
+
+
+@register(
+    "asof_join_last_click",
+    f"""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_us({_TS.replace('ts', 'p.ts')}) AS purchase_ts_us,
+           c.event_id AS click_id,
+           epoch_us({_TS.replace('ts', 'c.ts')}) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the user's most recent
+    click at-or-before it (LEFT: purchases with no prior click keep
+    NULLs).
+
+    Implementation: tag clicks and purchases, union, window over
+    (user_id ORDER BY ts, is_click DESC) carrying the last click via
+    ``last(..., ignorenulls)``. ``is_click DESC`` orders a click before
+    a same-instant purchase, matching ASOF's ``>=``. One shuffle on
+    user_id regardless of either side's size — this is the plan that
+    survives 100 TB, unlike a per-user pandas merge_asof.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("click_id").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn(
+            "last_click_ts",
+            F.last(F.when(F.col("click_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w),
+        )
+        .where(F.col("purchase_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_ts_us"),
+            F.col("last_click_id").alias("click_id"),
+            F.unix_micros("last_click_ts").alias("click_ts_us"),
+        )
+    )
+
+
+@register(
+    "range_join_recent_lineitems",
+    """
+    SELECT o.o_orderkey,
+           count(l.l_orderkey) AS n_shipped_30d
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_recent_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range join: lineitems shipped within 30 days of their
+    order. The equi key (orderkey) drives the shuffle; the range
+    predicate evaluates post-match — no theta-join blowup."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        o.join(li, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_shipped_30d"))
+    )
+
+
+@register(
+    "tumbling_window_hourly",
+    f"""
+    SELECT date_trunc('hour', {_TS}) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (1h) — the batch twin of Structured
+    Streaming's ``window(ts, '1 hour')`` aggregation (the streaming
+    module runs the same plan over readStream)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "sliding_window_counts",
+    f"""
+    WITH slid AS (
+      SELECT e.*, date_trunc('hour', {_TS}) + (s.i - 1) * INTERVAL 30 MINUTE
+               - CASE WHEN {_TS} >= date_trunc('hour', {_TS}) + INTERVAL 30 MINUTE
+                      THEN INTERVAL 0 MINUTE ELSE INTERVAL 30 MINUTE END AS window_start
+      FROM events e, generate_series(1, 2) s(i)
+    )
+    SELECT window_start, count(*) AS n_events
+    FROM slid
+    WHERE {_TS} >= window_start AND {_TS} < window_start + INTERVAL 1 HOUR
+    GROUP BY window_start
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30min slide): each event lands in 2
+    overlapping windows. Spark's ``window()`` generates the copies
+    JVM-side; the oracle reproduces them with generate_series."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").start.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

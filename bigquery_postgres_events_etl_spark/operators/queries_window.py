@@ -1,1 +1,250 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function operators (SURVEY §2.5 rebuild layer).
+
+The reference has no window functions; its one dedup-like semantic
+(K4) is the row_number()==1 pattern implemented in operators.etl.
+This module adds the analytics window surface: ranking, running
+aggregates, lag/lead, moving frames, and gap-based sessionization
+(the batch twin of streaming session windows).
+
+Scale notes: a window is one shuffle on partitionBy keys + a per-key
+sort. Sessionization over (user_id) partitions parallelizes across
+users; a single global window (no partitionBy) would serialize and is
+avoided everywhere here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum
+from ..io import load_table
+from ..registry import register
+
+_TS = "CAST(ts AS TIMESTAMP)"
+_SESSION_GAP_S = 1800  # 30 min
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: row_number over (group, order) — the standard
+    replacement for a per-group ORDER BY ... LIMIT."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_functions",
+    """
+    SELECT s_suppkey, s_acctbal,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rn
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC)
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number. Global window kept deliberately on
+    the tiny supplier dim only (a global window serializes — never on
+    a fact table)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"))
+    wd = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(wd).alias("rn"),
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate per key. The addend goes through the exact
+    DECIMAL cast so every prefix sum is order-independent-exact and
+    matches the oracle bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(27,4)")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) OVER w AS DOUBLE)
+             / COUNT(l_extendedprice) OVER w AS moving_avg_price
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving frame (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(27,4)")).over(w).cast("double")
+            / F.count("l_extendedprice").over(w)
+        ).alias("moving_avg_price"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    f"""
+    SELECT user_id, event_id,
+           epoch_us({_TS}) AS ts_us,
+           epoch_us(LAG({_TS}) OVER w) AS prev_ts_us,
+           epoch_us(LEAD({_TS}) OVER w) AS next_ts_us,
+           epoch_us({_TS}) - epoch_us(LAG({_TS}) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {_TS}, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over the event-time axis per user — the primitive under
+    sessionization and as-of semantics."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    return e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.unix_micros(F.lag("ts").over(w)).alias("prev_ts_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("next_ts_us"),
+        (ts_us - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@register(
+    "sessionization",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, {_TS} AS ts,
+             CASE WHEN epoch_us({_TS}) - epoch_us(LAG({_TS}) OVER w)
+                       > {_SESSION_GAP_S} * 1000000
+                  OR LAG({_TS}) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {_TS}, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → prefix-sum session ids → per-session agg. Batch twin of
+    streaming ``session_window`` (see streaming module). One shuffle
+    on user_id; all three window steps share the same partitioning so
+    Catalyst reuses the exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us > _SESSION_GAP_S * 1_000_000, 1
+    ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+    )
+
+
+@register(
+    "window_dedup_survivor",
+    f"""
+    SELECT user_id, ts_us, event_type, event_id FROM (
+      SELECT user_id, epoch_us({_TS}) AS ts_us, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us({_TS}), event_type
+                                ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def window_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 as a pure window op: deterministic first-survivor dedup on
+    the reference's UNIQUE(user_id, event_timestamp, event_name) key
+    (reference: extract_bq.py:204, 216-221)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.unix_micros("ts"), "event_type").orderBy(
+        "event_id"
+    )
+    return (
+        e.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(Window.partitionBy("user_id", "ts_us", "event_type").orderBy("event_id")))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
