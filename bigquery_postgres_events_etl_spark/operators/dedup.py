@@ -1,0 +1,262 @@
+"""Document deduplication operators for LLM training-data pipelines.
+
+Five tiers, all pure DataFrame plans (no Python UDFs):
+
+- exact: content-hash groupBy — one shuffle on the hash.
+- n-gram Jaccard: shingle explode → self-join on shingle → pair
+  counts. Exact, but the shingle join is quadratic in hot shingles;
+  it is the ground truth the approximate tiers are validated against.
+- MinHash + LSH: per-doc K-minimum hash signature → band buckets →
+  candidates join only within buckets. The 100 TB path: cost is
+  O(docs × K) + bucket-local joins, never all-pairs.
+- SimHash: 32-bit weighted-token fingerprint; Hamming-≤R pairs found
+  via pigeonhole banding (R+1 chunks, equal-chunk candidates) so the
+  blocked plan provably equals the brute-force answer.
+- embedding cosine: see operators.similarity.
+
+Hash parity note: signatures use md5-derived 60-bit ints
+(``conv(substr(md5(x),1,15),16,10)``) because md5 is the one hash
+with identical output in Spark and DuckDB — Spark's xxhash64/hash
+have no DuckDB twin. At production scale xxhash64 is ~5× cheaper and
+drop-in (one expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------
+# shared shingle/token plumbing (all built-in higher-order functions)
+# ---------------------------------------------------------------------
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+def with_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Word n-gram shingles as an array column (no explode yet)."""
+    df = with_tokens(df, text_col)
+    parts = ", ".join(f"tokens[i - 1 + {j}]" for j in range(n))
+    return df.withColumn(
+        "shingles",
+        F.expr(
+            f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)),"
+            f" i -> concat_ws(' ', {parts}))"
+        ),
+    )
+
+
+def md5_hash60(col, seed: int | None = None):
+    """60-bit integer hash from md5 hex — bit-identical in Spark and
+    DuckDB (oracle twin: ``('0x' || substr(md5(x),1,15))::BIGINT``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(F.lit(f"{seed}:"), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keep the smallest id per distinct
+    text. Output: (doc_id, text_hash, n_copies). Single hash-agg
+    shuffle; at 100 TB group on the 128-bit digest, never raw text."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise over shingle inverted index)
+# ---------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with Jaccard(shingle-set) ≥ threshold.
+
+    Inverted-index plan: distinct (doc, shingle) → self-join on
+    shingle → count common shingles per pair → jaccard =
+    common / (|A| + |B| - common). Integer counts, one double
+    division — bit-exact across engines.
+    """
+    sh = (
+        with_shingles(docs, n)
+        .select(F.col(id_col).alias("doc_id"), F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """K-min-hash signature per document: sig_k = min over shingles of
+    hash_k(shingle), with hash_k = md5-60bit seeded by k. One explode +
+    one groupBy with K min() aggregates — partial-aggregated, so the
+    shuffle carries one K-wide row per doc per map task."""
+    sh = with_shingles(docs, n).select(
+        F.col(id_col).alias("doc_id"), F.explode("shingles").alias("shingle")
+    )
+    aggs = [
+        F.min(md5_hash60("shingle", seed=k)).alias(f"sig_{k}") for k in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: split the K-signature into ``bands`` bands
+    of K/bands rows; docs sharing any full band are candidates.
+
+    Scale path: the self-join happens per (band_id, band_key) bucket —
+    bucket sizes are tiny for non-duplicate corpora, so the join cost
+    is proportional to actual near-duplicates, not to |docs|².
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, id_col)
+    band_cols = []
+    for b in range(bands):
+        key = F.concat_ws(
+            "_", *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), key.alias("band_key")).alias(f"b{b}")
+        )
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over unigram tokens weighted by in-doc count.
+
+    Plan: explode tokens → (doc, token, cnt) → 32 conditional-sum
+    aggregates (one per bit; no 32× row expansion) → recombine bits.
+    The per-bit vote is sum(cnt if bit set else -cnt); bit = vote > 0.
+    """
+    tok = (
+        with_tokens(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("th", md5_hash60("token"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("th", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming via pigeonhole
+    banding: split 32 bits into (max_hamming + 1) chunks — any pair
+    within the radius shares ≥1 identical chunk, so candidates =
+    equal-chunk joins, then an exact Hamming filter. Provably equal to
+    the brute-force all-pairs answer, at inverted-index cost."""
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    sig = simhash(docs, id_col)
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.shiftright("simhash", c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("chunk_val"),
+        ).alias(f"c{c}")
+        for c in range(chunks)
+    ]
+    chunked = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_val")
+    x, y = chunked.alias("x"), chunked.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.chunk_id") == F.col("y.chunk_id"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("simhash_a"),
+            F.col("y.simhash").alias("simhash_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,168 @@
+"""Multimodal column handling: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark-side plumbing is real and tested — schemas, Arrow-batched
+``mapInPandas`` operators, partition-aware batch shapes. The actual
+codec calls (image decode, audio resample, video frame-sample) are
+STUBBED: the container has no image/audio libraries, so each stub
+either raises ``NotImplementedError`` (documented) or computes a
+deterministic fake feature so the distributed pipeline around it can
+be exercised end-to-end.
+
+Design for 100 TB of media:
+- binary payloads stay opaque until the last possible operator —
+  filters/joins run on the typed *metadata* columns, so Catalyst
+  prunes and pushes down without touching bytes;
+- decode/feature-extract are ``mapInPandas`` (one Arrow batch in →
+  one out, no per-row pickling) and scale by partition count;
+- partition sizing: media rows are MBs — `maxPartitionBytes` and
+  explicit repartition on ingest keep one batch within executor
+  memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata envelope for an opaque media payload.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_sum", T.LongType(), True),
+        T.StructField("first_byte", T.IntegerType(), True),
+        T.StructField("last_byte", T.IntegerType(), True),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: treat document text payloads as opaque binary
+    media (utf-8 bytes) so the binary pipeline is exercisable on the
+    driver-provided tables without synthesizing data."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+def extract_binary_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over opaque payloads.
+
+    This is the *real* plumbing an image featurizer would use: one
+    pandas batch of binary payloads in, one batch of fixed-width
+    features out, vectorized inside the batch. The feature here
+    (byte stats) is a deterministic stand-in for an embedding model.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n = payloads.map(lambda b: len(b) if b is not None else 0)
+            byte_sum = payloads.map(
+                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()) if b else 0
+            )
+            first = payloads.map(lambda b: int(b[0]) if b else None)
+            last = payloads.map(lambda b: int(b[-1]) if b else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": n.astype("int64"),
+                    "byte_sum": byte_sum.astype("int64"),
+                    "first_byte": first,
+                    "last_byte": last,
+                }
+            )
+
+    return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# STUBS — codec boundaries (no media libs in this container)
+# ---------------------------------------------------------------------
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """STUB — image decode (``PIL.Image.open`` in production).
+
+    The ``mapInPandas`` shape, schema, and batch flow are the real
+    contract; only the pixel decode is unavailable here.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image decode stub: container has no PIL/libjpeg; in production "
+            "replace with PIL.Image.open(io.BytesIO(payload)) per row"
+        )
+        yield  # pragma: no cover — keeps this a generator
+
+    return media.mapInPandas(_decode, schema=DECODED_IMAGE_SCHEMA)
+
+
+def fake_decode_images(media: DataFrame) -> DataFrame:
+    """Deterministic fake decode for pipeline tests: derives plausible
+    (width, height, channels) from byte stats so downstream operators
+    (resize planning, aspect filters) can run end-to-end."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": (n % 640 + 16).astype("int32"),
+                    "height": (n % 480 + 16).astype("int32"),
+                    "channels": pd.Series([3] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=DECODED_IMAGE_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """STUB — video frame sampling (ffmpeg in production). Emits one
+    row per sampled offset: the explode-shaped output a real frame
+    sampler produces, with payload slices standing in for frames."""
+    return (
+        media.withColumn(
+            "frame_offsets",
+            F.expr(
+                f"transform(sequence(0, greatest(int(n_bytes / {every_n_bytes}) - 1, 0)),"
+                f" i -> i * {every_n_bytes})"
+            ),
+        )
+        .select(
+            "media_id",
+            F.posexplode("frame_offsets").alias("frame_idx", "byte_offset"),
+        )
+    )

@@ -1,1 +1,187 @@
-"""Placeholder — populated in a later milestone."""
+"""Oracle-checked dedup queries over the ``documents`` fixture.
+
+The DuckDB twins re-express each dedup tier in pure SQL (md5-based
+60-bit hashes are bit-identical across engines), so the driver's
+hash-compare validates signatures, banding, and pair outputs — not
+just row counts. See operators.dedup for the scale rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+from .dedup import (
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+NUM_HASHES = 16
+BANDS = 8
+JACCARD_THRESHOLD = 0.5
+MAX_HAMMING = 3
+
+# --- shared oracle SQL fragments -------------------------------------
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [] END) AS shingle
+  FROM toks
+)
+"""
+
+
+def _h60(expr: str, seed: int | None = None) -> str:
+    inner = f"concat('{seed}:', {expr})" if seed is not None else expr
+    return f"('0x' || substr(md5({inner}), 1, 15))::BIGINT"
+
+
+_SIG_CTE = _SHINGLES_CTE + f""",
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min({_h60('shingle', k)}) AS sig_{k}" for k in range(NUM_HASHES))}
+  FROM sh GROUP BY doc_id
+)
+"""
+
+_ROWS = NUM_HASHES // BANDS
+_BANDS_CTE = _SIG_CTE + f""",
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    + " || '_' || ".join(f"CAST(sig_{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS))
+    + " AS band_key FROM sig"
+    for b in range(BANDS)
+  )}
+)
+"""
+
+_SIMHASH_CTE = f"""
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tc0 AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token),
+tc AS (SELECT doc_id, cnt, {_h60('token')} AS th FROM tc0),
+votes AS (
+  SELECT doc_id,
+         {", ".join(
+           f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{b}"
+           for b in range(SIMHASH_BITS)
+         )}
+  FROM tc GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id,
+         CAST({" + ".join(
+           f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+         )} AS BIGINT) AS simhash
+  FROM votes
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup: one hash-agg shuffle on the digest."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n AS size_a, sb.n AS size_b,
+           n_common / (sa.n + sb.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join) —
+    the ground truth that the MinHash tier approximates."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=JACCARD_THRESHOLD
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"WITH {_SIG_CTE} SELECT * FROM sig",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signatures — hash-compare vs the oracle
+    validates every signature value, not just shapes."""
+    return minhash_signatures(load_table(spark, sf_dir, "documents"), NUM_HASHES)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_BANDS_CTE}
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band_id = y.band_id AND x.band_key = y.band_key
+     AND x.doc_id < y.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (8 bands × 2 rows): the 100 TB
+    near-dup path — join cost scales with true duplicates, not
+    |docs|²."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), NUM_HASHES, BANDS
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sim",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (count-weighted unigram votes)."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS simhash_a, b.simhash AS simhash_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤3 SimHash pairs via pigeonhole banding; the oracle
+    brute-forces all pairs — equality proves the blocking is lossless."""
+    df = simhash_near_pairs(load_table(spark, sf_dir, "documents"), MAX_HAMMING)
+    return df.withColumn("hamming", df.hamming.cast("int"))

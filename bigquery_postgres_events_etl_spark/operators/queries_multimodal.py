@@ -1,1 +1,87 @@
-"""Placeholder — populated in a later milestone."""
+"""Oracle-checked multimodal queries (binary-column plumbing over the
+``documents`` fixture — text payloads as opaque utf-8 bytes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+from .multimodal import documents_as_media, extract_binary_features, sample_video_frames
+
+_CHUNK = 64
+
+
+@register(
+    "multimodal_binary_stats",
+    f"""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(ceil(octet_length(encode(text)) / {_CHUNK}.0) AS BIGINT) AS n_chunks
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata pass over opaque payloads: size, digest, chunk
+    plan — all JVM-side, payload bytes never leave the executor."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+        F.ceil(F.col("n_bytes") / F.lit(float(_CHUNK))).cast("long").alias("n_chunks"),
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    """
+    WITH chars AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             list_sum(list_transform(generate_series(1, length(text)),
+                                     i -> ord(substr(text, i, 1)))) AS byte_sum,
+             ord(substr(text, 1, 1)) AS first_byte,
+             ord(substr(text, length(text), 1)) AS last_byte
+      FROM documents
+    )
+    SELECT media_id, n_bytes,
+           CAST(byte_sum AS BIGINT) AS byte_sum,
+           CAST(first_byte AS INTEGER) AS first_byte,
+           CAST(last_byte AS INTEGER) AS last_byte
+    FROM chars
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction (the one
+    deliberately-Pandas operator: stand-in for a codec/embedding
+    model). Oracle = per-char codepoint sums (fixture text is ASCII,
+    so codepoints == utf-8 bytes) — validates the batch plumbing
+    produces exactly the per-row values."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_binary_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+               FROM documents)
+    SELECT media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * {_CHUNK} AS INTEGER) AS byte_offset
+    FROM m, unnest(generate_series(0, greatest(CAST(n_bytes // {_CHUNK} AS INTEGER) - 1, 0))) t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling explode shape (stub codec): one row per sampled
+    byte offset per payload."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    df = sample_video_frames(media, every_n_bytes=_CHUNK)
+    return df.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("byte_offset").cast("int").alias("byte_offset"),
+    )

@@ -1,1 +1,103 @@
-"""Placeholder — populated in a later milestone."""
+"""Oracle-checked similarity-search queries over ``embeddings``.
+
+The brute-force tiers hash-match DuckDB oracles: both engines compute
+the dot product as the *same sequential chain of IEEE-754 double
+operations* (Spark's ``aggregate`` folds left-to-right; the oracle
+spells out the left-associative 64-term sum), so results are bit-equal
+with no decimal casting. The ANN tier has no SQL twin — its
+correctness contract is the recall test against brute force in
+tests/test_similarity.py; the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+from ..schemas import EMBEDDING_DIM
+from .similarity import ann_lsh_topk, brute_force_topk, cosine_near_pairs
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 is the benchmark query set
+COSINE_THRESHOLD = 0.35
+
+
+def _dot_sql(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
+    """Left-associative sequential double sum — the exact operation
+    sequence of Spark's aggregate() fold (0 + v1 is IEEE-exact)."""
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    ) + ")"
+
+
+_NORMS_CTE = f"""
+norms AS (
+  SELECT vec_id, {_dot_sql('embedding', 'embedding')} AS nsq FROM embeddings
+)
+"""
+
+
+@register(
+    "similarity_topk_bruteforce",
+    f"""
+    WITH {_NORMS_CTE},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_sql('q.embedding', 'c.embedding')}
+               / sqrt(nq.nsq * nc.nsq) AS cosine
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id != q.vec_id
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 vectors — the ANN
+    baseline. Query set broadcasts; corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    df = brute_force_topk(queries, emb, k=TOP_K)
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "similarity_near_pairs",
+    f"""
+    WITH {_NORMS_CTE}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_dot_sql('a.embedding', 'b.embedding')}
+             / sqrt(na.nsq * nb.nsq) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')}
+            / sqrt(na.nsq * nb.nsq) >= {COSINE_THRESHOLD}
+    """,
+)
+def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥ 0.35) — the fifth
+    dedup tier (SURVEY §7-M5), brute-force baseline."""
+    return cosine_near_pairs(load_table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD)
+
+
+@register("similarity_ann_lsh", None)  # no SQL twin: recall-tested vs brute force
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-k (bucketed candidates + exact re-rank).
+    Deterministic md5-derived hyperplanes; rows-only driver check,
+    recall contract in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ann_lsh_topk(queries, emb, k=TOP_K, num_planes=4)

@@ -1,1 +1,148 @@
-"""Placeholder — populated in a later milestone."""
+"""Oracle-checked text-analysis queries over ``documents``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+from .text import (
+    EN_STOPWORDS,
+    LANG_ID_THRESHOLD,
+    doc_fingerprints,
+    language_id,
+    quality_score,
+    text_stats,
+    tfidf_top_terms,
+    token_frequencies,
+)
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_H60 = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+
+
+@register(
+    "text_stats",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           len(list_distinct(toks)) / len(toks) AS ttr,
+           greatest(len(toks), CAST(ceil(length(text) / 4) AS BIGINT)) AS est_bpe_tokens
+    FROM t
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish estimate), lexical stats."""
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_frequencies",
+    """
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY freq DESC, token LIMIT 50
+    """,
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_frequencies(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_language_id",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(list_filter(toks, t -> t IN ({_STOP_LIST}))) AS n_stopwords,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / len(toks) AS stopword_ratio,
+           CASE WHEN len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / len(toks)
+                     > {LANG_ID_THRESHOLD}
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM t
+    """,
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word-share language-ID heuristic (single pass)."""
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           least(len(toks) / 100.0, 1.0) AS len_score,
+           len(list_distinct(toks)) / len(toks) AS diversity,
+           len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / len(toks) AS stop_share,
+           least(len(toks) / 100.0, 1.0) * 0.4
+             + (len(list_distinct(toks)) / len(toks)) * 0.4
+             + (len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / len(toks)) * 0.2
+             AS quality
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/diversity/stopword quality heuristics, one pass."""
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf * n.n_docs / dfreq.df AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by rational TF-IDF (log-free, bit-exact)."""
+    from pyspark.sql import functions as F
+
+    df = tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                         THEN list_transform(generate_series(1, len(t) - 2),
+                                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                         ELSE [] END) AS shingle
+      FROM toks
+    ),
+    hashed AS (SELECT doc_id, shingle, {_H60} AS h FROM sh)
+    SELECT doc_id, h AS fingerprint, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT doc_id, h,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h, shingle) AS rank
+      FROM hashed
+    ) WHERE rank <= 5
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-K shingle-hash fingerprints."""
+    from pyspark.sql import functions as F
+
+    df = doc_fingerprints(load_table(spark, sf_dir, "documents"))
+    return df.withColumn("rank", F.col("rank").cast("long"))

@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- brute-force cosine top-k: the correctness baseline. Dot products are
+  computed with built-in higher-order functions (``zip_with`` +
+  ``aggregate``) — JVM-side, no Python — accumulating in DECIMAL so
+  results are bit-exact across engines (see functions.scalars.dsum for
+  the rationale). Cost O(|queries| × |corpus|): fine for a bounded
+  query set, the re-ranking stage of ANN, or validation.
+
+- hyperplane-LSH ANN: the 100 TB path. Sign-random-projection buckets
+  (deterministic md5-derived hyperplanes, so runs are reproducible)
+  shrink the candidate set to one bucket (plus optional multi-probe),
+  then exact cosine re-ranks within the bucket. Bucketing is a single
+  narrow projection + one shuffle on the bucket key.
+
+An IVF variant (k-means coarse quantizer) would follow the same
+shape — assign to nearest centroid, search within the inverted list;
+LSH was chosen because it needs no training pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import EMBEDDING_DIM
+
+# Sequential-double dot product between two array<float> columns.
+# ``aggregate`` folds left-to-right, so the summation order is fixed:
+# ((0 + x1·y1) + x2·y2) + … — every operation is IEEE-754 double and
+# bit-reproducible. The DuckDB oracle twin is an explicit
+# left-associative 64-term `+` chain (see queries_similarity._dot_sql),
+# which performs the identical operation sequence → bit-equal results
+# without any decimal casting (double→decimal casts tie-break
+# differently across engines and are avoided here).
+_DOT_TMPL = (
+    "aggregate(zip_with({a}, {b},"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(_DOT_TMPL.format(a=a, b=b))
+
+
+def norm_sq(a: str) -> Column:
+    return F.expr(_DOT_TMPL.format(a=a, b=a))
+
+
+def cosine(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine = dot / sqrt(|a|² · |b|²) — one multiply, one sqrt (IEEE
+    correctly-rounded), one divide: deterministic across engines."""
+    return dot_col / F.sqrt(norm_a * norm_b)
+
+
+def with_norm_sq(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm_sq", norm_sq(emb_col))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Plan: broadcast the (small) query set against the corpus — the
+    corpus never shuffles; per-pair cosine is a codegen'd expression;
+    top-k per query is one window on the (tiny) pair set. At scale,
+    swap the broadcast side or pre-bucket with ann_lsh below.
+    """
+    q = with_norm_sq(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    c = with_norm_sq(corpus, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.col("norm_sq").alias("c_norm"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "cosine", cosine(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_near_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup dedup).
+    Brute-force all-pairs — correctness baseline; the LSH bucketing
+    below is the scale path."""
+    v = with_norm_sq(vectors, emb_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("ea"),
+        F.col("norm_sq").alias("na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("eb"),
+        F.col("norm_sq").alias("nb"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(dot("ea", "eb"), F.col("na"), F.col("nb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------
+# Hyperplane LSH (sign random projection)
+# ---------------------------------------------------------------------
+
+
+def _hyperplane(plane: int, dim: int = EMBEDDING_DIM) -> list[int]:
+    """Deterministic ±1 hyperplane from md5(plane:dim) — reproducible
+    across runs/executors with no RNG state to ship."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"{plane}:{d}".encode()).digest()[0] & 1 else -1
+        for d in range(dim)
+    ]
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    num_planes: int = 8,
+    emb_col: str = "embedding",
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Append an LSH bucket id: bit_p = sign(emb · plane_p).
+
+    The projection is a literal-array zip_with — constant-folded per
+    plane, no shuffle, no UDF. 8 planes → 256 buckets.
+    """
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        plane = _hyperplane(p, dim)
+        arr = f"array({', '.join(f'CAST({v} AS DOUBLE)' for v in plane)})"
+        proj = F.expr(
+            f"aggregate(zip_with({emb_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return df.withColumn("lsh_bucket", bucket.cast("int"))
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: equi-join on the LSH bucket, exact cosine
+    re-rank inside the bucket. Recall is tunable via num_planes
+    (fewer planes → bigger buckets → higher recall & cost); the
+    pytest suite measures recall against brute_force_topk."""
+    q = with_lsh_bucket(with_norm_sq(queries, emb_col), num_planes, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+        F.col("lsh_bucket").alias("q_bucket"),
+    )
+    c = with_lsh_bucket(with_norm_sq(corpus, emb_col), num_planes, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.col("norm_sq").alias("c_norm"),
+        F.col("lsh_bucket").alias("c_bucket"),
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("c_bucket") == F.col("q_bucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = pairs.withColumn(
+        "cosine", cosine(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,142 @@
+"""Text-analysis operators for LLM training-data pipelines:
+token counting, language-ID heuristic, quality scoring, TF-IDF,
+document fingerprinting.
+
+All pure built-in expressions (split / explode / higher-order
+functions) — no Python UDFs, so at 100 TB every operator stays inside
+whole-stage codegen and partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash60, with_shingles, with_tokens
+
+# A small function-word list: in natural text these dominate English
+# prose, so their token share is a cheap single-pass language signal.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+LANG_ID_THRESHOLD = 0.03
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics in one narrow projection —
+    no explode, no shuffle: size/array ops on the token array."""
+    df = with_tokens(docs)
+    return df.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct_tokens"),
+        # type-to-token ratio: long/long → one IEEE division
+        (F.size(F.array_distinct("tokens")).cast("long") / F.size("tokens").cast("long")).alias("ttr"),
+        # BPE-ish subword estimate: ~1 token per 4 chars, whitespace floor
+        F.greatest(
+            F.size("tokens").cast("long"),
+            F.ceil(F.length("text") / F.lit(4)).cast("long"),
+        ).alias("est_bpe_tokens"),
+    )
+
+
+def token_frequencies(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """Corpus-level token frequencies, top-N. explode → two-level agg;
+    partial aggregation bounds the shuffle by |vocab| per task."""
+    tok = with_tokens(docs).select(F.explode("tokens").alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: share of English function words among
+    tokens. The fixture text is synthetic word soup, so the value is
+    the deterministic *plumbing* (ratio computation + thresholding);
+    production would swap in per-language stopword lists or an n-gram
+    model — same single-pass shape."""
+    df = with_tokens(docs)
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+    n_stop = F.expr(f"size(filter(tokens, t -> array_contains({stop_arr}, t)))")
+    ratio = n_stop.cast("long") / F.size("tokens").cast("long")
+    return df.select(
+        "doc_id",
+        n_stop.cast("long").alias("n_stopwords"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio > LANG_ID_THRESHOLD, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Document quality heuristics (length, lexical diversity,
+    stopword share) combined into one score.
+
+    Written as a fixed arithmetic expression (same operation order on
+    the oracle side) — each component is a ratio of exact longs, so
+    the score is bit-reproducible.
+    """
+    df = with_tokens(docs)
+    n_tok = F.size("tokens").cast("long")
+    n_dist = F.size(F.array_distinct("tokens")).cast("long")
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+    n_stop = F.expr(f"size(filter(tokens, t -> array_contains({stop_arr}, t)))").cast("long")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    diversity = n_dist / n_tok
+    stop_share = n_stop / n_tok
+    score = len_score * 0.4 + diversity * 0.4 + stop_share * 0.2
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        len_score.alias("len_score"),
+        diversity.alias("diversity"),
+        stop_share.alias("stop_share"),
+        score.alias("quality"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-K terms per document by a rational TF-IDF score.
+
+    Score = tf × N / df — the log-free variant: same ranking family as
+    ln-based TF-IDF for fixed tf (monotone in 1/df), chosen because
+    ln() is not correctly-rounded-guaranteed across engines while
+    integer ratios are bit-exact. Plan: explode → (doc, term) counts →
+    document frequencies → score → per-doc top-K window.
+    """
+    tok = with_tokens(docs).select("doc_id", F.explode("tokens").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.col("n_docs") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def doc_fingerprints(docs: DataFrame, k: int = 5, n: int = 3) -> DataFrame:
+    """Winnowing-style fingerprint: the K smallest shingle hashes per
+    document (a deterministic content signature robust to local
+    edits). Plan: shingle explode → distinct → per-doc bottom-K
+    window on the 60-bit hash."""
+    sh = (
+        with_shingles(docs, n)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+        .withColumn("h", md5_hash60("shingle"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("h"), F.asc("shingle"))
+    return (
+        sh.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", F.col("h").alias("fingerprint"), "rank")
+    )
