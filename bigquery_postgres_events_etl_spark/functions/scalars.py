@@ -44,8 +44,9 @@ def ts_to_micros(col: Column | str) -> Column:
 # keeps the LAST matching param — no break (extract_bq.py:159-164) —
 # so we take element_at(filter(...), -1), not [0].
 def param_last_wins(params_col: str, key: str) -> Column:
-    return F.element_at(
-        F.expr(f"filter({params_col}, p -> p.key = '{key}')"), -1
+    # try_element_at: NULL (not an ANSI error) when no param matches
+    return F.try_element_at(
+        F.expr(f"filter({params_col}, p -> p.key = '{key}')"), F.lit(-1)
     )["value"]["string_value"]
 
 

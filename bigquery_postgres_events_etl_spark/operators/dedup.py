@@ -125,19 +125,35 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------
 
 
+# Universal-hash family over one md5 base hash: h_k(x) = (a_k·h + b_k) mod p.
+# One digest per shingle (not K) — the standard permutation trick; the
+# constants are fixed so both engines (and every run) agree.
+MINHASH_P = 2147483647  # 2^31 − 1
+
+
+def minhash_coeffs(k: int) -> tuple[int, int]:
+    a = (k * 2654435761 + 2654435769) % MINHASH_P
+    b = (k * 40503 + 17) % MINHASH_P
+    return (a or 1, b)
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
     """K-min-hash signature per document: sig_k = min over shingles of
-    hash_k(shingle), with hash_k = md5-60bit seeded by k. One explode +
-    one groupBy with K min() aggregates — partial-aggregated, so the
-    shuffle carries one K-wide row per doc per map task."""
-    sh = with_shingles(docs, n).select(
-        F.col(id_col).alias("doc_id"), F.explode("shingles").alias("shingle")
+    (a_k·h(shingle) + b_k) mod p, h = one md5-60bit digest. One explode
+    + one groupBy with K min() aggregates — partial-aggregated, so the
+    shuffle carries one K-wide row per doc per map task. (h mod p is
+    taken first so a·h stays inside int64.)"""
+    sh = (
+        with_shingles(docs, n)
+        .select(F.col(id_col).alias("doc_id"), F.explode("shingles").alias("shingle"))
+        .select("doc_id", (md5_hash60("shingle") % MINHASH_P).alias("h"))
     )
-    aggs = [
-        F.min(md5_hash60("shingle", seed=k)).alias(f"sig_{k}") for k in range(num_hashes)
-    ]
+    aggs = []
+    for k in range(num_hashes):
+        a, b = minhash_coeffs(k)
+        aggs.append(F.min((F.col("h") * a + b) % MINHASH_P).alias(f"sig_{k}"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 

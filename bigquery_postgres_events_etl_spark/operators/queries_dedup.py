@@ -47,11 +47,21 @@ def _h60(expr: str, seed: int | None = None) -> str:
     return f"('0x' || substr(md5({inner}), 1, 15))::BIGINT"
 
 
+def _sig_terms() -> str:
+    from .dedup import MINHASH_P, minhash_coeffs
+
+    terms = []
+    for k in range(NUM_HASHES):
+        a, b = minhash_coeffs(k)
+        terms.append(f"min((h * {a} + {b}) % {MINHASH_P}) AS sig_{k}")
+    return ", ".join(terms)
+
+
 _SIG_CTE = _SHINGLES_CTE + f""",
+hashed AS (SELECT doc_id, ({_h60('shingle')}) % 2147483647 AS h FROM sh),
 sig AS (
-  SELECT doc_id,
-         {", ".join(f"min({_h60('shingle', k)}) AS sig_{k}" for k in range(NUM_HASHES))}
-  FROM sh GROUP BY doc_id
+  SELECT doc_id, {_sig_terms()}
+  FROM hashed GROUP BY doc_id
 )
 """
 

@@ -1,0 +1,88 @@
+"""Batch-incremental ETL runner — the reference's scheduled
+watermarked job (flask_server.py:82-229, EP2) rebuilt on Spark.
+
+Semantics preserved 1:1 (SURVEY §2.9):
+- ST1/ST2: file watermark + now−lookback fallback (sources.watermark);
+- F4: only rows with event_timestamp > watermark;
+- K4: idempotent conflict-skipping append (sources.sinks);
+- ST3: at-least-once read + idempotent sink = effective exactly-once —
+  a crash between sink commit and watermark advance replays rows that
+  the anti-join then drops;
+- ST4: watermark advances only after the sink commit, only forward;
+- ST5: single-flight guard — a real lock, fixing the reference's racy
+  check-then-set (flask_server.py:86-90);
+- ST7: parity — rows at-or-below the watermark are never picked up
+  (the streaming variant adds an explicit lateness allowance instead);
+- ST8: the same progress-record shape the reference exposes at
+  /status (flask_server.py:210-221).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.etl import flagship_pipeline
+from ..sources.sinks import idempotent_append_parquet
+from ..sources.watermark import (
+    DEFAULT_LOOKBACK_HOURS,
+    read_watermark_us,
+    write_watermark_us,
+)
+
+_run_lock = threading.Lock()  # ST5: real mutual exclusion
+
+
+def run_incremental_etl(
+    spark: SparkSession,
+    source_sf_dir: str,
+    state_path: str,
+    target_path: str,
+    tracked: list[str] | None = None,
+    lookback_hours: int = DEFAULT_LOOKBACK_HOURS,
+    now_us: int | None = None,
+) -> dict:
+    """One incremental run; returns the ST8 progress record.
+
+    At 100 TB the watermark predicate must prune partitions, not just
+    rows: flagship_pipeline filters on unix_micros(ts), and on a
+    date-partitioned lake the caller additionally passes
+    date_from=date(watermark) so the parquet source skips whole days
+    (the Spark twin of `_TABLE_SUFFIX BETWEEN`, SURVEY §7 risk 6).
+    """
+    if not _run_lock.acquire(blocking=False):
+        return {"status": "skipped", "reason": "already_running"}  # HTTP 409 twin
+    t0 = time.time()
+    try:
+        wm = read_watermark_us(state_path, lookback_hours, now_us=now_us)
+        events = load_table(spark, source_sf_dir, "events")
+        batch = flagship_pipeline(events, tracked=tracked, watermark_us=wm)
+        stats = batch.agg(
+            F.count(F.lit(1)).alias("n"), F.max("event_timestamp").alias("max_ts")
+        ).first()
+        fetched, max_ts = stats["n"], stats["max_ts"]
+        inserted = idempotent_append_parquet(spark, batch, target_path)
+        advanced = False
+        if max_ts is not None and max_ts > wm:
+            advanced = write_watermark_us(state_path, max_ts)  # ST4: after commit
+        return {
+            "status": "success",
+            "last_processed_timestamp": max_ts if max_ts is not None else wm,
+            "watermark_before": wm,
+            "watermark_advanced": advanced,
+            "records_fetched": fetched,
+            "records_inserted": inserted,
+            "duration_seconds": round(time.time() - t0, 3),
+        }
+    except Exception as e:  # ST8: errors land in the status record
+        return {
+            "status": "error",
+            "error": str(e),
+            "duration_seconds": round(time.time() - t0, 3),
+        }
+    finally:
+        _run_lock.release()

@@ -1,0 +1,117 @@
+"""Structured Streaming variant of the incremental job (SURVEY §7-M3b)
+plus streaming window operators.
+
+Where the batch runner re-implements the reference's watermark file,
+this variant lets Spark own the state: checkpointed source offsets
+replace the µs file (ST1), ``withWatermark`` adds the lateness
+allowance the reference lacks (ST7 improvement), ``foreachBatch``
+drives the same idempotent sink (ST3), and ``Trigger.AvailableNow``
+matches the cron-fired run-to-completion model (ST6).
+
+The parquet-dir source stands in for Kafka/the BigQuery CDC feed:
+identical query shape, different ``format()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.sinks import idempotent_append_parquet
+
+# Post-normalization schema of the fixture events stream (io.load_table
+# converts the nanos int64 to µs TimestampType; readStream needs the
+# raw schema then the same conversion).
+RAW_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # parquet TIMESTAMP(NANOS) as int64
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Unbounded view of the events source (parquet-dir stand-in)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .format("parquet")
+        .load(source_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, window: str = "1 hour", lateness: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling event-time aggregation with a watermark — the
+    streaming twin of queries_temporal.tumbling_window_hourly.
+    State is bounded by the lateness allowance; the reference instead
+    silently drops everything at-or-below its watermark (ST7)."""
+    return (
+        events.withWatermark("ts", lateness)
+        # group by the window STRUCT (not .start): append-mode watermark
+        # tracking requires the event-time window column in the keys
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def streaming_session_counts(
+    events: DataFrame, gap: str = "30 minutes", lateness: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows (gap-close semantics) — the streaming
+    twin of the batch sessionization operator."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.session_window("ts", gap).alias("session"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("session.start").alias("session_start"), "n_events")
+    )
+
+
+def run_streaming_etl(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    tracked: list[str] | None = None,
+) -> dict:
+    """Run the flagship pipeline as an AvailableNow streaming query
+    with an idempotent foreachBatch sink (effective exactly-once:
+    checkpointed offsets + anti-join dedup).
+
+    Returns counts after the run drains. Restarting with the same
+    checkpoint processes only new files — Spark's native version of
+    the watermark file.
+    """
+    from ..operators.etl import flagship_pipeline
+
+    events = read_events_stream(spark, source_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = flagship_pipeline(batch_df, tracked=tracked)
+        idempotent_append_parquet(batch_df.sparkSession, out, target_path)
+
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    return {
+        "status": "success",
+        "batch_id": progress["batchId"] if progress else None,
+        "rows_in_target": spark.read.parquet(target_path).count(),
+    }

@@ -1,0 +1,95 @@
+"""Semantic property tests for the ETL-parity layer (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigquery_postgres_events_etl_spark.functions.scalars import (
+    param_last_wins,
+    parse_date_multi,
+)
+from bigquery_postgres_events_etl_spark.io import load_table
+from bigquery_postgres_events_etl_spark.operators.etl import (
+    flagship_pipeline,
+    valid_user_filter,
+)
+from bigquery_postgres_events_etl_spark.schemas import GA4_EVENT_SCHEMA
+
+
+def _param(key, val):
+    return Row(key=key, value=Row(string_value=val))
+
+
+def _ga4_row(user="u1", name="purchase", ts=1, date=None, params=None):
+    return Row(
+        user_id=user,
+        event_name=name,
+        event_timestamp=ts,
+        event_date=date or datetime.date(2024, 1, 1),
+        event_params=params or [],
+    )
+
+
+def test_param_extraction_last_wins(spark):
+    """The reference's loop keeps the LAST matching param — no break
+    (extract_bq.py:160-164)."""
+    df = spark.createDataFrame(
+        [
+            _ga4_row(params=[_param("id", "first"), _param("id", "last")]),
+            _ga4_row(user="u2", params=[_param("name", "n1")]),
+            _ga4_row(user="u3", params=[]),
+            _ga4_row(user="u4", params=[_param("other", "x")]),
+        ],
+        GA4_EVENT_SCHEMA,
+    )
+    got = df.select(
+        "user_id", param_last_wins("event_params", "id").alias("event_id")
+    ).collect()
+    by_user = {r.user_id: r.event_id for r in got}
+    assert by_user == {"u1": "last", "u2": None, "u3": None, "u4": None}
+
+
+def test_valid_user_filter_rejects_null_and_empty(spark):
+    """F1/F2 parity: NULL and '' user ids excluded
+    (extract_bq.py:111-112)."""
+    df = spark.createDataFrame(
+        [_ga4_row(user=None), _ga4_row(user=""), _ga4_row(user="ok")],
+        GA4_EVENT_SCHEMA,
+    )
+    got = [r.user_id for r in valid_user_filter(df).collect()]
+    assert got == ["ok"]
+
+
+def test_parse_date_multi_formats(spark):
+    """X1 parity: the reference's four formats parse; junk → NULL
+    (extract_bq.py:278-288)."""
+    df = spark.createDataFrame(
+        [("2024-01-15",), ("2024/01/15",), ("15-01-2024",), ("15/01/2024",), ("junk",)],
+        T.StructType([T.StructField("s", T.StringType())]),
+    )
+    got = df.select(parse_date_multi("s").alias("d")).collect()
+    expected = datetime.date(2024, 1, 15)
+    assert [r.d for r in got] == [expected] * 4 + [None]
+
+
+def test_flagship_dedup_idempotent(spark, sf_dir):
+    """K4: the pipeline output has unique dedup keys, and re-running
+    it produces the identical result (idempotence, README.md:148)."""
+    events = load_table(spark, sf_dir, "events")
+    out1 = flagship_pipeline(events)
+    keys = out1.select("user_id", "event_timestamp", "event_name")
+    assert keys.count() == keys.distinct().count()
+    assert out1.exceptAll(flagship_pipeline(events)).count() == 0
+
+
+def test_flagship_watermark_excludes_late_rows(spark, sf_dir):
+    """ST7 parity: rows at-or-below the watermark never appear."""
+    events = load_table(spark, sf_dir, "events")
+    wm = events.agg(F.percentile_approx(F.unix_micros("ts"), 0.5)).first()[0]
+    out = flagship_pipeline(events, watermark_us=wm)
+    assert out.where(F.col("event_timestamp") <= wm).count() == 0
+    assert out.count() > 0

@@ -1,0 +1,66 @@
+"""Multimodal plumbing tests: binary envelope, Arrow-batched feature
+extraction, stub boundaries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigquery_postgres_events_etl_spark.io import load_table
+from bigquery_postgres_events_etl_spark.operators.multimodal import (
+    decode_images,
+    documents_as_media,
+    extract_binary_features,
+    fake_decode_images,
+    sample_video_frames,
+)
+
+
+def test_binary_envelope_schema(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.orderBy("media_id").first()
+    assert row.n_bytes == len(row.payload)
+
+
+def test_feature_extract_values(spark, sf_dir):
+    """The pandas-batch featurizer must agree with a driver-side
+    python computation on a sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = {
+        r.media_id: r
+        for r in extract_binary_features(documents_as_media(docs)).collect()
+    }
+    for d in docs.orderBy("doc_id").limit(5).collect():
+        b = d.text.encode()
+        f = feats[d.doc_id]
+        assert (f.n_bytes, f.byte_sum, f.first_byte, f.last_byte) == (
+            len(b), sum(b), b[0], b[-1],
+        )
+
+
+def test_decode_stub_raises(spark, sf_dir):
+    """The codec stub is a clearly-marked NotImplementedError at
+    execution time (plan construction succeeds — the schema contract
+    is real)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    df = decode_images(media)  # plan builds fine
+    assert [f.name for f in df.schema.fields] == ["media_id", "width", "height", "channels"]
+    with pytest.raises(Exception, match="image decode stub"):
+        df.collect()
+
+
+def test_fake_decode_pipeline(spark, sf_dir):
+    """Downstream ops (aspect filter) run over the deterministic fake
+    decoder — the end-to-end pipeline shape a real codec would use."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    decoded = fake_decode_images(media)
+    wide = decoded.where(F.col("width") > F.col("height"))
+    assert 0 < wide.count() <= media.count()
+
+
+def test_frame_sampling_offsets(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_video_frames(media, every_n_bytes=64)
+    bad = frames.where(F.col("byte_offset") != F.col("frame_idx") * 64)
+    assert bad.count() == 0

@@ -1,0 +1,68 @@
+"""Sink contract tests: CSV header parity (K1), idempotent append
+(K4/K5), upsert SQL (K2-K4)."""
+
+from __future__ import annotations
+
+import glob
+
+from bigquery_postgres_events_etl_spark.io import load_table
+from bigquery_postgres_events_etl_spark.operators.etl import flagship_pipeline
+from bigquery_postgres_events_etl_spark.schemas import CSV_EXPORT_COLUMNS
+from bigquery_postgres_events_etl_spark.sources.sinks import (
+    build_upsert_sql,
+    export_csv,
+    idempotent_append_parquet,
+)
+
+
+def test_csv_header_golden(spark, sf_dir, tmp_path):
+    """K1 golden-file check: exact header line of extract_bq.py:149."""
+    out = flagship_pipeline(load_table(spark, sf_dir, "events"))
+    path = str(tmp_path / "export")
+    export_csv(out, path, single_file=True)
+    parts = glob.glob(f"{path}/part-*.csv")
+    assert len(parts) == 1
+    with open(parts[0]) as f:
+        header = f.readline().strip()
+    assert header == "user_id,event_date,event_timestamp,event_name,event_id,event_name_detail"
+    assert CSV_EXPORT_COLUMNS == header.split(",")
+
+
+def test_idempotent_append(spark, sf_dir, tmp_path):
+    """K4: writing the same batch twice inserts zero the second time
+    and leaves the target row count unchanged (README.md:148)."""
+    batch = flagship_pipeline(load_table(spark, sf_dir, "events"))
+    target = str(tmp_path / "t")
+    n1 = idempotent_append_parquet(spark, batch, target)
+    assert n1 == batch.count() > 0
+    n2 = idempotent_append_parquet(spark, batch, target)
+    assert n2 == 0
+    assert spark.read.parquet(target).count() == n1
+
+
+def test_idempotent_append_partial_overlap(spark, sf_dir, tmp_path):
+    """K4: an overlapping batch inserts only its new keys."""
+    from pyspark.sql import functions as F
+
+    batch = flagship_pipeline(load_table(spark, sf_dir, "events"))
+    old = batch.where(F.col("event_timestamp") % 2 == 0)
+    target = str(tmp_path / "t")
+    n_old = idempotent_append_parquet(spark, old, target)
+    n_all = idempotent_append_parquet(spark, batch, target)
+    assert n_old + n_all == batch.count()
+    assert spark.read.parquet(target).count() == batch.count()
+
+
+def test_upsert_sql_shape():
+    """K4: the ON CONFLICT DO NOTHING statement matches the
+    reference's (extract_bq.py:216-221)."""
+    sql = build_upsert_sql(
+        "application_events",
+        ["user_id", "event_timestamp", "event_name"],
+        ["user_id", "event_timestamp", "event_name"],
+    )
+    assert sql == (
+        "INSERT INTO application_events (user_id, event_timestamp, event_name) "
+        "VALUES (%s, %s, %s) "
+        "ON CONFLICT (user_id, event_timestamp, event_name) DO NOTHING"
+    )
