@@ -65,6 +65,8 @@ def _load_all() -> None:
         queries_similarity,
         queries_text,
         queries_multimodal,
+        queries_sql,
+        queries_scalars,
     )
 
     _LOADED = True
