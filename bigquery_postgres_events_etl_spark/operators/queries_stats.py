@@ -1,0 +1,197 @@
+"""Statistical aggregates and date/string scalar coverage.
+
+Variance/stddev/correlation are computed FROM EXACT DECIMAL SUMS
+(sum, sum of squares, sum of products) rather than the engines'
+native streaming aggregators — native implementations (Welford /
+two-pass) produce different last-bit doubles per engine and per
+partition order, while the moment formulas over exact sums are a
+fixed sequence of IEEE double ops on identical inputs. Same operator
+capability, reproducible answer — and the exact sums are themselves
+partial-aggregatable (scale-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+def _dsum(col, scale=4):
+    return F.sum(F.col(col).cast(f"decimal(27,{scale})")).cast("double")
+
+
+def _dsum_sq(col, scale=8):
+    # square of a 2-decimal value has 4 decimals; scale 8 is exact
+    c = F.col(col).cast("decimal(18,4)")
+    return F.sum((c * c).cast(f"decimal(38,{scale})")).cast("double")
+
+
+@register(
+    "agg_variance_from_sums",
+    """
+    WITH sums AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (ss - s * s / n) / (n - 1) AS var_qty,
+           sqrt((ss - s * s / n) / (n - 1)) AS stddev_qty,
+           s / n AS mean_qty
+    FROM sums
+    """,
+)
+def agg_variance_from_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev per group via the moment formula over
+    exact sums (one pass, partial-aggregated)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("l_quantity").alias("s"),
+        _dsum_sq("l_quantity").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (ss - s * s / n) / (n - 1)
+    return sums.select(
+        "l_returnflag", "n",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        (s / n).alias("mean_qty"),
+    )
+
+
+@register(
+    "agg_correlation_from_sums",
+    """
+    WITH sums AS (
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price
+    FROM sums
+    """,
+)
+def agg_correlation_from_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance from exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,4)")
+    p = F.col("l_extendedprice").cast("decimal(18,4)")
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("l_quantity").alias("sx"),
+        _dsum("l_extendedprice").alias("sy"),
+        F.sum((q * q).cast("decimal(38,8)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(38,8)")).cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(38,8)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return sums.select(
+        "n",
+        ((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+    )
+
+
+@register(
+    "date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mon,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(dayofweek(o_orderdate) AS INTEGER) + 1 AS dow_sun1,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS year_month,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction and arithmetic. DOW convention pinned to
+    Sunday=1 (Spark's native dayofweek; DuckDB's Sunday=0 shifted)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "string_functions_extended",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           rpad(p_type, 10, '.') AS type_padded,
+           trim('  ' || p_name || '  ') AS name_trimmed,
+           reverse(p_name) AS name_reversed,
+           repeat(p_brand, 2) AS brand_twice,
+           contains(p_name, 'red') AS has_red,
+           starts_with(p_type, 'PRO') AS is_promo,
+           ends_with(p_name, 'bolt') AS is_bolt,
+           CAST(strpos(p_name, ' ') AS INTEGER) AS first_space,
+           translate(p_brand, '#', '-') AS brand_dashed
+    FROM part
+    """,
+)
+def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.rpad("p_type", 10, ".").alias("type_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.contains("p_name", F.lit("red")).alias("has_red"),
+        F.startswith("p_type", F.lit("PRO")).alias("is_promo"),
+        F.endswith("p_name", F.lit("bolt")).alias("is_bolt"),
+        F.instr("p_name", " ").alias("first_space"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+    )
+
+
+@register(
+    "percentile_exact",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median (both engines: linear interpolation
+    over the sorted group — identical arithmetic on quantity's
+    half-integer grid)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )

@@ -25,17 +25,27 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def plan_summary(df: DataFrame) -> dict:
-    """Counts of the plan features that matter at scale."""
+    """Counts of the plan features that matter at scale.
+
+    Operators are counted from the formatted-explain detail headers
+    (``(N) OpName``) so each physical node counts exactly once (the
+    tree rendering repeats every name)."""
     fp = formatted_plan(df)
+    ops = re.findall(r"^\(\d+\) (.+?)(?: \[codegen id : \d+\])?\s*$", fp, re.M)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fp)
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", fp)
+
+    def n(op: str) -> int:
+        return sum(1 for o in ops if o.strip().startswith(op))
+
     return {
-        "exchanges": fp.count("Exchange"),
-        "broadcast_hash_joins": fp.count("BroadcastHashJoin"),
-        "sort_merge_joins": fp.count("SortMergeJoin"),
-        "shuffled_hash_joins": fp.count("ShuffledHashJoin"),
-        "nested_loop_joins": fp.count("BroadcastNestedLoopJoin"),
-        "scans": fp.count("Scan parquet"),
+        "exchanges": n("Exchange"),
+        "broadcast_hash_joins": n("BroadcastHashJoin"),
+        "sort_merge_joins": n("SortMergeJoin"),
+        "shuffled_hash_joins": n("ShuffledHashJoin"),
+        "nested_loop_joins": n("BroadcastNestedLoopJoin"),
+        "scans": n("Scan parquet"),
+        "bucketed_scans": fp.count("Bucketed: true"),
         "pushed_filters": [p for p in pushed if p.strip()],
         "scan_columns": [len(s.split(",")) for s in schemas],
         "take_ordered": "TakeOrderedAndProject" in fp,

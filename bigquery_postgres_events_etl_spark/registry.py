@@ -67,6 +67,7 @@ def _load_all() -> None:
         queries_multimodal,
         queries_sql,
         queries_scalars,
+        queries_stats,
     )
 
     _LOADED = True

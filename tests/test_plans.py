@@ -41,3 +41,38 @@ def test_sessionization_single_exchange(spark, sf_dir):
 def test_topk_is_take_ordered(spark, sf_dir):
     s = plan_summary(all_queries()["sort_topk_events"](spark, sf_dir))
     assert s["take_ordered"]
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables by the join key removes the per-query
+    shuffle entirely (the 100 TB repeated-join strategy)."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    write_bucketed(li, "t_li_bucketed", "l_orderkey", 4, sort_col="l_orderkey")
+    write_bucketed(o, "t_o_bucketed", "o_orderkey", 4, sort_col="o_orderkey")
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(
+                spark, "t_li_bucketed", "t_o_bucketed", "l_orderkey", "o_orderkey"
+            ).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+            s = plan_summary(joined)
+            assert s["sort_merge_joins"] == 1
+            # only the final aggregation exchanges; the join itself is
+            # co-located (un-bucketed twin would show 2 join exchanges)
+            assert s["exchanges"] <= 1, s
+            assert joined.count() == 3
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
