@@ -68,6 +68,7 @@ def _load_all() -> None:
         queries_sql,
         queries_scalars,
         queries_stats,
+        queries_skew,
     )
 
     _LOADED = True
