@@ -55,3 +55,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
+
+
+def parallelize(df: DataFrame) -> DataFrame:
+    """Ensure enough input partitions for CPU-bound row-expanding
+    operators (shingle explode, per-token hashing).
+
+    A small parquet source arrives as one file split — one task — and
+    serializes the whole expansion. One cheap narrow-input shuffle to
+    ``defaultParallelism`` buys full-core execution of everything
+    downstream. At cluster scale sources already have many splits and
+    this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df

@@ -184,17 +184,27 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
         "doc_id", "band.band_id", "band.band_key"
     )
-    x, y = banded.alias("x"), banded.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+    # Single-pass bucket expansion instead of a self-join: a self-join
+    # would execute the whole signature pipeline once per branch (no
+    # exchange reuse), and shuffle it twice. groupBy bucket →
+    # sorted doc list → in-bucket combinations is one pass, one
+    # shuffle, and the in-bucket quadratic cost is exactly the LSH
+    # premise (buckets are tiny unless docs truly collide).
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 # ---------------------------------------------------------------------
@@ -255,20 +265,25 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc
     chunked = sig.select(
         "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
     ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_val")
-    x, y = chunked.alias("x"), chunked.alias("y")
+    # one-pass bucket expansion (see minhash_lsh_pairs): sorted
+    # (doc_id, simhash) structs per chunk bucket → in-bucket pairs
+    buckets = (
+        chunked.groupBy("chunk_id", "chunk_val")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds)),"
+                " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                "             x.simhash AS simhash_a, y.simhash AS simhash_b))))"
+            )
+        ).alias("p")
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.chunk_id") == F.col("y.chunk_id"))
-            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("simhash_a"),
-            F.col("y.simhash").alias("simhash_b"),
-        )
+        pairs.select("p.doc_a", "p.doc_b", "p.simhash_a", "p.simhash_b")
         .distinct()
         .withColumn(
             "hamming",

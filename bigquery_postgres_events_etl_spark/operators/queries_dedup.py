@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import load_table
+from ..io import load_table, parallelize
 from ..registry import register
 from .dedup import (
     SIMHASH_BITS,
@@ -137,7 +137,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (inverted-index join) —
     the ground truth that the MinHash tier approximates."""
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=JACCARD_THRESHOLD
+        parallelize(load_table(spark, sf_dir, "documents")), n=3, threshold=JACCARD_THRESHOLD
     )
 
 
@@ -148,7 +148,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-permutation MinHash signatures — hash-compare vs the oracle
     validates every signature value, not just shapes."""
-    return minhash_signatures(load_table(spark, sf_dir, "documents"), NUM_HASHES)
+    return minhash_signatures(parallelize(load_table(spark, sf_dir, "documents")), NUM_HASHES)
 
 
 @register(
@@ -166,7 +166,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup path — join cost scales with true duplicates, not
     |docs|²."""
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), NUM_HASHES, BANDS
+        parallelize(load_table(spark, sf_dir, "documents")), NUM_HASHES, BANDS
     )
 
 
@@ -176,7 +176,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (count-weighted unigram votes)."""
-    return simhash(load_table(spark, sf_dir, "documents"))
+    return simhash(parallelize(load_table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -193,5 +193,5 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-≤3 SimHash pairs via pigeonhole banding; the oracle
     brute-forces all pairs — equality proves the blocking is lossless."""
-    df = simhash_near_pairs(load_table(spark, sf_dir, "documents"), MAX_HAMMING)
+    df = simhash_near_pairs(parallelize(load_table(spark, sf_dir, "documents")), MAX_HAMMING)
     return df.withColumn("hamming", df.hamming.cast("int"))

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import load_table
+from ..io import load_table, parallelize
 from ..registry import register
 from .text import (
     EN_STOPWORDS,
@@ -48,7 +48,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_frequencies(load_table(spark, sf_dir, "documents"))
+    return token_frequencies(parallelize(load_table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -116,7 +116,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 terms by rational TF-IDF (log-free, bit-exact)."""
     from pyspark.sql import functions as F
 
-    df = tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+    df = tfidf_top_terms(parallelize(load_table(spark, sf_dir, "documents")))
     return df.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -144,5 +144,5 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style min-K shingle-hash fingerprints."""
     from pyspark.sql import functions as F
 
-    df = doc_fingerprints(load_table(spark, sf_dir, "documents"))
+    df = doc_fingerprints(parallelize(load_table(spark, sf_dir, "documents")))
     return df.withColumn("rank", F.col("rank").cast("long"))
