@@ -69,6 +69,7 @@ def _load_all() -> None:
         queries_scalars,
         queries_stats,
         queries_skew,
+        queries_agg2,
     )
 
     _LOADED = True

@@ -66,3 +66,28 @@ def test_upsert_sql_shape():
         "VALUES (%s, %s, %s) "
         "ON CONFLICT (user_id, event_timestamp, event_name) DO NOTHING"
     )
+
+
+def test_bigquery_reader_options():
+    """Connector config parity: shard-suffix filter matches the
+    reference's `_TABLE_SUFFIX BETWEEN` construction."""
+    from bigquery_postgres_events_etl_spark.sources.connectors import (
+        BigQueryEventsSource,
+    )
+
+    src = BigQueryEventsSource("proj", "analytics_1")
+    opts = src.reader_options("2024-01-05", "2024-01-10")
+    assert opts["table"] == "proj.analytics_1.events_*"
+    assert opts["filter"] == "_TABLE_SUFFIX BETWEEN '20240105' AND '20240110'"
+
+
+def test_jdbc_reader_options():
+    from bigquery_postgres_events_etl_spark.sources.connectors import (
+        JdbcTableSource,
+    )
+
+    src = JdbcTableSource("jdbc:postgresql://h:5432/db", "application_events", "u")
+    opts = src.reader_options(0, 1_000_000)
+    assert opts["numPartitions"] == "8"
+    assert opts["partitionColumn"] == "id"
+    assert opts["pushDownPredicate"] == "true"

@@ -79,3 +79,50 @@ def test_streaming_watermark_drops_late_rows(spark, sf_dir, tmp_path):
         .count()
     )
     assert 0 < emitted <= total_windows
+
+
+def test_stateful_user_profiles(spark, sf_dir, tmp_path):
+    """Custom applyInPandasWithState operator: final per-user profiles
+    after draining the source must equal the batch ground truth."""
+    from bigquery_postgres_events_etl_spark.streaming.stateful import (
+        streaming_user_profiles,
+    )
+
+    src = _stage_source(sf_dir, tmp_path)
+    events = read_events_stream(spark, src)
+    profiles = streaming_user_profiles(events)
+    q = (
+        profiles.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profiles_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: r
+        for r in spark.sql(
+            # last emitted row per user (update mode may emit per batch)
+            """
+            SELECT * FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM profiles_out
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    truth = {
+        r.user_id: r
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        )
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for uid, t in truth.items():
+        assert got[uid].n_events == t.n_events
+        assert got[uid].last_ts_us == t.last_ts_us
+        assert got[uid].n_sessions >= 1
