@@ -101,3 +101,15 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return ann_lsh_topk(queries, emb, k=TOP_K, num_planes=4)
+
+
+@register("similarity_ann_ivf", None)  # trained quantizer: recall-tested
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (k-means inverted lists + exact re-rank within
+    probed lists). Rows-only driver check; recall contract vs brute
+    force in tests/test_similarity.py."""
+    from .similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(queries, emb, k=TOP_K, n_lists=8, n_probe=2)

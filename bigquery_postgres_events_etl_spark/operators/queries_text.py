@@ -146,3 +146,36 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = doc_fingerprints(parallelize(load_table(spark, sf_dir, "documents")))
     return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "text_bpe_tokenize",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS pieces
+      FROM documents
+    )
+    SELECT doc_id,
+           len(pieces) AS n_pieces,
+           pieces[1:5] AS first5,
+           len(list_distinct(pieces)) AS n_distinct_pieces
+    FROM t
+    """,
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: letter runs / digit runs /
+    single punctuation — the pre-tokenization split every BPE variant
+    starts from, as one codegen'd regexp_extract_all (the same simple
+    character-class pattern behaves identically in Java and RE2
+    regex flavors)."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.slice(pieces, 1, 5).alias("first5"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
+    )

@@ -15,9 +15,11 @@ Two tiers:
   then exact cosine re-ranks within the bucket. Bucketing is a single
   narrow projection + one shuffle on the bucket key.
 
-An IVF variant (k-means coarse quantizer) would follow the same
-shape — assign to nearest centroid, search within the inverted list;
-LSH was chosen because it needs no training pass.
+- IVF ANN (``ivf_topk``): the trained-quantizer alternative — a
+  Spark-ML k-means coarse quantizer partitions the corpus into
+  inverted lists; queries probe their nearest lists and exact-cosine
+  re-rank inside them. Better list balance on clustered data than
+  LSH, at the cost of a training pass.
 """
 
 from __future__ import annotations
@@ -198,6 +200,91 @@ def ann_lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer
+# ---------------------------------------------------------------------
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: Spark-ML k-means partitions the corpus into
+    ``n_lists`` inverted lists; each query probes its ``n_probe``
+    nearest centroids and exact-cosine re-ranks only those lists.
+
+    The trained-quantizer counterpart of the (training-free)
+    hyperplane LSH above: better list balance on clustered data, at
+    the cost of a training pass. At 100 TB the quantizer trains on a
+    sample and assignment is one narrow transform; candidate search
+    touches |corpus| × n_probe / n_lists rows per query.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.withColumn(
+        "__fvec", array_to_vector(F.col(emb_col).cast("array<double>"))
+    )
+    model = KMeans(featuresCol="__fvec", k=n_lists, seed=seed).fit(corpus_v)
+    assigned = (
+        model.transform(corpus_v)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(emb_col).alias("c_emb"),
+            F.col("prediction").alias("list_id"),
+        )
+        .withColumn("c_norm", norm_sq("c_emb"))
+    )
+
+    # per-query probe lists: distance to each centroid (tiny literal
+    # cross join — n_lists rows per query, all constant-folded arrays)
+    centers = model.clusterCenters()
+    center_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
+    spark = queries.sparkSession
+    centers_df = spark.createDataFrame(center_rows, "list_id int, center array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    ).withColumn("q_norm", norm_sq("q_emb"))
+    probed = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(q_emb, center,"
+                " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("list_id"))
+    probes = (
+        probed.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "q_emb", "q_norm", "list_id")
+    )
+
+    pairs = assigned.join(
+        F.broadcast(probes),
+        (assigned.list_id == probes.list_id)
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = pairs.withColumn(
+        "cosine", cosine(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -47,3 +47,22 @@ def test_brute_force_topk_is_k_per_query(spark, sf_dir):
     out = brute_force_topk(queries, emb, k=3)
     per_q = out.groupBy("query_id").count().collect()
     assert len(per_q) == 5 and all(r["count"] == 3 for r in per_q)
+
+
+def test_ivf_recall(spark, sf_dir):
+    """IVF with 8 lists / 2 probes must recover a solid share of the
+    true top-5 (probing 1/4 of the corpus)."""
+    from bigquery_postgres_events_etl_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(queries, emb, k=5, n_lists=8, n_probe=2).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"IVF recall {recall}"
