@@ -248,3 +248,100 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         micros_to_ts(ts_to_micros("ts")).alias("ts_roundtrip"),
         parse_date_multi(F.lit("2024/01/15")).alias("parsed_multi"),
     )
+
+
+@register(
+    "etl_struct_params",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS event_k,
+           json_extract_string(props, '$.missing') AS event_missing
+    FROM events
+    """,
+)
+def etl_struct_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 struct-path parity, oracle-checked: rebuild the GA4
+    ARRAY<STRUCT<key, value<string_value>>> shape from the fixture's
+    JSON props, then extract with the exact last-wins struct logic
+    the reference uses (extract_bq.py:159-164). The oracle reads the
+    JSON directly — equal output proves the struct path is faithful.
+    """
+    from ..functions.scalars import param_last_wins
+
+    df = load_table(spark, sf_dir, "events")
+    params = F.array(
+        F.struct(
+            F.lit("k").alias("key"),
+            F.struct(json_param("props", "k").alias("string_value")).alias("value"),
+        )
+    )
+    return df.withColumn("event_params", params).select(
+        "event_id",
+        param_last_wins("event_params", "k").alias("event_k"),
+        param_last_wins("event_params", "missing").alias("event_missing"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    f"""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           count(*) FILTER (WHERE event_type = 'view') AS n_views,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') > 0
+                 AND count(*) FILTER (WHERE event_type = 'click') > 0
+                THEN 1 ELSE 0 END AS converted,
+           epoch_us(min({_TS}) FILTER (WHERE event_type = 'purchase')) AS first_purchase_us
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed analytics pipeline: per-user funnel counts +
+    conversion flag + first-purchase time, one conditional-agg pass
+    (the shape of the reference's downstream analytics queries)."""
+    e = valid_user_filter(load_table(spark, sf_dir, "events"))
+    purchase = F.col("event_type") == "purchase"
+    n_purch = F.count_if(purchase)
+    n_click = F.count_if(F.col("event_type") == "click")
+    return e.groupBy("user_id").agg(
+        n_click.alias("n_clicks"),
+        F.count_if(F.col("event_type") == "view").alias("n_views"),
+        n_purch.alias("n_purchases"),
+        F.when((n_purch > 0) & (n_click > 0), 1).otherwise(0).alias("converted"),
+        F.unix_micros(F.min(F.when(purchase, F.col("ts")))).alias("first_purchase_us"),
+    )
+
+
+@register(
+    "profile_columns",
+    f"""
+    SELECT count(*) AS n_rows,
+           count(*) - count(user_id) AS user_id_nulls,
+           count(DISTINCT user_id) AS user_id_distinct,
+           count(*) - count(value) AS value_nulls,
+           count(DISTINCT event_type) AS event_type_distinct,
+           min(epoch_us({_TS})) AS ts_min_us,
+           max(epoch_us({_TS})) AS ts_max_us,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / count(value) AS value_mean
+    FROM events
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling in one pass: null counts, distincts,
+    ranges, means — the ingest-gate check a training-data pipeline
+    runs before accepting a batch."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("user_id_nulls"),
+        F.countDistinct("user_id").alias("user_id_distinct"),
+        (F.count(F.lit(1)) - F.count("value")).alias("value_nulls"),
+        F.countDistinct("event_type").alias("event_type_distinct"),
+        F.min(ts_us).alias("ts_min_us"),
+        F.max(ts_us).alias("ts_max_us"),
+        (F.sum(F.col("value").cast("decimal(27,4)")).cast("double") / F.count("value")).alias("value_mean"),
+    )

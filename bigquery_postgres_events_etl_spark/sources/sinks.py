@@ -46,8 +46,11 @@ def idempotent_append_parquet(
     1. intra-batch dedup on the key (deterministic: min-ordered
        survivor happens upstream in the pipeline; here dropDuplicates
        suffices because upstream already made rows per key unique);
-    2. left_anti against the existing target's keys (only the key
-       columns are scanned — column pruning keeps this cheap);
+    2. left_anti against the existing target's keys — only the key
+       columns are read (column pruning), and when the target is
+       date-partitioned the existing-keys scan is pruned to the
+       partitions this batch can touch (at 100 TB the anti-join
+       otherwise scans the whole history every run);
     3. append.
 
     Returns the number of rows actually inserted (A3, the reference's
@@ -56,8 +59,23 @@ def idempotent_append_parquet(
     keys = keys or APPLICATION_EVENTS_DEDUP_KEY
     batch = df.dropDuplicates(keys)
     try:
-        existing = spark.read.parquet(target_path).select(*keys)
-        batch = batch.join(existing, keys, "left_anti")
+        existing = spark.read.parquet(target_path)
+        if partition_by:
+            # partition-prune the anti-join's right side: the batch
+            # can only collide inside its own partition values
+            part_vals = [
+                tuple(r) for r in batch.select(*partition_by).distinct().collect()
+            ]
+            if part_vals:
+                cond = None
+                for vals in part_vals:
+                    row_cond = None
+                    for c, v in zip(partition_by, vals):
+                        eq = F.col(c) == F.lit(v)
+                        row_cond = eq if row_cond is None else (row_cond & eq)
+                    cond = row_cond if cond is None else (cond | row_cond)
+                existing = existing.where(cond)
+        batch = batch.join(existing.select(*keys), keys, "left_anti")
     except Exception:
         pass  # first load — no target yet
     inserted = batch.count()

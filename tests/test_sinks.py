@@ -91,3 +91,19 @@ def test_jdbc_reader_options():
     assert opts["numPartitions"] == "8"
     assert opts["partitionColumn"] == "id"
     assert opts["pushDownPredicate"] == "true"
+
+
+def test_idempotent_append_partitioned(spark, sf_dir, tmp_path):
+    """Partitioned target: rerun inserts 0 and the anti-join prunes to
+    the batch's own event_date partitions."""
+    batch = flagship_pipeline(load_table(spark, sf_dir, "events"))
+    target = str(tmp_path / "t")
+    n1 = idempotent_append_parquet(
+        spark, batch, target, partition_by=["event_date"]
+    )
+    assert n1 == batch.count() > 0
+    n2 = idempotent_append_parquet(
+        spark, batch, target, partition_by=["event_date"]
+    )
+    assert n2 == 0
+    assert spark.read.parquet(target).count() == n1
