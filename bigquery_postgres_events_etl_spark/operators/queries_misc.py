@@ -1,0 +1,156 @@
+"""Higher-order functions, bag-semantics set ops, deterministic
+sampling, ANSI-safe casts, and join-side salting."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "higher_order_functions",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_transform(toks[1:5], x -> upper(x)) AS first5_upper,
+           list_filter(toks, x -> length(x) > 5) AS long_tokens,
+           len(list_filter(toks, x -> x = 'spark')) > 0 AS has_spark,
+           len(list_filter(toks, x -> length(x) >= 1)) = len(toks) AS all_nonempty,
+           list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b) AS total_chars
+    FROM t
+    """,
+)
+def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / filter / exists / forall / aggregate — the lambda
+    surface that replaces Python UDFs for array work (all codegen'd).
+    list_reduce seeds with the first element; aggregate() mirrors that
+    by folding from tokens[0]'s length."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x)).alias("first5_upper"),
+        F.filter(toks, lambda x: F.length(x) > 5).alias("long_tokens"),
+        F.exists(toks, lambda x: x == "spark").alias("has_spark"),
+        F.forall(toks, lambda x: F.length(x) >= 1).alias("all_nonempty"),
+        F.aggregate(
+            F.slice(toks, 2, 1_000_000),
+            F.length(F.element_at(toks, 1)).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("total_chars"),
+    )
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (multiplicity = min of the two
+    sides) — distinct from the set-semantics variant."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.where(F.col("o_totalprice") > 200000.0).select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity subtraction)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.where(F.col("o_totalprice") > 200000.0).select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)
+
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via key-hash bucketing — the
+    scale-correct replacement for rng-based TABLESAMPLE: stable across
+    runs/engines/partitionings, and consistent for the same key (so
+    joins between sampled tables stay aligned)."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10).cast("long")
+    return e.where(h % 100 < 10).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "safe_casts",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           TRY_CAST(event_type AS INTEGER) AS type_as_int,
+           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_double,
+           CASE WHEN value = 0 THEN NULL ELSE 100.0 / value END AS per_value
+    FROM events
+    """,
+)
+def safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe conversions: try_cast → NULL instead of error on
+    malformed input, try_divide → NULL on zero denominators (the
+    discipline that keeps a 100 TB batch from dying on one bad row)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.try_cast("int").alias("k_int"),
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        k.try_cast("double").alias("k_double"),
+        F.try_divide(F.lit(100.0), F.col("value")).alias("per_value"),
+    )
+
+
+@register(
+    "salted_join_aggregation",
+    """
+    SELECT n.n_name,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS sum_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def salted_join_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-side salting: replicate the small side across N salt
+    values and scatter the big side by a deterministic row-hash salt,
+    so one hot nationkey spreads over N tasks. The oracle is the
+    plain join+agg — the rewrite must be answer-preserving. (AQE
+    skew-join does this adaptively for sort-merge; explicit salting
+    is the portable form and works for aggregation-heavy joins.)"""
+    n_salts = 8
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    salted_c = c.withColumn(
+        "__salt", F.pmod(F.xxhash64("c_custkey"), F.lit(n_salts)).cast("int")
+    )
+    salts = spark.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+    salted_n = n.crossJoin(salts)
+    joined = salted_c.join(
+        salted_n,
+        (salted_c.c_nationkey == salted_n.n_nationkey)
+        & (salted_c["__salt"] == salted_n["__salt"]),
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,4)")).cast("double").alias("sum_bal"),
+    )

@@ -70,6 +70,7 @@ def _load_all() -> None:
         queries_stats,
         queries_skew,
         queries_agg2,
+        queries_misc,
     )
 
     _LOADED = True

@@ -115,3 +115,39 @@ def run_streaming_etl(
         "batch_id": progress["batchId"] if progress else None,
         "rows_in_target": spark.read.parquet(target_path).count(),
     }
+
+
+def streaming_purchase_click_join(
+    purchases: DataFrame, clicks: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to same-user
+    clicks in the preceding ``within`` interval.
+
+    Both sides carry watermarks so Spark can bound the join state
+    buffer (clicks older than purchase-watermark − within are
+    evicted) — the streaming twin of the batch as-of/range join.
+    """
+    from pyspark.sql import functions as F
+
+    p = (
+        purchases.withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}")),
+    ).select("purchase_id", "p_user", "p_ts", "click_id", "c_ts")

@@ -126,3 +126,42 @@ def test_stateful_user_profiles(spark, sf_dir, tmp_path):
         assert got[uid].n_events == t.n_events
         assert got[uid].last_ts_us == t.last_ts_us
         assert got[uid].n_sessions >= 1
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream join result equals the batch
+    equivalent range join."""
+    from bigquery_postgres_events_etl_spark.streaming.stream import (
+        streaming_purchase_click_join,
+    )
+
+    src = _stage_source(sf_dir, tmp_path)
+    events = read_events_stream(spark, src)
+    joined = streaming_purchase_click_join(
+        events.where(F.col("event_type") == "purchase"),
+        events.where(F.col("event_type") == "click"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n FROM ssjoin_out").first()["n"]
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    batch_n = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert got == batch_n > 0
