@@ -23,6 +23,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q18_large_orders",
     "join_sort_merge_fact",
     "window_topk_per_group",
     "sessionization",

@@ -71,6 +71,7 @@ def _load_all() -> None:
         queries_skew,
         queries_agg2,
         queries_misc,
+        queries_tpch,
     )
 
     _LOADED = True
