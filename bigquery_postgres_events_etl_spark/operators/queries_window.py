@@ -248,3 +248,72 @@ def window_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "window_distribution",
+    """
+    SELECT s_suppkey, s_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile,
+           first_value(s_suppkey) OVER w2 AS richest_key,
+           last_value(s_suppkey) OVER w2 AS poorest_key,
+           nth_value(s_suppkey, 2) OVER w2 AS second_key
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC),
+           w2 AS (ORDER BY s_acctbal DESC, s_suppkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank/cume_dist/ntile +
+    first/last/nth value over an explicit full frame (the frame makes
+    last_value meaningful and the total ordering makes every output
+    deterministic). Tiny supplier dim only — global windows serialize."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"))
+    w2 = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))).alias("quartile"),
+        F.first("s_suppkey").over(w2).alias("richest_key"),
+        F.last("s_suppkey").over(w2).alias("poorest_key"),
+        F.nth_value("s_suppkey", 2).over(w2).alias("second_key"),
+    )
+
+
+@register(
+    "mode_per_group",
+    """
+    SELECT event_type, props_k AS mode_k, cnt AS mode_count FROM (
+      SELECT event_type, props_k, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, props_k) AS rn
+      FROM (
+        SELECT event_type, json_extract_string(props, '$.k') AS props_k,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rn = 1
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (most frequent param value,
+    smallest-value tie-break) — count + top-1 window; native mode()
+    has engine-specific tie behavior, this form doesn't."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type", F.get_json_object("props", "$.k").alias("props_k")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("props_k"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("props_k").alias("mode_k"), F.col("cnt").alias("mode_count"))
+    )
