@@ -86,6 +86,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All pairs with Jaccard(shingle-set) ≥ threshold.
 
@@ -93,14 +94,33 @@ def ngram_jaccard_pairs(
     shingle → count common shingles per pair → jaccard =
     common / (|A| + |B| - common). Integer counts, one double
     division — bit-exact across engines.
+
+    ``max_shingle_df`` is the scale valve: a shingle appearing in d
+    documents contributes d² join rows, so stop-shingles dominate the
+    cost while carrying no similarity signal. Setting it drops
+    shingles with document frequency > max_shingle_df *before* the
+    join (sizes are still computed on the full sets, so jaccard only
+    ever decreases — the filtered run is a candidate generator to
+    verify exactly, same as the MinHash tier). Default None = exact
+    (the oracle-checked configuration).
     """
     sh = (
         with_shingles(docs, n)
         .select(F.col(id_col).alias("doc_id"), F.explode("shingles").alias("shingle"))
         .distinct()
     )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        join_side = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        join_side = sh
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = join_side.alias("a"), join_side.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

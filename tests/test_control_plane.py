@@ -104,3 +104,15 @@ def test_service_trigger_then_status(service):
     _, status = _get(f"{service}/status")
     assert status["last_result"]["status"] == "success"
     assert status["last_timestamp"] > 0
+
+
+def test_cli_parquet_sink(spark, sf_dir, tmp_path):
+    """--parquet path: idempotent-append target; rerun adds nothing."""
+    target = str(tmp_path / "ptarget")
+    args = ["--from", "2024-01-01", "--to", "2024-01-31",
+            "--source", sf_dir, "--parquet", target]
+    assert main(args) == 0
+    n1 = spark.read.parquet(target).count()
+    assert n1 > 0
+    assert main(args) == 0  # rerun
+    assert spark.read.parquet(target).count() == n1

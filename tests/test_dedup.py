@@ -61,3 +61,20 @@ def test_exact_dedup_total_preserved(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     agg = exact_dedup(docs).agg(F.sum("n_copies")).first()[0]
     assert agg == docs.count()
+
+
+def test_jaccard_hot_shingle_filter_is_candidate_superset_logic(spark, sf_dir):
+    """With a generous df cap the filtered run equals exact; with an
+    aggressive cap it returns a subset (candidate-generator mode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    generous = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=10**6).collect()
+    }
+    assert generous == exact
+    aggressive = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=2).collect()
+    }
+    assert aggressive <= exact
