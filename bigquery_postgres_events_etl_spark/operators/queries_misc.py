@@ -154,3 +154,53 @@ def salted_join_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("c_acctbal").cast("decimal(27,4)")).cast("double").alias("sum_bal"),
     )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax
+          FROM lineitem)
+    UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide numeric columns → (metric, value) rows —
+    the inverse of pivot, one narrow projection with a 4× row
+    expansion and no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "null_safe_join",
+    """
+    SELECT e.event_id, e.user_id, m.marker
+    FROM (SELECT event_id, nullif(user_id, 0) AS user_id FROM events) e
+    JOIN (SELECT DISTINCT nullif(user_id, 0) AS user_id,
+                 coalesce(CAST(nullif(user_id, 0) AS VARCHAR), 'anon') AS marker
+          FROM events) m
+      ON e.user_id IS NOT DISTINCT FROM m.user_id
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping — required when a sentinel
+    (user 0 → anon) is modeled as NULL but rows must still pair up."""
+    e = load_table(spark, sf_dir, "events")
+    left = e.select("event_id", F.nullif("user_id", F.lit(0)).alias("user_id"))
+    right = (
+        e.select(F.nullif("user_id", F.lit(0)).alias("user_id"))
+        .distinct()
+        .withColumn("marker", F.coalesce(F.col("user_id").cast("string"), F.lit("anon")))
+    )
+    return left.join(
+        F.broadcast(right), left["user_id"].eqNullSafe(right["user_id"])
+    ).select(left["event_id"], left["user_id"], right["marker"])
