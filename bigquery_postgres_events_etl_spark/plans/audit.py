@@ -33,6 +33,7 @@ def plan_summary(df: DataFrame) -> dict:
     fp = formatted_plan(df)
     ops = re.findall(r"^\(\d+\) (.+?)(?: \[codegen id : \d+\])?\s*$", fp, re.M)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fp)
+    partition_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", fp)
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", fp)
 
     def n(op: str) -> int:
@@ -47,6 +48,7 @@ def plan_summary(df: DataFrame) -> dict:
         "scans": n("Scan parquet"),
         "bucketed_scans": fp.count("Bucketed: true"),
         "pushed_filters": [p for p in pushed if p.strip()],
+        "partition_filters": [p for p in partition_filters if p.strip()],
         "scan_columns": [len(s.split(",")) for s in schemas],
         "take_ordered": "TakeOrderedAndProject" in fp,
     }
