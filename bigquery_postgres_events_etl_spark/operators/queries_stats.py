@@ -20,13 +20,16 @@ from ..registry import register
 
 
 def _dsum(col, scale=4):
-    return F.sum(F.col(col).cast(f"decimal(27,{scale})")).cast("double")
+    # string round-trip: decimal->double conversion is correctly rounded
+    # from the digit string in both engines, while DuckDB's direct
+    # decimal->double double-rounds once the scaled int exceeds 2^53
+    return F.sum(F.col(col).cast(f"decimal(27,{scale})")).cast("string").cast("double")
 
 
 def _dsum_sq(col, scale=8):
     # square of a 2-decimal value has 4 decimals; scale 8 is exact
     c = F.col(col).cast("decimal(18,4)")
-    return F.sum((c * c).cast(f"decimal(38,{scale})")).cast("double")
+    return F.sum((c * c).cast(f"decimal(38,{scale})")).cast("string").cast("double")
 
 
 @register(
@@ -35,8 +38,8 @@ def _dsum_sq(col, scale=8):
     WITH sums AS (
       SELECT l_returnflag,
              count(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS s,
-             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS ss
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -70,11 +73,11 @@ def agg_variance_from_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sums AS (
       SELECT count(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy
       FROM lineitem
     )
     SELECT n,
@@ -92,9 +95,9 @@ def agg_correlation_from_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _dsum("l_quantity").alias("sx"),
         _dsum("l_extendedprice").alias("sy"),
-        F.sum((q * q).cast("decimal(38,8)")).cast("double").alias("sxx"),
-        F.sum((p * p).cast("decimal(38,8)")).cast("double").alias("syy"),
-        F.sum((q * p).cast("decimal(38,8)")).cast("double").alias("sxy"),
+        F.sum((q * q).cast("decimal(38,8)")).cast("string").cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(38,8)")).cast("string").cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(38,8)")).cast("string").cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
