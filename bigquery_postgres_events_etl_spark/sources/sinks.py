@@ -17,6 +17,7 @@ prunes to the partitions a batch can touch.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,6 +60,9 @@ def idempotent_append_parquet(
     keys = keys or APPLICATION_EVENTS_DEDUP_KEY
     batch = df.dropDuplicates(keys)
     try:
+        # only a missing target may be ignored; any other read failure
+        # must abort — treating a corrupt/unreadable target as "first
+        # load" would skip the anti-join and double-insert on replay
         existing = spark.read.parquet(target_path)
         if partition_by:
             # partition-prune the anti-join's right side: the batch
@@ -76,8 +80,10 @@ def idempotent_append_parquet(
                     cond = row_cond if cond is None else (cond | row_cond)
                 existing = existing.where(cond)
         batch = batch.join(existing.select(*keys), keys, "left_anti")
-    except Exception:
-        pass  # first load — no target yet
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        # first load — no target yet
     inserted = batch.count()
     writer = batch.write.mode("append")
     if partition_by:
