@@ -1,0 +1,120 @@
+"""Composed analytics over the events stream: cohort retention,
+event-sequence transitions, key-skew profiling — the downstream
+queries the reference's loaded ``application_events`` table exists to
+serve (README.md:... "analytics events"), each a small composition of
+the operator library."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+_TS = "CAST(ts AS TIMESTAMP)"
+
+
+@register(
+    "cohort_retention",
+    f"""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min({_TS})) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', {_TS}) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((a.active_week - f.cohort_week) // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted per week-offset of later activity. Two aggregations and a
+    broadcast join on the (small) per-user firsts table; at scale the
+    firsts table is |users|-sized, still broadcastable or bucketed."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "event_transition_matrix",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY {_TS}, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-sequence transition counts (the Markov-chain
+    input for funnel/journey analysis): one window on user_id + one
+    aggregation, both sharing the same partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    totals AS (SELECT count(*) AS total FROM events)
+    SELECT count(*) AS n_keys,
+           max(n) AS max_key_rows,
+           min(n) AS min_key_rows,
+           CAST(SUM(CAST(n AS DECIMAL(27,0))) AS DOUBLE) / count(*) AS mean_key_rows,
+           max(n) / (SELECT total FROM totals) AS max_key_share
+    FROM per_key
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew diagnostics: per-key cardinality extremes
+    and the hot key's share of all rows — the number that decides
+    whether a groupBy/join on this key needs salting (operators.skew)
+    before it runs at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = e.count()
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+        F.min("n").alias("min_key_rows"),
+        (F.sum(F.col("n").cast("decimal(27,0)")).cast("double") / F.count(F.lit(1))).alias("mean_key_rows"),
+        (F.max("n") / F.lit(total)).alias("max_key_share"),
+    )

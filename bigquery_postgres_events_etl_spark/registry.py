@@ -72,6 +72,7 @@ def _load_all() -> None:
         queries_agg2,
         queries_misc,
         queries_tpch,
+        queries_analytics,
     )
 
     _LOADED = True

@@ -165,3 +165,37 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     ).count()
     assert got == batch_n > 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicated source files dedupe to
+    the batch-distinct key count with bounded state (the streaming
+    native form of the K4 conflict-skip)."""
+    import shutil
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")  # full duplicate
+
+    events = read_events_stream(spark, str(src))
+    deduped = (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "ts", "event_type"])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n FROM dedup_out").first()["n"]
+    batch_distinct = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got == batch_distinct
