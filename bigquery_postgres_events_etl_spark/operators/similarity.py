@@ -288,3 +288,54 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ann_lsh_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe hyperplane LSH: each query also probes the
+    ``num_planes`` buckets at Hamming distance 1 from its own (one
+    hyperplane flipped) — the standard recall boost that beats
+    shrinking ``num_planes`` because candidate sets grow linearly
+    (planes+1 buckets) instead of exponentially (halving planes
+    doubles every bucket).
+
+    Plan shape is unchanged: the query side explodes to its probe
+    list (tiny), broadcast, equi-join on the bucket, exact re-rank.
+    """
+    q = with_lsh_bucket(with_norm_sq(queries, emb_col), num_planes, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+        F.col("lsh_bucket").alias("q_bucket"),
+    )
+    probes = F.array(
+        F.col("q_bucket"),
+        *[F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+    )
+    q = q.withColumn("probe_bucket", F.explode(probes))
+    c = with_lsh_bucket(with_norm_sq(corpus, emb_col), num_planes, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.col("norm_sq").alias("c_norm"),
+        F.col("lsh_bucket").alias("c_bucket"),
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("c_bucket") == F.col("probe_bucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = pairs.withColumn(
+        "cosine", cosine(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

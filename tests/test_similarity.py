@@ -66,3 +66,32 @@ def test_ivf_recall(spark, sf_dir):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.3, f"IVF recall {recall}"
+
+
+def test_multiprobe_beats_single_probe(spark, sf_dir):
+    """Multi-probe recall must dominate single-probe at the same
+    plane count (its candidate set is a strict superset)."""
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        ann_lsh_topk_multiprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    # 4 planes -> 16 buckets on the 500-vector smoke corpus; probing
+    # 5/16 buckets should lift recall well above the single probe
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk(queries, emb, k=5, num_planes=4).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk_multiprobe(queries, emb, k=5, num_planes=4).collect()
+    }
+    r_single = len(truth & single) / len(truth)
+    r_multi = len(truth & multi) / len(truth)
+    assert r_multi >= r_single
+    assert r_multi >= 0.4, f"multi-probe recall {r_multi}"
