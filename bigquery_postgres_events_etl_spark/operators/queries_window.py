@@ -85,7 +85,7 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_qty
     FROM lineitem
@@ -96,9 +96,12 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL cast so every prefix sum is order-independent-exact and
     matches the oracle bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem")
+    # (orderkey, linenumber) is NOT unique in the synthetic fixture —
+    # duplicate rows exist with different measures, so the measure
+    # joins the sort key to keep the frame order total
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
@@ -117,7 +120,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
              / COUNT(l_extendedprice) OVER w AS moving_avg_price
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
 )
@@ -126,7 +129,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(-3, Window.currentRow)
     )
     return li.select(
