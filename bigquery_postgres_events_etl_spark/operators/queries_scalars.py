@@ -28,7 +28,7 @@ from ..registry import register
            CAST(c_nationkey % 5 AS INTEGER) AS nation_mod,
            CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign,
            greatest(c_acctbal, 0.0) AS bal_clamped,
-           least(c_nationkey, 10) AS nation_capped,
+           CAST(least(c_nationkey, 10) AS BIGINT) AS nation_capped,
            power(CAST(c_nationkey AS DOUBLE), 2) AS nation_sq
     FROM customer
     """,
@@ -47,7 +47,7 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_nationkey") % 5).cast("int").alias("nation_mod"),
         F.signum("c_acctbal").alias("bal_sign"),
         F.greatest("c_acctbal", F.lit(0.0)).alias("bal_clamped"),
-        F.least("c_nationkey", F.lit(10)).alias("nation_capped"),
+        F.least("c_nationkey", F.lit(10)).cast("bigint").alias("nation_capped"),
         F.pow(F.col("c_nationkey").cast("double"), 2).alias("nation_sq"),
     )
 

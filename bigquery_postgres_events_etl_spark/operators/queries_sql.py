@@ -79,8 +79,8 @@ _register_sql(
     "sql_grouping_sets",
     """
     SELECT o_orderstatus, o_orderpriority,
-           grouping(o_orderstatus) AS g_status,
-           grouping(o_orderpriority) AS g_priority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
            count(*) AS n_orders
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())

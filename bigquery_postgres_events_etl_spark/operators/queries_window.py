@@ -47,7 +47,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= 3)
     )
 
@@ -73,9 +73,9 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "s_suppkey",
         "s_acctbal",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.row_number().over(wd).alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.row_number().over(wd).cast("bigint").alias("rn"),
     )
 
 
@@ -183,9 +183,12 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY {_TS}, event_id)
     ), sessions AS (
       SELECT user_id, event_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             -- DuckDB windowed SUM(int) yields HUGEINT; Spark emits BIGINT.
+             -- Cast so the driver's type-aware value hash sees LongType on
+             -- both sides (root cause of the r1 hash_match=false).
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -284,7 +287,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal",
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
-        F.ntile(4).over(Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))).alias("quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))).cast("bigint").alias("quartile"),
         F.first("s_suppkey").over(w2).alias("richest_key"),
         F.last("s_suppkey").over(w2).alias("poorest_key"),
         F.nth_value("s_suppkey", 2).over(w2).alias("second_key"),

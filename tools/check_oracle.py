@@ -43,6 +43,44 @@ def norm_value(v):
     return str(v)
 
 
+def canon_duck_type(t: str) -> str:
+    """Canonicalize a DuckDB type name for cross-engine comparison."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return f"array<{canon_duck_type(t[:-2])}>"
+    m = {
+        "BIGINT": "int64", "INTEGER": "int32", "SMALLINT": "int16",
+        "TINYINT": "int8", "HUGEINT": "int128", "UBIGINT": "uint64",
+        "DOUBLE": "double", "FLOAT": "float", "VARCHAR": "string",
+        "BOOLEAN": "bool", "DATE": "date", "BLOB": "binary",
+    }
+    if t in m:
+        return m[t]
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    return t.lower()
+
+
+def canon_spark_type(t: str) -> str:
+    """Canonicalize a Spark simpleString dtype for comparison."""
+    t = t.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{canon_spark_type(t[6:-1])}>"
+    m = {
+        "bigint": "int64", "int": "int32", "smallint": "int16",
+        "tinyint": "int8", "double": "double", "float": "float",
+        "string": "string", "boolean": "bool", "date": "date",
+        "binary": "binary",
+    }
+    if t in m:
+        return m[t]
+    if t.startswith("timestamp"):  # timestamp | timestamp_ntz: both µs naive here
+        return "timestamp"
+    return t
+
+
 def norm_rows(rows, col_order):
     out = []
     for r in rows:
@@ -88,6 +126,14 @@ def main():
                 print(f"WARN {name}: 0 rows")
             continue
         try:
+            # DESCRIBE binds without executing — gives real DuckDB types
+            # (the DBAPI description only exposes generic codes).
+            otypes_raw = dict(
+                con.execute(
+                    f"SELECT column_name, column_type FROM "
+                    f"(DESCRIBE ({oracles[name]}))"
+                ).fetchall()
+            )
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
@@ -100,6 +146,20 @@ def main():
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             ok = False
+        else:
+            # Type-aware check: the driver's value hash is type-sensitive
+            # (r1 'sessionization' failed there on HUGEINT-vs-BIGINT while
+            # the str() multiset below matched) — compare canonical types
+            # per column so the local gate is at least as strict.
+            stypes = {c: canon_spark_type(t) for c, t in sdf.dtypes}
+            otypes = {
+                c: canon_duck_type(str(t)) for c, t in otypes_raw.items()
+            }
+            for c in scols:
+                if stypes[c] != otypes.get(c):
+                    print(f"FAIL {name}: type mismatch on '{c}': "
+                          f"spark={stypes[c]} oracle={otypes.get(c)}")
+                    ok = False
         if len(srows) != len(orows):
             print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
             ok = False
