@@ -116,7 +116,7 @@ def ngram_jaccard_pairs(
             .where(F.col("df") > max_shingle_df)
             .select("shingle")
         )
-        join_side = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        join_side = sh.join(hot, "shingle", "left_anti")
     else:
         join_side = sh
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -129,8 +129,8 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),

@@ -35,9 +35,10 @@ _TS = "CAST(ts AS TIMESTAMP)"
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-seen week,
-    counted per week-offset of later activity. Two aggregations and a
-    broadcast join on the (small) per-user firsts table; at scale the
-    firsts table is |users|-sized, still broadcastable or bucketed."""
+    counted per week-offset of later activity. Two aggregations and
+    an unhinted join on the per-user firsts table — |users| scales
+    with the data, so the strategy is left to AQE (broadcast small,
+    shuffle large; both sides already share the user_id exchange)."""
     e = load_table(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
@@ -46,7 +47,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
     ).distinct()
     return (
-        activity.join(F.broadcast(firsts), "user_id")
+        activity.join(firsts, "user_id")
         .groupBy(
             "cohort_week",
             (F.datediff("active_week", "cohort_week") / 7)

@@ -202,5 +202,5 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("marker", F.coalesce(F.col("user_id").cast("string"), F.lit("anon")))
     )
     return left.join(
-        F.broadcast(right), left["user_id"].eqNullSafe(right["user_id"])
+        right, left["user_id"].eqNullSafe(right["user_id"])
     ).select(left["event_id"], left["user_id"], right["marker"])

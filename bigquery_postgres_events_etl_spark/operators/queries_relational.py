@@ -109,9 +109,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: filtered dim broadcast → fact join → agg → top-k.
-    customer is broadcast (no shuffle of orders/lineitem on custkey);
-    the final top-10 is TakeOrderedAndProject, not a global sort.
+    """TPC-H Q3 shape: filtered joins → agg → top-k. customer and
+    orders both scale with SF, so neither carries a broadcast hint —
+    AQE broadcasts them at small SF and shuffle-joins at 100 TB (a
+    forced broadcast of ~97% of orders would OOM executors there).
+    The final top-10 is TakeOrderedAndProject, not a global sort.
     """
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(
@@ -121,7 +123,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.join(o.join(c, o.o_custkey == c.c_custkey),
                 li.l_orderkey == o.o_orderkey)
         .groupBy(
             li.l_orderkey.alias("o_orderkey"), o.o_orderdate, o.o_orderpriority
@@ -150,8 +152,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table snowflake join. All dims broadcast; the
-    only shuffles are lineitem⨝orders on orderkey and the final agg."""
+    """TPC-H Q5 shape: 6-table snowflake join. Only the truly bounded
+    dims (region, nation⨝region ≤ |nation| rows) carry broadcast
+    hints; customer/orders/supplier scale with SF and are unhinted —
+    AQE broadcasts them at small SF, shuffles at 100 TB."""
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -163,9 +167,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     cnr = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey)
-    ocnr = o.join(F.broadcast(cnr), o.o_custkey == cnr.c_custkey)
-    joined = li.join(F.broadcast(ocnr), li.l_orderkey == ocnr.o_orderkey).join(
-        F.broadcast(s),
+    ocnr = o.join(cnr, o.o_custkey == cnr.c_custkey)
+    joined = li.join(ocnr, li.l_orderkey == ocnr.o_orderkey).join(
+        s,
         (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == F.col("n_nationkey")),
     )
     return joined.groupBy("n_name").agg(
@@ -280,11 +284,14 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast hash join fact⨝dim: the canonical star-schema join —
-    dim ships to every executor, fact never shuffles."""
+    the dim ships to every executor, the fact never shuffles. The
+    choice is left to AQE/CBO (part has size stats from parquet): it
+    broadcasts while part fits the threshold and degrades to a
+    shuffle join, not an OOM, when it no longer does."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

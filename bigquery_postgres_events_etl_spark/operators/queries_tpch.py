@@ -2,9 +2,12 @@
 required columns exist in the driver fixtures (no partsupp table, no
 shipmode/commitdate columns, so Q2/Q4/Q12/Q16/Q19 are out of reach).
 
-All follow the same scale discipline: dims broadcast, facts shuffle
-once on their join key, money math in exact decimals, deterministic
-tie-breaks on every ordering.
+All follow the same scale discipline: only genuinely bounded dims
+(nation, region - constant-cardinality) carry explicit broadcast
+hints; customer/supplier/part/orders scale with SF, so their join
+strategy is left to Catalyst/AQE (broadcast at small SF, shuffle at
+100 TB - a forced hint would OOM executors there). Money math in
+exact decimals, deterministic tie-breaks on every ordering.
 """
 
 from __future__ import annotations
@@ -54,7 +57,8 @@ def _dsum_rev(alias: str):
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: bilateral trade volume (fixture nations NATION_1/NATION_2) by year. Nation dim joins
-    twice (supplier side, customer side) — both broadcast."""
+    twice (supplier side, customer side) — both broadcast (bounded
+    dim); supplier/customer joins are unhinted (AQE decides)."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate").between(
@@ -70,9 +74,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(
@@ -131,10 +135,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -180,8 +184,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(_dsum_rev("revenue"))
@@ -203,9 +207,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo revenue share for one month (broadcast part
-    dim; conditional exact-decimal sums; final double arithmetic in
-    the same operation order as the oracle)."""
+    """TPC-H Q14: promo revenue share for one month (part join
+    unhinted — AQE broadcasts it at small SF; conditional
+    exact-decimal sums; final double arithmetic in the same operation
+    order as the oracle)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -216,7 +221,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(27,4)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .select(vol.alias("vol"), promo.alias("pvol"))
         .agg(
             (F.sum("pvol").cast("double") * F.lit(100.0) / F.sum("vol").cast("double")).alias(
@@ -251,7 +256,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = F.sum(F.col("l_quantity").cast("decimal(27,4)"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(qty.cast("double").alias("sum_qty"))
         .where(F.col("sum_qty") > 150)

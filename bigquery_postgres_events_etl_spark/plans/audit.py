@@ -54,6 +54,67 @@ def plan_summary(df: DataFrame) -> dict:
     }
 
 
+# ---------------------------------------------------------------------
+# Broadcast-hint governance: an explicit F.broadcast() pins the plan —
+# AQE cannot override it — so a hint on a side that scales with the
+# data is a deferred executor-OOM at 100×. Every hint call site must be
+# registered here with a boundedness justification; the regression test
+# in tests/test_plans.py fails on any unregistered site.
+# Keys are (module basename, enclosing function or "<module>").
+
+ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
+    ("queries_tpch.py", "q7_volume_shipping"): "nation dim ×2 — constant 25 rows",
+    ("queries_tpch.py", "q8_market_share"): "nation ×2 + region — constant",
+    ("queries_tpch.py", "q10_returned_items"): "nation dim — constant 25 rows",
+    ("queries_relational.py", "q5_local_supplier_volume"):
+        "region (5 rows) and nation⨝region (≤25 rows) — constant",
+    ("text.py", "tfidf_top_terms"):
+        "distinct-term vocab (sublinear in corpus, Heaps' law) + 1-row doc count",
+    ("similarity.py", "brute_force_topk"): "query set bounded by n_queries param",
+    ("similarity.py", "ann_lsh_topk"): "query set bounded by n_queries param",
+    ("similarity.py", "ivf_topk"): "k-means centroids (n_lists) + query set — parameter-bounded",
+    ("similarity.py", "ann_lsh_topk_multiprobe"): "probe buckets: n_queries × (1+n_planes) rows",
+}
+
+
+def broadcast_hint_sites(package_root: str) -> list[tuple[str, str, int]]:
+    """Scan operator sources for ``F.broadcast(`` call sites.
+
+    Returns (module basename, enclosing function, line). Source-level
+    on purpose: a *hint* is a build-time promise about boundedness, so
+    the audit is over the code, not a plan instance at one SF (where
+    AQE may legitimately broadcast a scaling table because it is small
+    *today*)."""
+    import ast
+    import os
+
+    sites: list[tuple[str, str, int]] = []
+    for dirpath, _dirs, files in os.walk(package_root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            tree = ast.parse(open(path).read(), filename=path)
+            func_ranges: list[tuple[str, int, int]] = []
+            for node in ast.walk(tree):
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    func_ranges.append(
+                        (node.name, node.lineno, node.end_lineno or node.lineno)
+                    )
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                ):
+                    enclosing = "<module>"
+                    for name, lo, hi in func_ranges:
+                        if lo <= node.lineno <= hi:
+                            enclosing = name
+                    sites.append((fname, enclosing, node.lineno))
+    return sites
+
+
 def has_pushed_filter(df: DataFrame, column: str) -> bool:
     """True if any parquet scan received a pushed filter on ``column``."""
     return any(column in p for p in plan_summary(df)["pushed_filters"])

@@ -18,11 +18,42 @@ def test_q1_pushdown_and_pruning(spark, sf_dir):
     assert scan_is_pruned(df, 7)  # 7 of 11 lineitem columns
 
 
-def test_q3_broadcasts_dims(spark, sf_dir):
+def test_q3_aqe_broadcasts_small_dims(spark, sf_dir):
+    """No explicit hints on customer/orders (they scale with SF —
+    a pinned broadcast would OOM at 100×); at this SF Catalyst's size
+    estimates still pick broadcast joins on its own."""
     s = plan_summary(all_queries()["q3_shipping_priority"](spark, sf_dir))
     assert s["broadcast_hash_joins"] >= 2
     assert s["nested_loop_joins"] == 0
     assert s["take_ordered"]  # top-10 is TakeOrderedAndProject, not a global sort
+
+
+def test_broadcast_hints_only_on_bounded_sides():
+    """Every F.broadcast() call site in the package must be registered
+    in ALLOWED_BROADCAST_SITES with a boundedness justification — an
+    explicit hint cannot be overridden by AQE, so hinting a table that
+    scales with the data is a deferred 100×-scale OOM (the r1 verdict's
+    systematic flaw; this pins the fix)."""
+    import os
+
+    import bigquery_postgres_events_etl_spark as pkg
+    from bigquery_postgres_events_etl_spark.plans.audit import (
+        ALLOWED_BROADCAST_SITES,
+        broadcast_hint_sites,
+    )
+
+    root = os.path.dirname(pkg.__file__)
+    sites = broadcast_hint_sites(root)
+    assert sites, "expected at least the bounded-dim hints to exist"
+    unregistered = [
+        (f, fn, ln)
+        for f, fn, ln in sites
+        if (f, fn) not in ALLOWED_BROADCAST_SITES
+    ]
+    assert not unregistered, (
+        f"unregistered F.broadcast() sites (justify boundedness in "
+        f"ALLOWED_BROADCAST_SITES or drop the hint): {unregistered}"
+    )
 
 
 def test_flagship_filters_reach_scan(spark, sf_dir):
