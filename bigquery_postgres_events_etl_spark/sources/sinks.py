@@ -17,9 +17,11 @@ prunes to the partitions a batch can touch.
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..schemas import APPLICATION_EVENTS_DEDUP_KEY, CSV_EXPORT_COLUMNS
 
@@ -35,12 +37,66 @@ def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+class TargetLock:
+    """Cross-process advisory lock for a parquet sink target.
+
+    The anti-join-then-append in ``idempotent_append_parquet`` is not
+    atomic: two concurrent writers (e.g. the HTTP service and a cron
+    CLI run against the same target) would both read existing keys
+    before either commits, then durably double-insert. The reference
+    gets atomicity from PostgreSQL's UNIQUE + ON CONFLICT DO NOTHING;
+    a bare parquet directory has no transaction manager, so writers
+    must serialize. This is an O_CREAT|O_EXCL lock file next to the
+    target — valid on a local/shared POSIX filesystem. On an object
+    store, use a transactional table format (Delta/Iceberg) whose
+    commit protocol subsumes this lock.
+    """
+
+    def __init__(self, target_path: str, timeout_s: float = 60.0,
+                 stale_after_s: float = 3600.0):
+        self.lock_path = target_path.rstrip("/") + ".lock"
+        self.timeout_s = timeout_s
+        self.stale_after_s = stale_after_s
+
+    def __enter__(self):
+        parent = os.path.dirname(self.lock_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:  # break locks abandoned by a crashed writer
+                    if time.time() - os.path.getmtime(self.lock_path) > self.stale_after_s:
+                        os.unlink(self.lock_path)
+                        continue
+                except FileNotFoundError:
+                    continue  # holder released between open and stat
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"sink target locked by another writer: {self.lock_path}"
+                    ) from None
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.lock_path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
 def idempotent_append_parquet(
     spark: SparkSession,
     df: DataFrame,
     target_path: str,
     keys: list[str] | None = None,
     partition_by: list[str] | None = None,
+    lock: bool = True,
 ) -> int:
     """K4/K5 — conflict-skipping append to a parquet target.
 
@@ -49,47 +105,65 @@ def idempotent_append_parquet(
        suffices because upstream already made rows per key unique);
     2. left_anti against the existing target's keys — only the key
        columns are read (column pruning), and when the target is
-       date-partitioned the existing-keys scan is pruned to the
-       partitions this batch can touch (at 100 TB the anti-join
-       otherwise scans the whole history every run);
-    3. append.
+       date-partitioned the existing-keys side is semi-join-pruned to
+       the partition values present in this batch (dynamic partition
+       pruning skips the untouched partitions' files; at 100 TB the
+       anti-join otherwise scans the whole history every run);
+    3. append, under a cross-process ``TargetLock`` — the read-keys →
+       append sequence is only exactly-once for a *serialized* writer
+       (see TargetLock; the in-process single-flight lock in
+       streaming/incremental covers threads, not processes).
 
     Returns the number of rows actually inserted (A3, the reference's
     ``records_inserted``). Re-running the same batch inserts 0.
     """
     keys = keys or APPLICATION_EVENTS_DEDUP_KEY
-    batch = df.dropDuplicates(keys)
-    try:
-        # only a missing target may be ignored; any other read failure
-        # must abort — treating a corrupt/unreadable target as "first
-        # load" would skip the anti-join and double-insert on replay
-        existing = spark.read.parquet(target_path)
-        if partition_by:
-            # partition-prune the anti-join's right side: the batch
-            # can only collide inside its own partition values
-            part_vals = [
-                tuple(r) for r in batch.select(*partition_by).distinct().collect()
-            ]
-            if part_vals:
-                cond = None
-                for vals in part_vals:
-                    row_cond = None
-                    for c, v in zip(partition_by, vals):
-                        eq = F.col(c) == F.lit(v)
-                        row_cond = eq if row_cond is None else (row_cond & eq)
-                    cond = row_cond if cond is None else (cond | row_cond)
-                existing = existing.where(cond)
-        batch = batch.join(existing.select(*keys), keys, "left_anti")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
-            raise
-        # first load — no target yet
-    inserted = batch.count()
-    writer = batch.write.mode("append")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(target_path)
-    return inserted
+    with TargetLock(target_path) if lock else _nullcontext():
+        batch = df.dropDuplicates(keys)
+        try:
+            # only a missing target may be ignored; any other read
+            # failure must abort — treating a corrupt/unreadable target
+            # as "first load" would skip the anti-join and
+            # double-insert on replay
+            existing = spark.read.parquet(target_path)
+            if partition_by:
+                # prune the anti-join's right side to the partition
+                # values this batch can collide with — expressed as a
+                # semi join (not a driver-side collect) so the value
+                # list never materializes on the driver and dynamic
+                # partition pruning pushes it to the file listing
+                existing = existing.join(
+                    batch.select(*partition_by).distinct(),
+                    partition_by,
+                    "left_semi",
+                )
+            batch = batch.join(existing.select(*keys), keys, "left_anti")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                raise
+            # first load — no target yet
+        # persist so count and write share one evaluation of the
+        # anti-join plan — otherwise records_inserted could disagree
+        # with the rows actually committed if the source moved between
+        # the two jobs
+        batch = batch.persist()
+        try:
+            inserted = batch.count()
+            writer = batch.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(target_path)
+        finally:
+            batch.unpersist()
+        return inserted
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
 
 
 # ---------------------------------------------------------------------
@@ -121,16 +195,90 @@ INDEX_DDL = [
 ]
 
 
-def build_upsert_sql(table: str, columns: list[str], conflict_keys: list[str]) -> str:
-    """K4 — the `ON CONFLICT DO NOTHING` statement the per-partition
-    writer executes (reference: extract_bq.py:216-221)."""
+def build_upsert_sql(
+    table: str,
+    columns: list[str],
+    conflict_keys: list[str],
+    dialect: str = "postgres",
+) -> str:
+    """K4 — the conflict-skipping insert the per-partition writer
+    executes (reference: extract_bq.py:216-221).
+
+    ``postgres`` → ``INSERT … ON CONFLICT (keys) DO NOTHING`` (%s
+    placeholders); ``sqlite`` → ``INSERT OR IGNORE`` (? placeholders)
+    — identical skip-on-duplicate semantics, which lets the partition/
+    commit/replay mechanics be proven in-container against SQLite.
+    """
     cols = ", ".join(columns)
-    placeholders = ", ".join(["%s"] * len(columns))
-    keys = ", ".join(conflict_keys)
-    return (
-        f"INSERT INTO {table} ({cols}) VALUES ({placeholders}) "
-        f"ON CONFLICT ({keys}) DO NOTHING"
-    )
+    if dialect == "postgres":
+        placeholders = ", ".join(["%s"] * len(columns))
+        keys = ", ".join(conflict_keys)
+        return (
+            f"INSERT INTO {table} ({cols}) VALUES ({placeholders}) "
+            f"ON CONFLICT ({keys}) DO NOTHING"
+        )
+    if dialect == "sqlite":
+        placeholders = ", ".join(["?"] * len(columns))
+        return f"INSERT OR IGNORE INTO {table} ({cols}) VALUES ({placeholders})"
+    raise ValueError(f"unknown dialect: {dialect!r}")
+
+
+def write_dbapi_upsert(
+    df: DataFrame,
+    connect,
+    table: str,
+    columns: list[str] | None = None,
+    conflict_keys: list[str] | None = None,
+    batch_size: int = 1000,
+    dialect: str = "postgres",
+) -> None:
+    """K2-K4 — partition-parallel batched conflict-skipping insert
+    through any DBAPI driver.
+
+    ``connect`` is a zero-arg picklable callable returning a DBAPI
+    connection (e.g. ``partial(psycopg2.connect, dsn)`` or
+    ``partial(sqlite3.connect, path, timeout=30)``). Each Spark
+    partition opens one connection, executes the insert in
+    ``batch_size`` chunks (reference default 1000, extract_bq.py:330),
+    and commits ONCE per partition — a mid-partition failure rolls the
+    whole partition back, so a Spark task retry (or a full job replay)
+    re-inserts it atomically and the conflict-skip makes the replay a
+    no-op for rows that did commit (ST3's effective exactly-once).
+
+    Partition count = write parallelism; repartition upstream to match
+    the database's connection budget. This is the distributed version
+    of the reference's single-threaded ``execute_batch`` loop.
+    """
+    columns = columns or CSV_EXPORT_COLUMNS
+    conflict_keys = conflict_keys or APPLICATION_EVENTS_DEDUP_KEY
+    sql = build_upsert_sql(table, columns, conflict_keys, dialect)
+    out = df.select(*columns)
+
+    def write_partition(rows) -> None:
+        chunk: list[tuple] = []
+        conn = connect()
+        try:
+            cur = conn.cursor()
+            for r in rows:
+                chunk.append(tuple(r))
+                if len(chunk) >= batch_size:
+                    cur.executemany(sql, chunk)
+                    chunk = []
+            if chunk:
+                cur.executemany(sql, chunk)
+            # single commit per partition: chunks are client-side
+            # batching only, atomicity stays at partition granularity
+            conn.commit()
+        except Exception:
+            try:
+                conn.rollback()
+            finally:
+                pass
+            raise
+        finally:
+            conn.close()
+
+    out.foreachPartition(write_partition)
 
 
 def write_jdbc_upsert(
@@ -141,35 +289,25 @@ def write_jdbc_upsert(
     conflict_keys: list[str] | None = None,
     batch_size: int = 1000,
 ) -> None:
-    """K2-K4 — partition-parallel batched upsert into PostgreSQL.
+    """PostgreSQL front-end for ``write_dbapi_upsert`` (import-gated:
+    no PG server in this container; the partition/commit/replay
+    mechanics are exercised end-to-end against SQLite in
+    tests/test_dbapi_sink.py, same conflict-skip semantics)."""
+    try:
+        import psycopg2  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "write_jdbc_upsert requires psycopg2 (not in this container); "
+            "mechanics are proven via the SQLite DBAPI twin"
+        ) from e
+    from functools import partial
 
-    Each Spark partition opens one connection and executes the
-    ON-CONFLICT insert in ``batch_size`` chunks (reference default
-    1000, extract_bq.py:330) — the distributed version of the
-    reference's single-threaded ``execute_batch`` loop. Partition
-    count = write parallelism; repartition upstream to match the PG
-    server's connection budget.
-    """
-    columns = columns or CSV_EXPORT_COLUMNS
-    conflict_keys = conflict_keys or APPLICATION_EVENTS_DEDUP_KEY
-    sql = build_upsert_sql(table, columns, conflict_keys)
-    out = df.select(*columns)
-
-    def write_partition(rows) -> None:
-        try:
-            import psycopg2
-            from psycopg2.extras import execute_batch
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "JDBC upsert writer requires psycopg2 (not in this container); "
-                "the plan/SQL layer is exercised via build_upsert_sql tests"
-            ) from e
-        conn = psycopg2.connect(dsn)
-        try:
-            with conn.cursor() as cur:
-                execute_batch(cur, sql, [tuple(r) for r in rows], page_size=batch_size)
-            conn.commit()  # per-partition transaction (ST3: idempotent replay-safe)
-        finally:
-            conn.close()
-
-    out.foreachPartition(write_partition)
+    write_dbapi_upsert(
+        df,
+        partial(psycopg2.connect, dsn),
+        table,
+        columns,
+        conflict_keys,
+        batch_size,
+        dialect="postgres",
+    )
