@@ -1,6 +1,7 @@
 """Status/trigger HTTP service — mirror of the reference's Flask
-control plane (flask_server.py:233-274) with zero extra dependencies
-(stdlib wsgiref; the reference's Flask isn't guaranteed here).
+control plane (flask_server.py:233-289) with zero extra dependencies
+(stdlib wsgiref; the reference's Flask/APScheduler aren't guaranteed
+here).
 
 Endpoints (same paths/shapes):
 - GET /         service descriptor
@@ -8,6 +9,15 @@ Endpoints (same paths/shapes):
 - GET /status   last run record + current watermark (raw µs + ISO)
 - POST /trigger synchronous run; 409 if one is in flight (ST5 — the
   runner holds a real lock, fixing the reference's racy flag)
+
+Plus the reference's self-scheduling behavior (ST6): starting the
+service also starts a daemon-thread daily trigger at
+ETL_SCHEDULE_HOUR:ETL_SCHEDULE_MINUTE (flask_server.py:279-289),
+sharing the single-flight lock with HTTP triggers. The server is
+threading (one thread per request) so /health and /status stay
+responsive while a synchronous /trigger run is in flight — liveness
+probes must not flap during long runs (parity with Flask's threaded
+default).
 """
 
 from __future__ import annotations
@@ -15,9 +25,71 @@ from __future__ import annotations
 import datetime
 import json
 import threading
-from wsgiref.simple_server import make_server
+from socketserver import ThreadingMixIn
+from wsgiref.simple_server import WSGIServer, make_server
 
+from .config import schedule_hour, schedule_minute, service_port
 from .sources.watermark import read_watermark_us
+
+
+def seconds_until_fire(now: datetime.datetime, hour: int, minute: int) -> float:
+    """Seconds from ``now`` to the next daily HH:MM fire time (today if
+    still ahead, else tomorrow) — the pure core of the scheduler, unit
+    tested with injected clocks."""
+    fire = now.replace(hour=hour, minute=minute, second=0, microsecond=0)
+    if fire <= now:
+        fire += datetime.timedelta(days=1)
+    return (fire - now).total_seconds()
+
+
+class DailyScheduler:
+    """In-process daily trigger (reference: flask_server.py:279-289,
+    APScheduler's CronTrigger) as a stdlib daemon thread.
+
+    ``fn`` runs once per day at hour:minute; exceptions are swallowed
+    after recording (a failed nightly run must not kill the thread —
+    the next night retries). ``now_fn`` is injectable for tests.
+    """
+
+    def __init__(self, fn, hour: int | None = None, minute: int | None = None,
+                 now_fn=datetime.datetime.now):
+        self.fn = fn
+        self.hour = schedule_hour() if hour is None else hour
+        self.minute = schedule_minute() if minute is None else minute
+        self.now_fn = now_fn
+        self.last_error: str | None = None
+        self.fires = 0
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            wait_s = seconds_until_fire(self.now_fn(), self.hour, self.minute)
+            if self._stop.wait(timeout=wait_s):
+                return
+            try:
+                self.fn()
+            except Exception as e:  # noqa: BLE001 — keep the thread alive
+                self.last_error = repr(e)
+            self.fires += 1
+
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self._loop, name="daily-etl-scheduler", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+
+class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+    """One thread per request; daemon threads so shutdown never hangs
+    on a stuck handler."""
+
+    daemon_threads = True
 
 
 class EtlService:
@@ -65,6 +137,12 @@ class EtlService:
         finally:
             self._lock.release()
 
+    def scheduled_run(self) -> None:
+        """The daily scheduler's entry: same path as POST /trigger,
+        same single-flight lock — a 409 (manual run in flight) is a
+        skip, matching the reference's is_running guard."""
+        self.trigger()
+
     # -- WSGI ----------------------------------------------------------
     def wsgi_app(self, environ, start_response):
         path = environ.get("PATH_INFO", "/")
@@ -86,6 +164,17 @@ class EtlService:
         )
         return [payload]
 
-    def serve(self, port: int = 8080):  # pragma: no cover — manual entry
-        with make_server("", port, self.wsgi_app) as httpd:
-            httpd.serve_forever()
+    def serve(self, port: int | None = None):  # pragma: no cover — manual entry
+        """Start the daily scheduler thread + the threaded HTTP server
+        (reference: flask_server.py:278-296 — "start server ⇒ jobs run
+        daily"). Port defaults to FLASK_PORT."""
+        scheduler = DailyScheduler(self.scheduled_run)
+        scheduler.start()
+        try:
+            with make_server(
+                "", service_port() if port is None else port, self.wsgi_app,
+                server_class=ThreadingWSGIServer,
+            ) as httpd:
+                httpd.serve_forever()
+        finally:
+            scheduler.stop()

@@ -229,7 +229,7 @@ def write_dbapi_upsert(
     table: str,
     columns: list[str] | None = None,
     conflict_keys: list[str] | None = None,
-    batch_size: int = 1000,
+    batch_size: int | None = None,
     dialect: str = "postgres",
 ) -> None:
     """K2-K4 — partition-parallel batched conflict-skipping insert
@@ -249,6 +249,10 @@ def write_dbapi_upsert(
     the database's connection budget. This is the distributed version
     of the reference's single-threaded ``execute_batch`` loop.
     """
+    if batch_size is None:
+        from ..config import batch_size as _bs
+
+        batch_size = _bs()  # BATCH_SIZE env parity (extract_bq.py:330)
     columns = columns or CSV_EXPORT_COLUMNS
     conflict_keys = conflict_keys or APPLICATION_EVENTS_DEDUP_KEY
     sql = build_upsert_sql(table, columns, conflict_keys, dialect)
@@ -287,7 +291,7 @@ def write_jdbc_upsert(
     table: str,
     columns: list[str] | None = None,
     conflict_keys: list[str] | None = None,
-    batch_size: int = 1000,
+    batch_size: int | None = None,
 ) -> None:
     """PostgreSQL front-end for ``write_dbapi_upsert`` (import-gated:
     no PG server in this container; the partition/commit/replay

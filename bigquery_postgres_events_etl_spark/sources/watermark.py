@@ -23,15 +23,21 @@ DEFAULT_LOOKBACK_HOURS = 24  # reference: flask_server.py:64
 
 def read_watermark_us(
     path: str,
-    lookback_hours: int = DEFAULT_LOOKBACK_HOURS,
+    lookback_hours: int | None = None,
     now_us: int | None = None,
 ) -> int:
     """Read the persisted high-water mark; fall back to
-    now − lookback (ST2, reference: flask_server.py:52-68)."""
+    now − lookback (ST2, reference: flask_server.py:52-68). The
+    lookback defaults to ETL_LOOKBACK_HOURS from the environment
+    (config parity with .env.example:18)."""
     try:
         with open(path) as f:
             return int(f.read().strip())
     except (FileNotFoundError, ValueError):
+        if lookback_hours is None:
+            from ..config import lookback_hours as _lb
+
+            lookback_hours = _lb()
         if now_us is None:
             now_us = int(time.time() * 1_000_000)
         return now_us - lookback_hours * 3600 * 1_000_000

@@ -28,11 +28,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.etl import flagship_pipeline
 from ..sources.sinks import idempotent_append_parquet
-from ..sources.watermark import (
-    DEFAULT_LOOKBACK_HOURS,
-    read_watermark_us,
-    write_watermark_us,
-)
+from ..sources.watermark import read_watermark_us, write_watermark_us
 
 _run_lock = threading.Lock()  # ST5: real mutual exclusion
 
@@ -43,7 +39,7 @@ def run_incremental_etl(
     state_path: str,
     target_path: str,
     tracked: list[str] | None = None,
-    lookback_hours: int = DEFAULT_LOOKBACK_HOURS,
+    lookback_hours: int | None = None,
     now_us: int | None = None,
 ) -> dict:
     """One incremental run; returns the ST8 progress record.

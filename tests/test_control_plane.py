@@ -116,3 +116,174 @@ def test_cli_parquet_sink(spark, sf_dir, tmp_path):
     assert n1 > 0
     assert main(args) == 0  # rerun
     assert spark.read.parquet(target).count() == n1
+
+
+# ---------------------------------------------------------------------
+# Scheduler (ST6 — reference: flask_server.py:279-289) + threaded
+# server + env-var config parity
+# ---------------------------------------------------------------------
+
+
+def test_seconds_until_fire_today_and_tomorrow():
+    import datetime
+
+    from bigquery_postgres_events_etl_spark.service import seconds_until_fire
+
+    now = datetime.datetime(2026, 8, 13, 1, 30, 0)
+    assert seconds_until_fire(now, 2, 0) == 1800.0  # 02:00 is still ahead
+    assert seconds_until_fire(now, 1, 30) == 86400.0  # exactly now → tomorrow
+    assert seconds_until_fire(now, 1, 0) == 84600.0  # 01:00 passed → tomorrow
+    assert seconds_until_fire(now, 0, 0) == 81000.0
+
+
+def test_scheduler_fires_and_respects_single_flight():
+    """Injected clock: next fire is always ~20ms away. The scheduled fn
+    routes through EtlService.trigger's lock, so a manual run in flight
+    turns the scheduled firing into a skip, not a concurrent run."""
+    import datetime
+    import threading
+    import time
+
+    from bigquery_postgres_events_etl_spark.service import DailyScheduler
+
+    calls = []
+    lock = threading.Lock()
+
+    def guarded_run():
+        if not lock.acquire(blocking=False):
+            calls.append("skipped")
+            return
+        try:
+            calls.append("ran")
+        finally:
+            lock.release()
+
+    # clock pinned 20ms before the fire time → scheduler sleeps ~20ms/loop
+    def now_fn():
+        return datetime.datetime(2026, 8, 13, 1, 59, 59, 980_000)
+
+    sched = DailyScheduler(guarded_run, hour=2, minute=0, now_fn=now_fn)
+    sched.start()
+    try:
+        deadline = time.time() + 5
+        while not calls and time.time() < deadline:
+            time.sleep(0.01)
+        assert "ran" in calls  # scheduled run fired
+
+        with lock:  # simulate a manual /trigger in flight
+            n0 = len(calls)
+            deadline = time.time() + 5
+            while len(calls) == n0 and time.time() < deadline:
+                time.sleep(0.01)
+            assert "skipped" in calls[n0:]  # fired → single-flight skip
+    finally:
+        sched.stop()
+    assert sched.last_error is None
+
+
+def test_scheduler_survives_fn_exception():
+    import datetime
+    import time
+
+    from bigquery_postgres_events_etl_spark.service import DailyScheduler
+
+    def boom():
+        raise RuntimeError("nightly failure")
+
+    def now_fn():
+        return datetime.datetime(2026, 8, 13, 1, 59, 59, 990_000)
+
+    sched = DailyScheduler(boom, hour=2, minute=0, now_fn=now_fn)
+    sched.start()
+    try:
+        deadline = time.time() + 5
+        while sched.fires < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        assert sched.fires >= 2  # kept firing after the first failure
+        assert "nightly failure" in (sched.last_error or "")
+    finally:
+        sched.stop()
+
+
+def test_threaded_server_health_responsive_during_trigger(spark, sf_dir, tmp_path, monkeypatch):
+    """/health answers while a slow synchronous /trigger is in flight —
+    the threading server parity point (reference Flask is threaded; a
+    single-threaded WSGI server would flap liveness probes)."""
+    import time as _time
+
+    from bigquery_postgres_events_etl_spark.service import ThreadingWSGIServer
+
+    svc = EtlService(spark, sf_dir, str(tmp_path / "wm.txt"), str(tmp_path / "t"))
+
+    started = threading.Event()
+
+    def slow_run(*a, **k):
+        started.set()
+        _time.sleep(1.5)
+        return {"status": "success", "records_inserted": 0}
+
+    import bigquery_postgres_events_etl_spark.streaming.incremental as inc
+
+    monkeypatch.setattr(inc, "run_incremental_etl", slow_run)
+
+    server = make_server("127.0.0.1", 0, svc.wsgi_app, server_class=ThreadingWSGIServer)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        trig = threading.Thread(
+            target=lambda: urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{port}/trigger", method="POST", data=b""
+                )
+            ).read(),
+            daemon=True,
+        )
+        trig.start()
+        assert started.wait(timeout=5)
+        t0 = _time.monotonic()
+        code, body = _get(f"http://127.0.0.1:{port}/health")
+        elapsed = _time.monotonic() - t0
+        assert code == 200 and body["status"] == "healthy"
+        assert elapsed < 1.0  # did not queue behind the 1.5s trigger
+        trig.join(timeout=10)
+    finally:
+        server.shutdown()
+
+
+def test_env_config_parity(monkeypatch):
+    """The reference's env-var surface (.env.example) is honored, with
+    identical defaults, read at call time."""
+    from bigquery_postgres_events_etl_spark import config
+
+    for var in ["ETL_LOOKBACK_HOURS", "TIMESTAMP_FILE", "ETL_SCHEDULE_HOUR",
+                "ETL_SCHEDULE_MINUTE", "BATCH_SIZE", "FLASK_PORT"]:
+        monkeypatch.delenv(var, raising=False)
+    assert config.lookback_hours() == 24
+    assert config.timestamp_file() == "last_timestamp.txt"
+    assert (config.schedule_hour(), config.schedule_minute()) == (2, 0)
+    assert config.batch_size() == 1000
+    assert config.service_port() == 5000
+
+    monkeypatch.setenv("ETL_LOOKBACK_HOURS", "48")
+    monkeypatch.setenv("TIMESTAMP_FILE", "/tmp/wm.txt")
+    monkeypatch.setenv("ETL_SCHEDULE_HOUR", "5")
+    monkeypatch.setenv("ETL_SCHEDULE_MINUTE", "30")
+    monkeypatch.setenv("BATCH_SIZE", "250")
+    assert config.lookback_hours() == 48
+    assert config.timestamp_file() == "/tmp/wm.txt"
+    assert (config.schedule_hour(), config.schedule_minute()) == (5, 30)
+    assert config.batch_size() == 250
+    monkeypatch.setenv("BATCH_SIZE", "junk")
+    assert config.batch_size() == 1000  # malformed → reference default
+
+
+def test_watermark_lookback_env(monkeypatch, tmp_path):
+    """ST2 fallback honors ETL_LOOKBACK_HOURS when no explicit override
+    is passed (reference: flask_server.py:64)."""
+    from bigquery_postgres_events_etl_spark.sources.watermark import read_watermark_us
+
+    monkeypatch.setenv("ETL_LOOKBACK_HOURS", "2")
+    now_us = 1_000_000_000_000_000
+    got = read_watermark_us(str(tmp_path / "missing.txt"), now_us=now_us)
+    assert got == now_us - 2 * 3600 * 1_000_000
