@@ -9,7 +9,7 @@ Five tiers, all pure DataFrame plans (no Python UDFs):
 - MinHash + LSH: per-doc K-minimum hash signature → band buckets →
   candidates join only within buckets. The 100 TB path: cost is
   O(docs × K) + bucket-local joins, never all-pairs.
-- SimHash: 32-bit weighted-token fingerprint; Hamming-≤R pairs found
+- SimHash: 64-bit weighted-token fingerprint; Hamming-≤R pairs found
   via pigeonhole banding (R+1 chunks, equal-chunk candidates) so the
   blocked plan provably equals the brute-force answer.
 - embedding cosine: see operators.similarity.
@@ -231,45 +231,64 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # 32-bit fingerprints saturate at corpus scale:
+# birthday collisions from ~2^16 docs make Hamming≤3 buckets dense;
+# 64 bits pushes that to ~2^32 (the md5→xxhash64 swap documented in
+# SCALE.md is then a drop-in: xxhash64 natively emits the full width)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over unigram tokens weighted by in-doc count.
+    """64-bit SimHash over unigram tokens weighted by in-doc count.
 
-    Plan: explode tokens → (doc, token, cnt) → 32 conditional-sum
-    aggregates (one per bit; no 32× row expansion) → recombine bits.
+    Plan: explode tokens → (doc, token, cnt) → 64 conditional-sum
+    aggregates (one per bit; no 64× row expansion) → recombine bits.
     The per-bit vote is sum(cnt if bit set else -cnt); bit = vote > 0.
+
+    Token bits come from two md5-derived 32-bit halves (hex chars
+    1-8 and 9-16) — bit-identical in DuckDB via
+    ``('0x'||substr(md5(x),o,8))::BIGINT``. Bit 63 is assembled as
+    −2^63 (two's complement sign bit) so the fingerprint stays a
+    plain BIGINT on both engines with no overflow.
     """
     tok = (
         with_tokens(docs)
         .select(F.col(id_col).alias("doc_id"), F.explode("tokens").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("th", md5_hash60("token"))
+        .withColumn("md5", F.md5("token"))
+        .withColumn("th_lo", F.conv(F.substring("md5", 1, 8), 16, 10).cast("long"))
+        .withColumn("th_hi", F.conv(F.substring("md5", 9, 8), 16, 10).cast("long"))
     )
+
+    def _bit(b: int):
+        src, shift = ("th_lo", b) if b < 32 else ("th_hi", b - 32)
+        return F.shiftright(src, shift).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright("th", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"v{b}")
+        F.sum(F.when(_bit(b) == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*votes)
     sim = None
     for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        weight = -(2**63) if b == 63 else 2**b
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sim = bit if sim is None else sim + bit
     return agg.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming via pigeonhole
-    banding: split 32 bits into (max_hamming + 1) chunks — any pair
+    banding: split 64 bits into (max_hamming + 1) chunks — any pair
     within the radius shares ≥1 identical chunk, so candidates =
     equal-chunk joins, then an exact Hamming filter. Provably equal to
-    the brute-force all-pairs answer, at inverted-index cost."""
+    the brute-force all-pairs answer, at inverted-index cost.
+
+    Chunk extraction masks after the (arithmetic) right shift, so the
+    sign bit of the two's-complement fingerprint never leaks into a
+    chunk value."""
     chunks = max_hamming + 1
     width = SIMHASH_BITS // chunks
     sig = simhash(docs, id_col)

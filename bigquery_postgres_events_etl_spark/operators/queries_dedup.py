@@ -77,14 +77,20 @@ bands AS (
 )
 """
 
+# 64-bit twin of operators.dedup.simhash: two md5-derived 32-bit
+# halves per token; bit 63 assembled as -2^63 (two's complement) so
+# the fingerprint is a plain BIGINT on both engines.
 _SIMHASH_CTE = f"""
 tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 tc0 AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token),
-tc AS (SELECT doc_id, cnt, {_h60('token')} AS th FROM tc0),
+tc AS (SELECT doc_id, cnt,
+              ('0x' || substr(md5(token), 1, 8))::BIGINT AS th_lo,
+              ('0x' || substr(md5(token), 9, 8))::BIGINT AS th_hi
+       FROM tc0),
 votes AS (
   SELECT doc_id,
          {", ".join(
-           f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{b}"
+           f"SUM(CASE WHEN ({'th_lo' if b < 32 else 'th_hi'} >> {b if b < 32 else b - 32}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{b}"
            for b in range(SIMHASH_BITS)
          )}
   FROM tc GROUP BY doc_id
@@ -92,7 +98,8 @@ votes AS (
 sim AS (
   SELECT doc_id,
          CAST({" + ".join(
-           f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+           f"(CASE WHEN v{b} > 0 THEN {-(2**63) if b == 63 else 2**b} ELSE 0 END)"
+           for b in range(SIMHASH_BITS)
          )} AS BIGINT) AS simhash
   FROM votes
 )
@@ -175,7 +182,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sim",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (count-weighted unigram votes)."""
+    """64-bit SimHash fingerprints (count-weighted unigram votes)."""
     return simhash(parallelize(load_table(spark, sf_dir, "documents")))
 
 
