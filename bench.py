@@ -40,10 +40,55 @@ HEADLINE = [
 ]
 
 
+def _shuffle_metrics(spark, names: list[str]) -> dict[str, dict]:
+    """Per-query shuffle bytes / task counts from the REST API — the
+    plan-health signal that grades rounds (wall clock on this shared
+    container has ±30% noise; shuffle bytes don't). Job groups tagged
+    ``{name}#r1`` (the steady-state second run) are aggregated over
+    non-skipped stages. Returns {} if the UI is unavailable."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+
+        def api(path: str):
+            with urllib.request.urlopen(f"{base}/api/v1/{path}", timeout=30) as r:
+                return json.loads(r.read())
+
+        jobs = api(f"applications/{app_id}/jobs")
+        stages = {s["stageId"]: s for s in api(f"applications/{app_id}/stages")}
+        out: dict[str, dict] = {}
+        for job in jobs:
+            group = job.get("jobGroup") or ""
+            if not group.endswith("#r1"):
+                continue
+            name = group[: -len("#r1")]
+            if name not in names:
+                continue
+            m = out.setdefault(name, {"shuffle_mb": 0.0, "tasks": 0})
+            for sid in job.get("stageIds", []):
+                s = stages.get(sid)
+                if not s or s.get("status") == "SKIPPED":
+                    continue
+                m["shuffle_mb"] += s.get("shuffleWriteBytes", 0) / 1e6
+                m["tasks"] += s.get("numCompleteTasks", 0)
+        return {
+            n: {"shuffle_mb": round(m["shuffle_mb"], 2), "tasks": m["tasks"]}
+            for n, m in out.items()
+        }
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # the UI powers the per-query shuffle metrics; REST polling happens
+    # once after all timed runs, so it doesn't perturb the timings
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
     from bigquery_postgres_events_etl_spark.registry import all_queries
     from bigquery_postgres_events_etl_spark.session import get_spark
@@ -58,14 +103,17 @@ def main() -> None:
     # codegen, so the min reflects steady-state plan cost rather than
     # first-run JIT + the container's noisy-neighbor variance
     timings: dict[str, float] = {}
+    sc = spark.sparkContext
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
+            sc.setJobGroup(f"{name}#r{i}", name)
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+    sc.setJobGroup("", "")
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,6 +123,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shuffle": _shuffle_metrics(spark, HEADLINE),
                 "sf": sf,
             }
         )
