@@ -45,6 +45,33 @@ class BigQueryEventsSource:
             "viewsEnabled": "true",
         }
 
+    def build_pushdown_sql(
+        self, date_from: str, date_to: str, events: list[str] | None = None
+    ) -> str:
+        """The pushed-down SQL the reference hand-builds
+        (extract_bq.py:86-117): shard-suffix range + valid-user +
+        optional tracked-event IN list, projecting the extract columns.
+        Used when `query`-mode reading (viewsEnabled) is preferred over
+        filter-option pushdown; semantics are differentially tested
+        against the declarative operators via the DuckDB stand-in
+        (``duckdb_standin_sql``, tests/test_connector_pushdown.py)."""
+        suffix_from = date_from.replace("-", "")
+        suffix_to = date_to.replace("-", "")
+        event_filter = ""
+        if events:
+            event_list = "', '".join(events)
+            event_filter = f"\n            AND event_name IN ('{event_list}')"
+        table_wildcard = f"{self.project}.{self.dataset}.{self.table_prefix}*"
+        return (
+            "SELECT user_id, event_name, event_timestamp, event_params, event_date\n"
+            f"        FROM `{table_wildcard}`\n"
+            f"        WHERE _TABLE_SUFFIX BETWEEN '{suffix_from}' AND '{suffix_to}'\n"
+            "            AND user_id IS NOT NULL\n"
+            "            AND user_id != ''"
+            f"{event_filter}\n"
+            "        ORDER BY event_timestamp DESC"
+        )
+
     def load(self, spark: SparkSession, date_from: str, date_to: str) -> DataFrame:
         reader = spark.read.format("bigquery")
         for k, v in self.reader_options(date_from, date_to).items():
@@ -56,6 +83,36 @@ class BigQueryEventsSource:
                 "BigQuery connector jar not on the classpath; add "
                 "spark-bigquery-with-dependencies and rerun (config is valid)"
             ) from e
+
+
+def duckdb_standin_sql(
+    date_from: str, date_to: str, events: list[str] | None = None
+) -> str:
+    """DuckDB twin of ``build_pushdown_sql`` over the fixture events
+    table — same WHERE semantics, fixture schema: the day shard a row
+    would live in is ``strftime(ts, '%Y%m%d')`` (X2), user validity is
+    NOT NULL (the fixture user_id is numeric, so the reference's
+    ``!= ''`` arm is vacuous — operators.etl.valid_user_filter applies
+    the same contract), and the IN list filters ``event_type``.
+
+    Running this against the same parquet the Spark operators read
+    gives a differential test of the *pushdown builder's semantics*
+    (range inclusivity at both endpoints, null handling, IN-list
+    construction) without a BigQuery backend.
+    """
+    event_filter = ""
+    if events:
+        event_list = "', '".join(events)
+        event_filter = f" AND event_type IN ('{event_list}')"
+    suffix_from = date_from.replace("-", "")
+    suffix_to = date_to.replace("-", "")
+    return (
+        "SELECT event_id, user_id, event_type, "
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events "
+        f"WHERE strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') "
+        f"BETWEEN '{suffix_from}' AND '{suffix_to}' "
+        f"AND user_id IS NOT NULL{event_filter}"
+    )
 
 
 @dataclass(frozen=True)
