@@ -1,0 +1,182 @@
+"""Training-data pipeline composition operators.
+
+The dedup/similarity/text modules score and pair documents; this
+module holds the corpus-shaping steps a large-scale LLM data pipeline
+runs after them:
+
+- deterministic train/test splitting (hash-bucket, reproducible across
+  runs and engines — never ``rand()``);
+- weighted corpus mixture sampling (per-source deterministic prefix);
+- sequence packing (concatenate-then-chunk token-budget binning — the
+  GPT-style packing layout, computed as a prefix-sum window);
+- context-window chunking (overlapping token windows per document);
+- quality-percentile filtering (keep the top share by score).
+
+All pure DataFrame plans, no Python UDFs. Determinism rules follow the
+repo convention: orderings get explicit total tie-breaks, "random"
+orderings come from md5 (bit-identical in the DuckDB oracle).
+
+Scale notes are per-function; the one global-window op (packing)
+documents its per-shard parallel form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash60, with_tokens
+from .text import quality_score
+
+PACK_BUDGET = 512  # power of two: offset/budget divisions stay exact in f64
+
+
+def train_test_split(
+    docs: DataFrame, id_col: str = "doc_id", train_pct: int = 90
+) -> DataFrame:
+    """Deterministic hash-bucket split: md5(id) % 100 < train_pct →
+    'train'. Stable under corpus growth (a doc never flips sides when
+    other docs arrive), engine-reproducible, no shuffle at all — the
+    split is a map-side expression.
+    """
+    bucket = F.pmod(md5_hash60(F.col(id_col).cast("string")), F.lit(100))
+    return docs.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+
+
+# fixture sources are src0..srcN; weights mirror a typical corpus mix
+MIXTURE_FRACTIONS: dict[str, float] = {"src0": 0.5, "src1": 0.25}
+MIXTURE_DEFAULT_FRACTION = 0.1
+
+
+def mixture_sample(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = MIXTURE_DEFAULT_FRACTION,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted per-source sampling: rank docs inside each source by a
+    deterministic hash, keep the prefix ``ceil(count × fraction)``.
+
+    One shuffle on ``source``; both the rank and the per-source count
+    ride the same window partitioning so the exchange is shared. At
+    100 TB this is the standard corpus-mixture step (Common Crawl at
+    x%, books at y%…) — deterministic, so re-runs and different
+    engines agree row-for-row, unlike ``sample()``.
+    """
+    fractions = MIXTURE_FRACTIONS if fractions is None else fractions
+    frac = None
+    for src, f in fractions.items():
+        arm = F.when(F.col("source") == src, F.lit(f))
+        frac = arm if frac is None else frac.when(F.col("source") == src, F.lit(f))
+    frac = frac.otherwise(F.lit(default_fraction)) if frac is not None else F.lit(
+        default_fraction
+    )
+    h = md5_hash60(F.col(id_col).cast("string"), seed=7)
+    w = Window.partitionBy("source")
+    rn = F.row_number().over(w.orderBy(h.asc(), F.col(id_col).asc()))
+    cnt = F.count(F.lit(1)).over(w)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col("source"),
+            rn.cast("bigint").alias("rn"),
+            F.ceil(cnt * frac).cast("bigint").alias("keep_n"),
+        )
+        .where(F.col("rn") <= F.col("keep_n"))
+        .select(id_col, "source", "rn")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = PACK_BUDGET, id_col: str = "doc_id"
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing: documents are laid out
+    in a deterministic pseudo-shuffled order (md5), then the token
+    stream is cut into ``budget``-token bins. Emits, per document, its
+    starting offset in the stream and the first/last bin it lands in
+    (a doc spanning a boundary is split across bins — the standard
+    packing layout for next-token training).
+
+    Computed as one prefix-sum window. The ordering here is global
+    (single packing stream); the 100 TB form partitions by an
+    upstream shard column first — ``Window.partitionBy(shard)`` —
+    giving one independent stream per shard and full parallelism, at
+    the cost of at most one underfilled final bin per shard.
+    ``budget`` stays a power of two so offset/budget is exact in f64.
+    """
+    df = with_tokens(docs).select(
+        F.col(id_col),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        md5_hash60(F.col(id_col).cast("string"), seed=11).alias("h"),
+    )
+    w = (
+        Window.orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / budget).cast("bigint").alias("first_bin"),
+        F.floor((start + F.col("n_tokens") - 1) / budget).cast("bigint").alias("last_bin"),
+    )
+
+
+CHUNK_WIDTH = 32
+CHUNK_STRIDE = 24
+
+
+def context_chunks(
+    docs: DataFrame,
+    width: int = CHUNK_WIDTH,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping context windows per document: token windows of
+    ``width`` every ``stride`` tokens (the long-document chunking step
+    before embedding/training). Pure higher-order-function plan — the
+    window count uses integer arithmetic only, so engines can't
+    disagree on boundary rounding.
+
+    Map-side explode: no shuffle; output rows ≈ n_tokens/stride per
+    doc, and Catalyst prunes untouched columns before the explode.
+    """
+    df = with_tokens(docs)
+    # integer ceil-div (div, not "/") so boundary rounding is exact
+    chunks = F.expr(
+        f"transform(sequence(0, (greatest(size(tokens) - {width}, 0L)"
+        f" + {stride - 1}) div {stride}),"
+        f" i -> struct(i AS chunk_id, i * {stride} + 1 AS start_token,"
+        f" concat_ws(' ', slice(tokens, CAST(i * {stride} + 1 AS INT), {width}))"
+        " AS chunk_text))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("c.start_token").cast("bigint").alias("start_token"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+def quality_percentile_filter(docs: DataFrame, keep_share: float = 0.5) -> DataFrame:
+    """Keep the top ``keep_share`` of the corpus by quality score:
+    percent_rank over (quality desc, doc_id) ≤ keep_share. The global
+    window runs over the (doc_id, quality) projection only — tiny rows
+    — and at scale becomes a two-pass approx-threshold (percentile of
+    a sample, then a map-side filter); this exact form is the oracle
+    tier."""
+    q = quality_score(docs)
+    pr = F.percent_rank().over(Window.orderBy(F.desc("quality"), F.asc("doc_id")))
+    return (
+        q.select("doc_id", "quality")
+        .withColumn("pct_rank", pr)
+        .where(F.col("pct_rank") <= keep_share)
+    )

@@ -1,0 +1,169 @@
+"""Oracle-checked training-data pipeline queries (operators.pipeline
++ operators.cluster) over the ``documents`` fixture.
+
+Determinism conventions: hash ordering via md5 (cross-engine), double
+literals forced to DOUBLE in the oracle (DuckDB parses ``0.5`` as
+DECIMAL, whose ceil/mult semantics differ from Spark's doubles),
+window sums cast to BIGINT (DuckDB HUGEINT), integer ceil-division via
+``div``/``//`` (float division could round across a boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table, parallelize
+from ..registry import register
+from .cluster import dup_clusters
+from .dedup import minhash_lsh_pairs
+from .pipeline import (
+    CHUNK_STRIDE,
+    CHUNK_WIDTH,
+    MIXTURE_DEFAULT_FRACTION,
+    MIXTURE_FRACTIONS,
+    PACK_BUDGET,
+    context_chunks,
+    mixture_sample,
+    pack_sequences,
+    quality_percentile_filter,
+    train_test_split,
+)
+from .queries_text import _STOP_LIST
+
+
+def _h60(expr: str, seed: int | None = None) -> str:
+    inner = f"concat('{seed}:', {expr})" if seed is not None else expr
+    return f"('0x' || substr(md5({inner}), 1, 15))::BIGINT"
+
+
+@register(
+    "pipeline_train_test_split",
+    f"""
+    SELECT doc_id,
+           {_h60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+           CASE WHEN {_h60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/test split (90/10)."""
+    return train_test_split(load_table(spark, sf_dir, "documents"))
+
+
+_FRAC_SQL = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{s}' THEN CAST({f} AS DOUBLE)" for s, f in MIXTURE_FRACTIONS.items()
+    )
+    + f" ELSE CAST({MIXTURE_DEFAULT_FRACTION} AS DOUBLE) END"
+)
+
+
+@register(
+    "pipeline_mixture_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source, {_h60("CAST(doc_id AS VARCHAR)", seed=7)} AS hh
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id)
+                  AS BIGINT) AS rn,
+             CAST(ceil(count(*) OVER (PARTITION BY source) * ({_FRAC_SQL}))
+                  AS BIGINT) AS keep_n
+      FROM h
+    )
+    SELECT doc_id, source, rn FROM ranked WHERE rn <= keep_n
+    """,
+)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-source corpus mixture (deterministic prefix)."""
+    return mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_h60("CAST(doc_id AS VARCHAR)", seed=11)} AS h
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / {PACK_BUDGET}) AS BIGINT) AS first_bin,
+           CAST(floor((start_offset + n_tokens - 1) / {PACK_BUDGET}) AS BIGINT)
+             AS last_bin
+    FROM s
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk token packing into 512-token bins."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_context_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               (greatest(len(toks) - {CHUNK_WIDTH}, 0) + {CHUNK_STRIDE - 1})
+                 // {CHUNK_STRIDE})) AS i
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_token,
+           array_to_string(
+             toks[(i * {CHUNK_STRIDE} + 1):(i * {CHUNK_STRIDE} + {CHUNK_WIDTH})],
+             ' ') AS chunk_text
+    FROM e
+    """,
+)
+def pipeline_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token context windows, stride 24."""
+    return context_chunks(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "pipeline_quality_filter",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id,
+             least(len(toks) / 100.0, 1.0) * 0.4
+               + (len(list_distinct(toks)) / len(toks)) * 0.4
+               + (len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / len(toks)) * 0.2
+               AS quality
+      FROM t
+    ), r AS (
+      SELECT doc_id, quality,
+             percent_rank() OVER (ORDER BY quality DESC, doc_id) AS pct_rank
+      FROM q
+    )
+    SELECT doc_id, quality, pct_rank FROM r WHERE pct_rank <= 0.5
+    """,
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-half quality filter by percentile rank."""
+    return quality_percentile_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_dup_clusters", None)  # iterative — rows-only; see test_cluster.py
+def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash-LSH candidate pairs →
+    (doc_id, cluster_id, cluster_size, is_canonical). The deletion
+    step of the dedup pipeline; correctness pinned against a
+    union-find oracle in pytest (iteration isn't SQL-expressible)."""
+    pairs = minhash_lsh_pairs(parallelize(load_table(spark, sf_dir, "documents")))
+    return dup_clusters(pairs)

@@ -144,6 +144,7 @@ def _load_all() -> None:
         queries_misc,
         queries_tpch,
         queries_analytics,
+        queries_pipeline,
     )
 
     _LOADED = True
