@@ -117,6 +117,52 @@ def run_streaming_etl(
     }
 
 
+def run_streaming_etl_to_db(
+    spark: SparkSession,
+    source_dir: str,
+    connect,
+    table: str,
+    checkpoint_dir: str,
+    tracked: list[str] | None = None,
+    batch_size: int | None = None,
+    dialect: str = "postgres",
+) -> dict:
+    """The reference's production path as a stream: micro-batched
+    conflict-skipping inserts into a relational table (K2/K3/K4 —
+    extract_bq.py:216-258) driven by ``foreachBatch``.
+
+    Effective exactly-once (ST3) comes from the composition: the
+    checkpoint replays an unacknowledged micro-batch after a crash,
+    and the DB's duplicate-skip makes the replay a no-op for rows that
+    already committed. ``connect``/``dialect`` are the DBAPI injection
+    points (psycopg2 in production, SQLite in the in-container tests —
+    same semantics, tests/test_streaming_db.py).
+    """
+    from ..operators.etl import flagship_pipeline
+    from ..sources.sinks import write_dbapi_upsert
+
+    events = read_events_stream(spark, source_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = flagship_pipeline(batch_df, tracked=tracked)
+        write_dbapi_upsert(
+            out, connect, table, batch_size=batch_size, dialect=dialect
+        )
+
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    return {
+        "status": "success",
+        "batch_id": progress["batchId"] if progress else None,
+    }
+
+
 def streaming_purchase_click_join(
     purchases: DataFrame, clicks: DataFrame, within: str = "1 hour"
 ) -> DataFrame:
