@@ -170,13 +170,35 @@ def quality_percentile_filter(docs: DataFrame, keep_share: float = 0.5) -> DataF
     """Keep the top ``keep_share`` of the corpus by quality score:
     percent_rank over (quality desc, doc_id) ≤ keep_share. The global
     window runs over the (doc_id, quality) projection only — tiny rows
-    — and at scale becomes a two-pass approx-threshold (percentile of
-    a sample, then a map-side filter); this exact form is the oracle
-    tier."""
+    — exact ranking semantics; ``quality_threshold_filter`` is the
+    100 TB form."""
     q = quality_score(docs)
     pr = F.percent_rank().over(Window.orderBy(F.desc("quality"), F.asc("doc_id")))
     return (
         q.select("doc_id", "quality")
         .withColumn("pct_rank", pr)
         .where(F.col("pct_rank") <= keep_share)
+    )
+
+
+def quality_threshold_filter(docs: DataFrame, keep_share: float = 0.5) -> DataFrame:
+    """The scale tier of quality filtering: two passes, no global sort.
+
+    Pass 1 aggregates the exact interpolated percentile of the score
+    (a partial-aggregatable scalar — at 100 TB swap in
+    ``percentile_approx`` or compute it on a sample; the shape is
+    identical). Pass 2 is a map-side ``quality ≥ threshold`` filter —
+    no window, no ordering, embarrassingly parallel. Unlike the
+    percent_rank tier this admits score ties at the boundary (both
+    engines agree bit-for-bit on the interpolated threshold, so the
+    row set is still deterministic)."""
+    q = quality_score(docs).select("doc_id", "quality")
+    thr = q.agg(
+        F.percentile("quality", F.lit(1.0 - keep_share)).alias("thr")
+    )
+    # 1-row scalar side — bounded by construction (allowlisted hint)
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .where(F.col("quality") >= F.col("thr"))
+        .select("doc_id", "quality", "thr")
     )

@@ -26,6 +26,7 @@ from .pipeline import (
     mixture_sample,
     pack_sequences,
     quality_percentile_filter,
+    quality_threshold_filter,
     train_test_split,
 )
 from .queries_text import _STOP_LIST
@@ -157,6 +158,27 @@ def pipeline_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-half quality filter by percentile rank."""
     return quality_percentile_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_quality_threshold",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id,
+             least(len(toks) / 100.0, 1.0) * 0.4
+               + (len(list_distinct(toks)) / len(toks)) * 0.4
+               + (len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / len(toks)) * 0.2
+               AS quality
+      FROM t
+    ), thr AS (SELECT quantile_cont(quality, 0.5) AS thr FROM q)
+    SELECT doc_id, quality, thr FROM q, thr WHERE quality >= thr
+    """,
+)
+def pipeline_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tier of the quality filter: percentile threshold scalar
+    (partial-aggregatable) + map-side filter — no global sort."""
+    return quality_threshold_filter(load_table(spark, sf_dir, "documents"))
 
 
 @register("dedup_dup_clusters", None)  # iterative — rows-only; see test_cluster.py

@@ -74,6 +74,7 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("similarity.py", "ann_lsh_topk"): "query set bounded by n_queries param",
     ("similarity.py", "ivf_topk"): "k-means centroids (n_lists) + query set — parameter-bounded",
     ("similarity.py", "ann_lsh_topk_multiprobe"): "probe buckets: n_queries × (1+n_planes) rows",
+    ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
 }
 
 
