@@ -166,6 +166,61 @@ def context_chunks(
     )
 
 
+def pack_sequences_sharded(
+    docs: DataFrame,
+    shard_col: str = "source",
+    budget: int = PACK_BUDGET,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100 TB form of ``pack_sequences``: one independent packing
+    stream per shard (``Window.partitionBy(shard_col)``), so the
+    prefix-sum parallelizes across shards instead of serializing on a
+    global ordering. Cost: at most one underfilled final bin per
+    shard. Bin ids are per-shard (a (shard, bin) pair is the global
+    key)."""
+    df = with_tokens(docs).select(
+        F.col(id_col),
+        F.col(shard_col),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        md5_hash60(F.col(id_col).cast("string"), seed=11).alias("h"),
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        F.col("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / budget).cast("bigint").alias("first_bin"),
+        F.floor((start + F.col("n_tokens") - 1) / budget).cast("bigint").alias("last_bin"),
+    )
+
+
+def pseudonymize_events(events: DataFrame) -> DataFrame:
+    """PII handling for event logs: identifier tokenization + free-text
+    number redaction.
+
+    - ``user_pseudo_id``: md5 of the raw id — deterministic, joinable
+      across tables/runs, irreversible without the original id space
+      (at production scale: keyed HMAC instead; the md5 here is the
+      cross-engine-checkable stand-in);
+    - ``props_redacted``: digit runs collapsed to ``<NUM>`` — the
+      redaction pass a training-data pipeline runs before text lands
+      in a corpus.
+
+    Pure map-side expressions; no shuffle, no UDFs.
+    """
+    return events.select(
+        "event_id",
+        F.md5(F.col("user_id").cast("string")).alias("user_pseudo_id"),
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_redacted"),
+    )
+
+
 def quality_percentile_filter(docs: DataFrame, keep_share: float = 0.5) -> DataFrame:
     """Keep the top ``keep_share`` of the corpus by quality score:
     percent_rank over (quality desc, doc_id) ≤ keep_share. The global

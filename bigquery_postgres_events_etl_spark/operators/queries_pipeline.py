@@ -189,3 +189,52 @@ def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-find oracle in pytest (iteration isn't SQL-expressible)."""
     pairs = minhash_lsh_pairs(parallelize(load_table(spark, sf_dir, "documents")))
     return dup_clusters(pairs)
+
+
+@register(
+    "pipeline_pack_sharded",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_h60("CAST(doc_id AS VARCHAR)", seed=11)} AS h
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(floor(start_offset / {PACK_BUDGET}) AS BIGINT) AS first_bin,
+           CAST(floor((start_offset + n_tokens - 1) / {PACK_BUDGET}) AS BIGINT)
+             AS last_bin
+    FROM s
+    """,
+)
+def pipeline_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing — the parallel 100 TB form: one independent
+    stream per source shard, prefix-sums never serialize globally."""
+    from .pipeline import pack_sequences_sharded
+
+    return pack_sequences_sharded(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_pseudonymize",
+    """
+    SELECT event_id,
+           md5(CAST(user_id AS VARCHAR)) AS user_pseudo_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted
+    FROM events
+    """,
+)
+def pipeline_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pass: identifier tokenization (md5 stand-in for keyed HMAC)
+    + digit-run redaction in free text. Map-side, no shuffle."""
+    from ..io import load_table as _lt
+    from .pipeline import pseudonymize_events
+
+    return pseudonymize_events(_lt(spark, sf_dir, "events"))

@@ -125,3 +125,46 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return ann_lsh_topk_multiprobe(queries, emb, k=TOP_K, num_planes=5)
+
+
+@register(
+    "embedding_normalize",
+    f"""
+    WITH {_NORMS_CTE}
+    SELECT e.vec_id,
+           list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) / sqrt(n.nsq)) AS unit,
+           sqrt(n.nsq) AS norm
+    FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization to unit vectors (cosine → dot preprocessing)."""
+    from .similarity import normalize_embeddings
+
+    return normalize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(127.0 AS DOUBLE)
+               / list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * scale)
+                                    AS INTEGER)) AS q8
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (floor, engine-exact) — the 4×
+    storage cut for ANN candidate stages."""
+    from .similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))

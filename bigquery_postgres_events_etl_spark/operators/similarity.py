@@ -62,6 +62,44 @@ def with_norm_sq(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     return df.withColumn("norm_sq", norm_sq(emb_col))
 
 
+def normalize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """L2-normalize vectors to unit length (the preprocessing step
+    before cosine reduces to a dot product). Map-side expression:
+    the norm is the same sequential sum-of-squares chain the dot
+    product uses (cross-engine bit parity), sqrt is IEEE-exact, and
+    each element divides by it once."""
+    nsq = norm_sq(emb_col)
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({emb_col}, x -> CAST(x AS DOUBLE) / sqrt({_DOT_TMPL.format(a=emb_col, b=emb_col)}))"
+        ).alias("unit"),
+        F.sqrt(nsq).alias("norm"),
+    )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization: scale = 127 / max|x| per vector,
+    q_i = floor(x_i · scale) — floor, not round (round's tie rules
+    differ across engines; floor is exact). The 4× storage cut for
+    ANN candidate stages; map-side, no shuffle."""
+    absmax = F.expr(f"array_max(transform({emb_col}, x -> abs(CAST(x AS DOUBLE))))")
+    scale = F.lit(127.0) / absmax
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.expr(
+            f"transform({emb_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * (CAST(127.0 AS DOUBLE) / array_max(transform({emb_col},"
+            " y -> abs(CAST(y AS DOUBLE)))))) AS INTEGER))"
+        ).alias("q8"),
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
