@@ -41,6 +41,7 @@ def plan_summary(df: DataFrame) -> dict:
 
     return {
         "exchanges": n("Exchange"),
+        "sorts": n("Sort"),
         "broadcast_hash_joins": n("BroadcastHashJoin"),
         "sort_merge_joins": n("SortMergeJoin"),
         "shuffled_hash_joins": n("ShuffledHashJoin"),

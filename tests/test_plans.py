@@ -28,6 +28,51 @@ def test_q3_aqe_broadcasts_small_dims(spark, sf_dir):
     assert s["take_ordered"]  # top-10 is TakeOrderedAndProject, not a global sort
 
 
+def test_pipeline_map_side_ops_have_no_exchange(spark, sf_dir):
+    """Split, chunking, and the PII pass are pure map-side expressions
+    — a shuffle appearing in any of them is a plan regression."""
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.pipeline import (
+        context_chunks,
+        pseudonymize_events,
+        train_test_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    assert plan_summary(train_test_split(docs))["exchanges"] == 0
+    assert plan_summary(context_chunks(docs))["exchanges"] == 0
+    assert plan_summary(pseudonymize_events(events))["exchanges"] == 0
+
+
+def test_quality_threshold_avoids_global_sort(spark, sf_dir):
+    """The scale tier must plan as scalar-agg + map filter: no Sort
+    node anywhere (the percent_rank tier necessarily has one — that
+    asymmetry is the point of having both)."""
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.pipeline import (
+        quality_percentile_filter,
+        quality_threshold_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert plan_summary(quality_threshold_filter(docs))["sorts"] == 0
+    assert plan_summary(quality_percentile_filter(docs))["sorts"] >= 1
+
+
+def test_sharded_packing_single_exchange(spark, sf_dir):
+    """Per-shard packing: one hash exchange on the shard column, and
+    the prefix-sum window rides it."""
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.pipeline import (
+        pack_sequences_sharded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = plan_summary(pack_sequences_sharded(docs))
+    assert s["exchanges"] <= 2  # one data exchange (+ AQE read wrapper)
+
+
 def test_broadcast_hints_only_on_bounded_sides():
     """Every F.broadcast() call site in the package must be registered
     in ALLOWED_BROADCAST_SITES with a boundedness justification — an
