@@ -246,20 +246,28 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: large-quantity orders (join → agg → HAVING →
-    top-100). The TPC-H spec phrases the filter as an IN-subquery over
-    a grouped lineitem; Catalyst and this direct form produce the same
-    aggregate-then-filter plan."""
+    """TPC-H Q18: large-quantity orders, in the spec's own shape —
+    aggregate lineitem on the NARROW orderkey first, filter hard
+    (HAVING > 150 keeps a sliver), then join the sliver to orders and
+    customer. The naive join-then-group-by-5-columns plan shuffles
+    every joined row on a wide key (the r1 bench's single largest
+    exchange, 5.3 MB at sf0.1 → TBs at 100×); this shape shuffles
+    lineitem once on orderkey with map-side partial sums, and the
+    post-filter join side is small enough that AQE broadcasts it.
+    (orderkey groups are unique per order, so sum_qty is identical —
+    the oracle SQL is unchanged and still hash-matches.)"""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    qty = F.sum(F.col("l_quantity").cast("decimal(27,4)"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(qty.cast("double").alias("sum_qty"))
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,4)")).cast("double").alias("sum_qty"))
         .where(F.col("sum_qty") > 150)
+    )
+    return (
+        qual.join(o, qual.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
