@@ -271,3 +271,185 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(
+             CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))
+           AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global sum — the pushdown showcase (all
+    three predicates reach the parquet scan; zero joins, one scalar
+    exchange). Product computed in decimal from the 2-decimal inputs
+    (cross-engine tie safety)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    prod = F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(prod.cast("decimal(27,4)")).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (sans the comment filter — the fixture has no
+    o_comment): distribution of per-customer order counts. Two
+    aggregations; the second groups the tiny per-customer counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, {_REV_SUM.replace('l.l_', 'l_')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the quarter's max revenue. The max
+    is a 1-row scalar joined back (broadcast by AQE); revenue equality
+    is exact because both engines produce the identical decimal-sum
+    double."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum_rev("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("mr"))
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(max_rev, rev.total_revenue == max_rev.mr)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
+             / CAST(7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey,
+             CAST(0.2 AS DOUBLE)
+               * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE)
+                  / count(*)) AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_limit
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from below-20%-of-average-quantity orders of
+    one brand. The correlated scalar subquery becomes a per-part
+    aggregate joined back; the average goes through the exact decimal
+    sum so the 0.2× threshold is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    limits = li.groupBy(F.col("l_partkey").alias("lim_partkey")).agg(
+        (
+            F.lit(0.2).cast("double")
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(27,4)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_limit")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(limits, li.l_partkey == F.col("lim_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(27,4)")).cast("double")
+                / F.lit(7.0).cast("double")
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH eligible AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+    )
+    SELECT e.c_nationkey AS cntry, count(*) AS numcust,
+           CAST(SUM(CAST(e.c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS totacctbal
+    FROM eligible e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY e.c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (nationkey stands in for the phone country code the
+    fixture lacks): above-average-balance customers with no orders.
+    Scalar average (exact decimal sum / count) + anti join against
+    recent orders (the unfiltered variant is vacuous on the fixture —
+    every above-average customer has *some* order)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(27,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    eligible = c.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("ab"))
+    no_orders = eligible.join(o, eligible.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy(F.col("c_nationkey").alias("cntry")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,4)")).cast("double").alias("totacctbal"),
+    )
