@@ -227,6 +227,56 @@ def minhash_lsh_pairs(
     return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
+def _bands(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band_id, band_key) rows from a signature frame."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        key = F.concat_ws(
+            "_", *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), key.alias("band_key")).alias(f"b{b}")
+        )
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+
+
+def minhash_lsh_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup check: candidate pairs between a NEW batch
+    and the EXISTING corpus — the shape a production pipeline runs per
+    ingest (|batch| ≪ |corpus|), asymmetric on purpose:
+
+    - the corpus side is (band, key) → doc buckets; in production this
+      is precomputed once and stored bucketed on the band key, so a
+      batch run never rescans corpus text — it equi-joins the batch's
+      bands against the stored index (here both sides derive from the
+      fixture for oracle checkability);
+    - batch-internal duplicates are the symmetric tier
+      (``minhash_lsh_pairs`` on the batch alone); this operator is the
+      batch×corpus cross-check.
+
+    Output: (corpus_doc, batch_doc) candidate pairs.
+    """
+    sig_b = minhash_signatures(batch, num_hashes, n, id_col)
+    sig_c = minhash_signatures(corpus, num_hashes, n, id_col)
+    bb = _bands(sig_b, num_hashes, bands).withColumnRenamed("doc_id", "batch_doc")
+    bc = _bands(sig_c, num_hashes, bands).withColumnRenamed("doc_id", "corpus_doc")
+    return (
+        bc.join(bb, ["band_id", "band_key"])
+        .select("corpus_doc", "batch_doc")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------

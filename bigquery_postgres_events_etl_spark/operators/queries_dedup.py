@@ -202,3 +202,27 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-forces all pairs — equality proves the blocking is lossless."""
     df = simhash_near_pairs(parallelize(load_table(spark, sf_dir, "documents")), MAX_HAMMING)
     return df.withColumn("hamming", df.hamming.cast("int"))
+
+
+@register(
+    "dedup_minhash_incremental",
+    f"""
+    WITH {_BANDS_CTE}
+    SELECT DISTINCT c.doc_id AS corpus_doc, b.doc_id AS batch_doc
+    FROM bands c JOIN bands b
+      ON c.band_id = b.band_id AND c.band_key = b.band_key
+    WHERE c.doc_id % 5 != 0 AND b.doc_id % 5 = 0
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch × corpus) MinHash-LSH candidates — the
+    per-ingest dedup shape; batch = doc_id % 5 == 0 stands in for a
+    day's new documents."""
+    from .dedup import minhash_lsh_incremental
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import functions as F
+
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return minhash_lsh_incremental(batch, corpus, NUM_HASHES, BANDS)
