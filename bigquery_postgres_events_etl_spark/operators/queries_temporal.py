@@ -165,3 +165,75 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").start.alias("window_start"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "timeseries_resample_ffill",
+    f"""
+    WITH e AS (
+      SELECT user_id, {_TS} AS t, value FROM events WHERE user_id < 20
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', t) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+             count(*) AS n_events
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(t)) AS h0, date_trunc('hour', max(t)) AS h1
+      FROM e
+    ),
+    users AS (SELECT DISTINCT user_id FROM e),
+    grid AS (
+      SELECT u.user_id,
+             unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM users u, bounds b
+    )
+    SELECT g.user_id, g.hour,
+           coalesce(h.n_events, 0) AS n_events,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN hourly h
+      ON h.user_id = g.user_id AND h.hour = g.hour
+    """,
+)
+def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to an hourly grid with forward fill —
+    the gap-filling operator (hypertable `time_bucket_gapfill` /
+    `locf` semantics) as pure DataFrame ops: hourly agg → hour grid
+    (sequence × users) → left join → `last(ignorenulls)` running
+    window. The grid explode is map-side; the only shuffles are the
+    hourly agg and the per-user fill window (user-bounded state)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(27,4)")).cast("double").alias("sum_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    users = e.select("user_id").distinct()
+    grid = users.crossJoin(bounds).select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
