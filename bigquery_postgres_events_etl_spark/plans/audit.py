@@ -76,6 +76,7 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("similarity.py", "ivf_topk"): "k-means centroids (n_lists) + query set — parameter-bounded",
     ("similarity.py", "ann_lsh_topk_multiprobe"): "probe buckets: n_queries × (1+n_planes) rows",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
+    ("queries_tpch.py", "q22_global_sales_opportunity"): "1-row average-balance scalar",
 }
 
 
