@@ -158,17 +158,32 @@ def minhash_coeffs(k: int) -> tuple[int, int]:
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 16, n: int = 3, id_col: str = "doc_id"
+    docs: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """K-min-hash signature per document: sig_k = min over shingles of
-    (a_k·h(shingle) + b_k) mod p, h = one md5-60bit digest. One explode
-    + one groupBy with K min() aggregates — partial-aggregated, so the
-    shuffle carries one K-wide row per doc per map task. (h mod p is
-    taken first so a·h stays inside int64.)"""
+    (a_k·h(shingle) + b_k) mod p, h = one base digest per shingle. One
+    explode + one groupBy with K min() aggregates — partial-aggregated,
+    so the shuffle carries one K-wide row per doc per map task. (h mod
+    p is taken first so a·h stays inside int64.)
+
+    ``hash_fn``: "md5" (oracle tier — the one digest both engines
+    compute identically) or "xxhash64" (production tier — ~5× cheaper
+    JVM-native digest, no cross-engine twin; equally valid minhash
+    statistics, pinned by the recall test instead of the oracle)."""
+    if hash_fn == "md5":
+        h = md5_hash60("shingle") % MINHASH_P
+    elif hash_fn == "xxhash64":
+        h = F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     sh = (
         with_shingles(docs, n)
         .select(F.col(id_col).alias("doc_id"), F.explode("shingles").alias("shingle"))
-        .select("doc_id", (md5_hash60("shingle") % MINHASH_P).alias("h"))
+        .select("doc_id", h.alias("h"))
     )
     aggs = []
     for k in range(num_hashes):
@@ -183,6 +198,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: split the K-signature into ``bands`` bands
     of K/bands rows; docs sharing any full band are candidates.
@@ -192,7 +208,7 @@ def minhash_lsh_pairs(
     is proportional to actual near-duplicates, not to |docs|².
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, id_col)
+    sig = minhash_signatures(docs, num_hashes, n, id_col, hash_fn)
     band_cols = []
     for b in range(bands):
         key = F.concat_ws(

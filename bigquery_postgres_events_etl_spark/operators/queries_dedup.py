@@ -226,3 +226,18 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 5 == 0)
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     return minhash_lsh_incremental(batch, corpus, NUM_HASHES, BANDS)
+
+
+@register("dedup_minhash_lsh_fast", None)  # xxhash64 — no DuckDB twin
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production hash tier: identical LSH plan with xxhash64
+    digests (~5× cheaper than the md5 the oracle tier needs for
+    cross-engine parity — SCALE.md's documented swap, here as runnable
+    code). Rows-only for the driver; the recall contract vs exact
+    Jaccard ground truth is pinned in tests/test_dedup.py."""
+    return minhash_lsh_pairs(
+        parallelize(load_table(spark, sf_dir, "documents")),
+        NUM_HASHES,
+        BANDS,
+        hash_fn="xxhash64",
+    )

@@ -78,3 +78,24 @@ def test_jaccard_hot_shingle_filter_is_candidate_superset_logic(spark, sf_dir):
         for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=2).collect()
     }
     assert aggressive <= exact
+
+
+def test_minhash_lsh_xxhash_tier_same_recall_contract(spark, sf_dir):
+    """The xxhash64 production tier must satisfy the same recall bound
+    as the md5 oracle tier — different digests, same minhash
+    statistics (16 hashes, 8 bands × 2 rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    } or {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, hash_fn="xxhash64").collect()
+    }
+    assert truth
+    recall = len(truth & fast) / len(truth)
+    assert recall >= 0.9, f"xxhash64 LSH recall {recall} below 0.9"
