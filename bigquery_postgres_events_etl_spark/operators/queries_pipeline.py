@@ -238,3 +238,58 @@ def pipeline_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import pseudonymize_events
 
     return pseudonymize_events(_lt(spark, sf_dir, "events"))
+
+
+@register(
+    "pipeline_corpus_prep_end2end",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             least(len(toks) / 100.0, 1.0) * 0.4
+               + (len(list_distinct(toks)) / len(toks)) * 0.4
+               + (len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / len(toks)) * 0.2
+               AS quality
+      FROM t
+    ),
+    thr AS (SELECT quantile_cont(quality, 0.5) AS thr FROM q),
+    kept AS (SELECT q.doc_id, q.n_tokens FROM q, thr WHERE q.quality >= thr.thr),
+    canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    corpus AS (SELECT k.doc_id, k.n_tokens FROM kept k JOIN canon c ON c.doc_id = k.doc_id)
+    SELECT CASE WHEN {_h60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM corpus GROUP BY 1
+    """,
+)
+def pipeline_corpus_prep_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline in one plan: quality-threshold
+    filter → exact-dedup canonical survivors → deterministic train/
+    test split → per-split doc and token budgets. One declarative
+    composition of the §2.12 operators — Catalyst fuses the map-side
+    steps and the only shuffles are the dedup hash-agg, the threshold
+    scalar, and the final 2-row aggregate."""
+    from pyspark.sql import functions as F
+
+    from .dedup import exact_dedup
+    from .text import with_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_threshold_filter(docs).select("doc_id")
+    canon = exact_dedup(docs).select("doc_id")
+    corpus = (
+        with_tokens(docs)
+        .select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
+        .join(kept, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+    )
+    split = train_test_split(corpus).select("doc_id", "split")
+    return (
+        corpus.join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
