@@ -204,3 +204,77 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(
         right, left["user_id"].eqNullSafe(right["user_id"])
     ).select(left["event_id"], left["user_id"], right["marker"])
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH rich AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0
+    ),
+    recent AS (
+      SELECT o_custkey AS c_custkey, count(*) AS n_recent
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT coalesce(r.c_custkey, b.c_custkey) AS c_custkey,
+           r.c_acctbal, b.n_recent
+    FROM rich r FULL OUTER JOIN recent b ON r.c_custkey = b.c_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with nulls on BOTH sides populated (high-balance
+    customers ⟗ recent buyers) — completes the §2.3 join-type surface.
+    Scale note: full outer can't broadcast either side; it always
+    plans as a shuffle join on the key, which is the right default."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rich = c.where(F.col("c_acctbal") > 9000.0).select("c_custkey", "c_acctbal")
+    recent = (
+        o.where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("r_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+    return rich.join(
+        recent, rich.c_custkey == recent.r_custkey, "full_outer"
+    ).select(
+        F.coalesce(rich.c_custkey, F.col("r_custkey")).alias("c_custkey"),
+        "c_acctbal",
+        "n_recent",
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching: near-identical part names (edit distance ≤ 2)
+    inside each brand block. The brand equi-join is the blocking key —
+    the same block-then-verify shape as the LSH tiers, with
+    levenshtein as the verifier (identical DP algorithm in both
+    engines). Unblocked all-pairs would be |part|² — never do that."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+    )
+    return (
+        a.join(b, (F.col("brand_a") == F.col("brand_b")) & (F.col("key_a") < F.col("key_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .where(F.col("edit_dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )
