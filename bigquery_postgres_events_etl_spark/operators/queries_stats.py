@@ -198,3 +198,68 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
+
+
+@register(
+    "anomaly_zscore_events",
+    """
+    WITH sums AS (
+      SELECT event_type, count(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.s / s.n)
+             / sqrt((s.ss - s.s * s.s / s.n) / (s.n - 1)) AS zscore
+    FROM events e JOIN sums s ON e.event_type = s.event_type
+    WHERE abs(e.value - s.s / s.n)
+            > 3.0 * sqrt((s.ss - s.s * s.s / s.n) / (s.n - 1))
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (|z| > 3): the data-quality
+    gate a pipeline runs before training ingestion. Moments come from
+    exact decimal sums (one partial-aggregated pass), joined back as a
+    per-type scalar row — at 100 TB the sums side is |groups| rows,
+    broadcast by AQE, and the filter is map-side."""
+    e = load_table(spark, sf_dir, "events")
+    sums = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("value").alias("s"),
+        _dsum_sq("value").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = s / n
+    std = F.sqrt((ss - s * s / n) / (n - 1))
+    return (
+        e.join(sums, "event_type")
+        .where(F.abs(F.col("value") - mean) > F.lit(3.0) * std)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            ((F.col("value") - mean) / std).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS bin,
+           CAST(floor(l_quantity / 5.0) AS BIGINT) * CAST(5.0 AS DOUBLE) AS bin_low,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (bin = floor(x/w)): one partial-aggregated
+    groupBy on the bin expression; the 2-decimal input grid means no
+    value ever sits on a float-rounding boundary of the bin edges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_ = F.floor(F.col("l_quantity") / 5.0).cast("bigint")
+    return li.groupBy(bin_.alias("bin")).agg(
+        (F.col("bin") * 5.0).alias("bin_low"),
+        F.count(F.lit(1)).alias("n"),
+    )
