@@ -237,3 +237,97 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@register(
+    "asof_join_nearest_click",
+    f"""
+    WITH tagged AS (
+      SELECT user_id, {_TS} AS t,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), win AS (
+      SELECT *,
+             last_value(click_id IGNORE NULLS) OVER w_b AS bwd_id,
+             last_value(CASE WHEN click_id IS NOT NULL THEN t END IGNORE NULLS)
+               OVER w_b AS bwd_t,
+             first_value(click_id IGNORE NULLS) OVER w_f AS fwd_id,
+             first_value(CASE WHEN click_id IS NOT NULL THEN t END IGNORE NULLS)
+               OVER w_f AS fwd_t
+      FROM tagged
+      WINDOW
+        w_b AS (PARTITION BY user_id
+                ORDER BY t, CASE WHEN click_id IS NULL THEN 1 ELSE 0 END, purchase_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_f AS (PARTITION BY user_id
+                ORDER BY t, CASE WHEN click_id IS NULL THEN 1 ELSE 0 END, purchase_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT purchase_id, user_id, epoch_us(t) AS purchase_ts_us,
+           CASE WHEN fwd_id IS NULL
+                  OR (bwd_id IS NOT NULL
+                      AND epoch_us(t) - epoch_us(bwd_t)
+                          <= epoch_us(fwd_t) - epoch_us(t))
+                THEN bwd_id ELSE fwd_id END AS click_id,
+           CASE WHEN fwd_id IS NULL
+                  OR (bwd_id IS NOT NULL
+                      AND epoch_us(t) - epoch_us(bwd_t)
+                          <= epoch_us(fwd_t) - epoch_us(t))
+                THEN epoch_us(bwd_t) ELSE epoch_us(fwd_t) END AS click_ts_us
+    FROM win WHERE purchase_id IS NOT NULL
+    """,
+)
+def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of: each purchase matched to the CLOSEST
+    click in either time direction (ties → backward). Same union +
+    single-exchange window shape as the backward as-of, with a second
+    (forward) frame over the identical sort — Catalyst reuses the one
+    user_id exchange for both frames. The plan that replaces
+    pandas merge_asof(direction='nearest') at scale."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("purchase_id"),
+    )
+    order = [
+        F.col("ts").asc(),
+        F.when(F.col("click_id").isNull(), 1).otherwise(0).asc(),
+        F.col("purchase_id").asc(),
+    ]
+    w_b = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_t = F.when(F.col("click_id").isNotNull(), F.col("ts"))
+    win = tagged.select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(w_b).alias("bwd_id"),
+        F.last(click_t, ignorenulls=True).over(w_b).alias("bwd_t"),
+        F.first("click_id", ignorenulls=True).over(w_f).alias("fwd_id"),
+        F.first(click_t, ignorenulls=True).over(w_f).alias("fwd_t"),
+    ).where(F.col("purchase_id").isNotNull())
+    t_us = F.unix_micros("ts")
+    use_bwd = F.col("fwd_id").isNull() | (
+        F.col("bwd_id").isNotNull()
+        & ((t_us - F.unix_micros("bwd_t")) <= (F.unix_micros("fwd_t") - t_us))
+    )
+    return win.select(
+        "purchase_id",
+        "user_id",
+        t_us.alias("purchase_ts_us"),
+        F.when(use_bwd, F.col("bwd_id")).otherwise(F.col("fwd_id")).alias("click_id"),
+        F.when(use_bwd, F.unix_micros("bwd_t"))
+        .otherwise(F.unix_micros("fwd_t"))
+        .alias("click_ts_us"),
+    )
