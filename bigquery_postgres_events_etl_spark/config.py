@@ -33,13 +33,17 @@ def timestamp_file() -> str:
 
 
 def schedule_hour() -> int:
-    """ETL_SCHEDULE_HOUR — daily trigger hour (flask_server.py:283)."""
-    return _int_env("ETL_SCHEDULE_HOUR", 2)
+    """ETL_SCHEDULE_HOUR — daily trigger hour (flask_server.py:283).
+    Out-of-range values fall back to the default: an invalid hour must
+    degrade to 'runs at 02:00', never to 'scheduler thread dies'."""
+    h = _int_env("ETL_SCHEDULE_HOUR", 2)
+    return h if 0 <= h <= 23 else 2
 
 
 def schedule_minute() -> int:
     """ETL_SCHEDULE_MINUTE — daily trigger minute (flask_server.py:284)."""
-    return _int_env("ETL_SCHEDULE_MINUTE", 0)
+    m = _int_env("ETL_SCHEDULE_MINUTE", 0)
+    return m if 0 <= m <= 59 else 0
 
 
 def batch_size() -> int:

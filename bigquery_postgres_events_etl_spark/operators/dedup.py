@@ -207,19 +207,8 @@ def minhash_lsh_pairs(
     bucket sizes are tiny for non-duplicate corpora, so the join cost
     is proportional to actual near-duplicates, not to |docs|².
     """
-    rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, id_col, hash_fn)
-    band_cols = []
-    for b in range(bands):
-        key = F.concat_ws(
-            "_", *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
-        )
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), key.alias("band_key")).alias(f"b{b}")
-        )
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_key"
-    )
+    banded = _bands(sig, num_hashes, bands)
     # Single-pass bucket expansion instead of a self-join: a self-join
     # would execute the whole signature pipeline once per branch (no
     # exchange reuse), and shuffle it twice. groupBy bucket →
@@ -288,6 +277,9 @@ def minhash_lsh_incremental(
     bc = _bands(sig_c, num_hashes, bands).withColumnRenamed("doc_id", "corpus_doc")
     return (
         bc.join(bb, ["band_id", "band_key"])
+        # at-least-once re-ingest can put a doc on both sides; its
+        # bands trivially self-match — never a real candidate pair
+        .where(F.col("corpus_doc") != F.col("batch_doc"))
         .select("corpus_doc", "batch_doc")
         .distinct()
     )

@@ -211,6 +211,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT c.doc_id AS corpus_doc, b.doc_id AS batch_doc
     FROM bands c JOIN bands b
       ON c.band_id = b.band_id AND c.band_key = b.band_key
+     AND c.doc_id != b.doc_id
     WHERE c.doc_id % 5 != 0 AND b.doc_id % 5 = 0
     """,
 )

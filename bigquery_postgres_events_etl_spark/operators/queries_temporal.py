@@ -257,11 +257,16 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER w_f AS fwd_t
       FROM tagged
       WINDOW
+        -- coalesce(purchase_id, click_id) is non-null for every row, so
+        -- the order is TOTAL with no engine-specific NULL placement
+        -- (two same-instant clicks would otherwise tie)
         w_b AS (PARTITION BY user_id
-                ORDER BY t, CASE WHEN click_id IS NULL THEN 1 ELSE 0 END, purchase_id
+                ORDER BY t, CASE WHEN click_id IS NULL THEN 1 ELSE 0 END,
+                         coalesce(purchase_id, click_id)
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         w_f AS (PARTITION BY user_id
-                ORDER BY t, CASE WHEN click_id IS NULL THEN 1 ELSE 0 END, purchase_id
+                ORDER BY t, CASE WHEN click_id IS NULL THEN 1 ELSE 0 END,
+                         coalesce(purchase_id, click_id)
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT purchase_id, user_id, epoch_us(t) AS purchase_ts_us,
@@ -297,7 +302,9 @@ def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [
         F.col("ts").asc(),
         F.when(F.col("click_id").isNull(), 1).otherwise(0).asc(),
-        F.col("purchase_id").asc(),
+        # non-null for every row -> total order, no NULL-placement
+        # divergence between engines on same-instant duplicate clicks
+        F.coalesce("purchase_id", "click_id").asc(),
     ]
     w_b = (
         Window.partitionBy("user_id")

@@ -68,15 +68,17 @@ def normalize_embeddings(
     """L2-normalize vectors to unit length (the preprocessing step
     before cosine reduces to a dot product). Map-side expression:
     the norm is the same sequential sum-of-squares chain the dot
-    product uses (cross-engine bit parity), sqrt is IEEE-exact, and
-    each element divides by it once."""
-    nsq = norm_sq(emb_col)
-    return df.select(
+    product uses (cross-engine bit parity), sqrt is IEEE-exact. The
+    norm is projected ONCE and referenced from the lambda — inlining
+    it into the per-element transform would recompute the whole O(d)
+    reduction d times per row."""
+    with_n = df.select(
+        F.col(id_col), F.col(emb_col), F.sqrt(norm_sq(emb_col)).alias("norm")
+    )
+    return with_n.select(
         F.col(id_col),
-        F.expr(
-            f"transform({emb_col}, x -> CAST(x AS DOUBLE) / sqrt({_DOT_TMPL.format(a=emb_col, b=emb_col)}))"
-        ).alias("unit"),
-        F.sqrt(nsq).alias("norm"),
+        F.expr(f"transform({emb_col}, x -> CAST(x AS DOUBLE) / norm)").alias("unit"),
+        "norm",
     )
 
 
@@ -86,16 +88,18 @@ def quantize_embeddings_int8(
     """Symmetric int8 quantization: scale = 127 / max|x| per vector,
     q_i = floor(x_i · scale) — floor, not round (round's tie rules
     differ across engines; floor is exact). The 4× storage cut for
-    ANN candidate stages; map-side, no shuffle."""
+    ANN candidate stages; map-side, no shuffle. The scale is projected
+    once and referenced from the lambda (see normalize_embeddings)."""
     absmax = F.expr(f"array_max(transform({emb_col}, x -> abs(CAST(x AS DOUBLE))))")
-    scale = F.lit(127.0) / absmax
-    return df.select(
+    with_s = df.select(
+        F.col(id_col), F.col(emb_col), (F.lit(127.0) / absmax).alias("scale")
+    )
+    return with_s.select(
         F.col(id_col),
-        scale.alias("scale"),
+        "scale",
         F.expr(
-            f"transform({emb_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
-            f" * (CAST(127.0 AS DOUBLE) / array_max(transform({emb_col},"
-            " y -> abs(CAST(y AS DOUBLE)))))) AS INTEGER))"
+            f"transform({emb_col},"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS INTEGER))"
         ).alias("q8"),
     )
 

@@ -64,7 +64,11 @@ class DailyScheduler:
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            wait_s = seconds_until_fire(self.now_fn(), self.hour, self.minute)
+            try:
+                wait_s = seconds_until_fire(self.now_fn(), self.hour, self.minute)
+            except Exception as e:  # bad hour/minute must not kill the thread
+                self.last_error = repr(e)
+                wait_s = 3600.0  # keep heartbeating; operator sees last_error
             if self._stop.wait(timeout=wait_s):
                 return
             try:

@@ -59,7 +59,9 @@ class BigQueryEventsSource:
         suffix_to = date_to.replace("-", "")
         event_filter = ""
         if events:
-            event_list = "', '".join(events)
+            # escape embedded quotes: a tracked-event name must never
+            # break (or inject into) the pushed-down SQL
+            event_list = "', '".join(e.replace("'", "''") for e in events)
             event_filter = f"\n            AND event_name IN ('{event_list}')"
         table_wildcard = f"{self.project}.{self.dataset}.{self.table_prefix}*"
         return (
@@ -102,7 +104,7 @@ def duckdb_standin_sql(
     """
     event_filter = ""
     if events:
-        event_list = "', '".join(events)
+        event_list = "', '".join(e.replace("'", "''") for e in events)
         event_filter = f" AND event_type IN ('{event_list}')"
     suffix_from = date_from.replace("-", "")
     suffix_to = date_to.replace("-", "")

@@ -25,6 +25,27 @@ from pyspark.sql import SparkSession
 from .sinks import TargetLock
 
 
+def recover_interrupted_compaction(path: str) -> bool:
+    """A crash between the two swap renames leaves the target missing
+    and the data stranded in ``<path>.old.<hex>`` — a subsequent
+    appender would see PATH_NOT_FOUND and silently treat the batch as
+    a first load (history loss). This restores the newest orphan; call
+    sites: compact_parquet entry (under the same lock), and any reader
+    that finds the target missing unexpectedly. Returns True if a
+    restore happened."""
+    if os.path.exists(path):
+        return False
+    parent = os.path.dirname(path) or "."
+    base = os.path.basename(path.rstrip("/"))
+    orphans = sorted(
+        f for f in os.listdir(parent) if f.startswith(f"{base}.old.")
+    ) if os.path.isdir(parent) else []
+    if not orphans:
+        return False
+    os.rename(os.path.join(parent, orphans[-1]), path)
+    return True
+
+
 def parquet_file_count(path: str) -> int:
     n = 0
     for _root, _dirs, files in os.walk(path):
@@ -43,10 +64,16 @@ def compact_parquet(
     Serialized with the writers via the same ``TargetLock`` the
     idempotent appender takes, so compaction never races an append.
     The rewrite lands in a sibling temp dir and replaces the target
-    with two renames — readers see the old or the new listing, never a
-    mix. Returns {files_before, files_after, rows}.
+    with two renames. POSIX offers no atomic directory exchange, so
+    there is a brief window where the path is absent: *locked writers*
+    never observe it (they serialize on TargetLock), unlocked readers
+    may and should retry; a crash inside the window is repaired by
+    ``recover_interrupted_compaction`` on the next locked entry. A
+    transactional table format (Delta OPTIMIZE) removes the window
+    entirely. Returns {files_before, files_after, rows}.
     """
     with TargetLock(path):
+        recover_interrupted_compaction(path)
         df = spark.read.parquet(path)
         rows = df.count()
         total_bytes = sum(

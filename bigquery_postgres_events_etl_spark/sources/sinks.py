@@ -17,6 +17,7 @@ prunes to the partitions a batch can touch.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
@@ -72,10 +73,18 @@ class TargetLock:
             except FileExistsError:
                 try:  # break locks abandoned by a crashed writer
                     if time.time() - os.path.getmtime(self.lock_path) > self.stale_after_s:
-                        os.unlink(self.lock_path)
+                        # break via atomic rename, not unlink: exactly
+                        # one breaker wins the rename, so two breakers
+                        # can never each unlink-and-acquire (the TOCTOU
+                        # that would re-enable double-inserts). Writers
+                        # holding legitimately longer than
+                        # stale_after_s must pass a larger value.
+                        grave = f"{self.lock_path}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                        os.rename(self.lock_path, grave)
+                        os.unlink(grave)
                         continue
                 except FileNotFoundError:
-                    continue  # holder released between open and stat
+                    continue  # holder released (or another breaker won)
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"sink target locked by another writer: {self.lock_path}"
@@ -118,7 +127,7 @@ def idempotent_append_parquet(
     ``records_inserted``). Re-running the same batch inserts 0.
     """
     keys = keys or APPLICATION_EVENTS_DEDUP_KEY
-    with TargetLock(target_path) if lock else _nullcontext():
+    with TargetLock(target_path) if lock else contextlib.nullcontext():
         batch = df.dropDuplicates(keys)
         try:
             # only a missing target may be ignored; any other read
@@ -156,14 +165,6 @@ def idempotent_append_parquet(
         finally:
             batch.unpersist()
         return inserted
-
-
-class _nullcontext:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        return False
 
 
 # ---------------------------------------------------------------------
@@ -276,8 +277,8 @@ def write_dbapi_upsert(
         except Exception:
             try:
                 conn.rollback()
-            finally:
-                pass
+            except Exception:
+                pass  # a dead connection's rollback must not mask the root cause
             raise
         finally:
             conn.close()

@@ -39,3 +39,27 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     # the sink still appends idempotently on the compacted target
     n = idempotent_append_parquet(spark, batch, target)
     assert n == 0
+
+
+def test_interrupted_compaction_recovers(spark, sf_dir, tmp_path):
+    """Crash between the two swap renames: target missing, data in
+    .old — the recovery path must restore it before the next
+    compaction/append proceeds (otherwise the appender would treat a
+    corrupted state as first load)."""
+    import os
+
+    from bigquery_postgres_events_etl_spark.sources.maintenance import (
+        recover_interrupted_compaction,
+    )
+
+    target = str(tmp_path / "t")
+    batch = flagship_pipeline(load_table(spark, sf_dir, "events"))
+    idempotent_append_parquet(spark, batch, target)
+    before = {tuple(r) for r in spark.read.parquet(target).collect()}
+
+    # simulate the crash window: first rename done, second never ran
+    os.rename(target, f"{target}.old.deadbeef")
+    assert recover_interrupted_compaction(target)
+    assert {tuple(r) for r in spark.read.parquet(target).collect()} == before
+    # idempotence intact after recovery
+    assert idempotent_append_parquet(spark, batch, target) == 0
