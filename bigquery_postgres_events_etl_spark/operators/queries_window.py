@@ -323,3 +323,44 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("event_type", F.col("props_k").alias("mode_k"), F.col("cnt").alias("mode_count"))
     )
+
+
+@register(
+    "window_range_frame",
+    f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber, ship_us,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) OVER (
+             PARTITION BY l_suppkey ORDER BY ship_us
+             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS qty_30d
+    FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+                 epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS ship_us
+          FROM lineitem)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame (RANGE BETWEEN 30 days PRECEDING):
+    per-supplier trailing-30-day shipped quantity. RANGE frames bound
+    by the ORDER-BY *value*, not row offsets — same-valued peers enter
+    the frame together, so no tie-break ordering is needed for
+    determinism (unlike every ROWS frame in this module). One shuffle
+    on l_suppkey; the frame scan is the standard sliding-aggregate
+    window implementation in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    month_us = 30 * 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+        .rangeBetween(-month_us, Window.currentRow)
+    )
+    # NTZ -> TZ cast is identity under the pinned UTC session
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
+        F.sum(F.col("l_quantity").cast("decimal(27,4)"))
+        .over(w)
+        .cast("double")
+        .alias("qty_30d"),
+    )
