@@ -364,3 +364,51 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("qty_30d"),
     )
+
+
+@register(
+    "sessionization_native",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, {_TS} AS ts,
+             CASE WHEN epoch_us({_TS}) - epoch_us(LAG({_TS}) OVER w)
+                       > {_SESSION_GAP_S} * 1000000
+                  OR LAG({_TS}) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY {_TS}, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + {_SESSION_GAP_S} * 1000000 AS session_end_us,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionization_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window in batch mode, attested against
+    the manual gap-construction oracle: proves the built-in operator's
+    close-after-gap semantics (window end = last event + gap) equal
+    the lag→flag→prefix-sum pipeline the `sessionization` query builds
+    by hand — the two roads into SURVEY §2.5 meet. Same single
+    user_id exchange; native session_window additionally merges in the
+    streaming engine with state eviction (see streaming.stream)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{_SESSION_GAP_S} seconds").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
