@@ -1,0 +1,90 @@
+"""Semantic invariants for the corpus-shaping operators — the oracle
+gate proves Spark and DuckDB agree; these prove the agreed answer
+means what it claims."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bigquery_postgres_events_etl_spark.io import load_table
+from bigquery_postgres_events_etl_spark.operators.pipeline import (
+    CHUNK_STRIDE,
+    CHUNK_WIDTH,
+    MIXTURE_DEFAULT_FRACTION,
+    MIXTURE_FRACTIONS,
+    PACK_BUDGET,
+    context_chunks,
+    mixture_sample,
+    pack_sequences,
+    train_test_split,
+)
+
+
+def test_split_is_per_doc_stable(spark, sf_dir):
+    """A document's split must not depend on what else is in the
+    corpus — recomputing on an arbitrary subset assigns every common
+    doc identically (the property rand()-based splits lack)."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r.doc_id: r.split for r in train_test_split(docs).collect()}
+    subset = docs.where(F.col("doc_id") % 7 == 3)
+    sub = {r.doc_id: r.split for r in train_test_split(subset).collect()}
+    assert sub and all(full[d] == s for d, s in sub.items())
+    # and the ratio is in the right neighborhood
+    n_train = sum(1 for s in full.values() if s == "train")
+    assert 0.8 < n_train / len(full) < 0.97
+
+
+def test_pack_sequences_is_a_gapless_token_stream(spark, sf_dir):
+    """Offsets must tile the concatenated stream exactly: sorted by
+    start_offset, each doc starts where the previous ended, and the
+    bin span matches floor arithmetic on the budget."""
+    rows = sorted(
+        pack_sequences(load_table(spark, sf_dir, "documents")).collect(),
+        key=lambda r: r.start_offset,
+    )
+    expected = 0
+    for r in rows:
+        assert r.start_offset == expected
+        expected += r.n_tokens
+        assert r.first_bin == r.start_offset // PACK_BUDGET
+        assert r.last_bin == (r.start_offset + r.n_tokens - 1) // PACK_BUDGET
+        assert r.first_bin <= r.last_bin
+    assert expected == sum(r.n_tokens for r in rows)
+
+
+def test_context_chunks_cover_and_reconstruct(spark, sf_dir):
+    """Chunk starts step by the stride, the first chunk is the document
+    prefix, and stitching chunk heads + the final tail reconstructs
+    the exact token sequence (no token lost at any boundary)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    texts = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in context_chunks(docs).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, chunks in by_doc.items():
+        toks = texts[doc_id]
+        chunks.sort(key=lambda r: r.chunk_id)
+        n_expected = (max(len(toks) - CHUNK_WIDTH, 0) + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1
+        assert len(chunks) == n_expected
+        rebuilt: list[str] = []
+        for r in chunks:
+            assert r.start_token == r.chunk_id * CHUNK_STRIDE + 1
+            ctoks = r.chunk_text.split(" ")
+            assert ctoks == toks[r.start_token - 1 : r.start_token - 1 + CHUNK_WIDTH]
+            rebuilt.extend(ctoks[: CHUNK_STRIDE] if r is not chunks[-1] else ctoks)
+        assert rebuilt == toks
+
+
+def test_mixture_sample_keeps_exact_quotas(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.source: r.n
+        for r in mixture_sample(docs).groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, total in totals.items():
+        frac = MIXTURE_FRACTIONS.get(src, MIXTURE_DEFAULT_FRACTION)
+        assert kept.get(src, 0) == math.ceil(total * frac), src
