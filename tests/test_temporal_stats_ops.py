@@ -1,0 +1,63 @@
+"""Intent-level checks for the gap-fill resampler and the z-score
+anomaly gate (the oracle proves engine agreement; these prove the
+semantics)."""
+
+from __future__ import annotations
+
+import statistics
+
+from pyspark.sql import functions as F
+
+from bigquery_postgres_events_etl_spark.io import load_table
+from bigquery_postgres_events_etl_spark.registry import all_queries
+
+
+def test_resample_grid_is_complete_and_conserves_events(spark, sf_dir):
+    rows = all_queries()["timeseries_resample_ffill"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    hours = {r.hour for r in rows}
+    span = (max(hours) - min(hours)).total_seconds() / 3600 + 1
+    for user, urows in by_user.items():
+        # every user has the FULL grid — that's what gap-filling means
+        assert len(urows) == span, user
+        assert len({r.hour for r in urows}) == len(urows)
+    # event conservation: grid counts sum to the raw filtered count
+    raw = (
+        load_table(spark, sf_dir, "events").where(F.col("user_id") < 20).count()
+    )
+    assert sum(r.n_events for r in rows) == raw
+    # forward fill: a zero-event hour repeats the last seen value
+    for urows in by_user.values():
+        urows.sort(key=lambda r: r.hour)
+        last = None
+        for r in urows:
+            if r.n_events == 0:
+                assert r.filled_value == last
+            else:
+                last = r.filled_value
+
+
+def test_anomaly_gate_matches_python_statistics(spark, sf_dir):
+    """The flagged set equals a NumPy-free Python recompute: exactly
+    the rows beyond 3 sample-stddevs of their group mean."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    by_type: dict[str, list] = {}
+    for r in e.collect():
+        by_type.setdefault(r.event_type, []).append(r)
+    expected = set()
+    for t, rows in by_type.items():
+        vals = [r.value for r in rows]
+        mean = statistics.fmean(vals)
+        std = statistics.stdev(vals)
+        for r in rows:
+            if abs(r.value - mean) > 3.0 * std:
+                expected.add(r.event_id)
+    got = {
+        r.event_id for r in all_queries()["anomaly_zscore_events"](spark, sf_dir).collect()
+    }
+    # float-accumulation order differs between Python fsum and the
+    # exact-decimal moments, so tolerate boundary rows only
+    assert len(got.symmetric_difference(expected)) <= max(1, len(expected) // 50)
+    assert got, "gate should flag the fixture's heavy tail"
