@@ -278,3 +278,37 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= 2)
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
+
+
+@register(
+    "map_functions",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS map_size,
+           CAST(len(list_filter(toks, t -> t = 'the')) AS BIGINT) AS n_the,
+           CAST(len(list_filter(toks, t -> t = 'spark')) AS BIGINT) AS n_spark
+    FROM t
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-doc token→count map built with
+    map_from_entries over grouped counts, then map_size and
+    element_at lookups. The oracle computes the same scalars without
+    maps (DuckDB map extraction returns lists — value parity is
+    checked on the lookups, which is what a map is for)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.col("doc_id"), F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    maps = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "cnt"))).alias("m")
+    )
+    return maps.select(
+        "doc_id",
+        F.size("m").cast("bigint").alias("map_size"),
+        F.coalesce(F.element_at("m", "the"), F.lit(0)).cast("bigint").alias("n_the"),
+        F.coalesce(F.element_at("m", "spark"), F.lit(0)).cast("bigint").alias("n_spark"),
+    )

@@ -112,3 +112,23 @@ _register_sql(
     )
     """,
 )
+
+
+# LATERAL join — correlated derived table with per-outer-row top-N
+# (DuckDB and Spark >=3.2 share the syntax and semantics). Spark plans
+# this as a rewritten join + window, not a nested loop — the
+# scale-correct top-N-per-group strategy falls out of the rewrite.
+_register_sql(
+    "sql_lateral_topn",
+    """
+    SELECT r.r_name, l.n_name, l.n_cust
+    FROM region r, LATERAL (
+      SELECT n.n_name, count(c.c_custkey) AS n_cust
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY n_cust DESC, n.n_name
+      LIMIT 2
+    ) l
+    """,
+)
