@@ -197,3 +197,33 @@ def streaming_purchase_click_join(
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}")),
     ).select("purchase_id", "p_user", "p_ts", "click_id", "c_ts")
+
+
+def streaming_purchase_click_left_join(
+    purchases: DataFrame, clicks: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: like the inner variant, but a
+    purchase with no click in its window is still emitted (NULL click)
+    — *after* the click-side watermark passes the window's end, which
+    is when the engine can prove no match will ever arrive. The
+    outer-ness is therefore watermark-delayed by design: unmatched
+    rows surface in a later micro-batch, not the one that read them
+    (tests/test_streaming_outer.py drives two triggers to show it).
+    """
+    p = purchases.withWatermark("ts", "30 minutes").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.withWatermark("ts", "30 minutes").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select("purchase_id", "p_user", "p_ts", "click_id", "c_ts")
