@@ -100,7 +100,111 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # exiting via the backstop means labels are NOT a fixpoint —
+        # silently returning would hand dup_clusters split clusters
+        # (several "canonical" survivors per true cluster) with no
+        # signal. Raise so callers can widen max_iter or switch to
+        # connected_components_star (O(log n) on adversarial chains).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the pair graph has a "
+            "pathological diameter — raise max_iter or use "
+            "connected_components_star"
+        )
     return labels
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One Large-Star round: every node u links its strictly-larger
+    neighbors to m = min(N(u) ∪ {u})."""
+    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One Small-Star round: orient edges toward the smaller endpoint,
+    then every node u links itself and its ≤-neighbors to the min."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))  # m ≤ every v ≤ u
+    to_min = oriented.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_to_min = mins.select("u", F.col("m").alias("v"))
+    return (
+        to_min.union(self_to_min)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Alternating Large-Star/Small-Star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds on ANY graph shape, including the adversarial
+    long-chain case where min-label propagation needs O(diameter).
+
+    Same output contract as connected_components: (node, comp) with
+    comp = min reachable node id. Each round is two groupBy-min +
+    join plans, all distributed; convergence is detected with an
+    order-insensitive (count, hash-sum) fingerprint of the edge set —
+    one scalar aggregate, no edge-set materialization on the driver.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select("u")
+        .union(edges.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: exact and overflow-proof under ANSI mode
+            # (summing raw int64 hashes overflows LongType)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        fp = _fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+
+    # stable state is a star forest: every edge is (member, root)
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = all_nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("comp"))
+    return labels.union(roots)
 
 
 def dup_clusters(pairs: DataFrame) -> DataFrame:

@@ -15,8 +15,8 @@ from ..registry import register
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     SELECT doc_id,
-           list_transform(toks[1:5], x -> upper(x)) AS first5_upper,
-           list_filter(toks, x -> length(x) > 5) AS long_tokens,
+           coalesce(array_to_string(list_transform(toks[1:5], x -> upper(x)), ' '), '') AS first5_upper,
+           coalesce(array_to_string(list_filter(toks, x -> length(x) > 5), ' '), '') AS long_tokens,
            len(list_filter(toks, x -> x = 'spark')) > 0 AS has_spark,
            len(list_filter(toks, x -> length(x) >= 1)) = len(toks) AS all_nonempty,
            list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b) AS total_chars
@@ -27,13 +27,19 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transform / filter / exists / forall / aggregate — the lambda
     surface that replaces Python UDFs for array work (all codegen'd).
     list_reduce seeds with the first element; aggregate() mirrors that
-    by folding from tokens[0]'s length."""
+    by folding from tokens[0]'s length.
+
+    Array-valued outputs are flattened to space-joined strings so the
+    row-oriented comparator (pandas cannot hash list cells) sees flat
+    deterministic columns; the lambda semantics are unchanged."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x)).alias("first5_upper"),
-        F.filter(toks, lambda x: F.length(x) > 5).alias("long_tokens"),
+        F.concat_ws(
+            " ", F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x))
+        ).alias("first5_upper"),
+        F.concat_ws(" ", F.filter(toks, lambda x: F.length(x) > 5)).alias("long_tokens"),
         F.exists(toks, lambda x: x == "spark").alias("has_spark"),
         F.forall(toks, lambda x: F.length(x) >= 1).alias("all_nonempty"),
         F.aggregate(

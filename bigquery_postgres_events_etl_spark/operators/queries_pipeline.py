@@ -11,6 +11,7 @@ window sums cast to BIGINT (DuckDB HUGEINT), integer ceil-division via
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import load_table, parallelize
 from ..registry import register
@@ -189,6 +190,21 @@ def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-find oracle in pytest (iteration isn't SQL-expressible)."""
     pairs = minhash_lsh_pairs(parallelize(load_table(spark, sf_dir, "documents")))
     return dup_clusters(pairs)
+
+
+@register("dedup_cluster_star", None)  # iterative — rows-only; see test_cluster.py
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al.) over the same LSH pairs — the O(log n)-rounds tier that
+    stays fast on adversarial long-chain pair graphs where min-label
+    propagation needs O(diameter) rounds. Equals the union-find oracle
+    (and dedup_dup_clusters' labels) in pytest."""
+    from .cluster import connected_components_star
+
+    pairs = minhash_lsh_pairs(parallelize(load_table(spark, sf_dir, "documents")))
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
 
 
 @register(

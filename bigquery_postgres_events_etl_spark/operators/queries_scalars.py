@@ -85,23 +85,29 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(toks) AS n_tokens,
            list_contains(toks, 'spark') AS has_spark,
-           list_sort(list_distinct(toks)) AS vocab,
-           toks[1:3] AS first3,
+           coalesce(array_to_string(list_sort(list_distinct(toks)), ' '), '') AS vocab,
+           coalesce(array_to_string(toks[1:3], ' '), '') AS first3,
            list_reverse_sort(list_distinct(toks))[1] AS max_token
     FROM t
     """,
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array surface: contains/sort/distinct/slice — higher-order
-    built-ins over the token arrays (no explode, no shuffle)."""
+    built-ins over the token arrays (no explode, no shuffle).
+
+    Array-valued outputs are serialized to space-joined strings
+    (`concat_ws` / `array_to_string`) so downstream row-oriented
+    consumers — and the driver's pandas canonicalizer, which cannot
+    hash list cells — see a flat deterministic column.  The array
+    semantics under test are unchanged."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.sort_array(F.array_distinct(toks)).alias("vocab"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.concat_ws(" ", F.sort_array(F.array_distinct(toks))).alias("vocab"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
         F.sort_array(F.array_distinct(toks), asc=False).getItem(0).alias("max_token"),
     )
 

@@ -132,17 +132,27 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_NORMS_CTE}
     SELECT e.vec_id,
-           list_transform(e.embedding,
-                          x -> CAST(x AS DOUBLE) / sqrt(n.nsq)) AS unit,
+           CAST(g.i - 1 AS BIGINT) AS dim,
+           CAST(e.embedding[g.i] AS DOUBLE) / sqrt(n.nsq) AS unit_val,
            sqrt(n.nsq) AS norm
-    FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+    FROM embeddings e
+    JOIN norms n ON n.vec_id = e.vec_id,
+         UNNEST(generate_series(1, len(e.embedding))) AS g(i)
     """,
 )
 def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 normalization to unit vectors (cosine → dot preprocessing)."""
+    """L2 normalization to unit vectors (cosine → dot preprocessing).
+
+    The attested form posexplodes the unit vector to one (vec_id, dim,
+    unit_val) row per element — array cells are unhashable in the
+    row-oriented comparator; the library form (normalize_embeddings)
+    keeps the array column for pipeline use."""
     from .similarity import normalize_embeddings
 
-    return normalize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    unit = normalize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return unit.select(
+        "vec_id", F.posexplode("unit").alias("dim", "unit_val"), "norm"
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "unit_val", "norm")
 
 
 @register(
@@ -151,20 +161,26 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT vec_id, embedding,
              CAST(127.0 AS DOUBLE)
-               / list_max(list_transform(embedding,
-                                         x -> abs(CAST(x AS DOUBLE)))) AS scale
+               / nullif(list_max(list_transform(embedding,
+                                                x -> abs(CAST(x AS DOUBLE)))),
+                        0) AS scale
       FROM embeddings
     )
-    SELECT vec_id, scale,
-           list_transform(embedding,
-                          x -> CAST(floor(CAST(x AS DOUBLE) * scale)
-                                    AS INTEGER)) AS q8
-    FROM s
+    SELECT vec_id,
+           CAST(g.i - 1 AS BIGINT) AS dim,
+           coalesce(CAST(floor(CAST(s.embedding[g.i] AS DOUBLE) * s.scale)
+                         AS INTEGER), 0) AS q8_val,
+           scale
+    FROM s, UNNEST(generate_series(1, len(s.embedding))) AS g(i)
     """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (floor, engine-exact) — the 4×
-    storage cut for ANN candidate stages."""
+    storage cut for ANN candidate stages.  Attested form posexplodes
+    q8 to one row per element (see embedding_normalize)."""
     from .similarity import quantize_embeddings_int8
 
-    return quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))
+    q = quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", F.posexplode("q8").alias("dim", "q8_val"), "scale"
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "q8_val", "scale")

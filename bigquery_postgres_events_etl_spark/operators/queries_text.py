@@ -158,7 +158,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            len(pieces) AS n_pieces,
-           pieces[1:5] AS first5,
+           coalesce(array_to_string(pieces[1:5], ' '), '') AS first5,
            len(list_distinct(pieces)) AS n_distinct_pieces
     FROM t
     """,
@@ -168,7 +168,9 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     single punctuation — the pre-tokenization split every BPE variant
     starts from, as one codegen'd regexp_extract_all (the same simple
     character-class pattern behaves identically in Java and RE2
-    regex flavors)."""
+    regex flavors).  `first5` is serialized to a space-joined string
+    (the comparator cannot hash list cells); tokenization semantics
+    are unchanged."""
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
@@ -176,6 +178,6 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(pieces).cast("long").alias("n_pieces"),
-        F.slice(pieces, 1, 5).alias("first5"),
+        F.concat_ws(" ", F.slice(pieces, 1, 5)).alias("first5"),
         F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
     )

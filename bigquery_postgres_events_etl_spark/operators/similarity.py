@@ -89,17 +89,23 @@ def quantize_embeddings_int8(
     q_i = floor(x_i · scale) — floor, not round (round's tie rules
     differ across engines; floor is exact). The 4× storage cut for
     ANN candidate stages; map-side, no shuffle. The scale is projected
-    once and referenced from the lambda (see normalize_embeddings)."""
+    once and referenced from the lambda (see normalize_embeddings).
+
+    All-zero vectors would give scale = 127/0 = Inf and NaN→null
+    elements; the nullif guard leaves scale NULL for them and the
+    coalesce quantizes every element to 0 instead."""
     absmax = F.expr(f"array_max(transform({emb_col}, x -> abs(CAST(x AS DOUBLE))))")
     with_s = df.select(
-        F.col(id_col), F.col(emb_col), (F.lit(127.0) / absmax).alias("scale")
+        F.col(id_col),
+        F.col(emb_col),
+        (F.lit(127.0) / F.nullif(absmax, F.lit(0.0))).alias("scale"),
     )
     return with_s.select(
         F.col(id_col),
         "scale",
         F.expr(
             f"transform({emb_col},"
-            " x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS INTEGER))"
+            " x -> coalesce(CAST(floor(CAST(x AS DOUBLE) * scale) AS INTEGER), 0))"
         ).alias("q8"),
     )
 

@@ -97,7 +97,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+def tfidf_top_terms(
+    docs: DataFrame, top_k: int = 3, max_broadcast_terms: int = 1_000_000
+) -> DataFrame:
     """Top-K terms per document by a rational TF-IDF score.
 
     Score = tf × N / df — the log-free variant: same ranking family as
@@ -105,13 +107,28 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     ln() is not correctly-rounded-guaranteed across engines while
     integer ratios are bit-exact. Plan: explode → (doc, term) counts →
     document frequencies → score → per-doc top-K window.
-    """
+
+    The document-frequency table is only broadcast when its measured
+    cardinality is ≤ ``max_broadcast_terms``. Heaps' law makes the
+    vocabulary sublinear in corpus size but NOT bounded — a 100 TB web
+    corpus has billions of distinct "terms" (URLs, typos, hex blobs)
+    and a pinned broadcast would blow the 8 GB limit — so the hint is
+    gated on an actual count (df_ is persisted: the count job
+    materializes it once and the join reuses the cache), falling back
+    to a shuffle join above the threshold. The default 1M terms ≈
+    tens of MB broadcast."""
     tok = with_tokens(docs).select("doc_id", F.explode("tokens").alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # persisted: the gate's count job materializes df_ once and the
+    # returned plan reuses the cache (unpersisting here would drop it
+    # before the caller executes; eviction is left to Spark's LRU —
+    # the table is vocab-sized, the smallest thing in the job)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).persist()
+    n_terms = df_.count()
+    df_side = F.broadcast(df_) if n_terms <= max_broadcast_terms else df_
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_side, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.col("tf") * F.col("n_docs") / F.col("df"))
     )

@@ -70,7 +70,11 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("queries_relational.py", "q5_local_supplier_volume"):
         "region (5 rows) and nation⨝region (≤25 rows) — constant",
     ("text.py", "tfidf_top_terms"):
-        "distinct-term vocab (sublinear in corpus, Heaps' law) + 1-row doc count",
+        "vocab broadcast GATED on measured cardinality ≤ max_broadcast_terms "
+        "(default 1M ≈ tens of MB); above the threshold the hint is not "
+        "applied and the term join shuffles — Heaps' law is sublinear, not "
+        "bounded, so an ungated hint would OOM on a web-scale vocab. "
+        "The 1-row doc-count crossJoin broadcast is unconditionally safe.",
     ("similarity.py", "brute_force_topk"): "query set bounded by n_queries param",
     ("similarity.py", "ann_lsh_topk"): "query set bounded by n_queries param",
     ("similarity.py", "ivf_topk"): "k-means centroids (n_lists) + query set — parameter-bounded",

@@ -59,9 +59,13 @@ class BigQueryEventsSource:
         suffix_to = date_to.replace("-", "")
         event_filter = ""
         if events:
-            # escape embedded quotes: a tracked-event name must never
-            # break (or inject into) the pushed-down SQL
-            event_list = "', '".join(e.replace("'", "''") for e in events)
+            # escape for GoogleSQL string literals: backslash-escape
+            # backslashes then quotes ('' doubling is Postgres/DuckDB
+            # dialect, NOT valid in BigQuery — it would end the literal
+            # and let an event name break or inject into the SQL)
+            event_list = "', '".join(
+                e.replace("\\", "\\\\").replace("'", "\\'") for e in events
+            )
             event_filter = f"\n            AND event_name IN ('{event_list}')"
         table_wildcard = f"{self.project}.{self.dataset}.{self.table_prefix}*"
         return (
@@ -104,6 +108,10 @@ def duckdb_standin_sql(
     """
     event_filter = ""
     if events:
+        # '' doubling is the correct escape for DuckDB (and Postgres);
+        # the BigQuery builder above uses backslash escapes — the two
+        # dialects genuinely differ here, so the twins intentionally
+        # diverge in escape style while agreeing in semantics.
         event_list = "', '".join(e.replace("'", "''") for e in events)
         event_filter = f" AND event_type IN ('{event_list}')"
     suffix_from = date_from.replace("-", "")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import SparkSession
@@ -25,24 +26,41 @@ from pyspark.sql import SparkSession
 from .sinks import TargetLock
 
 
+def _orphan_sort_key(name: str, base: str) -> tuple[int, str]:
+    """Temporal order for ``<base>.old.<ns>.<hex>`` orphans. Legacy
+    hex-only suffixes (no timestamp) sort to 0 — older than any
+    timestamped orphan, never preferred over one."""
+    suffix = name[len(base) + len(".old.") :]
+    head = suffix.split(".", 1)[0]
+    try:
+        return (int(head), name)
+    except ValueError:
+        return (0, name)
+
+
 def recover_interrupted_compaction(path: str) -> bool:
     """A crash between the two swap renames leaves the target missing
-    and the data stranded in ``<path>.old.<hex>`` — a subsequent
+    and the data stranded in ``<path>.old.<ns>.<hex>`` — a subsequent
     appender would see PATH_NOT_FOUND and silently treat the batch as
-    a first load (history loss). This restores the newest orphan; call
-    sites: compact_parquet entry (under the same lock), and any reader
-    that finds the target missing unexpectedly. Returns True if a
-    restore happened."""
+    a first load (history loss). This restores the newest orphan (by
+    the monotonic-nanos suffix — uuid hex is NOT temporal) and removes
+    the losers so stale snapshots can't be resurrected later. Call
+    sites: compact_parquet entry and idempotent_append_parquet's
+    missing-target path (both under the same TargetLock). Returns True
+    if a restore happened."""
     if os.path.exists(path):
         return False
     parent = os.path.dirname(path) or "."
     base = os.path.basename(path.rstrip("/"))
     orphans = sorted(
-        f for f in os.listdir(parent) if f.startswith(f"{base}.old.")
+        (f for f in os.listdir(parent) if f.startswith(f"{base}.old.")),
+        key=lambda f: _orphan_sort_key(f, base),
     ) if os.path.isdir(parent) else []
     if not orphans:
         return False
     os.rename(os.path.join(parent, orphans[-1]), path)
+    for stale in orphans[:-1]:
+        shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)
     return True
 
 
@@ -91,7 +109,9 @@ def compact_parquet(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
 
-        old = f"{path.rstrip('/')}.old.{uuid.uuid4().hex[:8]}"
+        # monotonic-nanos prefix = temporal order for recovery; the
+        # uuid tail keeps the name unique if two swaps land in one ns
+        old = f"{path.rstrip('/')}.old.{time.time_ns()}.{uuid.uuid4().hex[:8]}"
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)

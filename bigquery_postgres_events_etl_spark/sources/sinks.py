@@ -128,6 +128,14 @@ def idempotent_append_parquet(
     """
     keys = keys or APPLICATION_EVENTS_DEDUP_KEY
     with TargetLock(target_path) if lock else contextlib.nullcontext():
+        if not os.path.exists(target_path):
+            # a missing target may be an interrupted compaction (crash
+            # between the two swap renames), not a first load — restore
+            # the stranded snapshot BEFORE reading, or the anti-join
+            # dedup sees an empty history and replays double-insert
+            from .maintenance import recover_interrupted_compaction
+
+            recover_interrupted_compaction(target_path)
         batch = df.dropDuplicates(keys)
         try:
             # only a missing target may be ignored; any other read

@@ -75,3 +75,42 @@ def test_dup_clusters_canonical_and_sizes(spark, sf_dir):
     n_keep = cl.where(F.col("is_canonical")).count()
     assert n_keep == len(by_cluster)
     assert n_total - n_keep == sum(len(m) - 1 for m in by_cluster.values())
+
+
+def test_star_components_equal_union_find(spark, sf_dir):
+    from bigquery_postgres_events_etl_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    pairs_df = minhash_lsh_pairs(parallelize(load_table(spark, sf_dir, "documents")))
+    pairs = [(r.doc_a, r.doc_b) for r in pairs_df.collect()]
+    got = {r.node: r.comp for r in connected_components_star(pairs_df).collect()}
+    assert got == _union_find(pairs)
+
+
+def test_star_components_adversarial_chain(spark):
+    """A 300-node path has diameter 299 — beyond any reasonable
+    O(diameter) budget; large-star/small-star must converge in
+    O(log n) ≈ 9 rounds (max_iter=20 is the proof)."""
+    from bigquery_postgres_events_etl_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    n = 300
+    chain = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(chain, ["doc_a", "doc_b"]).repartition(8)
+    got = {
+        r.node: r.comp for r in connected_components_star(df, max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_pointer_jumping_raises_on_nonconvergence(spark):
+    """The max_iter backstop must be loud, not a silent truncation
+    that emits split clusters."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(0, 40)]
+    df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)

@@ -73,3 +73,25 @@ def test_pushdown_semantics_match_operators(spark, sf_dir, date_from, date_to, e
     )
     assert spark_rows == oracle_rows
     assert len(spark_rows) > 0
+
+
+def test_bigquery_escape_is_backslash_style():
+    """GoogleSQL escapes quotes with backslashes, not '' doubling — a
+    quote-bearing event name must produce \\' in the BigQuery SQL (''
+    would terminate the literal and allow breakout/injection) while the
+    DuckDB twin keeps the ''-doubling its dialect requires."""
+    from bigquery_postgres_events_etl_spark.sources.connectors import (
+        BigQueryEventsSource,
+        duckdb_standin_sql,
+    )
+
+    src = BigQueryEventsSource(project="p", dataset="d")
+    bq = src.build_pushdown_sql(
+        "2024-01-01", "2024-01-02", events=["o'brien", "back\\slash"]
+    )
+    assert "o\\'brien" in bq
+    assert "o''brien" not in bq  # '' doubling is not GoogleSQL
+    assert "back\\\\slash" in bq
+
+    dk = duckdb_standin_sql("2024-01-01", "2024-01-02", events=["o'brien"])
+    assert "o''brien" in dk  # DuckDB dialect keeps '' doubling

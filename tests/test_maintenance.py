@@ -63,3 +63,50 @@ def test_interrupted_compaction_recovers(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in spark.read.parquet(target).collect()} == before
     # idempotence intact after recovery
     assert idempotent_append_parquet(spark, batch, target) == 0
+
+
+def test_appender_self_heals_interrupted_compaction(spark, sf_dir, tmp_path):
+    """The appender itself must repair the crash window: with the
+    target stranded in .old, a replayed batch must insert 0 (history
+    restored, anti-join sees it) — NOT silently re-create the target
+    as a first load and double-insert."""
+    import os
+
+    target = str(tmp_path / "t")
+    batch = flagship_pipeline(load_table(spark, sf_dir, "events"))
+    n_first = idempotent_append_parquet(spark, batch, target)
+    assert n_first > 0
+    cols = sorted(spark.read.parquet(target).columns)
+    before = {tuple(r) for r in spark.read.parquet(target).select(*cols).collect()}
+
+    os.rename(target, f"{target}.old.deadbeef")  # crash window
+    # replay of the same batch: appender restores, then dedups to 0
+    assert idempotent_append_parquet(spark, batch, target) == 0
+    after = {tuple(r) for r in spark.read.parquet(target).select(*cols).collect()}
+    assert after == before
+
+
+def test_recovery_prefers_newest_orphan_and_cleans_losers(spark, sf_dir, tmp_path):
+    """With multiple orphans the monotonic-nanos suffix (not uuid
+    lexicographics) picks the newest snapshot; the losing orphans are
+    removed so they can't be resurrected by a later recovery."""
+    import os
+
+    from bigquery_postgres_events_etl_spark.sources.maintenance import (
+        recover_interrupted_compaction,
+    )
+
+    target = str(tmp_path / "t")
+    old_batch = flagship_pipeline(load_table(spark, sf_dir, "events")).limit(10)
+    new_batch = flagship_pipeline(load_table(spark, sf_dir, "events"))
+    expected = {tuple(r) for r in new_batch.collect()}
+
+    # stale snapshot: legacy hex-only suffix that sorts lexically LAST
+    old_batch.write.parquet(f"{target}.old.ffffffff")
+    # newer snapshot: timestamped suffix with a lexically-small tail
+    new_batch.write.parquet(f"{target}.old.1000000000000000000.0aaa")
+
+    assert recover_interrupted_compaction(target)
+    assert {tuple(r) for r in spark.read.parquet(target).collect()} == expected
+    parent = os.path.dirname(target)
+    assert not [f for f in os.listdir(parent) if ".old." in f]  # losers gone

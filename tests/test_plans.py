@@ -182,3 +182,49 @@ def test_date_partitioned_lake_prunes_partitions(spark, sf_dir, tmp_path):
     # pruned scan reads strictly fewer files than a full scan
     n_part_dirs = len([p for p in __import__("os").listdir(lake) if p.startswith("event_date=")])
     assert n_part_dirs > 3
+
+
+def test_no_registered_query_outputs_array_or_map_columns(spark, sf_dir):
+    """The driver's canonicalizer sorts results through pandas, which
+    cannot hash list cells — a top-level array/map output column is a
+    guaranteed red CORRECTNESS row (r2: array_functions,
+    higher_order_functions, text_bpe_tokenize crashed this way).
+    Array-valued results must be serialized (concat_ws/to_json) or
+    exploded to rows before leaving a registered query."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    offenders = {}
+    for name, fn in all_queries().items():
+        df = fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"array/map output columns would crash the driver: {offenders}"
+
+
+def test_tfidf_vocab_broadcast_is_size_gated(spark, sf_dir):
+    """The document-frequency broadcast must be conditional on the
+    measured vocab cardinality: under the threshold the term join is a
+    BroadcastHashJoin; over it the hint is withheld and the join
+    shuffles (a pinned broadcast of an unbounded web-corpus vocab is a
+    deferred 8 GB-limit failure)."""
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    small_vocab = plan_summary(tfidf_top_terms(docs))  # default 1M threshold
+    assert small_vocab["broadcast_hash_joins"] >= 1
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # isolate the hint
+    try:
+        over = plan_summary(tfidf_top_terms(docs, max_broadcast_terms=1))
+        assert over["broadcast_hash_joins"] == 0  # hint withheld
+        assert over["sort_merge_joins"] + over["shuffled_hash_joins"] >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -95,3 +95,21 @@ def test_multiprobe_beats_single_probe(spark, sf_dir):
     r_multi = len(truth & multi) / len(truth)
     assert r_multi >= r_single
     assert r_multi >= 0.4, f"multi-probe recall {r_multi}"
+
+
+def test_quantize_int8_zero_vector_guard(spark):
+    """All-zero vectors must quantize to all-zero int8 with NULL scale
+    — not Inf·0 = NaN → null elements (the silent-corruption path)."""
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.5, -1.0, 0.25])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    assert rows[1]["scale"] is None
+    assert rows[1]["q8"] == [0, 0, 0]
+    assert rows[2]["scale"] == 127.0
+    assert rows[2]["q8"] == [63, -127, 31]
