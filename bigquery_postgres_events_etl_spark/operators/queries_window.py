@@ -64,19 +64,23 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank/dense_rank/row_number. Global window kept deliberately on
-    the tiny supplier dim only (a global window serializes — never on
-    a fact table)."""
+    """Global rank/dense_rank/row_number — two-pass distributed form.
+
+    Supplier is NOT a constant dim (10k×SF rows), so a bare
+    ``Window.orderBy`` — which funnels every row through one reducer —
+    would be a single-task sort at 100×. ``with_global_ranks``
+    range-partitions on the sort key, ranks locally in parallel, and
+    adds tiny per-partition prefix offsets; values are identical to
+    the single-window oracle (asserted by hash)."""
+    from .ranking import with_global_ranks
+
     s = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.desc("s_acctbal"))
-    wd = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-    return s.select(
-        "s_suppkey",
-        "s_acctbal",
-        F.rank().over(w).cast("bigint").alias("rnk"),
-        F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.row_number().over(wd).cast("bigint").alias("rn"),
+    ranked = with_global_ranks(
+        s,
+        key_order=[("s_acctbal", "desc")],
+        tie_order=[("s_suppkey", "asc")],
     )
+    return ranked.select("s_suppkey", "s_acctbal", "rnk", "drnk", "rn")
 
 
 @register(
@@ -273,24 +277,51 @@ def window_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: percent_rank/cume_dist/ntile +
-    first/last/nth value over an explicit full frame (the frame makes
-    last_value meaningful and the total ordering makes every output
-    deterministic). Tiny supplier dim only — global windows serialize."""
+    """Distribution window functions — two-pass distributed form over
+    the SF-scaling supplier table (see window_rank_functions).
+
+    percent_rank/cume_dist/ntile derive from the exact integer
+    (rank, row_number, cum_cnt, N) with the engines' shared formulas
+    — (rnk−1)/(N−1), cum/N, the NTILE bucket-size rule — so the
+    doubles are the same divisions the single-window oracle performs.
+    first/last/nth over the full frame are global scalars: top-2 via
+    TakeOrderedAndProject + min_by/max_by aggregates (all distributed,
+    broadcast back as one row)."""
+    from .ranking import ntile_from_rn, with_global_ranks
+
     s = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.desc("s_acctbal"))
-    w2 = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey")).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    ranked = with_global_ranks(
+        s,
+        key_order=[("s_acctbal", "desc")],
+        tie_order=[("s_suppkey", "asc")],
     )
-    return s.select(
-        "s_suppkey",
-        "s_acctbal",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-        F.ntile(4).over(Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))).cast("bigint").alias("quartile"),
-        F.first("s_suppkey").over(w2).alias("richest_key"),
-        F.last("s_suppkey").over(w2).alias("poorest_key"),
-        F.nth_value("s_suppkey", 2).over(w2).alias("second_key"),
+    # full-frame scalars: first/last over (acctbal DESC, suppkey ASC).
+    # struct(acctbal, -suppkey) makes max_by pick min-suppkey among
+    # acctbal peers (and min_by the max-suppkey) — the window's order.
+    ord_struct = F.struct(F.col("s_acctbal"), (-F.col("s_suppkey")).alias("neg"))
+    firsts = s.agg(
+        F.max_by("s_suppkey", ord_struct).alias("richest_key"),
+        F.min_by("s_suppkey", ord_struct).alias("poorest_key"),
+    )
+    second = (
+        s.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .limit(2)  # TakeOrderedAndProject — distributed top-k
+        .agg(F.min_by("s_suppkey", ord_struct).alias("second_key"))
+    )
+    n1 = F.col("n_total") - F.lit(1)
+    return (
+        ranked.crossJoin(F.broadcast(firsts))
+        .crossJoin(F.broadcast(second))
+        .select(
+            "s_suppkey",
+            "s_acctbal",
+            F.when(n1 > 0, (F.col("rnk") - 1) / n1).otherwise(F.lit(0.0)).alias("pct_rank"),
+            (F.col("cum_cnt") / F.col("n_total")).alias("cume"),
+            ntile_from_rn(F.col("rn"), F.col("n_total"), 4).alias("quartile"),
+            "richest_key",
+            "poorest_key",
+            "second_key",
+        )
     )
 
 

@@ -81,6 +81,12 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("similarity.py", "ann_lsh_topk_multiprobe"): "probe buckets: n_queries × (1+n_planes) rows",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
     ("queries_tpch.py", "q22_global_sales_opportunity"): "1-row average-balance scalar",
+    ("ranking.py", "with_global_ranks"):
+        "per-range-partition prefix offsets — row count bounded by the "
+        "shuffle partition count (a cluster config constant), not the data",
+    ("queries_window.py", "window_distribution"):
+        "two 1-row scalar frames (first/last/nth full-frame values from "
+        "distributed min_by/max_by + top-2 TakeOrderedAndProject)",
 }
 
 

@@ -228,3 +228,66 @@ def test_tfidf_vocab_broadcast_is_size_gated(spark, sf_dir):
         assert over["sort_merge_joins"] + over["shuffled_hash_joins"] >= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_global_rank_queries_have_no_unpartitioned_data_window(spark, sf_dir):
+    """Supplier scales with SF, so the rank/distribution queries must
+    not funnel it through a single-reducer WindowExec. In the two-pass
+    plan every window over the DATA is partitioned by the range-bucket
+    id; the only SinglePartition exchange feeds the per-partition
+    stats table (row count = shuffle partition count, a config
+    constant, not data)."""
+    from bigquery_postgres_events_etl_spark.plans.audit import formatted_plan
+
+    for q in ("window_rank_functions", "window_distribution"):
+        fp = formatted_plan(all_queries()[q](spark, sf_dir))
+        # data-side windows are partitioned by the range-bucket id
+        assert "_gr_pid" in fp, q
+        # the bounded stats offsets are the only single-partition spot
+        assert fp.count("Exchange SinglePartition") <= 1, q
+
+
+def test_two_pass_rank_equals_native_window(spark):
+    """with_global_ranks/ntile_from_rn must equal the native
+    unpartitioned window exactly — including duplicate keys crossing
+    range-bucket boundaries and NTILE's uneven bucket rule."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.operators.ranking import (
+        ntile_from_rn,
+        with_global_ranks,
+    )
+
+    rng = random.Random(7)
+    # heavy duplication: 400 rows over only 37 distinct keys
+    rows = [(i, rng.randrange(37) * 1.5) for i in range(400)]
+    df = spark.createDataFrame(rows, "id BIGINT, val DOUBLE").repartition(8)
+
+    got = with_global_ranks(
+        df, key_order=[("val", "desc")], tie_order=[("id", "asc")], num_partitions=8
+    )
+    got = got.select(
+        "id",
+        "rn",
+        "rnk",
+        "drnk",
+        (F.col("cum_cnt") / F.col("n_total")).alias("cume"),
+        ntile_from_rn(F.col("rn"), F.col("n_total"), 7).alias("nt"),
+    )
+
+    w = Window.orderBy(F.desc("val"))
+    wt = Window.orderBy(F.desc("val"), F.asc("id"))
+    want = df.select(
+        "id",
+        F.row_number().over(wt).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(7).over(wt).cast("bigint").alias("nt"),
+    )
+    g = {r["id"]: r for r in got.collect()}
+    x = {r["id"]: r for r in want.collect()}
+    assert g == x
