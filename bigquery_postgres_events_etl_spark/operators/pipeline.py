@@ -91,6 +91,56 @@ def mixture_sample(
     )
 
 
+def mixture_sample_sharded(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = MIXTURE_DEFAULT_FRACTION,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100 TB form of ``mixture_sample``: each source is hash-split
+    into ``n_shards`` sub-shards and sampled independently, so one
+    dominant source (half of Common Crawl) no longer serializes into a
+    single window partition — the same move ``pack_sequences_sharded``
+    makes for packing. The kept fraction is exact per (source, shard):
+    ceil rounding happens per shard instead of per source, so the
+    realized source fraction differs from the target by at most
+    ``n_shards / source_count`` — negligible at corpus scale, and the
+    selection stays fully deterministic (hash-ranked prefix)."""
+    fractions = MIXTURE_FRACTIONS if fractions is None else fractions
+    frac = None
+    for src, f in fractions.items():
+        arm = F.when(F.col("source") == src, F.lit(f))
+        frac = arm if frac is None else frac.when(F.col("source") == src, F.lit(f))
+    frac = frac.otherwise(F.lit(default_fraction)) if frac is not None else F.lit(
+        default_fraction
+    )
+    shard = F.pmod(
+        md5_hash60(F.col(id_col).cast("string"), seed=13), F.lit(n_shards)
+    )
+    h = md5_hash60(F.col(id_col).cast("string"), seed=7)
+    w = Window.partitionBy("source", "shard")
+    rn = F.row_number().over(w.orderBy(F.col("h").asc(), F.col(id_col).asc()))
+    cnt = F.count(F.lit(1)).over(w)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col("source"),
+            shard.cast("bigint").alias("shard"),
+            h.alias("h"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("source"),
+            F.col("shard"),
+            rn.cast("bigint").alias("rn"),
+            F.ceil(cnt * frac).cast("bigint").alias("keep_n"),
+        )
+        .where(F.col("rn") <= F.col("keep_n"))
+        .select(id_col, "source", "shard", "rn")
+    )
+
+
 def pack_sequences(
     docs: DataFrame, budget: int = PACK_BUDGET, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -80,8 +80,35 @@ _FRAC_SQL = (
     """,
 )
 def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted per-source corpus mixture (deterministic prefix)."""
+    """Deterministic weighted corpus-mixture sampling per source."""
     return mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_mixture_sample_sharded",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {_h60("CAST(doc_id AS VARCHAR)", seed=7)} AS hh,
+             {_h60("CAST(doc_id AS VARCHAR)", seed=13)} % 16 AS shard
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source, shard
+                                     ORDER BY hh, doc_id) AS BIGINT) AS rn,
+             CAST(ceil(count(*) OVER (PARTITION BY source, shard)
+                       * ({_FRAC_SQL})) AS BIGINT) AS keep_n
+      FROM h
+    )
+    SELECT doc_id, source, shard, rn FROM ranked WHERE rn <= keep_n
+    """,
+)
+def pipeline_mixture_sample_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tier of the mixture sampler: hash-sub-sharded windows so
+    a dominant source parallelizes (see mixture_sample_sharded)."""
+    from .pipeline import mixture_sample_sharded
+
+    return mixture_sample_sharded(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -39,15 +39,61 @@ def test_feature_extract_values(spark, sf_dir):
         )
 
 
-def test_decode_stub_raises(spark, sf_dir):
-    """The codec stub is a clearly-marked NotImplementedError at
-    execution time (plan construction succeeds — the schema contract
-    is real)."""
+def test_decode_without_pillow_raises_not_implemented(spark, sf_dir):
+    """In a codec-less environment (this container has no Pillow) the
+    optional-import branch raises a clearly-marked NotImplementedError
+    at execution time; plan construction succeeds — the schema
+    contract is real either way."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     df = decode_images(media)  # plan builds fine
     assert [f.name for f in df.schema.fields] == ["media_id", "width", "height", "channels"]
-    with pytest.raises(Exception, match="image decode stub"):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present — decode branch covered by the unit test")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="needs Pillow"):
         df.collect()
+
+
+def test_decode_batch_with_real_codec_api(spark, sf_dir):
+    """The decode branch itself, unit-tested against an API-compatible
+    fake codec (same .open → .size/.getbands surface as PIL.Image):
+    proves the per-batch logic that would run where Pillow IS
+    installed, without needing the library here."""
+
+    class _FakeImg:
+        def __init__(self, data: bytes):
+            self._n = len(data)
+
+        @property
+        def size(self):
+            return (self._n % 640 + 1, self._n % 480 + 1)
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+    class _FakeImageModule:
+        @staticmethod
+        def open(fp):
+            return _FakeImg(fp.read())
+
+    import pandas as pd
+
+    from bigquery_postgres_events_etl_spark.operators.multimodal import (
+        _decode_image_batch,
+    )
+
+    pdf = pd.DataFrame(
+        {"media_id": [1, 2, 3], "payload": [b"abcd", None, b"x" * 700]}
+    )
+    out = _decode_image_batch(pdf, _FakeImageModule)
+    assert list(out["media_id"]) == [1, 2, 3]
+    assert out["width"][0] == 4 % 640 + 1 and out["height"][0] == 4 % 480 + 1
+    assert pd.isna(out["width"][1])  # null payload → null dims
+    assert out["width"][2] == 700 % 640 + 1
+    assert list(out["channels"].dropna()) == [3, 3]
 
 
 def test_fake_decode_pipeline(spark, sf_dir):

@@ -88,3 +88,42 @@ def test_mixture_sample_keeps_exact_quotas(spark, sf_dir):
     for src, total in totals.items():
         frac = MIXTURE_FRACTIONS.get(src, MIXTURE_DEFAULT_FRACTION)
         assert kept.get(src, 0) == math.ceil(total * frac), src
+
+
+def test_mixture_sample_sharded_quota_bounds_and_determinism(spark, sf_dir):
+    """The sharded tier must keep, per source, between the exact quota
+    and quota + n_shards rows (per-shard ceil rounds up at most once
+    per shard), be deterministic across runs, and never emit a doc the
+    unsharded hash ordering wouldn't admit under a per-shard prefix."""
+    from bigquery_postgres_events_etl_spark.operators.pipeline import (
+        mixture_sample_sharded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_shards = 16
+    totals = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    out = mixture_sample_sharded(docs, n_shards=n_shards)
+    kept = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, total in totals.items():
+        frac = MIXTURE_FRACTIONS.get(src, MIXTURE_DEFAULT_FRACTION)
+        exact = math.ceil(total * frac)
+        assert exact <= kept.get(src, 0) <= exact + n_shards, src
+
+    # deterministic: a second evaluation selects the identical doc set
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in mixture_sample_sharded(docs, n_shards=n_shards).collect()}
+    assert ids1 == ids2
+
+    # per-(source, shard) selection is a rank prefix: rn values are
+    # exactly 1..k for each group
+    by_group: dict[tuple, list] = {}
+    for r in out.collect():
+        by_group.setdefault((r.source, r.shard), []).append(r.rn)
+    for grp, rns in by_group.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1)), grp
