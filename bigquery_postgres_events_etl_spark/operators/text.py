@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import md5_hash60, with_shingles, with_tokens
+from .dedup import exploded_shingles, md5_hash60, with_tokens
 
 # A small function-word list: in natural text these dominate English
 # prose, so their token share is a cheap single-pass language signal.
@@ -145,12 +145,7 @@ def doc_fingerprints(docs: DataFrame, k: int = 5, n: int = 3) -> DataFrame:
     document (a deterministic content signature robust to local
     edits). Plan: shingle explode → distinct → per-doc bottom-K
     window on the 60-bit hash."""
-    sh = (
-        with_shingles(docs, n)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .distinct()
-        .withColumn("h", md5_hash60("shingle"))
-    )
+    sh = exploded_shingles(docs, n).distinct().withColumn("h", md5_hash60("shingle"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("h"), F.asc("shingle"))
     return (
         sh.withColumn("rank", F.row_number().over(w))
