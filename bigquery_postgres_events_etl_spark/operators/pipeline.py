@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import md5_hash60, with_tokens
+from .dedup import exploded_shingles, md5_hash60, with_tokens
 from .text import quality_score
 
 PACK_BUDGET = 512  # power of two: offset/budget divisions stay exact in f64
@@ -195,24 +195,29 @@ def context_chunks(
 
     Map-side explode: no shuffle; output rows ≈ n_tokens/stride per
     doc, and Catalyst prunes untouched columns before the explode.
+
+    The chunk *index* is exploded and the chunk text assembled after —
+    not ``explode(transform(...))`` — for the same reason as
+    ``dedup.exploded_shingles``: Catalyst infers a ``size(...) > 0``
+    filter from the Generate and pushes the full transform below any
+    exchange, serializing the concat-heavy chunk construction into the
+    scan stage. The index sequence keeps that inferred filter integer-
+    cheap and the string assembly parallel.
     """
     df = with_tokens(docs)
     # integer ceil-div (div, not "/") so boundary rounding is exact
-    chunks = F.expr(
-        f"transform(sequence(0, (greatest(size(tokens) - {width}, 0L)"
-        f" + {stride - 1}) div {stride}),"
-        f" i -> struct(i AS chunk_id, i * {stride} + 1 AS start_token,"
-        f" concat_ws(' ', slice(tokens, CAST(i * {stride} + 1 AS INT), {width}))"
-        " AS chunk_text))"
+    last_chunk = (
+        f"sequence(0, (greatest(size(tokens) - {width}, 0L) + {stride - 1}) div {stride})"
     )
-    return (
-        df.select(F.col(id_col), F.explode(chunks).alias("c"))
-        .select(
-            id_col,
-            F.col("c.chunk_id").cast("bigint").alias("chunk_id"),
-            F.col("c.start_token").cast("bigint").alias("start_token"),
-            F.col("c.chunk_text").alias("chunk_text"),
-        )
+    return df.select(
+        F.col(id_col), "tokens", F.explode(F.expr(last_chunk)).alias("i")
+    ).select(
+        id_col,
+        F.col("i").cast("bigint").alias("chunk_id"),
+        (F.col("i") * stride + 1).cast("bigint").alias("start_token"),
+        F.expr(
+            f"concat_ws(' ', slice(tokens, CAST(i * {stride} + 1 AS INT), {width}))"
+        ).alias("chunk_text"),
     )
 
 
@@ -306,4 +311,38 @@ def quality_threshold_filter(docs: DataFrame, keep_share: float = 0.5) -> DataFr
         q.crossJoin(F.broadcast(thr))
         .where(F.col("quality") >= F.col("thr"))
         .select("doc_id", "quality", "thr")
+    )
+
+
+DECONTAM_NGRAM = 5
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one word n-gram with a held-out evaluation set
+    (the standard pre-training hygiene step — a contaminated document
+    inflates benchmark scores without improving the model).
+
+    Output: (doc_id, n_overlap) for contaminated training docs only —
+    n_overlap = number of distinct shared n-grams.
+
+    Scale: the benchmark side is a *fixed evaluation suite* — its
+    size is set by the benchmark author, not by the corpus SF — so its
+    distinct n-gram set is parameter-bounded and broadcast; the
+    training corpus streams map-side through the hash join with no
+    shuffle of corpus data. (At 13-gram/WMDP-scale suites the
+    broadcast is tens of MB; if a benchmark ever outgrew the 8 GB
+    limit the hint falls away to a shuffle join by removing one line.)
+    """
+    bench_sh = exploded_shingles(benchmark, n, id_col).select("shingle").distinct()
+    train_sh = exploded_shingles(train, n, id_col).distinct()
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

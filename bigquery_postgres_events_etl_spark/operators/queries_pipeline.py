@@ -336,3 +336,39 @@ def pipeline_corpus_prep_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "pipeline_decontaminate",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                         THEN list_transform(generate_series(1, len(t) - 2),
+                                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                         ELSE [] END) AS shingle
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 97 != 0)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM train t JOIN bench b USING (shingle)
+    GROUP BY t.doc_id
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    n-gram with the held-out set (doc_id % 97 — a stand-in benchmark
+    suite). Fixture uses n=3 so the synthetic word-soup actually
+    collides; production uses n=8..13. The benchmark n-gram set is
+    parameter-bounded (fixed eval suite) → broadcast; the corpus side
+    never shuffles."""
+    from pyspark.sql import functions as F
+
+    from .pipeline import decontaminate
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=3)

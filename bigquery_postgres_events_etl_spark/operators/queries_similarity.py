@@ -184,3 +184,63 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id", F.posexplode("q8").alias("dim", "q8_val"), "scale"
     ).select("vec_id", F.col("dim").cast("long").alias("dim"), "q8_val", "scale")
+
+
+SEMANTIC_THRESHOLD = 0.35
+SEMANTIC_PLANES = 4
+
+
+def _bucket_sql(dim: int = EMBEDDING_DIM, planes: int = SEMANTIC_PLANES) -> str:
+    """SQL twin of similarity.with_lsh_bucket: per plane a spelled-out
+    left-associative projection chain (the exact IEEE sequence of
+    Spark's aggregate fold over zip_with), sign-tested into bit 2^p."""
+    from .similarity import _hyperplane
+
+    terms = []
+    for p in range(planes):
+        plane = _hyperplane(p, dim)
+        proj = "(" + " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST({plane[i]} AS DOUBLE)"
+            for i in range(dim)
+        ) + ")"
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH bk AS (
+      SELECT vec_id, embedding,
+             CAST({_bucket_sql()} AS BIGINT) AS lsh_bucket,
+             {_dot_sql('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ),
+    dups AS (
+      SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_near_dups
+      FROM bk a JOIN bk b
+        ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+      WHERE {_dot_sql('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
+              >= {SEMANTIC_THRESHOLD}
+      GROUP BY b.vec_id
+    )
+    SELECT bk.vec_id, bk.lsh_bucket,
+           coalesce(d.n_near_dups, 0) AS n_near_dups,
+           (coalesce(d.n_near_dups, 0) = 0) AS kept
+    FROM bk LEFT JOIN dups d ON d.vec_id = bk.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: deterministic hyperplane-LSH
+    coarse clusters, drop any vector with a lower-id in-cluster
+    neighbor at cosine ≥ 0.35. Fully oracle-checked (the hyperplanes
+    and the dot-product fold are bit-identical across engines) —
+    unlike the recall-tested ANN tiers, the *dedup policy* here is
+    exact within its clusters."""
+    from .similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=SEMANTIC_THRESHOLD,
+        num_planes=SEMANTIC_PLANES,
+    )

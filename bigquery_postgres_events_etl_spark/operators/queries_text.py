@@ -181,3 +181,74 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(pieces, 1, 5)).alias("first5"),
         F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
     )
+
+
+@register(
+    "text_repetition_stats",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tokstats AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             (len(t) - len(list_distinct(t))) / len(t) AS dup_token_frac
+      FROM toks
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1])
+                         ELSE [] END) AS bigram
+      FROM toks
+    ),
+    bc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bi GROUP BY doc_id, bigram),
+    bstats AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt
+      FROM bc GROUP BY doc_id
+    )
+    SELECT ts.doc_id, ts.n_tokens, ts.dup_token_frac,
+           b.n_bigrams,
+           b.top_cnt / b.n_bigrams AS top_bigram_frac,
+           b.dup_cnt / b.n_bigrams AS dup_bigram_frac
+    FROM tokstats ts JOIN bstats b ON ts.doc_id = b.doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style internal-repetition signals (dup-token fraction,
+    top/dup bigram share) — catches boilerplate n-gram dedup misses."""
+    from .text import repetition_stats
+
+    return repetition_stats(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_len,
+             len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS stopword_hits
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           total_len / n_tokens AS mean_word_len,
+           stopword_hits,
+           (n_tokens >= 30 AND n_tokens <= 100000) AS pass_token_count,
+           (total_len / n_tokens >= 3.0 AND total_len / n_tokens <= 10.0) AS pass_word_len,
+           (stopword_hits >= 2) AS pass_stopwords,
+           ((n_tokens >= 30 AND n_tokens <= 100000)
+            AND (total_len / n_tokens >= 3.0 AND total_len / n_tokens <= 10.0)
+            AND (stopword_hits >= 2)) AS passes
+    FROM s
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate (token-count bounds, mean word
+    length, stopword floor) — per-rule flags, all map-side."""
+    from .text import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))

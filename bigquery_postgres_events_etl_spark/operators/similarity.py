@@ -387,3 +387,58 @@ def ann_lsh_topk_multiprobe(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023, public
+    paper): coarse-cluster the corpus, then inside each cluster drop
+    every vector that has a lower-id neighbor with cosine ≥ threshold
+    — one survivor per near-duplicate group, no global all-pairs.
+
+    The coarse clusters here are deterministic hyperplane-LSH buckets
+    (training-free, reproducible across engines — the paper's k-means
+    is a drop-in swap via ``ivf_topk``'s quantizer when approximate
+    cluster boundaries are acceptable). The in-bucket pair join is the
+    scale story: cost is Σ bucket² instead of |corpus|², and buckets
+    shrink geometrically with ``num_planes``.
+
+    Output: one row per vector — (vec_id, lsh_bucket, n_near_dups,
+    kept); ``kept`` is false iff some lower-id in-bucket vector is
+    within the cosine threshold.
+    """
+    v = with_lsh_bucket(with_norm_sq(vectors, emb_col), num_planes, emb_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("ea"),
+        F.col("norm_sq").alias("na"),
+        F.col("lsh_bucket").alias("bucket_a"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("eb"),
+        F.col("norm_sq").alias("nb"),
+        F.col("lsh_bucket").alias("bucket_b"),
+    )
+    dup_counts = (
+        a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", cosine(dot("ea", "eb"), F.col("na"), F.col("nb")))
+        .where(F.col("cosine") >= threshold)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+    return (
+        v.select(F.col(id_col).alias("vec_id"), F.col("lsh_bucket").cast("bigint").alias("lsh_bucket"))
+        .join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "lsh_bucket",
+            F.coalesce(F.col("n_near_dups"), F.lit(0)).cast("long").alias("n_near_dups"),
+            (F.coalesce(F.col("n_near_dups"), F.lit(0)) == 0).alias("kept"),
+        )
+    )

@@ -152,3 +152,85 @@ def doc_fingerprints(docs: DataFrame, k: int = 5, n: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", F.col("h").alias("fingerprint"), "rank")
     )
+
+
+# Gopher-style quality-rule thresholds (Rae et al. 2021, §A1.1 —
+# public paper; adapted to the fixture's whitespace tokens)
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens that are repeats, the share of all word bigrams taken by
+    the single most-frequent bigram, and the share of bigrams that
+    occur more than once. High values flag boilerplate/spam documents
+    that n-gram dedup misses because the repetition is *internal*.
+
+    Plan: token stats are narrow array expressions (no shuffle);
+    bigram stats go through exploded_shingles(n=2) → (doc, bigram)
+    counts → per-doc max/sum — both aggregations partial-aggregate,
+    and the (doc, bigram) keys stay partition-local to their doc, so
+    per-doc reduction happens map-side. Linear in document length
+    (an in-array quadratic count would not survive 10k-token docs).
+    """
+    tok_stats = with_tokens(docs).select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        (
+            (F.size("tokens") - F.size(F.array_distinct("tokens")))
+            / F.size("tokens")
+        ).alias("dup_token_frac"),
+    )
+    bi = (
+        exploded_shingles(docs, n=2)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_cnt"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            (F.col("top_cnt") / F.col("n_bigrams")).alias("top_bigram_frac"),
+            (F.col("dup_cnt") / F.col("n_bigrams")).alias("dup_bigram_frac"),
+        )
+    )
+    return tok_stats.join(bi, "doc_id")
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style rule-based quality filter: token-count bounds,
+    mean-word-length bounds, and a minimum function-word count —
+    each rule a separate flag plus the conjunction, so downstream
+    can audit which rule rejected a document.
+
+    Entirely map-side: every signal is an array expression over the
+    token split (the length fold is exact integer arithmetic), so the
+    filter runs inside the scan's whole-stage codegen with no shuffle
+    at any scale."""
+    df = with_tokens(docs)
+    n_tok = F.size("tokens").cast("long")
+    total_len = F.expr("aggregate(transform(tokens, t -> length(t)), 0L, (a, x) -> a + x)")
+    mean_len = total_len / n_tok
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+    stop_hits = F.expr(f"size(filter(tokens, t -> array_contains({stop_arr}, t)))").cast("long")
+    pass_len = (n_tok >= GOPHER_MIN_TOKENS) & (n_tok <= GOPHER_MAX_TOKENS)
+    pass_word = (mean_len >= GOPHER_MIN_MEAN_WORD_LEN) & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+    pass_stop = stop_hits >= GOPHER_MIN_STOPWORD_HITS
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.alias("stopword_hits"),
+        pass_len.alias("pass_token_count"),
+        pass_word.alias("pass_word_len"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_len & pass_word & pass_stop).alias("passes"),
+    )

@@ -80,6 +80,11 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("similarity.py", "ivf_topk"): "k-means centroids (n_lists) + query set — parameter-bounded",
     ("similarity.py", "ann_lsh_topk_multiprobe"): "probe buckets: n_queries × (1+n_planes) rows",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
+    ("pipeline.py", "decontaminate"):
+        "benchmark n-gram set — bounded by the evaluation suite size (a "
+        "fixed artifact chosen by the benchmark author), not the corpus SF; "
+        "tens of MB at WMDP/MMLU scale. Drop the hint to shuffle-join if a "
+        "suite ever approaches the 8 GB broadcast limit.",
     ("queries_tpch.py", "q22_global_sales_opportunity"): "1-row average-balance scalar",
     ("ranking.py", "with_global_ranks"):
         "per-range-partition prefix offsets — row count bounded by the "

@@ -93,21 +93,24 @@ _DRIVER_PRIORITY = [
     "approx_aggregates",
     "dedup_dup_clusters",
     "dedup_cluster_star",
+    # -- new this round (attest first time)
+    "text_repetition_stats",
+    "text_gopher_rules",
+    "pipeline_decontaminate",
+    "dedup_semantic",
     # -- plans changed this round (re-attest)
     "text_tfidf_top_terms",
     "window_rank_functions",
     "window_distribution",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "text_fingerprints",
     # -- r1-attested high-traffic re-checks (fill the 50)
     "etl_flagship",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "window_topk_per_group",
-    "range_join_recent_lineitems",
-    "asof_join_last_click",
-    "join_broadcast_dim",
-    "param_extract_json",
 ]
 
 

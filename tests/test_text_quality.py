@@ -1,0 +1,92 @@
+"""Semantic invariants for the repetition / quality-rule /
+decontamination / semantic-dedup operators — the oracle gate proves
+Spark and DuckDB agree; these prove the agreed answer means what it
+claims, on inputs constructed to hit each rule."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigquery_postgres_events_etl_spark.operators.pipeline import decontaminate
+from bigquery_postgres_events_etl_spark.operators.similarity import semantic_dedup
+from bigquery_postgres_events_etl_spark.operators.text import (
+    GOPHER_MIN_TOKENS,
+    gopher_rules,
+    repetition_stats,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_repetition_stats_known_values(spark):
+    # "a a a a": 4 tokens (3 repeats), bigrams = [a a] x3 -> top = dup = 1.0
+    # "w x y z": no repetition at all
+    df = repetition_stats(_docs(spark, ["a a a a", "w x y z"]))
+    rows = {r.doc_id: r for r in df.collect()}
+    r0, r1 = rows[0], rows[1]
+    assert r0.n_tokens == 4 and abs(r0.dup_token_frac - 0.75) < 1e-12
+    assert r0.n_bigrams == 3
+    assert r0.top_bigram_frac == 1.0 and r0.dup_bigram_frac == 1.0
+    assert r1.dup_token_frac == 0.0
+    assert r1.top_bigram_frac - 1.0 / 3.0 < 1e-12 and r1.dup_bigram_frac == 0.0
+
+
+def test_repetition_fractions_bounded(spark, sf_dir):
+    from bigquery_postgres_events_etl_spark.io import load_table
+
+    df = repetition_stats(load_table(spark, sf_dir, "documents"))
+    bad = df.where(
+        (F.col("dup_token_frac") < 0) | (F.col("dup_token_frac") > 1)
+        | (F.col("top_bigram_frac") <= 0) | (F.col("top_bigram_frac") > 1)
+        | (F.col("dup_bigram_frac") < 0) | (F.col("dup_bigram_frac") > 1)
+        | (F.col("dup_bigram_frac") > 1e-12)
+        & (F.col("top_bigram_frac") > F.col("dup_bigram_frac"))
+    ).count()
+    assert bad == 0  # top-bigram share can never exceed the dup share when dups exist
+
+
+def test_gopher_rules_each_rule_rejects(spark):
+    long_ok = " ".join(["the", "and"] + ["token"] * GOPHER_MIN_TOKENS)
+    too_short = "the and token"
+    tiny_words = " ".join(["a"] * (GOPHER_MIN_TOKENS + 2))  # mean len 1 < 3
+    no_stopwords = " ".join(["token"] * (GOPHER_MIN_TOKENS + 2))
+    df = gopher_rules(_docs(spark, [long_ok, too_short, tiny_words, no_stopwords]))
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[0].passes
+    assert not rows[1].pass_token_count and not rows[1].passes
+    assert not rows[2].pass_word_len and not rows[2].passes
+    assert not rows[3].pass_stopwords and not rows[3].passes
+
+
+def test_decontaminate_planted_ngram(spark):
+    bench = _docs(spark, ["alpha beta gamma delta"])
+    train = spark.createDataFrame(
+        [
+            (10, "x y alpha beta gamma q"),  # shares the trigram "alpha beta gamma"
+            (11, "completely clean document here"),
+            (12, "beta gamma delta t u v"),  # shares "beta gamma delta"
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_overlap for r in decontaminate(train, bench, n=3).collect()}
+    assert out == {10: 1, 12: 1}
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    import math
+
+    base = [math.sin(i * 0.7) for i in range(64)]
+    near = [v * 1.01 for v in base]          # cosine 1.0 with base
+    ortho = [math.cos(i * 1.3) for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "vec_id long, embedding array<float>"
+    )
+    rows = {r.vec_id: r for r in semantic_dedup(emb, threshold=0.95).collect()}
+    assert rows[1].kept                      # lowest id survives
+    assert not rows[2].kept and rows[2].n_near_dups >= 1
+    assert rows[1].lsh_bucket == rows[2].lsh_bucket  # scaled copy lands in same bucket
+    assert rows[3].kept
