@@ -35,26 +35,13 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tokens", F.split(F.col(text_col), " "))
 
 
-def with_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Word n-gram shingles as an array column (no explode yet)."""
-    df = with_tokens(df, text_col)
-    parts = ", ".join(f"tokens[i - 1 + {j}]" for j in range(n))
-    return df.withColumn(
-        "shingles",
-        F.expr(
-            f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)),"
-            f" i -> concat_ws(' ', {parts}))"
-        ),
-    )
-
-
 def exploded_shingles(
     df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """One ``(doc_id, shingle)`` row per word n-gram.
 
-    Deliberately NOT ``explode(with_shingles(...).shingles)``: exploding a
-    prebuilt array makes Catalyst infer ``size(transform(...)) > 0`` from
+    Deliberately NOT ``explode(transform(sequence(...), i -> concat_ws(...)))``:
+    exploding a prebuilt array makes Catalyst infer ``size(...) > 0`` from
     the Generate and push that predicate below any exchange — so the whole
     CPU-heavy shingle construction runs inside the (often single-split)
     scan stage, serialized on one task, and is then recomputed above the

@@ -340,9 +340,12 @@ def decontaminate(
     limit the hint falls away to a shuffle join by removing one line.)
     """
     bench_sh = exploded_shingles(benchmark, n, id_col).select("shingle").distinct()
-    train_sh = exploded_shingles(train, n, id_col).distinct()
+    train_sh = exploded_shingles(train, n, id_col)
+    # dedup AFTER the broadcast join, not before: a corpus-side
+    # distinct would shuffle every (doc, n-gram) pair; countDistinct
+    # on the join survivors shuffles only the contaminated rows
     return (
         train_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.countDistinct("shingle").alias("n_overlap"))
     )

@@ -242,3 +242,47 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         BANDS,
         hash_fn="xxhash64",
     )
+
+
+@register(
+    "dedup_common_spans",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(t) >= 5
+                         THEN list_transform(generate_series(1, len(t) - 4),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   || ' ' || t[i+3] || ' ' || t[i+4])
+                         ELSE [] END) AS shingle
+      FROM toks
+    )
+    SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq,
+           min(doc_id) AS first_doc
+    FROM sh GROUP BY shingle HAVING count(*) >= 2
+    """,
+)
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated n-gram spans — the exact-substring
+    dedup signal (Lee et al. 2022, public paper): 5-grams occurring in
+    ≥ 2 distinct documents, with document frequency and the earliest
+    containing doc. The span inventory a memorization-removal pass
+    consumes. One exploded-shingle scan + one hash agg — the shuffle
+    carries distinct (doc, shingle) pairs, and at 100 TB the group key
+    switches to the 128-bit digest of the span (never raw text), same
+    as exact_dedup."""
+    from pyspark.sql import functions as F
+
+    from .dedup import exploded_shingles
+
+    sh = exploded_shingles(
+        parallelize(load_table(spark, sf_dir, "documents")), n=5
+    ).distinct()
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("doc_freq") >= 2)
+    )

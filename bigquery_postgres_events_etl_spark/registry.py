@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = [
     "dedup_dup_clusters",
     "dedup_cluster_star",
     # -- new this round (attest first time)
+    "dedup_common_spans",
     "text_repetition_stats",
     "text_gopher_rules",
     "pipeline_decontaminate",

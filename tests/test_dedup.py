@@ -99,3 +99,58 @@ def test_minhash_lsh_xxhash_tier_same_recall_contract(spark, sf_dir):
     assert truth
     recall = len(truth & fast) / len(truth)
     assert recall >= 0.9, f"xxhash64 LSH recall {recall} below 0.9"
+
+
+def test_simhash_occurrence_votes_equal_weighted_votes(spark):
+    """The single-shuffle bit-sum formulation (2·Σbit > n over
+    occurrences) must equal the count-weighted signed vote over
+    distinct tokens — the algebraic identity the refactor relies on,
+    pinned on a doc set with heavy token duplication and vote ties."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash,
+        with_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # dominated by one token
+            (2, "a b a b"),          # exact tie pressure on shared bits
+            (3, "x"),                # single token
+            (4, "c c d d e"),        # mixed counts
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    # reference formulation: distinct-token counts with signed votes
+    tok = (
+        with_tokens(docs)
+        .select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("md5", F.md5("token"))
+        .withColumn("th_lo", F.conv(F.substring("md5", 1, 8), 16, 10).cast("long"))
+        .withColumn("th_hi", F.conv(F.substring("md5", 9, 8), 16, 10).cast("long"))
+    )
+
+    def _bit(b):
+        src, shift = ("th_lo", b) if b < 32 else ("th_hi", b - 32)
+        return F.shiftright(src, shift).bitwiseAND(F.lit(1))
+
+    votes = [
+        F.sum(F.when(_bit(b) == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        weight = -(2**63) if b == 63 else 2**b
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    want = {r.doc_id: r.ref for r in agg.select("doc_id", sim.alias("ref")).collect()}
+    assert got == want
