@@ -30,6 +30,15 @@ def _pin_session(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The fixture writer has flipped between UTC-adjusted and naive
+    # parquet timestamps across driver rounds; read naive ones as
+    # session-zoned TIMESTAMP (UTC, above) instead of TIMESTAMP_NTZ so
+    # µs-epoch extraction (unix_micros) works uniformly and matches the
+    # DuckDB oracle's wall-clock reading.
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     # Perf confs (runtime-settable): AQE coalesces the fixture-scale
     # shuffles and splits skewed partitions at cluster scale.
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -50,6 +59,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Belt-and-braces for driver-built sessions where the NTZ-inference
+    # conf above could not be applied before the schema was resolved:
+    # cast any TIMESTAMP_NTZ column to session-zoned TIMESTAMP (UTC),
+    # which preserves the stored wall-clock values.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
