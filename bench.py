@@ -94,6 +94,9 @@ def main() -> None:
     from bigquery_postgres_events_etl_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
+    # the fixtures' naive timestamps are only correct under a UTC
+    # session zone; assert the invariant at action time, not just load
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     qs = all_queries()
 
     # JVM/codegen warmup on the smallest table

@@ -9,10 +9,14 @@ reference: extract_bq.py:98-100,110).
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -38,7 +42,13 @@ def _pin_session(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
-        pass
+        # load_table's fallback cast still normalizes NTZ columns, but a
+        # path reading parquet directly would leak NTZ — make it visible.
+        log.warning(
+            "could not disable spark.sql.parquet.inferTimestampNTZ; "
+            "relying on load_table's NTZ fallback cast",
+            exc_info=True,
+        )
     # Perf confs (runtime-settable): AQE coalesces the fixture-scale
     # shuffles and splits skewed partitions at cluster scale.
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -61,12 +71,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Belt-and-braces for driver-built sessions where the NTZ-inference
     # conf above could not be applied before the schema was resolved:
-    # cast any TIMESTAMP_NTZ column to session-zoned TIMESTAMP (UTC),
+    # cast any TIMESTAMP_NTZ column — including ones nested inside
+    # struct/array/map columns — to session-zoned TIMESTAMP (UTC),
     # which preserves the stored wall-clock values.
-    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    for f in df.schema.fields:
+        fixed = _ntz_to_session_tz(f.dataType)
+        if fixed is not f.dataType:
+            df = df.withColumn(f.name, F.col(f.name).cast(fixed))
     return df
+
+
+def _ntz_to_session_tz(dt: T.DataType) -> T.DataType:
+    """Recursively replace TimestampNTZType with TimestampType; returns
+    the original object unchanged (identity) when nothing needs fixing
+    so callers can cheaply skip the cast."""
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType()
+    if isinstance(dt, T.StructType):
+        fields = [
+            T.StructField(f.name, _ntz_to_session_tz(f.dataType), f.nullable)
+            for f in dt.fields
+        ]
+        if all(a.dataType is b.dataType for a, b in zip(fields, dt.fields)):
+            return dt
+        return T.StructType(fields)
+    if isinstance(dt, T.ArrayType):
+        elem = _ntz_to_session_tz(dt.elementType)
+        return dt if elem is dt.elementType else T.ArrayType(elem, dt.containsNull)
+    if isinstance(dt, T.MapType):
+        k, v = _ntz_to_session_tz(dt.keyType), _ntz_to_session_tz(dt.valueType)
+        if k is dt.keyType and v is dt.valueType:
+            return dt
+        return T.MapType(k, v, dt.valueContainsNull)
+    return dt
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:

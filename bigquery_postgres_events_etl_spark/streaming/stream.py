@@ -14,16 +14,20 @@ identical query shape, different ``format()``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.sinks import idempotent_append_parquet
 
-# Post-normalization schema of the fixture events stream (io.load_table
-# converts the nanos int64 to µs TimestampType; readStream needs the
-# raw schema then the same conversion).
-RAW_EVENTS_SCHEMA = T.StructType(
+# Legacy raw schema of the fixture events stream when the writer used
+# parquet TIMESTAMP(NANOS) (read as int64 under nanosAsLong). Current
+# fixtures use naive timestamp[us]; read_events_stream probes which
+# encoding is on disk and normalizes either to session-zoned (UTC)
+# TimestampType, exactly mirroring io.load_table's batch branch.
+RAW_EVENTS_SCHEMA_NANOS = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
         T.StructField("ts", T.LongType(), True),  # parquet TIMESTAMP(NANOS) as int64
@@ -34,16 +38,74 @@ RAW_EVENTS_SCHEMA = T.StructType(
     ]
 )
 
+# Backwards-compat alias (older tests/docs referenced this name).
+RAW_EVENTS_SCHEMA = RAW_EVENTS_SCHEMA_NANOS
+
+
+def _ts_is_nanos_int64(source_dir: str) -> bool:
+    """Inspect parquet footers under ``source_dir`` for the events
+    ``ts`` encoding: True for the legacy TIMESTAMP(NANOS)/int64 layout
+    (Spark reads it as bigint under nanosAsLong and we must div 1000),
+    False for the current naive timestamp[us] layout (plain
+    TimestampType read). Footer-only — no data pages are touched.
+
+    The stream source may be a whole fixture dir holding several
+    tables' files; only files that actually carry a ``ts`` field vote.
+    """
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    candidates = (
+        [source_dir]
+        if os.path.isfile(source_dir)
+        else sorted(glob.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True))
+    )
+    for path in candidates:
+        try:
+            sch = pq.read_schema(path)
+        except Exception:
+            continue
+        if "ts" not in sch.names:
+            continue
+        t = sch.field("ts").type
+        if pa.types.is_timestamp(t):
+            return t.unit == "ns"
+        if pa.types.is_int64(t):
+            return True
+    return False  # no ts-bearing file found: default to modern layout
+
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """Unbounded view of the events source (parquet-dir stand-in)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Unbounded view of the events source (parquet-dir stand-in).
+
+    The fixture writer has flipped ``ts`` between TIMESTAMP(NANOS)-as-
+    int64 and naive timestamp[us] across driver rounds; a footer probe
+    tells us which encoding is on disk, and the stream applies the same
+    normalization as the batch reader (io.load_table) so batch and
+    streaming paths always see identical event-time instants. The
+    explicit schema (not inference) is deliberate: a source dir holding
+    other tables' files null-projects them, and flagship filters drop
+    the null rows — same semantics as a column-pruned production scan.
+    """
+    from ..io import _pin_session
+
+    _pin_session(spark)
+    nanos = _ts_is_nanos_int64(source_dir)
+    fields = [
+        f if f.name != "ts"
+        else T.StructField("ts", T.LongType() if nanos else T.TimestampType(), True)
+        for f in RAW_EVENTS_SCHEMA_NANOS.fields
+    ]
     raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        spark.readStream.schema(T.StructType(fields))
         .format("parquet")
         .load(source_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def streaming_tumbling_counts(

@@ -118,14 +118,39 @@ def test_stateful_user_profiles(spark, sf_dir, tmp_path):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.max(F.unix_micros("ts")).alias("last_ts_us"),
+            F.sum("value").alias("sum_value"),
         )
+        .collect()
+    }
+    # exact per-user session counts: batch lag-based gap detection is
+    # the ground truth for the stateful operator's gap counter
+    from pyspark.sql import Window
+
+    from bigquery_postgres_events_etl_spark.streaming.stateful import SESSION_GAP_US
+
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    sess_truth = {
+        r.user_id: r.n_sessions
+        for r in batch.select("user_id", F.unix_micros("ts").alias("ts_us"))
+        .withColumn("prev", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev").isNull()
+                | ((F.col("ts_us") - F.col("prev")) > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"))
         .collect()
     }
     assert set(got) == set(truth)
     for uid, t in truth.items():
         assert got[uid].n_events == t.n_events
         assert got[uid].last_ts_us == t.last_ts_us
-        assert got[uid].n_sessions >= 1
+        assert got[uid].n_sessions == sess_truth[uid]
+        assert abs(got[uid].sum_value - t.sum_value) < 1e-6 * max(1.0, abs(t.sum_value))
 
 
 def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
