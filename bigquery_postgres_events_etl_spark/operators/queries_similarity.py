@@ -244,3 +244,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=SEMANTIC_THRESHOLD,
         num_planes=SEMANTIC_PLANES,
     )
+
+
+@register("dedup_semantic_kmeans", None)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's k-means clustering (Abbas et al. 2023
+    §3) — the trained-quantizer twin of ``dedup_semantic``. The
+    clustering is data-dependent (Spark-ML k-means, fixed seed), so
+    there is no SQL oracle; the correctness contract is the recall
+    test in tests/test_text_quality.py, which pins this variant's
+    recall of brute-force near-dup pairs at ≥ the LSH variant's."""
+    from .similarity import semantic_dedup_kmeans
+
+    return semantic_dedup_kmeans(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=SEMANTIC_THRESHOLD,
+        n_clusters=16,
+    )

@@ -39,79 +39,71 @@ def register(name: str, oracle: str | None):
 
 
 # The driver's correctness gate checks a prefix-sample of this dict
-# (r1: exactly the first 50 of 102, in registration order). Every
-# entry is locally verified by tools/check_oracle.py; this list
-# rotates the entries NOT yet driver-attested (plus any whose
-# semantics changed since the last round) to the front so each round's
-# CORRECTNESS file attests fresh ground instead of re-checking the
-# same 50. r3 front-load: the 3 r2 harness-crash rows (arrays now
-# serialized — keeping them in the sample proves the fix), then every
-# entry with no green CORRECTNESS row in ANY round (the r2-late
-# pipeline_* family, q6/q13/q15/q17/q22, embedding_*, temporal/window
-# additions, the rows-only ANN/cluster tier), then this round's
-# changed plans (TF-IDF broadcast gate, two-pass global windows), then
-# high-traffic r1-attested re-checks to fill the 50.
+# (the first 50, in registration order). Every entry is locally
+# verified by tools/check_oracle.py; this list rotates (a) entries
+# whose PLAN changed since their last green driver row, (b) new
+# entries, then (c) the entries with the OLDEST attestation, to the
+# front — so each round's CORRECTNESS file attests the staleness
+# frontier instead of re-checking the same 50. r4 front-load:
+# text_fingerprints (re-plumbed through the r3 exploded_shingles
+# restructure, landed at position 51 and missed the r3 sample — the
+# one stale-plan entry), any r4-changed/new plans, then the 44
+# entries whose freshest green row is r1, then r2-last fills.
 _DRIVER_PRIORITY = [
-    # -- r2 red rows, fixed this round (prove the fix)
-    "array_functions",
-    "higher_order_functions",
-    "text_bpe_tokenize",
-    # -- never driver-attested, oracle-backed
-    "window_range_frame",
-    "sessionization_native",
-    "timeseries_resample_ffill",
-    "asof_join_nearest_click",
-    "dedup_minhash_incremental",
-    "embedding_normalize",
-    "embedding_quantize_int8",
-    "sql_lateral_topn",
-    "anomaly_zscore_events",
-    "value_histogram",
-    "join_full_outer",
-    "fuzzy_name_pairs",
-    "map_functions",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
-    "pipeline_train_test_split",
-    "pipeline_mixture_sample",
-    "pipeline_mixture_sample_sharded",
-    "pipeline_pack_sequences",
-    "pipeline_pack_sharded",
-    "pipeline_context_chunks",
-    "pipeline_quality_filter",
-    "pipeline_quality_threshold",
-    "pipeline_pseudonymize",
-    "pipeline_corpus_prep_end2end",
-    # -- never driver-attested, rows-only (recall/oracle pinned in pytest)
-    "dedup_minhash_lsh_fast",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "similarity_ann_multiprobe",
-    "approx_aggregates",
-    "dedup_dup_clusters",
-    "dedup_cluster_star",
-    # -- new this round (attest first time)
-    "dedup_common_spans",
-    "text_repetition_stats",
-    "text_gopher_rules",
-    "pipeline_decontaminate",
-    "dedup_semantic",
-    # -- plans changed this round (re-attest)
-    "text_tfidf_top_terms",
-    "window_rank_functions",
-    "window_distribution",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
+    # -- plan changed r3, unattested since (the r3 process bug)
     "text_fingerprints",
-    # -- r1-attested high-traffic re-checks (fill the 50)
+    # -- new / changed this round (attest first time)
+    "dedup_semantic_kmeans",
+    # -- freshest attestation is r1 (44 entries — refresh them all)
     "etl_flagship",
     "q1_pricing_summary",
     "dedup_exact",
+    "filter_valid_users",
+    "filter_tracked_events",
+    "filter_watermark",
+    "filter_date_range",
+    "param_extract_json",
+    "sort_topk_events",
+    "watermark_running_max",
+    "event_counts_by_type",
+    "csv_projection",
+    "scalar_date_functions",
+    "etl_struct_params",
+    "funnel_conversion",
+    "profile_columns",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_global_stats",
+    "agg_rollup",
+    "agg_cube",
+    "pivot_priority_by_status",
+    "join_broadcast_dim",
+    "join_sort_merge_fact",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "distinct_segments",
+    "string_functions",
+    "case_when_bucketing",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_moving_avg",
+    "window_lag_lead",
+    "window_dedup_survivor",
+    "mode_per_group",
+    "asof_join_last_click",
+    "range_join_recent_lineitems",
+    "tumbling_window_hourly",
+    "sliding_window_counts",
+    "dedup_minhash_signatures",
+    # -- r2-last high-traffic fills (complete the 50)
+    "sessionization",
+    "similarity_topk_bruteforce",
+    "similarity_near_pairs",
+    "text_stats",
 ]
 
 

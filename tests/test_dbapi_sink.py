@@ -191,3 +191,53 @@ def test_postgres_sql_and_sqlite_sql_share_shape():
     assert "ON CONFLICT (user_id, event_timestamp, event_name) DO NOTHING" in pg
     assert sq.startswith("INSERT OR IGNORE INTO t (user_id, event_date, ")
     assert sq.count("?") == len(CSV_EXPORT_COLUMNS)
+
+
+def _pg_dsn():
+    """Live-PostgreSQL test gate: set SPARK_GRAFT_PG_DSN (e.g.
+    ``host=localhost port=5432 dbname=test user=postgres``) and have
+    psycopg2 importable to exercise the real conflict-skipping path.
+    The sandbox ships neither, so this normally skips — the test
+    lights up automatically the moment the env allows."""
+    import os
+
+    dsn = os.environ.get("SPARK_GRAFT_PG_DSN")
+    if not dsn:
+        return None, "SPARK_GRAFT_PG_DSN not set (no PostgreSQL server in this env)"
+    try:
+        import psycopg2  # noqa: F401
+    except ImportError:
+        return None, "psycopg2 not installed"
+    return dsn, None
+
+
+def test_live_postgres_upsert_replay_idempotent(spark, sf_dir):
+    """The SQLite twin proves the writer mechanics; this proves them
+    against real PostgreSQL ON CONFLICT DO NOTHING when a server is
+    reachable."""
+    dsn, why = _pg_dsn()
+    if dsn is None:
+        pytest.skip(why)
+    import psycopg2
+
+    def connect():
+        return psycopg2.connect(dsn)
+
+    pg_ddl = DDL.replace("IF NOT EXISTS application_events",
+                         "IF NOT EXISTS application_events_test")
+    with connect() as conn:
+        conn.cursor().execute("DROP TABLE IF EXISTS application_events_test")
+        conn.cursor().execute(pg_ddl)
+
+    def count():
+        with connect() as conn:
+            cur = conn.cursor()
+            cur.execute("SELECT count(*) FROM application_events_test")
+            return cur.fetchone()[0]
+
+    out = flagship_pipeline(load_table(spark, sf_dir, "events"))
+    write_dbapi_upsert(out, connect, "application_events_test", dialect="postgres")
+    first = count()
+    write_dbapi_upsert(out, connect, "application_events_test", dialect="postgres")
+    assert first == out.count()
+    assert count() == first  # replay inserts nothing

@@ -90,3 +90,61 @@ def test_semantic_dedup_drops_planted_duplicate(spark):
     assert not rows[2].kept and rows[2].n_near_dups >= 1
     assert rows[1].lsh_bucket == rows[2].lsh_bucket  # scaled copy lands in same bucket
     assert rows[3].kept
+
+
+def test_semantic_dedup_kmeans_recall_at_least_lsh(spark, sf_dir):
+    """The k-means SemDeDup variant (the paper's clustering) must
+    recover at least as many true near-dup drops as the LSH-bucket
+    stand-in on the fixture corpus — trained cluster boundaries track
+    the data where fixed hyperplanes cannot."""
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        cosine_near_pairs,
+        semantic_dedup_kmeans,
+    )
+
+    threshold = 0.35
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    truth_dropped = {
+        r.id_b for r in cosine_near_pairs(emb, threshold).select("id_b").distinct().collect()
+    }
+    assert truth_dropped  # fixture must contain near-dups for the test to mean anything
+
+    lsh_dropped = {
+        r.vec_id
+        for r in semantic_dedup(emb, threshold=threshold, num_planes=4)
+        .where(~F.col("kept"))
+        .collect()
+    }
+    km = semantic_dedup_kmeans(emb, threshold=threshold, n_clusters=16)
+    km_dropped = {r.vec_id for r in km.where(~F.col("kept")).collect()}
+
+    recall_lsh = len(lsh_dropped & truth_dropped) / len(truth_dropped)
+    recall_km = len(km_dropped & truth_dropped) / len(truth_dropped)
+    assert recall_km >= recall_lsh
+    # no false drops: every dropped vector is a true near-dup
+    assert km_dropped <= truth_dropped
+
+
+def test_semantic_dedup_kmeans_drops_planted_duplicate(spark):
+    import math
+
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        semantic_dedup_kmeans,
+    )
+
+    base = [math.sin(i * 0.7) for i in range(64)]
+    near = [v * 1.01 for v in base]
+    ortho = [math.cos(i * 1.3) for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "vec_id long, embedding array<float>"
+    )
+    rows = {
+        r.vec_id: r
+        for r in semantic_dedup_kmeans(emb, threshold=0.95, n_clusters=2).collect()
+    }
+    assert rows[1].kept
+    assert not rows[2].kept and rows[2].n_near_dups >= 1
+    assert rows[1].cluster_id == rows[2].cluster_id
+    assert rows[3].kept
