@@ -297,7 +297,7 @@ SIMHASH_BITS = 64  # 32-bit fingerprints saturate at corpus scale:
 # SCALE.md is then a drop-in: xxhash64 natively emits the full width)
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def simhash(docs: DataFrame, id_col: str = "doc_id", hash_fn: str = "md5") -> DataFrame:
     """64-bit SimHash over unigram tokens weighted by in-doc count.
 
     Plan: explode tokens → per-occurrence md5 bit columns → 64 plain
@@ -317,18 +317,35 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ``('0x'||substr(md5(x),o,8))::BIGINT``. Bit 63 is assembled as
     −2^63 (two's complement sign bit) so the fingerprint stays a
     plain BIGINT on both engines with no overflow.
-    """
-    tok = (
-        with_tokens(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode("tokens").alias("token"))
-        .withColumn("md5", F.md5("token"))
-        .withColumn("th_lo", F.conv(F.substring("md5", 1, 8), 16, 10).cast("long"))
-        .withColumn("th_hi", F.conv(F.substring("md5", 9, 8), 16, 10).cast("long"))
-    )
 
-    def _bit(b: int):
-        src, shift = ("th_lo", b) if b < 32 else ("th_hi", b - 32)
-        return F.shiftright(src, shift).bitwiseAND(F.lit(1))
+    ``hash_fn="xxhash64"`` is the production tier (the SCALE.md swap,
+    implemented): one native 64-bit hash expression replaces the md5
+    hex parse — ~5× cheaper per token, same plan shape — at the cost
+    of the DuckDB twin (rows-only driver check; parity with the md5
+    tier is pinned by pytest on planted near-duplicates).
+    """
+    tok = with_tokens(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode("tokens").alias("token")
+    )
+    if hash_fn == "md5":
+        tok = (
+            tok.withColumn("md5", F.md5("token"))
+            .withColumn("th_lo", F.conv(F.substring("md5", 1, 8), 16, 10).cast("long"))
+            .withColumn("th_hi", F.conv(F.substring("md5", 9, 8), 16, 10).cast("long"))
+        )
+
+        def _bit(b: int):
+            src, shift = ("th_lo", b) if b < 32 else ("th_hi", b - 32)
+            return F.shiftright(src, shift).bitwiseAND(F.lit(1))
+
+    elif hash_fn == "xxhash64":
+        tok = tok.withColumn("th", F.xxhash64("token"))
+
+        def _bit(b: int):
+            return F.shiftrightunsigned("th", b).bitwiseAND(F.lit(1))
+
+    else:  # pragma: no cover
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
 
     bit_sums = [F.sum(_bit(b)).alias(f"s{b}") for b in range(SIMHASH_BITS)]
     agg = tok.groupBy("doc_id").agg(*bit_sums, F.count(F.lit(1)).alias("n_occ"))
@@ -342,7 +359,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming via pigeonhole
     banding: split 64 bits into (max_hamming + 1) chunks — any pair
     within the radius shares ≥1 identical chunk, so candidates =
@@ -354,7 +376,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc
     chunk value."""
     chunks = max_hamming + 1
     width = SIMHASH_BITS // chunks
-    sig = simhash(docs, id_col)
+    sig = simhash(docs, id_col, hash_fn=hash_fn)
     chunk_cols = [
         F.struct(
             F.lit(c).alias("chunk_id"),

@@ -119,3 +119,70 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("n").cast("decimal(27,0)")).cast("double") / F.count(F.lit(1))).alias("mean_key_rows"),
         (F.max("n") / F.lit(total)).alias("max_key_share"),
     )
+
+
+@register(
+    "rfm_segmentation",
+    f"""
+    WITH base AS (
+      SELECT user_id,
+             CAST(epoch_us(max({_TS})) AS BIGINT) AS recency_us,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS monetary
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT user_id, recency_us, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_us DESC, user_id) AS BIGINT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
+    FROM base
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over purchase events: per-user
+    recency (µs of last purchase), frequency, monetary (exact DECIMAL
+    sum), each quartile-scored with ntile(4). 1 = best quartile
+    (most recent / most frequent / highest spend); ties broken by
+    user_id so both engines assign identical scores.
+
+    Plan: one partial-aggregated shuffle on user_id, then each score
+    comes from the TWO-PASS global ranking (operators/ranking.py:
+    range-repartition → partition-local row_number → broadcast prefix
+    offsets) with ntile derived from the exact (rn, N) integers — no
+    unpartitioned window anywhere, so the |users|-sized frame never
+    lands on a single reducer. The three score frames join back on
+    user_id (already the frame's key)."""
+    from .ranking import ntile_from_rn, with_global_ranks
+
+    e = load_table(spark, sf_dir, "events")
+    base = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("recency_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double").alias("monetary"),
+        )
+    )
+
+    def score(metric: str, alias: str) -> DataFrame:
+        ranked = with_global_ranks(
+            base.select("user_id", metric),
+            key_order=[(metric, "desc")],
+            tie_order=[("user_id", "asc")],
+        )
+        return ranked.select(
+            "user_id", ntile_from_rn(F.col("rn"), F.col("n_total"), 4).alias(alias)
+        )
+
+    return (
+        base.join(score("recency_us", "r_score"), "user_id")
+        .join(score("frequency", "f_score"), "user_id")
+        .join(score("monetary", "m_score"), "user_id")
+        .select(
+            "user_id", "recency_us", "frequency", "monetary",
+            "r_score", "f_score", "m_score",
+        )
+    )

@@ -286,3 +286,16 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("doc_freq") >= 2)
     )
+
+
+@register("dedup_simhash_fast", None)  # xxhash64 — no DuckDB twin
+def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash production hash tier: identical single-shuffle
+    64-bit-vote plan with xxhash64 token digests instead of the md5
+    hex parse the oracle tier needs for cross-engine parity —
+    SCALE.md's documented swap, here as runnable code. Rows-only for
+    the driver; near-dup detection parity with the md5 tier is pinned
+    on planted duplicates in tests/test_dedup.py."""
+    return simhash(
+        parallelize(load_table(spark, sf_dir, "documents")), hash_fn="xxhash64"
+    )

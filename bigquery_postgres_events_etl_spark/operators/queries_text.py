@@ -252,3 +252,61 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import gopher_rules
 
     return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+@register(
+    "text_pii_scan",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+              + len(regexp_extract_all(text, '{_PII_PHONE}'))
+              + len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_pii,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII inventory + redaction (emails / phones / IPv4 → typed
+    placeholders); patterns live in the Java-regex ∩ RE2 common
+    subset so both engines compile them identically."""
+    from .text import pii_scan
+
+    return pii_scan(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_rarity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf.tf * dfreq.df) AS BIGINT) AS sum_df,
+           CAST(min(dfreq.df) AS BIGINT) AS min_df,
+           CAST(max(dfreq.df) AS BIGINT) AS max_df,
+           CAST(sum(tf.tf * dfreq.df) AS DOUBLE) / sum(tf.tf) AS mean_df
+    FROM tf JOIN dfreq USING (term)
+    GROUP BY tf.doc_id
+    """,
+)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency mass per doc — integer-exact aggregation,
+    one final IEEE division (bit-deterministic, log-free)."""
+    from .text import token_rarity
+
+    return token_rarity(parallelize(load_table(spark, sf_dir, "documents")))

@@ -234,3 +234,91 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         pass_stop.alias("pass_stopwords"),
         (pass_len & pass_word & pass_stop).alias("passes"),
     )
+
+
+# ---------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset so Spark
+# and the DuckDB oracle compile them identically (no lookaround, no
+# backreferences — which RE2 lacks anyway).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-document PII inventory + redaction — the scrubbing pass a
+    training-data pipeline runs before anything else sees the text
+    (emails / phone numbers / IPv4 addresses → typed placeholders).
+
+    Entirely map-side regex expressions inside whole-stage codegen: no
+    shuffle, no UDF, linear in corpus bytes — the shape that matters
+    at 100 TB, where this pass is pure scan throughput. Counts are
+    measured on the ORIGINAL text; redaction applies email → phone →
+    IP in that fixed order so overlapping matches resolve identically
+    everywhere.
+    """
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    # Column-arg form, NOT F.expr with an embedded literal: Spark SQL
+    # string literals process backslash escapes ('\d' -> 'd'), which
+    # would silently corrupt the patterns.
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).cast("long")
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).cast("long")
+    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0))).cast("long")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ipv4.alias("n_ipv4"),
+        (n_emails + n_phones + n_ipv4).alias("n_pii"),
+        redacted.alias("redacted"),
+    )
+
+
+def token_rarity(docs: DataFrame, max_broadcast_terms: int = 1_000_000) -> DataFrame:
+    """Corpus-statistics quality signal (the CCNet-style idea with
+    rational arithmetic): per document, the document-frequency mass of
+    its tokens. Boilerplate scores high (every token common), noisy /
+    gibberish text scores low (tokens appear nowhere else).
+
+    All aggregation happens in exact integer arithmetic; the only
+    floating-point op is ONE final division of two exact integers —
+    bit-deterministic across engines (no log, no double sums).
+
+    Plan: explode → (doc, term) counts → global term DF (one shuffle,
+    vocab-sized) → join back (broadcast GATED on measured vocab
+    cardinality, same rationale as tfidf_top_terms: Heaps' law is
+    sublinear, not bounded) → per-doc integer aggregation.
+    """
+    tok = with_tokens(docs).select("doc_id", F.explode("tokens").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).persist()
+    n_terms = df_.count()
+    df_side = F.broadcast(df_) if n_terms <= max_broadcast_terms else df_
+    per_doc = (
+        tf.join(df_side, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("df")).alias("sum_df"),
+            F.min("df").alias("min_df"),
+            F.max("df").alias("max_df"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("sum_df").cast("long").alias("sum_df"),
+        F.col("min_df").cast("long").alias("min_df"),
+        F.col("max_df").cast("long").alias("max_df"),
+        (F.col("sum_df").cast("double") / F.col("n_tokens")).alias("mean_df"),
+    )

@@ -75,6 +75,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "applied and the term join shuffles — Heaps' law is sublinear, not "
         "bounded, so an ungated hint would OOM on a web-scale vocab. "
         "The 1-row doc-count crossJoin broadcast is unconditionally safe.",
+    ("text.py", "token_rarity"):
+        "vocab broadcast GATED on measured cardinality ≤ max_broadcast_terms "
+        "— same gate and rationale as tfidf_top_terms",
     ("similarity.py", "brute_force_topk"): "query set bounded by n_queries param",
     ("similarity.py", "ann_lsh_topk"): "query set bounded by n_queries param",
     ("similarity.py", "ivf_topk"): "k-means centroids (n_lists) + query set — parameter-bounded",

@@ -54,6 +54,10 @@ _DRIVER_PRIORITY = [
     "text_fingerprints",
     # -- new / changed this round (attest first time)
     "dedup_semantic_kmeans",
+    "text_pii_scan",
+    "text_token_rarity",
+    "rfm_segmentation",
+    "dedup_simhash_fast",
     # -- freshest attestation is r1 (44 entries — refresh them all)
     "etl_flagship",
     "q1_pricing_summary",

@@ -154,3 +154,34 @@ def test_simhash_occurrence_votes_equal_weighted_votes(spark):
         sim = bit if sim is None else sim + bit
     want = {r.doc_id: r.ref for r in agg.select("doc_id", sim.alias("ref")).collect()}
     assert got == want
+
+
+def test_simhash_fast_tier_matches_md5_tier_on_planted_dups(spark):
+    """The xxhash64 production tier must make the same near-dup calls
+    as the oracle-checked md5 tier: identical docs → Hamming 0, a
+    one-token edit → small Hamming, unrelated docs → no pair. Also
+    re-proves banding losslessness under the alternate hash."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    edited = base.replace("lazy", "sleepy", 1)
+    other = "completely different content about spark catalyst optimizer internals " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, other)],
+        "doc_id long, text string",
+    )
+    for fn in ("md5", "xxhash64"):
+        pairs = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in simhash_near_pairs(docs, max_hamming=3, hash_fn=fn).collect()
+        }
+        assert pairs.get((1, 2)) == 0, fn  # identical docs
+        assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs, fn
+        sig = simhash(docs, hash_fn=fn)
+        a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+        b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+        brute = {
+            (r.doc_a, r.doc_b)
+            for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .where(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+            .collect()
+        }
+        assert set(pairs) == brute, fn

@@ -148,3 +148,32 @@ def test_semantic_dedup_kmeans_drops_planted_duplicate(spark):
     assert not rows[2].kept and rows[2].n_near_dups >= 1
     assert rows[1].cluster_id == rows[2].cluster_id
     assert rows[3].kept
+
+
+def test_pii_scan_planted_values(spark):
+    from bigquery_postgres_events_etl_spark.operators.text import pii_scan
+
+    docs = _docs(spark, [
+        "contact alice.smith+spam@example.co.uk or call 555-867-5309 now",
+        "server at 10.0.255.14 responded; mail root@10.0.0.1 failed",
+        "no sensitive content here at all",
+        "+1 555.867.5309 and 555 867 5309 are the same line",
+    ])
+    rows = {r.doc_id: r for r in pii_scan(docs).collect()}
+    assert rows[0].n_emails == 1 and rows[0].n_phones == 1
+    assert "<EMAIL>" in rows[0].redacted and "<PHONE>" in rows[0].redacted
+    assert "alice" not in rows[0].redacted and "5309" not in rows[0].redacted
+    assert rows[1].n_ipv4 >= 1 and "<IP>" in rows[1].redacted
+    assert rows[2].n_pii == 0 and rows[2].redacted == "no sensitive content here at all"
+    assert rows[3].n_phones == 2
+
+
+def test_token_rarity_boilerplate_vs_rare(spark):
+    from bigquery_postgres_events_etl_spark.operators.text import token_rarity
+
+    common = "the common boilerplate line"
+    docs = _docs(spark, [common, common, common, "zyxgibberish qwertyuiop asdfghjkl"])
+    rows = {r.doc_id: r for r in token_rarity(docs).collect()}
+    # boilerplate tokens appear in 3 docs -> mean_df 3; gibberish df 1
+    assert rows[0].mean_df == 3.0
+    assert rows[3].mean_df == 1.0 and rows[3].max_df == 1
