@@ -146,6 +146,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All ordered pairs where containment(A in B) = |A∩B| / |A| ≥
+    threshold — the asymmetric companion to Jaccard that catches
+    doc-in-doc duplication (a short document quoted inside a long one
+    scores low Jaccard but containment ≈ 1; the criterion used for
+    web-corpus dedup since Broder 1997).
+
+    Same inverted-index plan and ``max_shingle_df`` hot-shingle valve
+    as :func:`ngram_jaccard_pairs`; emits both directions of a pair
+    when both exceed the threshold (containment is not symmetric).
+    Integer counts, one double division — bit-exact across engines.
+    """
+    sh = exploded_shingles(docs, n, id_col).distinct()
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        join_side = sh.join(hot, "shingle", "left_anti")
+    else:
+        join_side = sh
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = join_side.alias("a"), join_side.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    return (
+        common.join(sa, "doc_a")
+        .withColumn("containment", F.col("n_common") / F.col("size_a"))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "containment")
+    )
+
+
 # ---------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------

@@ -299,3 +299,36 @@ def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(
         parallelize(load_table(spark, sf_dir, "documents")), hash_fn="xxhash64"
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_ngram_containment",
+    f"""
+    WITH {_SHINGLES_CTE},
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, sa.n AS size_a,
+           n_common / sa.n AS containment
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE n_common / sa.n >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| ≥ 0.8 — doc-in-doc
+    duplication that Jaccard under-scores (Broder's resemblance vs
+    containment distinction)."""
+    from .dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        parallelize(load_table(spark, sf_dir, "documents")),
+        n=3,
+        threshold=CONTAINMENT_THRESHOLD,
+    )

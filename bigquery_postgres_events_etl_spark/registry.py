@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = [
     "text_token_rarity",
     "rfm_segmentation",
     "dedup_simhash_fast",
+    "dedup_ngram_containment",
     # -- freshest attestation is r1 (44 entries — refresh them all)
     "etl_flagship",
     "q1_pricing_summary",

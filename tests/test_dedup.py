@@ -185,3 +185,27 @@ def test_simhash_fast_tier_matches_md5_tier_on_planted_dups(spark):
             .collect()
         }
         assert set(pairs) == brute, fn
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment ≈ 1,
+    Jaccard far below any near-dup threshold."""
+    from bigquery_postgres_events_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler.upper())],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert cont.get((1, 2)) == 1.0          # every shingle of 1 is in 2
+    assert (2, 1) not in cont               # asymmetric: 2 is not in 1
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert jac == []                        # jaccard blind to the quote

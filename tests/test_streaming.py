@@ -224,3 +224,52 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
         .count()
     )
     assert got == batch_distinct
+
+
+def test_stateful_user_profiles_tws_matches_legacy_api(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API) must emit
+    the same final per-user profiles as the applyInPandasWithState
+    operator on the same drained source.
+
+    The TWS Python runner speaks protobuf to its JVM state server;
+    this container ships no google.protobuf, so the test skips here
+    and lights up automatically where the dependency exists (the
+    operator itself is pure public-API code)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState runner needs protobuf (absent in this env)",
+    )
+    from bigquery_postgres_events_etl_spark.streaming.stateful import (
+        streaming_user_profiles,
+        streaming_user_profiles_tws,
+    )
+
+    src = _stage_source(sf_dir, tmp_path)
+
+    def drain(make, name):
+        q = (
+            make(read_events_stream(spark, src))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.user_id: (r.n_events, round(r.sum_value, 6), r.n_sessions, r.last_ts_us)
+            for r in spark.sql(
+                f"""
+                SELECT * FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                  FROM {name}
+                ) WHERE rn = 1
+                """
+            ).collect()
+        }
+
+    legacy = drain(streaming_user_profiles, "tws_legacy_out")
+    tws = drain(streaming_user_profiles_tws, "tws_new_out")
+    assert tws == legacy and len(tws) > 0
