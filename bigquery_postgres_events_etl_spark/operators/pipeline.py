@@ -349,3 +349,28 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_overlap"))
     )
+
+
+def blocklist_filter(
+    docs: DataFrame, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style token blocklist gate: per document, the count of
+    distinct blocklisted tokens present and the keep/drop verdict
+    (C4 drops any page containing a "bad word"; the count makes the
+    policy auditable and thresholdable downstream).
+
+    Scale: the blocklist is a fixed editorial artifact (hundreds to a
+    few thousand terms), compiled into a literal array — the whole
+    operator is one map-side expression inside the scan's codegen, no
+    shuffle, no broadcast variable to manage. ``array_intersect``
+    returns DISTINCT matches on both engines (the DuckDB twin filters
+    ``list_distinct``), so the count is order-insensitive and exact.
+    """
+    arr = F.array(*[F.lit(t) for t in terms])
+    toks = F.split(F.col("text"), " ")
+    n_blocked = F.size(F.array_intersect(toks, arr)).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n_blocked.alias("n_blocked_terms"),
+        (n_blocked == 0).alias("kept"),
+    )

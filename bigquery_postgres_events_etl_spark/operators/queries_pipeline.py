@@ -372,3 +372,60 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     return decontaminate(train, bench, n=3)
+
+
+BLOCKLIST_TERMS = ["slow", "vector", "stream"]
+_BLOCK_SQL = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+
+
+@register(
+    "pipeline_blocklist_filter",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                                t -> t IN ({_BLOCK_SQL}))) AS BIGINT) AS n_blocked_terms,
+           len(list_filter(list_distinct(string_split(text, ' ')),
+                           t -> t IN ({_BLOCK_SQL}))) = 0 AS kept
+    FROM documents
+    """,
+)
+def pipeline_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style token-blocklist gate — distinct blocked-term count +
+    keep/drop verdict, entirely map-side (the blocklist compiles to a
+    literal array in the scan's codegen)."""
+    from .pipeline import blocklist_filter
+
+    return blocklist_filter(load_table(spark, sf_dir, "documents"), BLOCKLIST_TERMS)
+
+
+@register(
+    "pipeline_length_buckets",
+    """
+    WITH base AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS length_bucket
+    FROM base
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / batch-shape bucketing: quartile buckets by token
+    count (short→long), the standard prep for length-grouped batching
+    (sequence packing efficiency) and length-based curricula. ntile
+    derives from the two-pass global ranking — no unpartitioned
+    window at any scale."""
+    from .ranking import ntile_from_rn, with_global_ranks
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    ranked = with_global_ranks(
+        base, key_order=[("n_tokens", "asc")], tie_order=[("doc_id", "asc")]
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        ntile_from_rn(F.col("rn"), F.col("n_total"), 4).alias("length_bucket"),
+    )

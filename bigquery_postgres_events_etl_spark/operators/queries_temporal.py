@@ -338,3 +338,30 @@ def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.unix_micros("fwd_t"))
         .alias("click_ts_us"),
     )
+
+
+@register(
+    "sliding_window_distinct_users",
+    f"""
+    WITH slid AS (
+      SELECT e.*, date_trunc('hour', {_TS}) + (s.i - 1) * INTERVAL 30 MINUTE
+               - CASE WHEN {_TS} >= date_trunc('hour', {_TS}) + INTERVAL 30 MINUTE
+                      THEN INTERVAL 0 MINUTE ELSE INTERVAL 30 MINUTE END AS window_start
+      FROM events e, generate_series(1, 2) s(i)
+    )
+    SELECT window_start, count(DISTINCT user_id) AS n_users
+    FROM slid
+    WHERE {_TS} >= window_start AND {_TS} < window_start + INTERVAL 1 HOUR
+    GROUP BY window_start
+    """,
+)
+def sliding_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users (1h window, 30min slide) — the
+    concurrent-actives metric. countDistinct plans as a two-level
+    partial aggregation over (window, user_id); at extreme
+    cardinality swap in approx_count_distinct (the approx_aggregates
+    entry documents the sketch tier)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.window("ts", "1 hour", "30 minutes").start.alias("window_start")
+    ).agg(F.countDistinct("user_id").alias("n_users"))

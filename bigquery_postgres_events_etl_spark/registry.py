@@ -59,6 +59,9 @@ _DRIVER_PRIORITY = [
     "rfm_segmentation",
     "dedup_simhash_fast",
     "dedup_ngram_containment",
+    "pipeline_blocklist_filter",
+    "pipeline_length_buckets",
+    "sliding_window_distinct_users",
     # -- freshest attestation is r1 (44 entries — refresh them all)
     "etl_flagship",
     "q1_pricing_summary",

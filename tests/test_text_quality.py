@@ -177,3 +177,20 @@ def test_token_rarity_boilerplate_vs_rare(spark):
     # boilerplate tokens appear in 3 docs -> mean_df 3; gibberish df 1
     assert rows[0].mean_df == 3.0
     assert rows[3].mean_df == 1.0 and rows[3].max_df == 1
+
+
+def test_blocklist_filter_planted_terms(spark):
+    from bigquery_postgres_events_etl_spark.operators.pipeline import blocklist_filter
+
+    docs = _docs(spark, [
+        "clean wholesome text about engines",
+        "badword in the middle of text",
+        "badword badword otherbad repeated",   # distinct count, not occurrences
+    ])
+    rows = {
+        r.doc_id: r
+        for r in blocklist_filter(docs, ["badword", "otherbad"]).collect()
+    }
+    assert rows[0].kept and rows[0].n_blocked_terms == 0
+    assert not rows[1].kept and rows[1].n_blocked_terms == 1
+    assert rows[2].n_blocked_terms == 2  # distinct terms, duplicates ignored
