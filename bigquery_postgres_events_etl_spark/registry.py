@@ -47,8 +47,11 @@ def register(name: str, oracle: str | None):
 # frontier instead of re-checking the same 50. r4 front-load:
 # text_fingerprints (re-plumbed through the r3 exploded_shingles
 # restructure, landed at position 51 and missed the r3 sample — the
-# one stale-plan entry), any r4-changed/new plans, then the 44
-# entries whose freshest green row is r1, then r2-last fills.
+# one stale-plan entry), then this round's 10 new entries, then the
+# 44 entries whose freshest green row is r1. 1+10+44 = 55 > 50: the
+# last five r1-group entries (asof_join_last_click onward) and the
+# r2-last fills sit past the sample — r5 must re-front whatever this
+# round's CORRECTNESS file does not cover.
 _DRIVER_PRIORITY = [
     # -- plan changed r3, unattested since (the r3 process bug)
     "text_fingerprints",
