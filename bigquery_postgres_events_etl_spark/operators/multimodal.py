@@ -201,3 +201,97 @@ def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFram
             F.posexplode("frame_offsets").alias("frame_idx", "byte_offset"),
         )
     )
+
+
+def plan_resize(decoded: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Resize planning: target dimensions fitting each image into a
+    ``max_w`` × ``max_h`` box, aspect preserved, never upscaled — in
+    PURE INTEGER arithmetic (the binding dimension is chosen by
+    comparing w·max_h vs h·max_w, the scaled edge by exact integer
+    division), so the plan is bit-identical across engines and the
+    whole operator is map-side column math on the metadata: the
+    payload bytes are untouched until the executor-side resize kernel
+    below consumes the plan.
+    """
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    width_bound = (w * max_h) >= (h * max_w)
+    w_capped = F.least(w, F.lit(max_w).cast("long"))
+    h_capped = F.least(h, F.lit(max_h).cast("long"))
+    out_w = F.when(width_bound, w_capped).otherwise(
+        F.expr(f"width * least(height, {max_h}) div height")
+    )
+    out_h = F.when(width_bound, F.expr(f"height * least(width, {max_w}) div width")).otherwise(
+        h_capped
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        out_w.cast("int").alias("out_width"),
+        out_h.cast("int").alias("out_height"),
+        ((out_w < w) | (out_h < h)).alias("downscaled"),
+    )
+
+
+def resize_images(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Executor-side image resize behind the same optional-Pillow
+    boundary as :func:`decode_images`: real ``Image.resize`` where the
+    codec exists, ``NotImplementedError`` pointing at the fake twin
+    otherwise. Output carries the resized payload re-encoded plus its
+    byte count — the shape a thumbnailing / model-input stage needs.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("out_width", T.IntegerType(), True),
+            T.StructField("out_height", T.IntegerType(), True),
+            T.StructField("resized", T.BinaryType(), True),
+            T.StructField("n_bytes_out", T.LongType(), True),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # optional dependency
+        except ImportError as e:
+            raise NotImplementedError(
+                "image resize needs Pillow on the executors (pip install "
+                "pillow); for codec-less pipeline tests use "
+                "fake_resize_images"
+            ) from e
+        import io
+
+        for pdf in batches:
+            ids, ows, ohs, blobs, sizes = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                if b is None:
+                    ows.append(None), ohs.append(None)
+                    blobs.append(None), sizes.append(None)
+                    continue
+                img = Image.open(io.BytesIO(b))
+                w, h = img.size
+                if w * max_h >= h * max_w:
+                    ow = min(w, max_w)
+                    oh = h * min(w, max_w) // w
+                else:
+                    oh = min(h, max_h)
+                    ow = w * min(h, max_h) // h
+                out = img.resize((max(ow, 1), max(oh, 1)))
+                buf = io.BytesIO()
+                out.save(buf, format=img.format or "PNG")
+                blob = buf.getvalue()
+                ows.append(ow), ohs.append(oh)
+                blobs.append(blob), sizes.append(len(blob))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "out_width": pd.array(ows, dtype="Int32"),
+                    "out_height": pd.array(ohs, dtype="Int32"),
+                    "resized": blobs,
+                    "n_bytes_out": pd.array(sizes, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=schema)

@@ -85,3 +85,45 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.col("byte_offset").cast("int").alias("byte_offset"),
     )
+
+
+@register(
+    "multimodal_image_resize",
+    """
+    WITH decoded AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) % 640 + 16 AS width,
+             octet_length(encode(text)) % 480 + 16 AS height
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(CASE WHEN width * 224 >= height * 224
+                     THEN least(width, 224)
+                     ELSE width * least(height, 224) // height END AS INTEGER) AS out_width,
+           CAST(CASE WHEN width * 224 >= height * 224
+                     THEN height * least(width, 224) // width
+                     ELSE least(height, 224) END AS INTEGER) AS out_height,
+           (CASE WHEN width * 224 >= height * 224
+                 THEN least(width, 224)
+                 ELSE width * least(height, 224) // height END < width)
+           OR
+           (CASE WHEN width * 224 >= height * 224
+                 THEN height * least(width, 224) // width
+                 ELSE least(height, 224) END < height) AS downscaled
+    FROM decoded
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over decoded image metadata: fit-within-224²
+    target dims in pure integer arithmetic (binding dimension by
+    cross-multiplication, scaled edge by exact integer division) —
+    map-side column math; the payload only meets a codec in the
+    executor-side ``resize_images`` kernel (optional-Pillow, stubbed
+    here like decode). Uses the deterministic fake decode so the
+    oracle can mirror the dims from byte lengths."""
+    from .multimodal import fake_decode_images, plan_resize
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return plan_resize(fake_decode_images(media))

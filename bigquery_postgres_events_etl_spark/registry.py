@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = [
     "pipeline_blocklist_filter",
     "pipeline_length_buckets",
     "sliding_window_distinct_users",
+    "multimodal_image_resize",
     # -- freshest attestation is r1 (44 entries — refresh them all)
     "etl_flagship",
     "q1_pricing_summary",

@@ -110,3 +110,48 @@ def test_frame_sampling_offsets(spark, sf_dir):
     frames = sample_video_frames(media, every_n_bytes=64)
     bad = frames.where(F.col("byte_offset") != F.col("frame_idx") * 64)
     assert bad.count() == 0
+
+
+def test_plan_resize_invariants(spark, sf_dir):
+    """Fit-within box, aspect preserved to integer rounding, never
+    upscaled — over every fixture-derived (width, height)."""
+    from bigquery_postgres_events_etl_spark.operators.multimodal import plan_resize
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    planned = plan_resize(fake_decode_images(media), max_w=224, max_h=224).collect()
+    assert planned
+    for r in planned:
+        assert 1 <= r.out_width <= min(r.width, 224)
+        assert 1 <= r.out_height <= min(r.height, 224)
+        # aspect ratio preserved up to integer floor on the scaled edge
+        if r.width * 224 >= r.height * 224:  # width-bound
+            assert r.out_width == min(r.width, 224)
+            assert r.out_height == r.height * r.out_width // r.width
+        else:
+            assert r.out_height == min(r.height, 224)
+            assert r.out_width == r.width * r.out_height // r.height
+        assert r.downscaled == (r.out_width < r.width or r.out_height < r.height)
+
+
+def test_resize_without_pillow_raises_not_implemented(spark, sf_dir):
+    """The honest-stub contract: executing the real resize kernel in
+    a codec-less environment surfaces NotImplementedError, not wrong
+    output."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present — stub branch not reachable")
+    except ImportError:
+        pass
+    from py4j.protocol import Py4JJavaError
+
+    from bigquery_postgres_events_etl_spark.operators.multimodal import resize_images
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(2)
+    with pytest.raises(Exception) as ei:
+        resize_images(media).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
