@@ -295,3 +295,48 @@ def resize_images(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataF
             )
 
     return media.mapInPandas(_resize, schema=schema)
+
+
+def resample_audio(media: DataFrame, decimation: int = 4) -> DataFrame:
+    """STUB — audio resampling (libsndfile/ffmpeg in production).
+    Models the universal shape of a resampler: payload in, payload of
+    ``1/decimation`` the samples out, plus in/out sample counts. The
+    deterministic stand-in kernel treats the payload as 8-bit PCM and
+    keeps every ``decimation``-th byte — an Arrow-batched
+    ``mapInPandas`` with the exact batch flow, schema, and
+    memory shape a real resampler needs; only the DSP inside the loop
+    is fake. Downstream operators (duration filters, chunking on the
+    resampled stream) are exercisable end-to-end.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples_in", T.LongType(), True),
+            T.StructField("n_samples_out", T.LongType(), True),
+            T.StructField("resampled_md5", T.StringType(), True),
+        ]
+    )
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, n_in, n_out, digests = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                if b is None:
+                    n_in.append(None), n_out.append(None), digests.append(None)
+                    continue
+                out = bytes(b[::decimation])
+                n_in.append(len(b)), n_out.append(len(out))
+                digests.append(hashlib.md5(out).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "n_samples_in": pd.array(n_in, dtype="Int64"),
+                    "n_samples_out": pd.array(n_out, dtype="Int64"),
+                    "resampled_md5": digests,
+                }
+            )
+
+    return media.mapInPandas(_resample, schema=schema)

@@ -127,3 +127,34 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return plan_resize(fake_decode_images(media))
+
+
+@register(
+    "multimodal_audio_resample",
+    """
+    WITH dec AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_in,
+             list_aggregate(list_transform(
+               generate_series(1, length(text), 4), i -> substr(text, i, 1)
+             ), 'string_agg', '') AS decimated
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(n_in AS BIGINT) AS n_samples_in,
+           CAST(length(decimated) AS BIGINT) AS n_samples_out,
+           md5(decimated) AS resampled_md5
+    FROM dec
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-resample stub over the byte envelope: 4× decimation of
+    the payload (8-bit-PCM stand-in) inside an Arrow batch; the
+    oracle reproduces the decimated stream character-wise (fixture
+    text is ASCII, so bytes == codepoints) and both engines md5 the
+    result — validating the exact bytes the kernel emitted, not just
+    counts."""
+    from .multimodal import resample_audio
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return resample_audio(media, decimation=4)

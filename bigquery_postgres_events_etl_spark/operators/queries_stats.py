@@ -263,3 +263,44 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bin") * 5.0).alias("bin_low"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "stats_winsorize_lineitem",
+    """
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+           least(greatest(l.l_extendedprice, c.p05), c.p95) AS price_winsorized,
+           (l.l_extendedprice < c.p05 OR l.l_extendedprice > c.p95) AS clipped
+    FROM lineitem l JOIN cuts c ON c.l_returnflag = l.l_returnflag
+    """,
+)
+def stats_winsorize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping at [P05, P95] per group) — the
+    standard robust-statistics cleaning pass. Exact interpolated
+    percentiles per group (constant group count → tiny cut table, AQE
+    broadcasts it unhinted), then one map-side least/greatest clip
+    over the fact scan. Both engines interpolate identically on the
+    sorted group (same arithmetic as percentile_exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    return li.join(cuts, "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")).alias(
+            "price_winsorized"
+        ),
+        ((F.col("l_extendedprice") < F.col("p05")) | (F.col("l_extendedprice") > F.col("p95"))).alias(
+            "clipped"
+        ),
+    )

@@ -66,6 +66,8 @@ _DRIVER_PRIORITY = [
     "pipeline_length_buckets",
     "sliding_window_distinct_users",
     "multimodal_image_resize",
+    "multimodal_audio_resample",
+    "stats_winsorize_lineitem",
     # -- freshest attestation is r1 (44 entries — refresh them all)
     "etl_flagship",
     "q1_pricing_summary",

@@ -155,3 +155,18 @@ def test_resize_without_pillow_raises_not_implemented(spark, sf_dir):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_audio_resample_decimation(spark, sf_dir):
+    import hashlib
+
+    from bigquery_postgres_events_etl_spark.operators.multimodal import resample_audio
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(5)
+    rows = {r.media_id: r for r in resample_audio(media, decimation=4).collect()}
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for mid, b in src.items():
+        expect = bytes(b[::4])
+        assert rows[mid].n_samples_in == len(b)
+        assert rows[mid].n_samples_out == len(expect)
+        assert rows[mid].resampled_md5 == hashlib.md5(expect).hexdigest()
