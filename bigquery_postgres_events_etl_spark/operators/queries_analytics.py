@@ -193,3 +193,91 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_score", "f_score", "m_score",
         )
     )
+
+
+@register(
+    "user_feature_matrix",
+    f"""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(count(DISTINCT CAST({_TS} AS DATE)) AS BIGINT) AS n_active_days,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(27,4))
+                         ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE) AS total_spend
+    FROM events GROUP BY user_id
+    """,
+)
+def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user wide feature vector (event-type counts, active days,
+    exact spend) — the feature-engineering aggregation an ML pipeline
+    runs before training on behavioral data. One partial-aggregated
+    shuffle on user_id; conditional counts stay map-side; the
+    distinct-days count is the only two-phase aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")  # noqa: E731
+    return e.groupBy("user_id").agg(
+        cnt("click"),
+        cnt("view"),
+        cnt("purchase"),
+        cnt("signup"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(27,4)")
+            ).otherwise(F.lit(0).cast("decimal(27,4)"))
+        )
+        .cast("double")
+        .alias("total_spend"),
+    )
+
+
+@register(
+    "active_user_rollups",
+    f"""
+    WITH days AS (
+      SELECT DISTINCT CAST({_TS} AS DATE) AS day FROM events
+    ),
+    user_days AS (
+      SELECT DISTINCT user_id, CAST({_TS} AS DATE) AS day FROM events
+    )
+    SELECT d.day,
+           count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS dau,
+           count(DISTINCT CASE WHEN u.day > d.day - 7 THEN u.user_id END) AS wau,
+           count(DISTINCT u.user_id) AS mau
+    FROM days d JOIN user_days u
+      ON u.day <= d.day AND u.day > d.day - 30
+    GROUP BY d.day
+    """,
+)
+def active_user_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU per calendar day — the canonical engagement
+    rollup. Pre-aggregates to DISTINCT (user, day) first (one shuffle
+    that shrinks the fact table to its active-pair sliver), then a
+    range join against the day spine (30 rows per active pair max)
+    with conditional distinct counts per window length. The day spine
+    is |days| rows — broadcast by AQE unhinted; at 100 TB the
+    user_days sliver is the only scaling side and it shuffles once."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.col("ts").cast("date").alias("day")).distinct()
+    user_days = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    d, u = days.alias("d"), user_days.alias("u")
+    return (
+        d.join(
+            u,
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") > F.date_sub(F.col("d.day"), 30)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("u.day") == F.col("d.day"), F.col("u.user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(F.col("u.day") > F.date_sub(F.col("d.day"), 7), F.col("u.user_id"))
+            ).alias("wau"),
+            F.countDistinct("u.user_id").alias("mau"),
+        )
+    )

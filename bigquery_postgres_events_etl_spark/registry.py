@@ -68,6 +68,8 @@ _DRIVER_PRIORITY = [
     "multimodal_image_resize",
     "multimodal_audio_resample",
     "stats_winsorize_lineitem",
+    "user_feature_matrix",
+    "active_user_rollups",
     # -- freshest attestation is r1 (44 entries — refresh them all)
     "etl_flagship",
     "q1_pricing_summary",
