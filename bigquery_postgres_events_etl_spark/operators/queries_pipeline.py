@@ -375,6 +375,12 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BLOCKLIST_TERMS = ["slow", "vector", "stream"]
+CONTAM_MIN_OVERLAP = 3
+# the composed pipeline gates on a RARE term: the standalone blocklist
+# entry reports counts over common terms, but a corpus-prep gate using
+# top-frequency tokens would empty the tiny-vocabulary fixture corpus
+FULL_PREP_BLOCKLIST = ["dup"]
+_FULL_BLOCK_SQL = ", ".join(f"'{t}'" for t in FULL_PREP_BLOCKLIST)
 _BLOCK_SQL = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
 
 
@@ -428,4 +434,116 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         ntile_from_rn(F.col("rn"), F.col("n_total"), 4).alias("length_bucket"),
+    )
+
+
+@register(
+    "pipeline_corpus_prep_full",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    blocked_ok AS (
+      SELECT doc_id FROM t
+      WHERE len(list_filter(list_distinct(toks), x -> x IN ({_FULL_BLOCK_SQL}))) = 0
+    ),
+    pii AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+           + len(regexp_extract_all(text, '\\+?\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}'))
+           + len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+             AS n_pii
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             least(len(toks) / 100.0, 1.0) * 0.4
+               + (len(list_distinct(toks)) / len(toks)) * 0.4
+               + (len(list_filter(toks, x -> x IN ({_STOP_LIST}))) / len(toks)) * 0.2
+               AS quality
+      FROM t
+    ),
+    thr AS (SELECT quantile_cont(quality, 0.5) AS thr FROM q),
+    kept AS (SELECT q.doc_id, q.n_tokens FROM q, thr WHERE q.quality >= thr.thr),
+    canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 3
+                         THEN list_transform(generate_series(1, len(toks) - 2),
+                                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                         ELSE [] END) AS shingle
+      FROM t
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT s.doc_id FROM (SELECT DISTINCT doc_id, shingle FROM sh) s
+      JOIN bench b USING (shingle)
+      WHERE s.doc_id % 97 != 0
+      GROUP BY s.doc_id HAVING count(*) >= {CONTAM_MIN_OVERLAP}
+    ),
+    corpus AS (
+      SELECT k.doc_id, k.n_tokens, p.n_pii
+      FROM kept k
+      JOIN canon c ON c.doc_id = k.doc_id
+      JOIN blocked_ok bo ON bo.doc_id = k.doc_id
+      JOIN pii p ON p.doc_id = k.doc_id
+      WHERE k.doc_id % 97 != 0
+        AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT CASE WHEN {_h60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_pii) AS BIGINT) AS total_pii_redacted
+    FROM corpus GROUP BY 1
+    """,
+)
+def pipeline_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL composed prep: blocklist gate → PII audit → quality
+    threshold → exact-dedup survivors → benchmark decontamination →
+    deterministic split → per-split doc/token/PII budgets. Every
+    stage is itself an oracle-checked §2.12 operator; this entry
+    proves the composition stays one declarative Catalyst plan (the
+    map-side stages fuse; shuffles: dedup hash-agg, threshold scalar,
+    decontamination join, final 2-row aggregate). Contamination here
+    requires ≥ CONTAM_MIN_OVERLAP shared distinct n-grams — on the
+    synthetic word-soup a single shared 3-gram flags nearly every
+    document, which is a property of the fixture, not the policy."""
+    from .dedup import exact_dedup
+    from .pipeline import blocklist_filter, decontaminate
+    from .text import pii_scan, with_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train_docs = docs.where(F.col("doc_id") % 97 != 0)
+
+    blocked_ok = (
+        blocklist_filter(docs, FULL_PREP_BLOCKLIST).where(F.col("kept")).select("doc_id")
+    )
+    pii = pii_scan(docs).select("doc_id", F.col("n_pii"))
+    kept = quality_threshold_filter(docs).select("doc_id")
+    canon = exact_dedup(docs).select("doc_id")
+    contaminated = (
+        decontaminate(train_docs, bench, n=3)
+        .where(F.col("n_overlap") >= CONTAM_MIN_OVERLAP)
+        .select("doc_id")
+    )
+
+    corpus = (
+        with_tokens(docs)
+        .select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
+        .where(F.col("doc_id") % 97 != 0)
+        .join(kept, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+        .join(blocked_ok, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(pii, "doc_id")
+    )
+    split = train_test_split(corpus).select("doc_id", "split")
+    return (
+        corpus.join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_pii").alias("total_pii_redacted"),
+        )
     )

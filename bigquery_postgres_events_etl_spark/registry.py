@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = [
     "stats_winsorize_lineitem",
     "user_feature_matrix",
     "active_user_rollups",
+    "pipeline_corpus_prep_full",
     # -- freshest attestation is r1 (44 entries — refresh them all)
     "etl_flagship",
     "q1_pricing_summary",
