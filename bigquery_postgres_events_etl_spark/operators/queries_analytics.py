@@ -281,3 +281,67 @@ def active_user_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("u.user_id").alias("mau"),
         )
     )
+
+
+@register(
+    "events_wow_growth",
+    f"""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', {_TS}) AS DATE) AS week,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1
+    )
+    SELECT week, n_events, total_value,
+           lag(n_events) OVER (ORDER BY week) AS prev_events,
+           (n_events - lag(n_events) OVER (ORDER BY week))
+             / CAST(lag(n_events) OVER (ORDER BY week) AS DOUBLE) AS wow_growth
+    FROM weekly
+    """,
+)
+def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: weekly exact aggregates, then one lag
+    window over the |weeks|-sized frame (a constant-bounded frame —
+    52 rows/year — so the single-partition window is legitimate, the
+    same exemption as ranking.py's per-partition stats table)."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,4)")).cast("double").alias("total_value"),
+    )
+    w = Window.orderBy("week")
+    return weekly.select(
+        "week",
+        "n_events",
+        "total_value",
+        F.lag("n_events").over(w).alias("prev_events"),
+        (
+            (F.col("n_events") - F.lag("n_events").over(w))
+            / F.lag("n_events").over(w).cast("double")
+        ).alias("wow_growth"),
+    )
+
+
+@register(
+    "events_hourly_seasonality",
+    f"""
+    SELECT CAST(extract(hour FROM {_TS}) AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / count(*) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile (24-row output): one
+    partial-aggregated shuffle; the average is the exact-DECIMAL-sum
+    davg shape (one final IEEE division)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.hour("ts").cast("long").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )

@@ -71,6 +71,8 @@ _DRIVER_PRIORITY = [
     "user_feature_matrix",
     "active_user_rollups",
     "pipeline_corpus_prep_full",
+    "events_wow_growth",
+    "events_hourly_seasonality",
     # -- freshest attestation is r1 (44 entries — refresh them all)
     "etl_flagship",
     "q1_pricing_summary",
