@@ -261,3 +261,40 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=SEMANTIC_THRESHOLD,
         n_clusters=16,
     )
+
+
+RP_DIMS = 8
+
+
+def _rp_sql(dims: int = RP_DIMS, dim: int = EMBEDDING_DIM) -> str:
+    """One SELECT per output dim unioned via UNNEST-free VALUES-less
+    form: each value is the same left-associative projection chain the
+    Spark fold performs."""
+    from .similarity import _hyperplane
+
+    parts = []
+    for k in range(dims):
+        plane = _hyperplane(k, dim)
+        chain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST({plane[i]} AS DOUBLE)"
+            for i in range(dim)
+        )
+        parts.append(
+            f"SELECT vec_id, {k} AS dim, ({chain}) AS value FROM embeddings"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "embedding_random_projection",
+    f"SELECT vec_id, CAST(dim AS INTEGER) AS dim, value FROM ({_rp_sql()})",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection to 8 dims (deterministic ±1 hyperplanes,
+    map-side folds, posexploded rows) — hash-checked per coordinate
+    against the oracle's identical left-associative chains."""
+    from .similarity import random_projection
+
+    return random_projection(
+        load_table(spark, sf_dir, "embeddings"), out_dims=RP_DIMS
+    ).withColumn("dim", F.col("dim").cast("int"))

@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "pipeline_corpus_prep_full",
     "events_wow_growth",
     "events_hourly_seasonality",
+    "embedding_random_projection",
     # -- freshest attestation is r1 (44 entries — refresh them all)
     "etl_flagship",
     "q1_pricing_summary",
