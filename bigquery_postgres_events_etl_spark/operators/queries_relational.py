@@ -505,3 +505,47 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
+
+
+@register(
+    "part_pairs_cooccurrence",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_orders_together
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders_together
+    FROM pairs
+    WHERE n_orders_together >= 2
+    ORDER BY n_orders_together DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def part_pairs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in >= 2
+    common orders, top-100 — the recommendation/affinity primitive.
+    Inverted-index shape (same as the shingle join): distinct
+    (order, part) -> self-join on the order key -> pair counts. Hot
+    orders are bounded by order size (7 lineitems in TPC-H), so the
+    per-key fan-out is constant — unlike hot shingles, no valve is
+    needed; at 100 TB the pair aggregation is the only scaling
+    shuffle and it carries co-occurring pairs only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .where(F.col("n_orders_together") >= 2)
+        .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
+        .limit(100)
+    )

@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     "events_wow_growth",
     "events_hourly_seasonality",
     "embedding_random_projection",
+    "part_pairs_cooccurrence",
     # -- freshest attestation is r1 (44 entries — refresh them all)
     "etl_flagship",
     "q1_pricing_summary",
