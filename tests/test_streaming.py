@@ -273,3 +273,28 @@ def test_stateful_user_profiles_tws_matches_legacy_api(spark, sf_dir, tmp_path):
     legacy = drain(streaming_user_profiles, "tws_legacy_out")
     tws = drain(streaming_user_profiles_tws, "tws_new_out")
     assert tws == legacy and len(tws) > 0
+
+
+def test_streaming_resume_processes_only_new_files(spark, sf_dir, tmp_path):
+    """ST1 with growth: after a drained run, adding a new source file
+    and re-running with the SAME checkpoint processes exactly the
+    delta (idempotent sink absorbs the duplicate rows the second file
+    shares with the first)."""
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "grow_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    target = str(tmp_path / "grow_target")
+    ckpt = str(tmp_path / "grow_ckpt")
+
+    r1 = run_streaming_etl(spark, str(src), target, ckpt)
+    n1 = r1["rows_in_target"]
+    assert n1 > 0
+
+    # second file: first half of the same events (all duplicates) plus
+    # nothing new -> target must not grow
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    pq.write_table(t.slice(0, t.num_rows // 2), src / "b.parquet")
+    r2 = run_streaming_etl(spark, str(src), target, ckpt)
+    assert r2["rows_in_target"] == n1  # dedup absorbed the replayed half
