@@ -89,7 +89,7 @@ def _ntz_to_session_tz(dt: T.DataType) -> T.DataType:
         return T.TimestampType()
     if isinstance(dt, T.StructType):
         fields = [
-            T.StructField(f.name, _ntz_to_session_tz(f.dataType), f.nullable)
+            T.StructField(f.name, _ntz_to_session_tz(f.dataType), f.nullable, f.metadata)
             for f in dt.fields
         ]
         if all(a.dataType is b.dataType for a, b in zip(fields, dt.fields)):

@@ -301,6 +301,11 @@ def token_rarity(docs: DataFrame, max_broadcast_terms: int = 1_000_000) -> DataF
     """
     tok = with_tokens(docs).select("doc_id", F.explode("tokens").alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: the gate's count job materializes df_ once and the
+    # returned plan reuses the cache (unpersisting here would drop it
+    # before the caller executes; eviction is left to Spark's LRU —
+    # the table is vocab-sized, the smallest thing in the job). The
+    # count also means building this plan eagerly runs one Spark job.
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).persist()
     n_terms = df_.count()
     df_side = F.broadcast(df_) if n_terms <= max_broadcast_terms else df_

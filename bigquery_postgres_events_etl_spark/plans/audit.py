@@ -136,6 +136,29 @@ def broadcast_hint_sites(package_root: str) -> list[tuple[str, str, int]]:
     return sites
 
 
+def unpartitioned_window_specs(df: DataFrame) -> list[str]:
+    """Window specs in the executed plan with NO partition columns.
+
+    An unpartitioned window funnels the whole input through one
+    reducer ("No Partition Defined for Window" at runtime) — fine for
+    a bounded exact tier, fatal at 100 TB. Detection is on the
+    ``windowspecdefinition(...)`` rendering: partition columns come
+    first, then order columns (`col ASC/DESC NULLS ...`), then the
+    frame — so a spec whose first argument is already an order spec or
+    the frame itself has no partitioning. Returns the offending spec
+    heads (deduped) for assertion messages."""
+    plan = executed_plan(df)
+    offenders: list[str] = []
+    for m in re.finditer(r"windowspecdefinition\(([^()]*?(?:specifiedwindowframe|$))", plan):
+        head = m.group(1)
+        first = head.split(",")[0].strip()
+        if first.startswith("specifiedwindowframe") or re.search(
+            r"\s(ASC|DESC)\s+NULLS", first
+        ):
+            offenders.append(first)
+    return sorted(set(offenders))
+
+
 def has_pushed_filter(df: DataFrame, column: str) -> bool:
     """True if any parquet scan received a pushed filter on ``column``."""
     return any(column in p for p in plan_summary(df)["pushed_filters"])

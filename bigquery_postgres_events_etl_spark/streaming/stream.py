@@ -50,7 +50,12 @@ def _ts_is_nanos_int64(source_dir: str) -> bool:
     TimestampType read). Footer-only — no data pages are touched.
 
     The stream source may be a whole fixture dir holding several
-    tables' files; only files that actually carry a ``ts`` field vote.
+    tables' files; only files that actually carry a ``ts`` field vote,
+    and ALL of them are scanned: a dir mixing both encodings (a writer
+    flip mid-stream, combined with checkpointed-resume appends) would
+    read one encoding's files under the other's explicit schema and
+    silently corrupt event times, so a mixed dir raises instead of
+    guessing.
     """
     import glob
 
@@ -62,6 +67,7 @@ def _ts_is_nanos_int64(source_dir: str) -> bool:
         if os.path.isfile(source_dir)
         else sorted(glob.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True))
     )
+    votes: set[bool] = set()
     for path in candidates:
         try:
             sch = pq.read_schema(path)
@@ -71,10 +77,17 @@ def _ts_is_nanos_int64(source_dir: str) -> bool:
             continue
         t = sch.field("ts").type
         if pa.types.is_timestamp(t):
-            return t.unit == "ns"
-        if pa.types.is_int64(t):
-            return True
-    return False  # no ts-bearing file found: default to modern layout
+            votes.add(t.unit == "ns")
+        elif pa.types.is_int64(t):
+            votes.add(True)
+    if len(votes) > 1:
+        raise ValueError(
+            f"mixed ts encodings under {source_dir!r}: some files carry "
+            "TIMESTAMP(NANOS)/int64 and others timestamp[us]; a single "
+            "explicit stream schema cannot read both — split the source "
+            "dir by encoding or rewrite to one layout"
+        )
+    return votes.pop() if votes else False  # no ts-bearing file: modern layout
 
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:

