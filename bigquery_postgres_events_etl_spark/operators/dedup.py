@@ -332,6 +332,104 @@ def minhash_lsh_incremental(
     )
 
 
+def entity_resolve(
+    left: DataFrame,
+    right: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    policy: str = "best",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-vs-corpus fuzzy entity resolution: link each RIGHT-corpus
+    document to its near-duplicate(s) in the LEFT corpus — the
+    cross-dump dedup shape (new crawl vs existing corpus) that the
+    batch-ingest operator (``minhash_lsh_incremental``) does not cover
+    because it has no verification or survivorship stage.
+
+    Three stages, all bucketed/blocked — never |A|×|B|:
+
+    1. **Block**: MinHash-LSH band join A×B. Cost ∝ true cross-corpus
+       near-dups (band buckets are tiny unless docs really collide) —
+       at 100 TB the left side's banded index is precomputed and stored
+       bucketed on (band_id, band_key), so per-dump runs only scan the
+       new corpus.
+    2. **Verify**: exact n-gram Jaccard, computed ONLY for candidate
+       docs — both shingle sides are semi-join-pruned to candidates
+       before the inverted-index join, so the exact-tier quadratic
+       blowup is confined to the (small) candidate set.
+    3. **Survivorship** (``policy``): ``"best"`` keeps one link per
+       right doc (max Jaccard, ties to the smallest left id — a
+       deterministic canonical assignment; the window is partitioned
+       by right_id, never global); ``"all"`` keeps every verified
+       link (the input to cluster-level resolution).
+
+    Output: (left_id, right_id, n_common, size_left, size_right,
+    jaccard ≥ ``threshold``).
+    """
+    if policy not in ("best", "all"):
+        raise ValueError(f"unknown survivor policy: {policy!r}")
+    sig_l = minhash_signatures(left, num_hashes, n, id_col)
+    sig_r = minhash_signatures(right, num_hashes, n, id_col)
+    bl = _bands(sig_l, num_hashes, bands).withColumnRenamed("doc_id", "left_id")
+    br = _bands(sig_r, num_hashes, bands).withColumnRenamed("doc_id", "right_id")
+    cand = (
+        bl.join(br, ["band_id", "band_key"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+    dsh_l = (
+        exploded_shingles(left, n, id_col, text_col)
+        .distinct()
+        .withColumnRenamed("doc_id", "left_id")
+    )
+    dsh_r = (
+        exploded_shingles(right, n, id_col, text_col)
+        .distinct()
+        .withColumnRenamed("doc_id", "right_id")
+    )
+    sz_l = dsh_l.groupBy("left_id").agg(F.count(F.lit(1)).alias("size_left"))
+    sz_r = dsh_r.groupBy("right_id").agg(F.count(F.lit(1)).alias("size_right"))
+    # exact verify confined to candidate docs: semi-join prune first
+    dsh_lc = dsh_l.join(cand.select("left_id").distinct(), "left_id", "semi")
+    dsh_rc = dsh_r.join(cand.select("right_id").distinct(), "right_id", "semi")
+    common = (
+        dsh_lc.join(dsh_rc, "shingle")
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        # the shingle join can surface (candidate-doc, candidate-doc)
+        # pairs that were never band-mates; those are NOT candidates
+        .join(cand, ["left_id", "right_id"])
+    )
+    verified = (
+        common.join(sz_l, "left_id")
+        .join(sz_r, "right_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_left") + F.col("size_right") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    if policy == "all":
+        return verified.select(
+            "left_id", "right_id", "n_common", "size_left", "size_right", "jaccard"
+        )
+    w = Window.partitionBy("right_id").orderBy(
+        F.desc("jaccard"), F.asc("left_id")
+    )
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "left_id", "right_id", "n_common", "size_left", "size_right", "jaccard"
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------

@@ -301,6 +301,62 @@ def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESOLVE_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_entity_resolve",
+    f"""
+    WITH {_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+      WHERE l.doc_id % 3 != 0 AND r.doc_id % 3 = 0
+    ),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    common AS (
+      SELECT c.left_id, c.right_id, count(*) AS n_common
+      FROM cand c
+      JOIN dsh a ON a.doc_id = c.left_id
+      JOIN dsh b ON b.doc_id = c.right_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT left_id, right_id, n_common,
+             sl.n AS size_left, sr.n AS size_right,
+             n_common / (sl.n + sr.n - n_common) AS jaccard
+      FROM common
+      JOIN sizes sl ON sl.doc_id = left_id
+      JOIN sizes sr ON sr.doc_id = right_id
+      WHERE n_common / (sl.n + sr.n - n_common) >= {RESOLVE_THRESHOLD}
+    )
+    SELECT left_id, right_id, n_common, size_left, size_right, jaccard
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY right_id ORDER BY jaccard DESC, left_id
+      ) AS rn FROM verified
+    ) WHERE rn = 1
+    """,
+)
+def dedup_entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus entity resolution: docs with id % 3 == 0 stand in
+    for a new crawl, the rest for the existing corpus; each new doc
+    resolves to its best verified near-duplicate (LSH block → exact
+    Jaccard verify → best-match survivorship)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import entity_resolve
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    crawl = docs.where(F.col("doc_id") % 3 == 0)
+    return entity_resolve(
+        corpus, crawl, NUM_HASHES, BANDS, threshold=RESOLVE_THRESHOLD, policy="best"
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 

@@ -154,7 +154,15 @@ def idempotent_append_parquet(
                     partition_by,
                     "left_semi",
                 )
-            batch = batch.join(existing.select(*keys), keys, "left_anti")
+            # name-based joins hoist the key columns to the front of
+            # the output — restore the declared order so every file in
+            # the target carries the SAME physical column order as the
+            # first load (mixed orders are value-correct under parquet's
+            # by-name reads but make the directory's inferred schema
+            # order depend on file listing order)
+            batch = batch.join(existing.select(*keys), keys, "left_anti").select(
+                *df.columns
+            )
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
                 raise

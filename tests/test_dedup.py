@@ -209,3 +209,44 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
     assert (2, 1) not in cont               # asymmetric: 2 is not in 1
     jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
     assert jac == []                        # jaccard blind to the quote
+
+
+def test_entity_resolve_recall_and_survivorship(spark, sf_dir):
+    """Cross-corpus resolution: (a) policy='all' must cover the
+    cross-split subset of the exact-Jaccard ground truth at J >= 0.8
+    (same LSH recall bound as the symmetric tier); (b) policy='best'
+    keeps exactly one link per right doc — the max-Jaccard one, ties
+    to the smallest left id."""
+    from bigquery_postgres_events_etl_spark.operators.dedup import entity_resolve
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    crawl = docs.where(F.col("doc_id") % 3 == 0)
+
+    # ground truth as (left_id, right_id): exact pairs straddling the
+    # split, oriented so the right side is the crawl (% 3 == 0)
+    truth_lr = set()
+    for r in ngram_jaccard_pairs(docs, threshold=0.8).collect():
+        a, b = r.doc_a, r.doc_b
+        if (a % 3 == 0) != (b % 3 == 0):
+            truth_lr.add((b, a) if a % 3 == 0 else (a, b))
+
+    all_links = {
+        (r.left_id, r.right_id)
+        for r in entity_resolve(corpus, crawl, threshold=0.5, policy="all").collect()
+    }
+    assert truth_lr, "fixture should contain cross-split near-duplicates"
+    recall = len(truth_lr & all_links) / len(truth_lr)
+    assert recall >= 0.9, f"recall {recall}, missed {truth_lr - all_links}"
+
+    rows = entity_resolve(corpus, crawl, threshold=0.5, policy="best").collect()
+    rights = [r.right_id for r in rows]
+    assert len(rights) == len(set(rights)), "policy='best' must be 1 row per right doc"
+    # best row per right_id is argmax(jaccard), tie -> min left_id
+    by_right = {}
+    for r in entity_resolve(corpus, crawl, threshold=0.5, policy="all").collect():
+        key = (-r.jaccard, r.left_id)
+        if r.right_id not in by_right or key < by_right[r.right_id]:
+            by_right[r.right_id] = key
+    want = {(key[1], rid) for rid, key in by_right.items()}
+    assert {(r.left_id, r.right_id) for r in rows} == want

@@ -110,3 +110,72 @@ def test_recovery_prefers_newest_orphan_and_cleans_losers(spark, sf_dir, tmp_pat
     assert {tuple(r) for r in spark.read.parquet(target).collect()} == expected
     parent = os.path.dirname(target)
     assert not [f for f in os.listdir(parent) if ".old." in f]  # losers gone
+
+
+def test_crashed_compaction_then_concurrent_append_and_recompaction(
+    spark, sf_dir, tmp_path
+):
+    """The composition the lock + orphan-recovery protocol promises:
+    a compaction that crashed inside its swap window (target renamed
+    away, rewrite tmp stranded), followed by an APPEND racing a fresh
+    COMPACTION. The append's missing-target path must restore the
+    orphan before reading history (else the anti-join replays a
+    double-insert), the two operations must serialize on TargetLock,
+    and the final contents must be exactly history ∪ new-batch."""
+    import os
+    import threading
+    import time as _time
+    import uuid
+
+    from bigquery_postgres_events_etl_spark.sources.sinks import TargetLock
+
+    target = str(tmp_path / "t")
+    batch = flagship_pipeline(load_table(spark, sf_dir, "events"))
+    b1 = batch.where(F.col("event_timestamp") % 3 == 0)
+    b2 = batch.where(F.col("event_timestamp") % 3 == 1)
+    b3 = batch.where(F.col("event_timestamp") % 3 == 2)
+    assert idempotent_append_parquet(spark, b1, target) > 0
+    assert idempotent_append_parquet(spark, b2, target) > 0
+    history = {tuple(r) for r in spark.read.parquet(target).collect()}
+
+    # crash-inject a compaction mid-swap: first rename done, second
+    # never ran, the rewrite tmp dir stranded alongside
+    os.rename(target, f"{target}.old.{_time.time_ns()}.{uuid.uuid4().hex[:8]}")
+    os.makedirs(f"{target}.compact.deadbeef")
+
+    # the racing append runs in a thread while the main thread holds
+    # the lock (standing in for an in-flight compaction): it must NOT
+    # complete until the lock is released
+    inserted: list[int] = []
+
+    def appender():
+        # b3 ∪ b1-again: the b1 half must dedup against the RECOVERED
+        # history — if recovery didn't run before the read, these rows
+        # double-insert
+        inserted.append(
+            idempotent_append_parquet(spark, b3.unionByName(b1), target)
+        )
+
+    with TargetLock(target):
+        t = threading.Thread(target=appender)
+        t.start()
+        _time.sleep(1.5)
+        assert not inserted, "append must serialize behind the held lock"
+    t.join(timeout=120)
+    assert not t.is_alive()
+
+    n_b3 = b3.count()
+    assert inserted == [n_b3], "recovered history must dedup the replayed b1"
+    after_append = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert after_append == history | {tuple(r) for r in b3.collect()}
+
+    # a fresh compaction over the recovered+appended target (stale
+    # .compact tmp still lying around) — contents unchanged, orphans gone
+    stats = compact_parquet(spark, target, target_file_bytes=1 << 30)
+    assert stats["rows"] == len(after_append)
+    final = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert final == after_append
+    parent = os.path.dirname(target)
+    assert not [
+        f for f in os.listdir(parent) if f.startswith("t.old.")
+    ], "no orphan snapshots may survive a successful locked cycle"
