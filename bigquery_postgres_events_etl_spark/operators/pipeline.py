@@ -374,3 +374,72 @@ def blocklist_filter(
         n_blocked.alias("n_blocked_terms"),
         (n_blocked == 0).alias("kept"),
     )
+
+
+CDC_DIVISOR = 16  # expected chunk length ≈ divisor tokens
+CDC_GRAM = 3
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    divisor: int = CDC_DIVISOR,
+    gram: int = CDC_GRAM,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking: cut a document AFTER token ``i``
+    whenever the hash of the ``gram``-token window ending at ``i``
+    is ≡ 0 mod ``divisor`` (the Rabin/rolling-hash boundary rule of
+    LBFS/rsync/FastCDC, on word tokens). Unlike fixed-width chunking
+    (``context_chunks``), an insertion near the top of a document
+    shifts only the chunk it lands in — every later boundary
+    re-synchronizes — so chunk-level dedup across crawl snapshots
+    keeps matching downstream chunks.
+
+    Entirely map-side (one projection, NO shuffle, no window): the
+    boundary positions are a higher-order ``filter`` over the token
+    index sequence, and each chunk is a ``slice`` between consecutive
+    boundaries. Expected chunk length is ``divisor`` tokens;
+    boundaries use the md5-60bit hash so the DuckDB oracle computes
+    bit-identical cut points. The last position is excluded from the
+    boundary rule (a cut there would create an empty trailing chunk).
+
+    Output: (doc_id, chunk_id, start_token, n_tokens, chunk_text).
+    """
+    df = with_tokens(docs)
+    gram_txt = ", ".join(f"element_at(tokens, CAST(i - {g} AS INT))" for g in range(gram - 1, -1, -1))
+    h60 = f"CAST(conv(substr(md5(concat_ws(' ', {gram_txt})), 1, 15), 16, 10) AS BIGINT)"
+    # guard: sequence(a, b) DESCENDS when b < a, so a doc shorter than
+    # the gram must produce an empty boundary list, not phantom cuts
+    bounds = (
+        f"concat(array(0L), "
+        f"CASE WHEN size(tokens) > {gram} "
+        f"THEN filter(sequence({gram}L, size(tokens) - 1L), i -> {h60} % {divisor} = 0) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END, "
+        f"array(CAST(size(tokens) AS BIGINT)))"
+    )
+    return (
+        df.where(F.size("tokens") >= 1)
+        .select(
+            F.col(id_col),
+            "tokens",
+            F.expr(bounds).alias("bounds"),
+        )
+        .select(
+            id_col,
+            "tokens",
+            "bounds",
+            F.explode(F.expr("sequence(1, size(bounds) - 1)")).alias("t"),
+        )
+        .select(
+            id_col,
+            (F.col("t") - 1).cast("bigint").alias("chunk_id"),
+            (F.expr("element_at(bounds, t)") + 1).cast("bigint").alias("start_token"),
+            (
+                F.expr("element_at(bounds, t + 1) - element_at(bounds, t)")
+            ).cast("bigint").alias("n_tokens"),
+            F.expr(
+                "concat_ws(' ', slice(tokens, CAST(element_at(bounds, t) + 1 AS INT),"
+                " CAST(element_at(bounds, t + 1) - element_at(bounds, t) AS INT)))"
+            ).alias("chunk_text"),
+        )
+    )

@@ -547,3 +547,41 @@ def pipeline_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pii").alias("total_pii_redacted"),
         )
     )
+
+
+@register(
+    "pipeline_cdc_chunks",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             list_concat(list_concat(
+               [CAST(0 AS BIGINT)],
+               CASE WHEN len(toks) > 3
+                    THEN list_filter(generate_series(3, len(toks) - 1),
+                         i -> ('0x' || substr(md5(toks[i-2] || ' ' || toks[i-1]
+                                  || ' ' || toks[i]), 1, 15))::BIGINT % 16 = 0)
+                    ELSE [] END),
+               [CAST(len(toks) AS BIGINT)]) AS bounds
+      FROM t WHERE len(toks) >= 1
+    ),
+    e AS (SELECT doc_id, toks, bounds,
+                 unnest(generate_series(1, len(bounds) - 1)) AS tt
+          FROM b)
+    SELECT doc_id,
+           CAST(tt - 1 AS BIGINT) AS chunk_id,
+           CAST(bounds[tt] + 1 AS BIGINT) AS start_token,
+           CAST(bounds[tt + 1] - bounds[tt] AS BIGINT) AS n_tokens,
+           array_to_string(toks[(bounds[tt] + 1):(bounds[tt + 1])], ' ')
+             AS chunk_text
+    FROM e
+    """,
+)
+def pipeline_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined (rolling-hash) chunking, divisor 16 / 3-gram
+    boundary rule — boundaries re-synchronize after edits, so
+    chunk-level dedup across crawl snapshots keeps matching. Map-side
+    only; the md5-60bit cut rule is bit-identical in the oracle."""
+    from .pipeline import cdc_chunks
+
+    return cdc_chunks(parallelize(load_table(spark, sf_dir, "documents")))

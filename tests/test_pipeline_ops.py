@@ -182,3 +182,69 @@ def test_corpus_prep_full_stage_effects(spark, sf_dir):
     }
     for s, r in out.items():
         assert r.n_docs <= pre.get(s, 0)
+
+
+def test_cdc_chunks_resynchronize_after_edit(spark):
+    """The CDC selling point vs fixed-width chunking: prepending
+    tokens to a document shifts only the chunks before the first
+    surviving boundary — every chunk after it is byte-identical, so
+    chunk-level dedup keeps matching downstream content."""
+    from bigquery_postgres_events_etl_spark.operators.pipeline import cdc_chunks
+
+    base = " ".join(f"w{i * 7919 % 1000}" for i in range(400))
+    edited = "NEW TOKENS INSERTED " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id BIGINT, text STRING"
+    )
+    chunks = cdc_chunks(docs).collect()
+    c1 = [r.chunk_text for r in sorted(
+        (r for r in chunks if r.doc_id == 1), key=lambda r: r.chunk_id)]
+    c2 = [r.chunk_text for r in sorted(
+        (r for r in chunks if r.doc_id == 2), key=lambda r: r.chunk_id)]
+    shared = set(c1) & set(c2)
+    # all of doc 1's chunks except (at most) its first must reappear
+    # identically in the edited doc
+    assert set(c1[1:]) <= shared
+    assert len(shared) >= len(c1) - 1 > 5
+
+
+def test_cdc_chunks_partition_and_cover(spark, sf_dir):
+    """Chunks tile each document exactly: concatenating a doc's
+    chunks in chunk_id order reproduces the document; token counts
+    sum to the doc's token count; no empty chunks; short docs (< gram)
+    come through as one whole-doc chunk."""
+    from bigquery_postgres_events_etl_spark.operators.pipeline import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents").limit(300).union(
+        spark.createDataFrame(
+            [(900001, "one"), (900002, "two tokens"), (900003, "a b c")],
+            "doc_id BIGINT, text STRING",
+        ).selectExpr(
+            "doc_id", "text", "CAST(NULL AS STRING) lang",
+            "CAST(NULL AS STRING) source", "CAST(length(text) AS BIGINT) n_chars"
+        )
+    )
+    out = cdc_chunks(docs)
+    assert out.where((F.col("n_tokens") <= 0)).count() == 0
+    rebuilt = (
+        out.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+                .getField("chunk_text")
+            ).alias("rebuilt"),
+            F.sum("n_tokens").alias("n_tok"),
+        )
+    )
+    joined = docs.select("doc_id", "text").join(rebuilt, "doc_id")
+    bad = joined.where(F.col("rebuilt") != F.col("text")).count()
+    assert bad == 0
+    mism = joined.join(
+        docs.selectExpr("doc_id", "size(split(text, ' ')) AS want"), "doc_id"
+    ).where(F.col("n_tok") != F.col("want")).count()
+    assert mism == 0
+    # the 3 planted short docs are single whole-doc chunks
+    short = out.where(F.col("doc_id") >= 900001).collect()
+    assert sorted((r.doc_id, r.chunk_id, r.chunk_text) for r in short) == [
+        (900001, 0, "one"), (900002, 0, "two tokens"), (900003, 0, "a b c")
+    ]

@@ -1,0 +1,183 @@
+"""Empirical sf0.1 → sf1 scale curve for the bucketed dedup /
+similarity tiers.
+
+SCALE.md's 100 TB claims were plan-asserted but measured at one scale
+point only; this tool adds the second point. It amplifies the driver's
+sf0.1 ``documents``/``embeddings`` fixtures 10× into
+``.scale_sf1/`` (local, gitignored, derived from driver data — never
+hand-synthesized distributions):
+
+- documents: 10 copies, ``doc_id`` offset per copy; copies k>0 get a
+  per-copy token suffix so the near-duplicate structure of the corpus
+  REPLICATES (10× the dup pairs) instead of every doc gaining 9 exact
+  twins (which would make every LSH bucket a 10-clique — an
+  adversarial corpus, not a scaled one).
+- embeddings: 10 copies, ``vec_id`` offset; copies k>0 get a
+  deterministic per-(copy, dim) perturbation so vector DIRECTIONS
+  differ across copies (a pure rescale would leave every hyperplane
+  sign identical and overfill the ANN buckets 10×).
+
+Then runs the bucketed tiers at both scales (min of 2 same-session
+runs, second run steady-state) and prints per-query
+{sf01_s, sf1_s, ratio, linear_x} — ``linear_x`` is ratio/10, the
+"how many times worse than perfectly linear" number SCALE.md quotes
+(LSH/banded tiers should hold ≲1.5).
+
+Usage: python tools/scale_curve.py  [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AMPLIFY = 10
+SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_sf1")
+SF01_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash",
+    "dedup_simhash_fast",
+    "text_tfidf_top_terms",
+    "similarity_ann_lsh",
+]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF01_DIR, "documents.parquet"))
+    n_docs = docs.count()
+    copies = []
+    for k in range(AMPLIFY):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs))
+        if k:
+            # token-wise suffix: shingles/tokens differ across copies,
+            # so each copy carries its own (replicated) dup structure
+            c = c.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "), lambda x: F.concat(x, F.lit(f"~{k}"))
+                    ),
+                    " ",
+                ),
+            )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(SF01_DIR, "embeddings.parquet"))
+    n_vec = emb.count()
+    copies = []
+    for k in range(AMPLIFY):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_vec))
+        if k:
+            # deterministic per-(copy, dim) direction perturbation
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, (v, i) -> "
+                    f"cast(v + 0.15 * sin(cast(i * {k} AS DOUBLE) + {k}) AS FLOAT))"
+                ),
+            )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+    from bigquery_postgres_events_etl_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
+    spark = get_spark(app_name="scale_curve")
+    if "--regen" in sys.argv or not os.path.isdir(
+        os.path.join(SF1_DIR, "documents.parquet")
+    ):
+        t0 = time.time()
+        build_sf1(spark)
+        print(f"# built {SF1_DIR} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    qs = all_queries()
+    sc = spark.sparkContext
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        fn = qs[name]
+        walls = {}
+        for label, d in (("sf01", SF01_DIR), ("sf1", SF1_DIR)):
+            best = float("inf")
+            for i in range(2):
+                sc.setJobGroup(f"{name}@{label}#r{i}", name)
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            walls[f"{label}_s"] = round(best, 2)
+        ratio = walls["sf1_s"] / walls["sf01_s"]
+        out[name] = {
+            **walls,
+            "ratio": round(ratio, 2),
+            "linear_x": round(ratio / AMPLIFY, 2),
+        }
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+    sc.setJobGroup("", "")
+
+    # steady-state (#r1) shuffle bytes per (query, scale) from the REST
+    # API — bytes scale with data even when wall clock is overhead-bound
+    # at these sizes, so the bytes RATIO is the honest slope signal
+    shuffle = _shuffle_mb(spark)
+    for name in QUERIES:
+        a = shuffle.get(f"{name}@sf01")
+        b = shuffle.get(f"{name}@sf1")
+        if a is not None and b is not None:
+            out[name]["sf01_shuffle_mb"] = a
+            out[name]["sf1_shuffle_mb"] = b
+            out[name]["shuffle_ratio"] = round(b / a, 2) if a else None
+    print(json.dumps(out))
+
+
+def _shuffle_mb(spark) -> dict[str, float]:
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+
+        def api(path: str):
+            with urllib.request.urlopen(f"{base}/api/v1/{path}", timeout=30) as r:
+                return json.loads(r.read())
+
+        stages = {s["stageId"]: s for s in api(f"applications/{app_id}/stages")}
+        out: dict[str, float] = {}
+        for job in api(f"applications/{app_id}/jobs"):
+            group = job.get("jobGroup") or ""
+            if not group.endswith("#r1"):
+                continue
+            key = group[: -len("#r1")]
+            mb = out.setdefault(key, 0.0)
+            for sid in job.get("stageIds", []):
+                s = stages.get(sid)
+                if s and s.get("status") != "SKIPPED":
+                    mb += s.get("shuffleWriteBytes", 0) / 1e6
+            out[key] = mb
+        return {k: round(v, 2) for k, v in out.items()}
+    except Exception:
+        return {}
+
+
+if __name__ == "__main__":
+    main()
