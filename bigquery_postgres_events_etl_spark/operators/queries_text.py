@@ -310,3 +310,36 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import token_rarity
 
     return token_rarity(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "text_bigram_coherence",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    big AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c_bigram FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c_bigram) AS c_prefix FROM c2 GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c2.c_bigram) AS BIGINT) AS sum_bigram,
+           CAST(SUM(c1.c_prefix) AS BIGINT) AS sum_prefix,
+           CAST(SUM(c2.c_bigram) AS DOUBLE) / SUM(c1.c_prefix) AS coherence
+    FROM big b
+    JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+    JOIN c1 ON b.w1 = c1.w1
+    GROUP BY 1
+    """,
+)
+def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram fluency signal: pooled conditional probability of
+    each document's word transitions under the corpus's own bigram
+    counts — integer sums, one final division (the coherence signal
+    token rarity cannot see: gibberish with common unigrams)."""
+    from .text import bigram_coherence
+
+    return bigram_coherence(parallelize(load_table(spark, sf_dir, "documents")))

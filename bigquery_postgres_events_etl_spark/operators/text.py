@@ -327,3 +327,66 @@ def token_rarity(docs: DataFrame, max_broadcast_terms: int = 1_000_000) -> DataF
         F.col("max_df").cast("long").alias("max_df"),
         (F.col("sum_df").cast("double") / F.col("n_tokens")).alias("mean_df"),
     )
+
+
+def bigram_coherence(docs: DataFrame) -> DataFrame:
+    """Fluency / coherence quality signal: how predictable each
+    document's word transitions are under the corpus's own bigram
+    statistics — the CCNet/perplexity idea restated in exact integer
+    arithmetic (a wmmodel-free stand-in: boilerplate and fluent prose
+    score high, shuffled or gibberish text scores low even when its
+    unigrams are common, which is exactly the case token rarity
+    cannot see).
+
+    Per document: pooled conditional probability
+    ``sum(c(w1,w2)) / sum(c(w1))`` over its bigram positions, where
+    ``c(w1,w2)`` is the corpus-wide occurrence count of the bigram and
+    ``c(w1)`` the corpus-wide count of ``w1`` as a bigram prefix.
+    Pooling sums BEFORE dividing keeps every aggregate an exact
+    integer — one final IEEE division, bit-identical across engines
+    (per-position ratios averaged in doubles would be
+    order-dependent).
+
+    Plan: bigram explode → corpus bigram counts (one vocab-sized
+    shuffle) → prefix counts derived from the bigram table (reuses the
+    same aggregate, no second pass over the data) → join back → per-doc
+    integer sums. No broadcast hint: the bigram vocabulary grows
+    ~linearly with corpus size (far past any broadcast limit at 100 TB)
+    — the joins shuffle on the bigram/prefix key, which IS the scale
+    path; AQE may still broadcast while small.
+    """
+    tok = with_tokens(docs)
+    big = (
+        tok.where(F.size("tokens") >= 2)
+        .select(
+            "doc_id",
+            "tokens",
+            F.explode(F.expr("sequence(1, size(tokens) - 1)")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr("element_at(tokens, CAST(i AS INT))").alias("w1"),
+            F.expr("element_at(tokens, CAST(i + 1 AS INT))").alias("w2"),
+        )
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bigram"))
+    c1 = c2.groupBy("w1").agg(F.sum("c_bigram").alias("c_prefix"))
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c_bigram").alias("sum_bigram"),
+            F.sum("c_prefix").alias("sum_prefix"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("sum_bigram").cast("long").alias("sum_bigram"),
+            F.col("sum_prefix").cast("long").alias("sum_prefix"),
+            (F.col("sum_bigram").cast("double") / F.col("sum_prefix")).alias(
+                "coherence"
+            ),
+        )
+    )

@@ -44,68 +44,22 @@ def register(name: str, oracle: str | None):
 # whose PLAN changed since their last green driver row, (b) new
 # entries, then (c) the entries with the OLDEST attestation, to the
 # front — so each round's CORRECTNESS file attests the staleness
-# frontier instead of re-checking the same 50. r4 front-load:
-# text_fingerprints (re-plumbed through the r3 exploded_shingles
-# restructure, landed at position 51 and missed the r3 sample — the
-# one stale-plan entry), then this round's 10 new entries, then the
-# 44 entries whose freshest green row is r1. 1+10+44 = 55 > 50: the
-# last five r1-group entries (asof_join_last_click onward) and the
-# r2-last fills sit past the sample — r5 must re-front whatever this
-# round's CORRECTNESS file does not cover.
+# frontier instead of re-checking the same 50.
+#
+# r5 front-load: the 3 new entries (entity resolve, CDC chunks,
+# bigram coherence), then the 14 entries whose freshest green row is
+# STILL r1 (the r4 sample covered positions 1–50 = text_fingerprints
+# + 19 new + 30 of the r1 group; distinct_segments onward missed it),
+# then the oldest 33 of the 43 r2-freshest entries. 3+14+33 = 50; the
+# remaining 10 r2 entries (unpivot_lineitem_metrics onward) roll to
+# the r6 front along with anything r5 changes. After this round no
+# entry's freshest attestation should be older than r2.
 _DRIVER_PRIORITY = [
-    # -- plan changed r3, unattested since (the r3 process bug)
-    "text_fingerprints",
-    # -- new / changed this round (attest first time)
-    "dedup_semantic_kmeans",
-    "text_pii_scan",
-    "text_token_rarity",
-    "rfm_segmentation",
-    "dedup_simhash_fast",
-    "dedup_ngram_containment",
-    "pipeline_blocklist_filter",
-    "pipeline_length_buckets",
-    "sliding_window_distinct_users",
-    "multimodal_image_resize",
-    "multimodal_audio_resample",
-    "stats_winsorize_lineitem",
-    "user_feature_matrix",
-    "active_user_rollups",
-    "pipeline_corpus_prep_full",
-    "events_wow_growth",
-    "events_hourly_seasonality",
-    "embedding_random_projection",
-    "part_pairs_cooccurrence",
-    # -- freshest attestation is r1 (44 entries — refresh them all)
-    "etl_flagship",
-    "q1_pricing_summary",
-    "dedup_exact",
-    "filter_valid_users",
-    "filter_tracked_events",
-    "filter_watermark",
-    "filter_date_range",
-    "param_extract_json",
-    "sort_topk_events",
-    "watermark_running_max",
-    "event_counts_by_type",
-    "csv_projection",
-    "scalar_date_functions",
-    "etl_struct_params",
-    "funnel_conversion",
-    "profile_columns",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "agg_global_stats",
-    "agg_rollup",
-    "agg_cube",
-    "pivot_priority_by_status",
-    "join_broadcast_dim",
-    "join_sort_merge_fact",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "set_union",
-    "set_intersect",
-    "set_except",
+    # -- new this round (attest first time)
+    "dedup_entity_resolve",
+    "pipeline_cdc_chunks",
+    "text_bigram_coherence",
+    # -- freshest attestation is r1 (14 entries — refresh them all)
     "distinct_segments",
     "string_functions",
     "case_when_bucketing",
@@ -120,11 +74,41 @@ _DRIVER_PRIORITY = [
     "tumbling_window_hourly",
     "sliding_window_counts",
     "dedup_minhash_signatures",
-    # -- r2-last high-traffic fills (complete the 50)
+    # -- freshest attestation is r2 (oldest 33 of 43; the other 10
+    #    roll to the r6 front)
     "sessionization",
     "similarity_topk_bruteforce",
     "similarity_near_pairs",
     "text_stats",
+    "text_token_frequencies",
+    "text_language_id",
+    "text_quality_score",
+    "multimodal_binary_stats",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "sql_scalar_subquery",
+    "sql_in_subquery",
+    "sql_correlated_exists",
+    "sql_not_exists",
+    "sql_grouping_sets",
+    "sql_having",
+    "sql_window_over_derived",
+    "math_functions",
+    "null_handling",
+    "agg_variance_from_sums",
+    "agg_correlation_from_sums",
+    "date_parts",
+    "string_functions_extended",
+    "percentile_exact",
+    "salted_aggregation",
+    "conditional_aggregates",
+    "string_aggregation",
+    "set_union_by_name",
+    "set_intersect_all",
+    "set_except_all",
+    "deterministic_sample",
+    "safe_casts",
+    "salted_join_aggregation",
 ]
 
 

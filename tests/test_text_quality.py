@@ -194,3 +194,27 @@ def test_blocklist_filter_planted_terms(spark):
     assert rows[0].kept and rows[0].n_blocked_terms == 0
     assert not rows[1].kept and rows[1].n_blocked_terms == 1
     assert rows[2].n_blocked_terms == 2  # distinct terms, duplicates ignored
+
+
+def test_bigram_coherence_separates_fluent_from_shuffled(spark):
+    """Docs whose transitions follow the corpus's dominant bigrams
+    must outscore a doc built from the SAME unigrams in scrambled
+    order — the signal unigram-based token rarity cannot produce."""
+    from bigquery_postgres_events_etl_spark.operators.text import bigram_coherence
+
+    sent = "the cat sat on the mat and the dog ran to the cat"
+    # 20 fluent docs repeating the same transitions, 1 scrambled doc
+    # with identical token multiset but novel transitions
+    words = sent.split()
+    scrambled = " ".join(
+        words[i] for i in [7, 0, 3, 10, 1, 12, 5, 2, 9, 4, 6, 11, 8]
+    )
+    rows = [(i, sent) for i in range(20)] + [(99, scrambled)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in bigram_coherence(docs).collect()}
+    assert out[0].coherence > out[99].coherence
+    # fluent copies all share one identical score
+    assert len({out[i].coherence for i in range(20)}) == 1
+    # sanity: integer components are exact and positive
+    assert out[99].n_bigrams == len(words) - 1
+    assert 0 < out[99].sum_bigram <= out[99].sum_prefix
