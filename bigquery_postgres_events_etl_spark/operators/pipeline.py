@@ -443,3 +443,35 @@ def cdc_chunks(
             ).alias("chunk_text"),
         )
     )
+
+
+SOURCE_CAP = 15
+
+
+def source_caps(
+    docs: DataFrame, cap: int = SOURCE_CAP, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-source document caps — the anti-domination step (C4 /
+    RefinedWeb style): no single domain may contribute more than
+    ``cap`` documents, and WHICH documents survive is chosen by
+    quality, not arrival order. Survivors are the top-``cap`` docs per
+    source by the shared quality score (ties to the smallest id, so
+    the kept set is deterministic and oracle-checkable).
+
+    One hash exchange on ``source``; the ranking window rides that
+    same partitioning (never global). At 100 TB a single hot domain is
+    exactly the skew case AQE splits — and because the window needs
+    only (id, source, quality), the ranked sliver is 3 narrow columns,
+    never the document text.
+    """
+    q = quality_score(docs).select(id_col, "quality")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    return (
+        docs.select(id_col, "source")
+        .join(q, id_col)
+        .withColumn("source_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("source_rank") <= cap)
+        .select(id_col, "source", "quality", "source_rank")
+    )

@@ -585,3 +585,36 @@ def pipeline_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import cdc_chunks
 
     return cdc_chunks(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "pipeline_source_caps",
+    f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    q AS (
+      SELECT doc_id, source,
+             least(len(toks) / 100.0, 1.0) * 0.4
+               + (len(list_distinct(toks)) / len(toks)) * 0.4
+               + (len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / len(toks)) * 0.2
+               AS quality
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+             ) AS BIGINT) AS source_rank
+      FROM q
+    )
+    SELECT doc_id, source, quality, source_rank FROM r WHERE source_rank <= 15
+    """,
+)
+def pipeline_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (C4/RefinedWeb anti-domination): keep
+    the top-15 docs per source by quality, deterministic tie-break —
+    one source-partitioned exchange, ranked sliver is 3 narrow
+    columns, never text."""
+    from .pipeline import source_caps
+
+    return source_caps(parallelize(load_table(spark, sf_dir, "documents")))

@@ -154,6 +154,32 @@ def streaming_session_counts(
     )
 
 
+def streaming_dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    lateness: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    ``dedup_exact`` / sink anti-join: drop repeats of the same event
+    key arriving within the watermark allowance
+    (``dropDuplicatesWithinWatermark``). State is bounded by the
+    lateness window — keys older than the watermark are evicted, so
+    state size is O(arrival rate × allowance) regardless of stream
+    age, unlike a plain ``dropDuplicates`` whose key state grows
+    forever. At-least-once upstream delivery (replayed micro-batches,
+    duplicated source files) therefore collapses to effective
+    exactly-once BEFORE the sink, making downstream aggregations
+    correct without per-sink anti-joins.
+
+    The reference has no streaming tier at all — its dedup is the
+    PostgreSQL ``ON CONFLICT DO NOTHING`` at insert time
+    (extract_bq.py:231-258); this keeps that guarantee while the data
+    is still in flight.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
+
+
 def run_streaming_etl(
     spark: SparkSession,
     source_dir: str,

