@@ -332,3 +332,52 @@ def write_jdbc_upsert(
         batch_size,
         dialect="postgres",
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str,
+    n_shards: int,
+    order_cols: list[str] | None = None,
+    max_records_per_file: int = 100_000,
+    compression: str = "zstd",
+) -> dict:
+    """Export a prepared corpus as training shards — the dataloader
+    layout (WebDataset-style): a fixed shard count, rows hash-routed
+    by ``shard_col`` so every epoch's shard membership is
+    deterministic, each shard internally ordered (sequence packing's
+    bin order → contiguous reads), and files capped at
+    ``max_records_per_file`` rows so a dataloader worker never maps an
+    unbounded file.
+
+    Spark mechanics, all declarative: one hash repartition to
+    ``n_shards`` (the only exchange), ``sortWithinPartitions`` (no
+    global sort — each shard orders independently), and the
+    ``maxRecordsPerFile`` writer option splits oversized shards
+    without a second shuffle. Zstd parquet is the right trade for
+    training reads (seekable, column-prunable, ~3× smaller than
+    snappy on text).
+
+    Returns {rows, files, shards} for the run (counted from the
+    committed output, not the plan).
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.repartition(n_shards, F.col(shard_col))
+        .sortWithinPartitions(*(order_cols or [shard_col]))
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", compression)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    out = spark.read.parquet(path)
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return {"rows": out.count(), "files": len(files), "shards": n_shards}

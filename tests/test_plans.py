@@ -382,3 +382,55 @@ def test_two_pass_rank_equals_native_window(spark):
     g = {r["id"]: r for r in got.collect()}
     x = {r["id"]: r for r in want.collect()}
     assert g == x
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
+    """Spark's runtime row-level filtering: a selective dim/fact side
+    spawns a bloom_filter_agg whose might_contain() pre-filters the
+    big side BEFORE the join shuffle — at 100 TB this drops most of
+    the fact exchange for selective joins. The injection is gated on
+    scan-size thresholds (application side ≥ 10 GB by default), so the
+    fixture-scale test lowers them to make the plan observable; at
+    production scale the defaults fire on their own. Asserts both the
+    plan shape and answer preservation."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.plans.audit import executed_plan
+
+    def build():
+        # fresh frame per regime: a DataFrame memoizes its
+        # QueryExecution, so plans must be constructed under the confs
+        # they are asserted against
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    want = build().collect()
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        joined = build()
+        plan = executed_plan(joined)
+        assert "bloom_filter_agg" in plan, "bloom creation missing from plan"
+        assert "might_contain" in plan, "bloom application missing from plan"
+        assert joined.collect() == want  # filter is semantics-preserving
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
