@@ -298,3 +298,62 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(
         load_table(spark, sf_dir, "embeddings"), out_dims=RP_DIMS
     ).withColumn("dim", F.col("dim").cast("int"))
+
+
+HYBRID_MAX_DF = 10
+
+
+@register(
+    "similarity_hybrid_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                         THEN list_transform(generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                         ELSE [] END) AS term
+      FROM toks
+    ),
+    dfc AS (SELECT term, count(*) AS df FROM sh GROUP BY term),
+    rare AS (SELECT term FROM dfc WHERE df <= {HYBRID_MAX_DF}),
+    rtok AS (SELECT s.doc_id, s.term FROM sh s JOIN rare r ON s.term = r.term),
+    cand AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             count(*) AS n_shared
+      FROM rtok q JOIN rtok c ON q.term = c.term AND q.doc_id != c.doc_id
+      WHERE q.doc_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    {_NORMS_CTE.strip().lstrip()},
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, cand.n_shared,
+             {_dot_sql('qe.embedding', 'ce.embedding')}
+               / sqrt(nq.nsq * nc.nsq) AS cosine
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+      JOIN norms nq ON nq.vec_id = cand.query_id
+      JOIN norms nc ON nc.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id,
+           CAST(n_shared AS BIGINT) AS n_shared_rare_terms,
+           cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval: rare-shingle inverted-index
+    candidates (df-capped posting lists — the hot-key valve) re-ranked
+    by exact embedding cosine; the sparse-recall/dense-precision
+    composition every production retrieval stack runs."""
+    from .similarity import hybrid_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_topk(docs, emb, k=TOP_K, n_queries=N_QUERIES, max_df=HYBRID_MAX_DF)

@@ -304,3 +304,80 @@ def stats_winsorize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+ROBUST_Z_K = 3.5
+MAD_CONSISTENCY = 1.4826  # Gaussian consistency constant
+
+
+@register(
+    "stats_robust_zscore",
+    f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, x.mad,
+           (d.value - d.med) / ({MAD_CONSISTENCY} * x.mad) AS robust_z
+    FROM dev d JOIN mad x ON x.event_type = d.event_type
+    WHERE x.mad > 0
+      AND abs(d.value - d.med) > {ROBUST_Z_K} * ({MAD_CONSISTENCY} * x.mad)
+    """,
+)
+def stats_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier detection (|robust z| > 3.5) — the
+    breakdown-resistant twin of anomaly_zscore_events: a single wild
+    value shifts mean and σ (masking itself), but moves the median and
+    MAD not at all, so contaminated groups still flag correctly.
+
+    Two exact interpolated percentiles per group (median, then median
+    absolute deviation), each a |groups|-row scalar table joined back
+    (AQE broadcasts unhinted — constant group cardinality); the flag
+    itself is a map-side predicate over the fact scan. Zero-MAD groups
+    (>50% identical values) are excluded on both engines — the robust
+    score is undefined there.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(med, "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .where(
+            (F.col("mad") > 0)
+            & (
+                F.abs(F.col("value") - F.col("med"))
+                > ROBUST_Z_K * (MAD_CONSISTENCY * F.col("mad"))
+            )
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            (
+                (F.col("value") - F.col("med"))
+                / (MAD_CONSISTENCY * F.col("mad"))
+            ).alias("robust_z"),
+        )
+    )

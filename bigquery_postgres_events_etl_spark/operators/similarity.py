@@ -555,3 +555,89 @@ def random_projection(
     return df.select(
         F.col(id_col), F.posexplode(F.array(*projections)).alias("dim", "value")
     )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    max_df: int = 10,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: rare-PHRASE lexical candidate generation +
+    exact dense-cosine re-rank — the classic sparse→dense two-stage
+    search (BM25-recall / embedding-precision), with the lexical stage
+    expressed as a bucketed inverted-index join on word 3-grams.
+
+    Stage 1 (lexical recall): a candidate is any corpus doc sharing at
+    least one rare shingle (document frequency ≤ ``max_df``) with the
+    query doc. Shingles, not unigrams: phrase overlap is the stronger
+    relevance signal AND the shingle space is sparse where a unigram
+    vocabulary may not be (this corpus has 31 distinct words, every
+    one common — rare unigrams simply don't exist; rare phrases do).
+    The df cap is the hot-key valve — posting lists stay ≤ ``max_df``
+    long, so join cost is Σ df² over rare shingles only, independent
+    of |corpus|².
+
+    Stage 2 (semantic precision): candidates re-rank by exact cosine
+    between the paired embeddings (inner join on id — docs without
+    vectors drop out on both engines identically). The two stages
+    compose shuffles on different keys (shingle, then id); no
+    broadcast hints — every side scales with the corpus.
+
+    Output: (query_id, neighbor_id, n_shared_rare_terms, cosine,
+    rank ≤ k), ranked per query by cosine with a deterministic
+    tie-break.
+    """
+    from .dedup import exploded_shingles
+
+    tok = exploded_shingles(docs, n=3, id_col=id_col).distinct().withColumnRenamed(
+        "shingle", "term"
+    )
+    dfc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    rare = dfc.where(F.col("df") <= max_df).select("term")
+    rtok = tok.join(rare, "term")
+    qtok = rtok.where(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    ctok = rtok.select(F.col("doc_id").alias("neighbor_id"), "term")
+    cand = (
+        qtok.join(ctok, "term")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_rare_terms"))
+    )
+
+    v = with_norm_sq(emb, emb_col)
+    qv = v.select(
+        F.col(vec_id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    cv = v.select(
+        F.col(vec_id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.col("norm_sq").alias("c_norm"),
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine", cosine(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("n_shared_rare_terms").cast("bigint").alias("n_shared_rare_terms"),
+            "cosine",
+            "rank",
+        )
+    )

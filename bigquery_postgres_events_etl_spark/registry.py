@@ -46,19 +46,23 @@ def register(name: str, oracle: str | None):
 # front — so each round's CORRECTNESS file attests the staleness
 # frontier instead of re-checking the same 50.
 #
-# r5 front-load: the 3 new entries (entity resolve, CDC chunks,
-# bigram coherence), then the 14 entries whose freshest green row is
-# STILL r1 (the r4 sample covered positions 1–50 = text_fingerprints
-# + 19 new + 30 of the r1 group; distinct_segments onward missed it),
-# then the oldest 33 of the 43 r2-freshest entries. 3+14+33 = 50; the
-# remaining 10 r2 entries (unpivot_lineitem_metrics onward) roll to
-# the r6 front along with anything r5 changes. After this round no
-# entry's freshest attestation should be older than r2.
+# r5 front-load: the 6 new entries (entity resolve, CDC chunks,
+# bigram coherence, source caps, hybrid retrieval, robust z-score),
+# then the 14 entries whose freshest green row is STILL r1 (the r4
+# sample covered positions 1–50 = text_fingerprints + 19 new + 30 of
+# the r1 group; distinct_segments onward missed it), then the oldest
+# 30 of the 43 r2-freshest entries. 6+14+30 = 50; the remaining 13 r2
+# entries (deterministic_sample onward) roll to the r6 front along
+# with anything r6 changes. After this round no entry's freshest
+# attestation should be older than r2.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
     "dedup_entity_resolve",
     "pipeline_cdc_chunks",
     "text_bigram_coherence",
+    "pipeline_source_caps",
+    "similarity_hybrid_topk",
+    "stats_robust_zscore",
     # -- freshest attestation is r1 (14 entries — refresh them all)
     "distinct_segments",
     "string_functions",
@@ -106,9 +110,6 @@ _DRIVER_PRIORITY = [
     "set_union_by_name",
     "set_intersect_all",
     "set_except_all",
-    "deterministic_sample",
-    "safe_casts",
-    "salted_join_aggregation",
 ]
 
 
