@@ -618,3 +618,63 @@ def pipeline_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import source_caps
 
     return source_caps(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "dedup_cdc_chunk_spans",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             list_concat(list_concat(
+               [CAST(0 AS BIGINT)],
+               CASE WHEN len(toks) > 3
+                    THEN list_filter(generate_series(3, len(toks) - 1),
+                         i -> ('0x' || substr(md5(toks[i-2] || ' ' || toks[i-1]
+                                  || ' ' || toks[i]), 1, 15))::BIGINT % 16 = 0)
+                    ELSE [] END),
+               [CAST(len(toks) AS BIGINT)]) AS bounds
+      FROM t WHERE len(toks) >= 1
+    ),
+    e AS (SELECT doc_id, toks, bounds,
+                 unnest(generate_series(1, len(bounds) - 1)) AS tt
+          FROM b),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(toks[(bounds[tt] + 1):(bounds[tt + 1])], ' ')
+               AS chunk_text
+      FROM e
+    )
+    SELECT md5(chunk_text) AS chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM chunks
+    GROUP BY md5(chunk_text)
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_cdc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at CDC-chunk granularity — the composition
+    content-defined chunking exists for: because boundaries
+    re-synchronize after edits, a paragraph shared by two documents
+    lands in byte-identical chunks even when its offsets differ, so a
+    plain hash-agg over chunk text finds cross-document repeated spans
+    (memorization-removal inventory) without any pairwise comparison.
+    One map-side chunk explode + one hash-agg shuffle on the digest —
+    at 100 TB the group key is the 128-bit hash, never chunk text."""
+    from pyspark.sql import functions as F
+
+    from .pipeline import cdc_chunks
+
+    chunks = cdc_chunks(parallelize(load_table(spark, sf_dir, "documents")))
+    return (
+        chunks.select("doc_id", F.md5("chunk_text").alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

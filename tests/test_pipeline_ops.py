@@ -248,3 +248,46 @@ def test_cdc_chunks_partition_and_cover(spark, sf_dir):
     assert sorted((r.doc_id, r.chunk_id, r.chunk_text) for r in short) == [
         (900001, 0, "one"), (900002, 0, "two tokens"), (900003, 0, "a b c")
     ]
+
+
+def test_cdc_chunks_tile_arbitrary_docs_hypothesis(spark):
+    """Property: for ANY token sequence, CDC chunks tile the document
+    exactly (rebuild == original, token counts sum, chunk ids dense
+    from 0, no empty chunk). Randomized docs catch boundary cases the
+    fixture can't (all-identical tokens → every gram equal, single
+    token, gram-length docs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigquery_postgres_events_etl_spark.operators.pipeline import cdc_chunks
+
+    token = st.text(alphabet="abc", min_size=1, max_size=3)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(st.lists(token, min_size=1, max_size=60), min_size=1, max_size=6))
+    def run(docs_tokens):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+        docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        out = cdc_chunks(docs).collect()
+        by_doc = {}
+        for r in out:
+            assert r.n_tokens >= 1
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert set(by_doc) == set(range(len(rows)))
+        for i, toks in enumerate(docs_tokens):
+            chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+            assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+            assert " ".join(c.chunk_text for c in chunks) == " ".join(toks)
+            assert sum(c.n_tokens for c in chunks) == len(toks)
+            # start offsets are the running token count
+            starts = [c.start_token for c in chunks]
+            want = [1]
+            for c in chunks[:-1]:
+                want.append(want[-1] + c.n_tokens)
+            assert starts == want
+
+    run()
