@@ -475,3 +475,58 @@ def source_caps(
         .where(F.col("source_rank") <= cap)
         .select(id_col, "source", "quality", "source_rank")
     )
+
+
+IMPORTANCE_TARGET_SOURCES = ("src0", "src1")
+
+
+def importance_weight(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = IMPORTANCE_TARGET_SOURCES,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-selection importance weights (the DSIR idea — Xie et al.
+    2023, public paper — in rational arithmetic): score each raw
+    document by how much its n-gram mass looks like a curated TARGET
+    distribution vs the raw corpus.
+
+    DSIR proper uses a log-likelihood ratio of hashed n-gram models;
+    logs are not correctly-rounded-guaranteed across engines, so this
+    computes the pooled-count ratio instead — per document,
+    ``Σ_g c_target(g) / Σ_g c_corpus(g)`` over its shingle
+    occurrences: exact integer sums, ONE final IEEE division, same
+    ranking intuition (target-like docs score high, out-of-
+    distribution docs low).
+
+    Plan: shingle explode → ONE gram-count aggregation carrying both
+    counters (corpus count + conditional target count — no second
+    pass over the data) → join back → per-doc integer sums. No
+    broadcast hint: the gram vocabulary scales with the corpus.
+    """
+    sh = exploded_shingles(docs, n, id_col)
+    src = docs.select(F.col(id_col).alias("doc_id"), "source")
+    sh_src = sh.join(src, "doc_id")
+    is_target = F.col("source").isin(*target_sources)
+    counts = sh_src.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("c_corpus"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("c_target"),
+    )
+    return (
+        sh.join(counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("c_target").alias("sum_target"),
+            F.sum("c_corpus").alias("sum_corpus"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("sum_target").cast("long").alias("sum_target"),
+            F.col("sum_corpus").cast("long").alias("sum_corpus"),
+            (F.col("sum_target").cast("double") / F.col("sum_corpus")).alias(
+                "importance"
+            ),
+        )
+    )

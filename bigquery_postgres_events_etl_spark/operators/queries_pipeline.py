@@ -678,3 +678,41 @@ def dedup_cdc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "pipeline_importance_weight",
+    """
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(t) >= 3
+                         THEN list_transform(generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                         ELSE [] END) AS shingle
+      FROM toks
+    ),
+    counts AS (
+      SELECT shingle,
+             count(*) AS c_corpus,
+             SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END)
+               AS c_target
+      FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(c.c_target) AS BIGINT) AS sum_target,
+           CAST(SUM(c.c_corpus) AS BIGINT) AS sum_corpus,
+           CAST(SUM(c.c_target) AS DOUBLE) / SUM(c.c_corpus) AS importance
+    FROM sh s JOIN counts c ON c.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def pipeline_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection weights: pooled target/corpus n-gram
+    count ratio per document (src0+src1 stand in for the curated
+    target distribution) — integer sums, one final division."""
+    from .pipeline import importance_weight
+
+    return importance_weight(parallelize(load_table(spark, sf_dir, "documents")))

@@ -291,3 +291,34 @@ def test_cdc_chunks_tile_arbitrary_docs_hypothesis(spark):
             assert starts == want
 
     run()
+
+
+def test_importance_weight_favors_target_distribution(spark, sf_dir):
+    """Docs FROM the target sources must average higher importance
+    than the rest (their grams are target grams by construction), and
+    a doc with no gram overlap with the target scores exactly 0."""
+    from bigquery_postgres_events_etl_spark.operators.pipeline import (
+        importance_weight,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = importance_weight(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    rows = out.collect()
+    t = [r.importance for r in rows if r.source in ("src0", "src1")]
+    o = [r.importance for r in rows if r.source not in ("src0", "src1")]
+    assert t and o
+    assert sum(t) / len(t) > sum(o) / len(o)
+    assert all(0.0 <= r.importance <= 1.0 for r in rows)
+
+    # planted out-of-distribution doc: zero target overlap → 0.0
+    extra = docs.unionByName(
+        spark.createDataFrame(
+            [(990001, "zz1 zz2 zz3 zz4 zz5 zz6", "srcX", 23)],
+            "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT",
+        ).selectExpr("doc_id", "text", "CAST(NULL AS STRING) lang", "source", "n_chars")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    ood = {r.doc_id: r.importance for r in importance_weight(extra).collect()}
+    assert ood[990001] == 0.0

@@ -46,6 +46,11 @@ QUERIES = [
     "dedup_simhash_fast",
     "text_tfidf_top_terms",
     "similarity_ann_lsh",
+    # round-5 additions: blocked+verified cross-corpus resolution,
+    # map-side CDC + span dedup, hybrid sparse→dense retrieval
+    "dedup_entity_resolve",
+    "dedup_cdc_chunk_spans",
+    "similarity_hybrid_topk",
 ]
 
 
