@@ -93,3 +93,45 @@ def test_flagship_watermark_excludes_late_rows(spark, sf_dir):
     out = flagship_pipeline(events, watermark_us=wm)
     assert out.where(F.col("event_timestamp") <= wm).count() == 0
     assert out.count() > 0
+
+
+def test_flagship_source_format_agnostic(spark, sf_dir, tmp_path):
+    """The ETL core must not care what container the events arrive in:
+    CSV (header + explicit schema), JSON lines, and ORC copies of the
+    events table all produce the identical flagship result as the
+    parquet path — the Spark-native version of the reference's
+    'source is whatever BigQuery returns'. Timestamps round-trip as
+    µs-epoch integers in the text formats (CSV/JSON have no native
+    timestamp) and natively in ORC."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.etl import flagship_pipeline
+
+    events = load_table(spark, sf_dir, "events")
+    want = {tuple(r) for r in flagship_pipeline(events).collect()}
+    assert want
+
+    as_int = events.withColumn("ts", F.unix_micros("ts"))
+    schema = as_int.schema
+
+    csv_dir = str(tmp_path / "ev_csv")
+    as_int.write.option("header", True).mode("overwrite").csv(csv_dir)
+    from_csv = (
+        spark.read.schema(schema).option("header", True).csv(csv_dir)
+        .withColumn("ts", F.timestamp_micros("ts"))
+    )
+    assert {tuple(r) for r in flagship_pipeline(from_csv).collect()} == want
+
+    json_dir = str(tmp_path / "ev_json")
+    as_int.write.mode("overwrite").json(json_dir)
+    from_json = (
+        spark.read.schema(schema).json(json_dir)
+        .withColumn("ts", F.timestamp_micros("ts"))
+    )
+    assert {tuple(r) for r in flagship_pipeline(from_json).collect()} == want
+
+    orc_dir = str(tmp_path / "ev_orc")
+    events.write.mode("overwrite").orc(orc_dir)
+    from_orc = spark.read.orc(orc_dir)
+    assert {tuple(r) for r in flagship_pipeline(from_orc).collect()} == want
