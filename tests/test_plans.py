@@ -434,3 +434,92 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_lake_dim_join(spark, sf_dir, tmp_path):
+    """Joining a date-partitioned lake against a filtered dim must
+    inject a DynamicPruning subquery — whole partition directories are
+    skipped at the file listing using the dim's runtime values (the
+    join-driven sibling of the static partition-filter test; at 100 TB
+    this is what keeps a 3-day dim join from listing 5 years of
+    partitions)."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.plans.audit import executed_plan
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    lake = str(tmp_path / "lake")
+    events.write.partitionBy("event_date").parquet(lake)
+
+    dim = (
+        events.select("event_date").distinct()
+        .where(F.col("event_date") <= "2024-01-03")
+    )
+    fact = spark.read.parquet(lake)
+    joined = fact.join(dim, "event_date").groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert "dynamicpruning" in executed_plan(joined).lower()
+    want = (
+        events.where(F.col("event_date") <= "2024-01-03")
+        .groupBy("event_date").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling, demonstrated: a 90%-hot join key must
+    plan as SortMergeJoin(skew=true) — the hot partition is split
+    across tasks instead of serializing one straggler (SCALE.md's
+    skew story, previously asserted only by configuration). Thresholds
+    are lowered to make fixture-scale skew visible; the annotation
+    only exists on the EXECUTED final adaptive plan, so the assert
+    runs post-collect."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        n = 200_000
+        a = (
+            spark.range(n)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 100 < 90, F.lit(0)).otherwise(
+                    F.col("id") % 1000
+                ),
+            )
+            .withColumn("pay", F.concat(F.lit("x" * 50), F.col("id").cast("string")))
+        )
+        b = (
+            spark.range(1000)
+            .withColumn("k", F.col("id") % 1000)
+            .select("k", F.col("id").alias("bid"))
+            .distinct()
+        )
+        joined = a.join(b, "k")
+        rows = joined.count()
+        got = joined.collect()
+        assert len(got) == rows == n  # every left row matches exactly once
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
