@@ -381,3 +381,78 @@ def stats_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+@register(
+    "events_burst_detection",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(n_events, 0.5) AS med
+      FROM hourly GROUP BY event_type
+    ),
+    dev AS (
+      SELECT h.event_type, h.hour_ts, h.n_events, m.med,
+             abs(h.n_events - m.med) AS adev
+      FROM hourly h JOIN med m ON m.event_type = h.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.hour_ts, d.n_events, d.med, x.mad,
+           (d.n_events - d.med) / ({MAD_CONSISTENCY} * x.mad) AS robust_z
+    FROM dev d JOIN mad x ON x.event_type = d.event_type
+    WHERE x.mad > 0
+      AND abs(d.n_events - d.med) > {ROBUST_Z_K} * ({MAD_CONSISTENCY} * x.mad)
+    """,
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-burst detection: robust z over per-(type, hour) event
+    counts — the median/MAD machinery composed onto a time series, so
+    a genuine burst cannot mask itself by inflating the mean. The
+    hourly rollup is one partial-aggregated shuffle; the two
+    percentile tables are |types|-sized scalars joined back (AQE
+    broadcasts); the flag is map-side."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("n_events", F.lit(0.5)).alias("med")
+    )
+    dev = hourly.join(med, "event_type").select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        "med",
+        F.abs(F.col("n_events") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .where(
+            (F.col("mad") > 0)
+            & (
+                F.abs(F.col("n_events") - F.col("med"))
+                > ROBUST_Z_K * (MAD_CONSISTENCY * F.col("mad"))
+            )
+        )
+        .select(
+            "event_type",
+            "hour_ts",
+            "n_events",
+            "med",
+            "mad",
+            (
+                (F.col("n_events") - F.col("med"))
+                / (MAD_CONSISTENCY * F.col("mad"))
+            ).alias("robust_z"),
+        )
+    )

@@ -523,3 +523,14 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_entity_resolve_verify_stage_is_candidate_pruned(spark, sf_dir):
+    """The exact-Jaccard verify stage must semi-join-prune BOTH
+    shingle sides to candidate docs before the inverted-index join —
+    without the prune the verify stage degenerates to the full A×B
+    exact tier and the LSH blocking bought nothing."""
+    from bigquery_postgres_events_etl_spark.plans.audit import executed_plan
+
+    plan = executed_plan(all_queries()["dedup_entity_resolve"](spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2, "semi-join pruning missing from verify stage"
