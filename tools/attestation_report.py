@@ -1,0 +1,95 @@
+"""Attestation freshness report — the rotation bookkeeping tool.
+
+The driver's correctness gate samples the first 50 registry entries
+per round; `_DRIVER_PRIORITY` (registry.py) must re-front the
+staleness frontier each round or entries quietly age (the r3
+`text_fingerprints` gap, the r4 'comment arithmetic is stale' ADVICE).
+This tool computes the frontier FROM the recorded CORRECTNESS files
+instead of hand-maintained comments:
+
+  python tools/attestation_report.py            # summary + next-50 plan
+  python tools/attestation_report.py --check    # exit 1 if any entry's
+                                                # freshest green row is
+                                                # older than (newest
+                                                # round - 3)
+
+Output: per-round counts, never-attested entries, and the suggested
+next-round 50-prefix (never-attested first, then oldest attestation,
+ties in current registry order).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_attestations(repo_root: str) -> tuple[dict[str, int], int]:
+    """{entry: freshest green round}, newest round seen. A row counts
+    as green if it hash-matched, or was a rows-only check that ran
+    without error (err == 'no_oracle')."""
+    freshest: dict[str, int] = {}
+    newest = 0
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        newest = max(newest, rnd)
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        for name, row in data.items():
+            ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
+            if ok:
+                freshest[name] = max(freshest.get(name, 0), rnd)
+    return freshest, newest
+
+
+def main() -> None:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    names = list(all_queries().keys())
+    freshest, newest = load_attestations(repo_root)
+
+    by_round: dict[int, list[str]] = {}
+    for n in names:
+        by_round.setdefault(freshest.get(n, 0), []).append(n)
+
+    print(f"registry entries: {len(names)}; newest CORRECTNESS round: r{newest}")
+    for rnd in sorted(by_round):
+        label = "NEVER" if rnd == 0 else f"r{rnd}"
+        print(f"  freshest {label}: {len(by_round[rnd])}")
+    if by_round.get(0):
+        print(f"  never-attested: {by_round[0]}")
+
+    # suggested next 50: never-attested first, then oldest rounds
+    plan = [n for rnd in sorted(by_round) for n in by_round[rnd]][:50]
+    print("\nsuggested next-round 50-prefix (oldest-first):")
+    for n in plan:
+        rnd = freshest.get(n, 0)
+        print(f"  {n}  (freshest: {'never' if rnd == 0 else f'r{rnd}'})")
+
+    if "--check" in sys.argv:
+        stale_cut = newest - 3
+        stale = [
+            n for n in names if 0 < freshest.get(n, 0) <= stale_cut
+        ]
+        if stale:
+            print(
+                f"\nSTALE (> 3 rounds old, <= r{stale_cut}): {stale}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        print("\nno entry staler than 3 rounds — OK")
+
+
+if __name__ == "__main__":
+    main()
