@@ -51,3 +51,26 @@ def test_merge_schema_additive_evolution(spark, sf_dir, tmp_path):
     # old rows read as NULL for the new column; new rows carry it
     assert merged.where(F.col("ingest_tag").isNull()).count() == n1
     assert merged.where(F.col("ingest_tag") == "r2").count() == 10
+
+
+def test_registry_queries_repair_foreign_session_timezone(spark, sf_dir):
+    """The driver builds its own SparkSession and may carry the host's
+    timezone; every ts-sensitive query must produce UTC-correct
+    results anyway because io._pin_session re-pins the session at
+    load time. Drive two event-time queries with the session zone
+    deliberately broken and compare against the UTC answer."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    names = ["filter_date_range", "tumbling_window_hourly"]
+    want = {n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names}
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for n in names:
+            got = sorted(map(tuple, qs[n](spark, sf_dir).collect()))
+            assert got == want[n], f"{n} drifted under a foreign session zone"
+        # and the pin actually repaired the session
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
