@@ -365,3 +365,86 @@ def sliding_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return e.groupBy(
         F.window("ts", "1 hour", "30 minutes").start.alias("window_start")
     ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "asof_join_next_purchase",
+    f"""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us,
+           p.event_id AS purchase_id,
+           p.purchase_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN LATERAL (
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_ts_us
+      FROM events p
+      WHERE p.event_type = 'purchase'
+        AND p.user_id = c.user_id
+        AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        AND CAST(p.ts AS TIMESTAMP)
+              <= CAST(c.ts AS TIMESTAMP) + INTERVAL 7 DAY
+      ORDER BY CAST(p.ts AS TIMESTAMP), event_id
+      LIMIT 1
+    ) p ON TRUE
+    """,
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance — the attribution shape: each
+    click matched to the user's NEXT purchase at-or-after it, but only
+    within a 7-day window (merge_asof direction='forward' +
+    tolerance, the two knobs the backward operator lacks).
+
+    Same single-shuffle union+window composition as the backward
+    variant, mirrored: the frame looks FORWARD
+    (currentRow → unboundedFollowing) and ``first(..., ignorenulls)``
+    grabs the earliest purchase; at equal instants clicks sort before
+    purchases (null ids first) so a same-timestamp purchase is
+    inside its click's frame, and among same-instant purchases the
+    smallest event_id wins — matching the oracle's LATERAL
+    ``ORDER BY ts, event_id LIMIT 1`` exactly. The tolerance is a
+    map-side null-out AFTER the match (a match past 7 days means no
+    earlier one existed, so nulling it is precisely merge_asof's
+    semantics). The oracle is an independent formulation (correlated
+    LATERAL top-1), not a transliteration of the window trick.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("purchase_id").asc_nulls_first())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = (
+        unioned.withColumn(
+            "next_purchase_id", F.first("purchase_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "next_purchase_ts",
+            F.first(
+                F.when(F.col("purchase_id").isNotNull(), F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .where(F.col("click_id").isNotNull())
+    )
+    in_window = F.col("next_purchase_ts") <= F.col("ts") + F.expr("INTERVAL 7 DAYS")
+    return matched.select(
+        "click_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.when(in_window, F.col("next_purchase_id")).alias("purchase_id"),
+        F.when(in_window, F.unix_micros("next_purchase_ts")).alias("purchase_ts_us"),
+    )
