@@ -325,6 +325,18 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "text_tfidf_top_terms": 12,
     "text_token_rarity": 9,
     "similarity_ann_lsh": 1,
+    # round-5 operators (same static-occurrence caveat: repeated
+    # subtrees count per occurrence, dedup to ReusedExchange at run)
+    "dedup_entity_resolve": 27,
+    "pipeline_cdc_chunks": 1,  # the input repartition only — op is map-side
+    "dedup_cdc_chunk_spans": 3,
+    "text_bigram_coherence": 7,
+    "pipeline_source_caps": 3,
+    "similarity_hybrid_topk": 8,
+    "stats_robust_zscore": 3,
+    "events_burst_detection": 7,
+    "pipeline_importance_weight": 5,
+    "asof_join_next_purchase": 1,
 }
 
 
