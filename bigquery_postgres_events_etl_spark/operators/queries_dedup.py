@@ -388,3 +388,37 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=CONTAINMENT_THRESHOLD,
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    """
+    SELECT md5(regexp_replace(trim(lower(text)), '[ ]+', ' ', 'g'))
+             AS text_hash,
+           min(doc_id) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup (the Falcon/RefinedWeb 'fuzzy-exact'
+    tier): lowercase + trim + whitespace-collapse BEFORE hashing, so
+    trivially-reformatted copies collapse to one digest while true
+    near-dups stay for the MinHash tier. The normalization is three
+    codegen string expressions in the scan; the plan is otherwise
+    identical to ``dedup_exact`` (one hash-agg shuffle on the digest,
+    never raw text). The regex stays in the Java ∩ RE2 subset
+    (``[ ]+``) so both engines collapse identically."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "[ ]+", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )

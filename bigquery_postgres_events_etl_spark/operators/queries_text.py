@@ -343,3 +343,54 @@ def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import bigram_coherence
 
     return bigram_coherence(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "text_ccnet_buckets",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    big AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c_bigram FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c_bigram) AS c_prefix FROM c2 GROUP BY 1),
+    coh AS (
+      SELECT b.doc_id,
+             CAST(SUM(c2.c_bigram) AS DOUBLE) / SUM(c1.c_prefix) AS coherence
+      FROM big b
+      JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      JOIN c1 ON b.w1 = c1.w1
+      GROUP BY 1
+    )
+    SELECT doc_id, coherence,
+           CAST(ntile(3) OVER (ORDER BY coherence DESC, doc_id) AS BIGINT)
+             AS ccnet_bucket
+    FROM coh
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: tercile buckets by the
+    corpus-bigram coherence score (the fluency proxy standing in for
+    the paper's LM perplexity) — bucket 1 = most fluent (head).
+    ntile(3) derives from the two-pass global ranking, so there is no
+    unpartitioned window at any scale (same machinery as
+    pipeline_length_buckets)."""
+    from pyspark.sql import functions as F
+
+    from .ranking import ntile_from_rn, with_global_ranks
+    from .text import bigram_coherence
+
+    coh = bigram_coherence(
+        parallelize(load_table(spark, sf_dir, "documents"))
+    ).select("doc_id", "coherence")
+    ranked = with_global_ranks(
+        coh, key_order=[("coherence", "desc")], tie_order=[("doc_id", "asc")]
+    )
+    return ranked.select(
+        "doc_id",
+        "coherence",
+        ntile_from_rn(F.col("rn"), F.col("n_total"), 3).alias("ccnet_bucket"),
+    )
