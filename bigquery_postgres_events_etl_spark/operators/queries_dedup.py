@@ -422,3 +422,51 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_copies"),
         )
     )
+
+
+@register(
+    "dedup_stats_report",
+    """
+    WITH groups AS (
+      SELECT md5(text) AS text_hash, count(*) AS n_copies
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(SUM(n_copies) - count(*) AS BIGINT) AS n_duplicates,
+           CAST(SUM(n_copies) - count(*) AS DOUBLE) / SUM(n_copies)
+             AS dup_rate,
+           CAST(max(n_copies) AS BIGINT) AS max_copies,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups
+    FROM groups
+    """,
+)
+def dedup_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup observability: one row of exact-duplicate
+    statistics (total/unique/dup rate/biggest clone group) — the
+    health-check a pipeline runs BEFORE choosing dedup tiers (a
+    max_copies in the millions says run exact dedup first, the
+    documented pipeline order for LSH bucket safety). Two cascaded
+    hash-aggs, second one scalar; integer counts, one final IEEE
+    division."""
+    from pyspark.sql import functions as F
+
+    groups = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    return groups.agg(
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        (F.sum("n_copies") - F.count(F.lit(1))).cast("long").alias("n_duplicates"),
+        (
+            (F.sum("n_copies") - F.count(F.lit(1))).cast("double")
+            / F.sum("n_copies")
+        ).alias("dup_rate"),
+        F.max("n_copies").cast("long").alias("max_copies"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+    )
