@@ -547,3 +547,60 @@ def test_entity_resolve_verify_stage_is_candidate_pruned(spark, sf_dir):
 
     plan = executed_plan(all_queries()["dedup_entity_resolve"](spark, sf_dir))
     assert plan.count("LeftSemi") >= 2, "semi-join pruning missing from verify stage"
+
+
+def test_runtime_shuffle_bytes_match_inventory(spark, sf_dir):
+    """SCALE.md's shuffle inventory asserted from the EVENT LOG, not
+    the static plan: run three inventory queries under tagged job
+    groups and read actual shuffle-write bytes from the REST status
+    API (the channel bench.py scrapes). Map-side ops must move ~zero
+    shuffle bytes; single-exchange ops must stay within a sliver
+    envelope at sf0.001 — a plan regression that adds a real exchange
+    shows up as bytes here even if static node counts stay equal
+    (ReusedExchange, cached subtrees)."""
+    import json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        import pytest
+
+        pytest.skip("Spark UI disabled in this session")
+
+    qs = all_queries()
+    cases = {
+        # name -> (max shuffle MB at sf0.001)
+        "pipeline_train_test_split": 0.01,  # map-side: ~zero
+        "pipeline_cdc_chunks": 0.3,  # input repartition only
+        "dedup_exact": 1.0,  # one digest-sliver exchange
+        "etl_flagship": 1.5,  # one dedup-key exchange
+    }
+    sc = spark.sparkContext
+    for name in cases:
+        sc.setJobGroup(f"rtshuf-{name}", name)
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    sc.setJobGroup("", "")
+
+    app_id = sc.applicationId
+
+    def api(path):
+        with urllib.request.urlopen(f"{base}/api/v1/{path}", timeout=30) as r:
+            return json.loads(r.read())
+
+    stages = {s["stageId"]: s for s in api(f"applications/{app_id}/stages")}
+    written = {n: 0.0 for n in cases}
+    for job in api(f"applications/{app_id}/jobs"):
+        group = job.get("jobGroup") or ""
+        if not group.startswith("rtshuf-"):
+            continue
+        name = group[len("rtshuf-"):]
+        if name not in written:
+            continue
+        for sid in job.get("stageIds", []):
+            s = stages.get(sid)
+            if s and s.get("status") != "SKIPPED":
+                written[name] += s.get("shuffleWriteBytes", 0) / 1e6
+    over = {
+        n: (round(mb, 3), cases[n]) for n, mb in written.items() if mb > cases[n]
+    }
+    assert not over, f"runtime shuffle bytes over inventory envelope: {over}"
