@@ -345,3 +345,30 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_value"),
     )
+
+
+@register("events_hll_rolling_users", None)  # Spark HLL binary: no DuckDB twin
+def events_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — the incremental-rollup
+    pattern exact countDistinct cannot do at 100 TB: per-day HLL
+    sketches are built ONCE (one narrow agg over each day's
+    partition), then any date range's distinct-user estimate is a
+    UNION of the daily sketches — no rescan of history, and the union
+    is associative so yesterday's sketches never recompute. Output:
+    per-week distinct estimates from daily sketches next to the day
+    count. Rows-only for the driver (Spark's HLL binary has no DuckDB
+    twin); the error-bound and mergeability contracts are pinned in
+    tests/test_temporal_stats_ops.py."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+        .select("week", "n_days", F.col("est_users").cast("long").alias("est_users"))
+    )

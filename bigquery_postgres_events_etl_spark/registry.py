@@ -46,16 +46,16 @@ def register(name: str, oracle: str | None):
 # front — so each round's CORRECTNESS file attests the staleness
 # frontier instead of re-checking the same 50.
 #
-# r5 front-load: the 13 new entries (entity resolve, CDC chunks +
+# r5 front-load: the 14 new entries (entity resolve, CDC chunks +
 # their chunk-span dedup composition, bigram coherence, source caps,
 # hybrid retrieval, robust z-score + burst detection, DSIR
 # importance weights, forward as-of, normalized exact dedup, CCNet
-# terciles, dedup stats report), then the 14 entries whose freshest green row
+# terciles, dedup stats report, HLL rollups), then the 14 entries whose freshest green row
 # is STILL r1 (the r4 sample covered positions 1–50 =
 # text_fingerprints + 19 new + 30 of the r1 group; distinct_segments
-# onward missed it), then the oldest 23 of the 43 r2-freshest
-# entries. 13+14+23 = 50; the remaining 20 r2 entries
-# (percentile_exact onward) roll to the r6 front along with
+# onward missed it), then the oldest 22 of the 43 r2-freshest
+# entries. 14+14+22 = 50; the remaining 21 r2 entries
+# (string_functions_extended onward) roll to the r6 front along with
 # anything r6 changes. After this round no entry's freshest
 # attestation should be older than r2.
 _DRIVER_PRIORITY = [
@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "dedup_exact_normalized",
     "text_ccnet_buckets",
     "dedup_stats_report",
+    "events_hll_rolling_users",
     # -- freshest attestation is r1 (14 entries — refresh them all)
     "distinct_segments",
     "string_functions",
@@ -88,7 +89,7 @@ _DRIVER_PRIORITY = [
     "tumbling_window_hourly",
     "sliding_window_counts",
     "dedup_minhash_signatures",
-    # -- freshest attestation is r2 (oldest 23 of 43; the other 20
+    # -- freshest attestation is r2 (oldest 22 of 43; the other 21
     #    roll to the r6 front)
     "sessionization",
     "similarity_topk_bruteforce",
@@ -112,7 +113,6 @@ _DRIVER_PRIORITY = [
     "agg_variance_from_sums",
     "agg_correlation_from_sums",
     "date_parts",
-    "string_functions_extended",
 ]
 
 

@@ -61,3 +61,32 @@ def test_anomaly_gate_matches_python_statistics(spark, sf_dir):
     # exact-decimal moments, so tolerate boundary rows only
     assert len(got.symmetric_difference(expected)) <= max(1, len(expected) // 50)
     assert got, "gate should flag the fixture's heavy tail"
+
+
+def test_hll_daily_sketches_merge_to_range_estimate(spark, sf_dir):
+    """The mergeable-sketch contract: (a) unioning per-day HLL
+    sketches estimates the whole range's distinct count within the
+    sketch's error bound (lgConfigK=12 → ~1.6% std error; assert 5%);
+    (b) merge order is immaterial (associativity — the property that
+    makes incremental rollups correct)."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    exact = e.select(F.countDistinct("user_id")).first()[0]
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    assert abs(est - exact) <= max(1, 0.05 * exact)
+
+    # associativity: union of two half-unions == union of all
+    halves = daily.withColumn("h", F.col("day") >= F.lit("2024-01-15"))
+    half_unions = halves.groupBy("h").agg(F.hll_union_agg("sk").alias("sk"))
+    est2 = half_unions.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    assert est2 == est
