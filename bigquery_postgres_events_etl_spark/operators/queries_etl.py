@@ -345,3 +345,222 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(ts_us).alias("ts_max_us"),
         (F.sum(F.col("value").cast("decimal(27,4)")).cast("double") / F.count("value")).alias("value_mean"),
     )
+
+
+@register(
+    "dq_expectations_report",
+    f"""
+    WITH ev AS (
+      SELECT count(*) FILTER (WHERE user_id IS NULL) AS v_null_user,
+             count(*) FILTER (WHERE event_type NOT IN
+               ('click','view','purchase','signup','error')) AS v_bad_type,
+             count(*) FILTER (WHERE value < 0) AS v_neg_value,
+             count(*) FILTER (WHERE {_TS} < TIMESTAMP '2024-01-01'
+                                 OR {_TS} >= TIMESTAMP '2024-04-01') AS v_ts_range,
+             count(*) - count(DISTINCT event_id) AS v_dup_id
+      FROM events
+    ),
+    fk AS (
+      SELECT count(*) AS v_orphans FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ),
+    rules AS (
+      SELECT 'events_user_id_not_null' AS rule, v_null_user AS n_violations FROM ev
+      UNION ALL SELECT 'events_type_in_allowed_set', v_bad_type FROM ev
+      UNION ALL SELECT 'events_value_non_negative', v_neg_value FROM ev
+      UNION ALL SELECT 'events_ts_in_expected_range', v_ts_range FROM ev
+      UNION ALL SELECT 'events_event_id_unique', v_dup_id FROM ev
+      UNION ALL SELECT 'orders_custkey_references_customer', v_orphans FROM fk
+    )
+    SELECT rule, n_violations,
+           CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+    FROM rules
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based data-quality expectations suite (the Deequ/
+    Great-Expectations shape; the reference validates each event row
+    before insert, extract_bq.py's fetch loop — here the checks run
+    as ONE declarative report): five single-pass conditional
+    aggregates over events (stack-unpivoted from one agg row, so the
+    fact is scanned once) plus a referential-integrity anti-join
+    count on orders→customer. Output is one row per rule with the
+    violation count and a pass flag — the ingest gate a 100 TB
+    pipeline evaluates before promoting a batch, with no extra scan
+    per rule."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    allowed = ["click", "view", "purchase", "signup", "error"]
+    ev = e.agg(
+        F.count_if(F.col("user_id").isNull()).alias("v_null_user"),
+        F.count_if(~F.col("event_type").isin(allowed)).alias("v_bad_type"),
+        F.count_if(F.col("value") < 0).alias("v_neg_value"),
+        F.count_if(
+            (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2024-04-01").cast("timestamp"))
+        ).alias("v_ts_range"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("v_dup_id"),
+    )
+    events_rules = ev.selectExpr(
+        "stack(5, "
+        "'events_user_id_not_null', v_null_user, "
+        "'events_type_in_allowed_set', v_bad_type, "
+        "'events_value_non_negative', v_neg_value, "
+        "'events_ts_in_expected_range', v_ts_range, "
+        "'events_event_id_unique', v_dup_id) AS (rule, n_violations)"
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_custkey_references_customer").alias("rule"), "n_violations")
+    )
+    return events_rules.unionByName(orphans).select(
+        "rule",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, 1).otherwise(0).alias("passed"),
+    )
+
+
+@register(
+    "etl_scd2_user_state",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type, {_TS} AS tsx, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY {_TS}, event_id) AS prev_type
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    isl AS (
+      SELECT user_id, event_type, tsx, event_id,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tsx, event_id
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM seq
+    ),
+    runs AS (
+      SELECT user_id, island, min(event_type) AS state,
+             epoch_us(min(tsx)) AS valid_from_us,
+             count(*) AS n_events
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, state, valid_from_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY island) AS valid_to_us,
+           n_events,
+           CASE WHEN LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                               ORDER BY island) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM runs
+    """,
+)
+def etl_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build (gaps-and-islands): each
+    user's event_type run becomes a validity interval
+    [valid_from, valid_to) with an is_current flag on the open run —
+    the dimension-table shape a warehouse derives from an event
+    stream. One lag window + one running-sum window + the interval
+    aggregation + one lead window, ALL partitioned by user_id: a
+    single user_id exchange serves every step (Catalyst reuses the
+    sort), so at 100 TB this is one shuffle of the fact, no matter
+    how many SCD columns are tracked."""
+    from pyspark.sql import Window
+
+    e = valid_user_filter(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    isl = e.withColumn("island", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    runs = isl.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.unix_micros(F.min("ts")).alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("island")
+    nxt = F.lead("valid_from_us").over(wl)
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        "n_events",
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@register(
+    "etl_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_custkey, count(*) AS old_n,
+             SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS old_total
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey
+    ),
+    new AS (
+      SELECT o_custkey, count(*) AS new_n,
+             SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS new_total
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY o_custkey
+    )
+    SELECT COALESCE(new.o_custkey, old.o_custkey) AS o_custkey,
+           old.old_n, new.new_n,
+           CAST(old.old_total AS DOUBLE) AS old_total,
+           CAST(new.new_total AS DOUBLE) AS new_total,
+           CASE WHEN old.o_custkey IS NULL THEN 'insert'
+                WHEN new.o_custkey IS NULL THEN 'delete'
+                WHEN old.old_n <> new.new_n
+                  OR old.old_total <> new.new_total THEN 'update'
+                ELSE 'unchanged' END AS change_type
+    FROM old FULL OUTER JOIN new ON old.o_custkey = new.o_custkey
+    """,
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: per-customer order count + exact DECIMAL
+    total at two as-of dates, full-outer-joined and classified
+    insert / update / delete / unchanged — how a warehouse computes a
+    changeset between two loads when the source has no changelog.
+    Both snapshots derive from ONE orders scan (Catalyst reuses the
+    exchange: both aggregates and the join share the o_custkey
+    partitioning); equality tests run on the exact decimal sums, the
+    doubles are only the output cast. Append-only orders means
+    'delete' cannot occur here, but the branch is emitted so the
+    operator is complete for mutable sources."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(27,4)")
+
+    def snap(cutoff: str, pfx: str) -> DataFrame:
+        return (
+            o.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias(f"{pfx}_n"),
+                F.sum(dec).alias(f"{pfx}_total_dec"),
+            )
+        )
+
+    old = snap("1998-01-01", "old")
+    new = snap("1999-01-01", "new")
+    joined = old.withColumnRenamed("o_custkey", "old_key").join(
+        new.withColumnRenamed("o_custkey", "new_key"),
+        F.col("old_key") == F.col("new_key"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("new_key", "old_key").alias("o_custkey"),
+        "old_n",
+        "new_n",
+        F.col("old_total_dec").cast("double").alias("old_total"),
+        F.col("new_total_dec").cast("double").alias("new_total"),
+        F.when(F.col("old_key").isNull(), "insert")
+        .when(F.col("new_key").isNull(), "delete")
+        .when(
+            (F.col("old_n") != F.col("new_n"))
+            | (F.col("old_total_dec") != F.col("new_total_dec")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )

@@ -46,20 +46,25 @@ def register(name: str, oracle: str | None):
 # front — so each round's CORRECTNESS file attests the staleness
 # frontier instead of re-checking the same 50.
 #
-# r5 front-load: the 14 new entries (entity resolve, CDC chunks +
+# r5 front-load: the 17 new entries (entity resolve, CDC chunks +
 # their chunk-span dedup composition, bigram coherence, source caps,
 # hybrid retrieval, robust z-score + burst detection, DSIR
 # importance weights, forward as-of, normalized exact dedup, CCNet
-# terciles, dedup stats report, HLL rollups), then the 14 entries whose freshest green row
+# terciles, dedup stats report, HLL rollups, DQ expectations, SCD2,
+# snapshot diff), then the 14 entries whose freshest green row
 # is STILL r1 (the r4 sample covered positions 1–50 =
 # text_fingerprints + 19 new + 30 of the r1 group; distinct_segments
-# onward missed it), then the oldest 22 of the 43 r2-freshest
-# entries. 14+14+22 = 50; the remaining 21 r2 entries
-# (string_functions_extended onward) roll to the r6 front along with
+# onward missed it), then the oldest 19 of the 43 r2-freshest
+# entries. 17+14+19 = 50; the remaining 24 r2 entries (the listed
+# tail from agg_variance_from_sums onward plus
+# string_functions_extended onward) roll to the r6 front along with
 # anything r6 changes. After this round no entry's freshest
 # attestation should be older than r2.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
+    "dq_expectations_report",
+    "etl_scd2_user_state",
+    "etl_snapshot_diff",
     "dedup_entity_resolve",
     "pipeline_cdc_chunks",
     "text_bigram_coherence",
