@@ -530,3 +530,59 @@ def importance_weight(
             ),
         )
     )
+
+
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide duplicated-span REMOVAL with document rewrite (the
+    MassiveText / RefinedWeb repetition-removal step): documents are
+    cut into content-defined chunks (``cdc_chunks`` — boundaries
+    re-synchronize after edits, so a shared paragraph hashes
+    identically at any offset), every chunk keeps only its FIRST
+    corpus-wide occurrence (smallest (doc_id, chunk_id), a total
+    order), and each document is re-assembled from its surviving
+    chunks in original order. Unlike ``dedup_cdc_chunk_spans`` (which
+    only reports repeated spans), this rewrites the corpus.
+
+    Cost at 100 TB: one map-side chunking pass, ONE digest-partitioned
+    window (the survivor rank — each bucket holds copies of one span,
+    so skew is bounded by the most-copied paragraph, the quantity
+    ``dedup_stats_report`` monitors), and one doc_id aggregation to
+    re-concatenate. Chunk text rides the digest shuffle once; the
+    rewrite never compares documents pairwise.
+
+    Output: (doc_id, n_chunks, n_kept, n_tokens_kept, text_kept) —
+    text_kept is '' when every chunk of the doc was seen earlier.
+    """
+    chunks = cdc_chunks(docs, id_col=id_col).select(
+        id_col,
+        "chunk_id",
+        "n_tokens",
+        "chunk_text",
+        md5_hash60("chunk_text").alias("digest"),
+    )
+    w = Window.partitionBy("digest").orderBy(id_col, "chunk_id")
+    keep = (F.row_number().over(w) == 1).cast("int")
+    flagged = chunks.withColumn("keep", keep)
+    kept_struct = F.when(
+        F.col("keep") == 1, F.struct("chunk_id", "chunk_text")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("n_tokens_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_kept",
+            "n_tokens_kept",
+            F.array_join(
+                F.expr("transform(kept, c -> c.chunk_text)"), " "
+            ).alias("text_kept"),
+        )
+    )

@@ -716,3 +716,58 @@ def pipeline_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import importance_weight
 
     return importance_weight(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "pipeline_paragraph_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             list_concat(list_concat(
+               [CAST(0 AS BIGINT)],
+               CASE WHEN len(toks) > 3
+                    THEN list_filter(generate_series(3, len(toks) - 1),
+                         i -> ('0x' || substr(md5(toks[i-2] || ' ' || toks[i-1]
+                                  || ' ' || toks[i]), 1, 15))::BIGINT % 16 = 0)
+                    ELSE [] END),
+               [CAST(len(toks) AS BIGINT)]) AS bounds
+      FROM t WHERE len(toks) >= 1
+    ),
+    e AS (SELECT doc_id, toks, bounds,
+                 unnest(generate_series(1, len(bounds) - 1)) AS tt
+          FROM b),
+    chunks AS (
+      SELECT doc_id,
+             CAST(tt - 1 AS BIGINT) AS chunk_id,
+             CAST(bounds[tt + 1] - bounds[tt] AS BIGINT) AS n_tokens,
+             array_to_string(toks[(bounds[tt] + 1):(bounds[tt + 1])], ' ')
+               AS chunk_text
+      FROM e
+    ),
+    flagged AS (
+      SELECT doc_id, chunk_id, n_tokens, chunk_text,
+             CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT
+               ORDER BY doc_id, chunk_id) = 1 THEN 1 ELSE 0 END AS keep
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept,
+           coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                      FILTER (WHERE keep = 1), '') AS text_kept
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def pipeline_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition removal with rewrite: CDC-chunk the corpus, keep
+    each span's first corpus-wide occurrence, re-concatenate the
+    survivors per document (MassiveText's duplicated-passage removal
+    as one declarative plan: map-side chunking + one digest window +
+    one doc aggregation)."""
+    from .pipeline import paragraph_dedup
+
+    return paragraph_dedup(parallelize(load_table(spark, sf_dir, "documents")))

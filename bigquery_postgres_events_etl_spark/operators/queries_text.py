@@ -394,3 +394,59 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coherence",
         ntile_from_rn(F.col("rn"), F.col("n_total"), 3).alias("ccnet_bucket"),
     )
+
+
+_BM25_TERMS = ["table", "vector", "stream", "merge"]
+
+
+def _bm25_contrib(i: int) -> str:
+    """One term's BM25 contribution — IDENTICAL expression text on
+    both engines; ln() differs by 1 ulp across JVM/libm on ~8% of
+    inputs, so the product rounds to DECIMAL(20,9) before the exact
+    decimal sum (cast-parity verified empirically)."""
+    idf = (
+        f"ln((CAST(n_docs AS DOUBLE) - df{i} + CAST(0.5 AS DOUBLE))"
+        f" / (df{i} + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))"
+    )
+    sat = (
+        f"(tf{i} * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))"
+        f" / (tf{i} + CAST(1.2 AS DOUBLE)"
+        f" * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)"
+        f" + CAST(0.75 AS DOUBLE) * dl / avgdl))"
+    )
+    return f"CAST({idf} * {sat} AS DECIMAL(20,9))"
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    d AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             {", ".join(f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM t
+    ),
+    s AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(27,0))) AS DOUBLE) / count(*) AS avgdl,
+             {", ".join(f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}" for i in range(len(_BM25_TERMS)))}
+      FROM d
+    )
+    SELECT doc_id, dl,
+           CAST({" + ".join(_bm25_contrib(i) for i in range(len(_BM25_TERMS)))}
+                AS DOUBLE) AS bm25
+    FROM d, s
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over the corpus (Lucene's default lexical
+    scorer): one map-side scan computes per-term tf + doc length, a
+    one-row (N, avgdl, df...) stats frame broadcasts back, scores are
+    map-side arithmetic, and the top-10 is a TakeOrderedAndProject —
+    the corpus itself never shuffles."""
+    from .text import bm25_topk
+
+    return bm25_topk(
+        parallelize(load_table(spark, sf_dir, "documents")), _BM25_TERMS
+    )

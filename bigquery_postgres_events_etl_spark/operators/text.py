@@ -390,3 +390,81 @@ def bigram_coherence(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 lexical ranking of the corpus against a fixed term query
+    (Robertson/Sparck-Jones probabilistic IDF, the Lucene default
+    scoring) as ONE declarative plan with no corpus shuffle:
+
+    - per-term tf and doc length are map-side expressions over the
+      token array (``size(filter(...))`` — the corpus is scanned once,
+      never exploded into (doc, token) rows);
+    - N, avgdl, and per-term df reduce to a ONE-ROW stats frame,
+      broadcast back (a scalar-subquery crossJoin — unconditionally
+      safe at any corpus size since |query_terms| is fixed);
+    - scores are map-side arithmetic, and the top-k is a
+      TakeOrderedAndProject (no global sort materialization).
+
+    Oracle parity: per-term contributions are deterministic IEEE
+    chains EXCEPT ``ln``, whose JVM vs libm results differ by 1 ulp on
+    ~8% of inputs — so each contribution is rounded to DECIMAL(20,9)
+    (empirically cast-identical across engines) and the per-document
+    sum runs in exact decimal, with one final cast to double.
+    """
+    d = with_tokens(docs).select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("dl"),
+        *[
+            F.expr(f"size(filter(tokens, x -> x = '{t}'))")
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(27,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf{i}") > 0).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    contribs = []
+    for i in range(len(query_terms)):
+        idf = F.expr(
+            f"ln((CAST(n_docs AS DOUBLE) - df{i} + CAST(0.5 AS DOUBLE))"
+            f" / (df{i} + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))"
+        )
+        # k1+1 and 1-b are computed IN-ENGINE from the same literal
+        # text on both sides (a Python-computed constant could land on
+        # a different ulp than the engine's own parse + add)
+        sat = F.expr(
+            f"(tf{i} * (CAST({k1} AS DOUBLE) + CAST(1 AS DOUBLE)))"
+            f" / (tf{i} + CAST({k1} AS DOUBLE)"
+            f" * (CAST(1 AS DOUBLE) - CAST({b} AS DOUBLE)"
+            f" + CAST({b} AS DOUBLE) * dl / avgdl))"
+        )
+        contribs.append((idf * sat).cast("decimal(20,9)"))
+    score_dec = contribs[0]
+    for c in contribs[1:]:
+        score_dec = score_dec + c
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", score_dec.cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )

@@ -79,6 +79,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "vocab broadcast GATED on measured cardinality ≤ max_broadcast_terms "
         "— same gate and rationale as tfidf_top_terms",
     ("similarity.py", "brute_force_topk"): "query set bounded by n_queries param",
+    ("text.py", "bm25_topk"):
+        "1-row (N, avgdl, df...) stats scalar — width bounded by the fixed "
+        "query-term list, unconditionally safe at any corpus size",
     ("similarity.py", "ann_lsh_topk"): "query set bounded by n_queries param",
     ("similarity.py", "ivf_topk"): "k-means centroids (n_lists) + query set — parameter-bounded",
     ("similarity.py", "ann_lsh_topk_multiprobe"): "probe buckets: n_queries × (1+n_planes) rows",

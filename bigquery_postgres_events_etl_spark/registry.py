@@ -62,6 +62,8 @@ def register(name: str, oracle: str | None):
 # attestation should be older than r2.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
+    "pipeline_paragraph_dedup",
+    "text_bm25_topk",
     "dq_expectations_report",
     "etl_scd2_user_state",
     "etl_snapshot_diff",
