@@ -372,3 +372,87 @@ def events_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("week", "n_days", F.col("est_users").cast("long").alias("est_users"))
     )
+
+
+@register("events_approx_topk_rollup", None)  # sketch state: no DuckDB twin
+def events_approx_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate top-k heavy hitters (Spark 4's
+    approx_top_k sketch family): per-day sketch states are built ONCE
+    (`approx_top_k_accumulate`), any range's heavy hitters come from
+    `approx_top_k_combine` over the daily states — the same
+    incremental-rollup shape as the HLL entry, for the "most frequent
+    items" question. No history rescan: yesterday's states never
+    recompute, and the combine is associative. Output explodes the
+    weekly estimate into (week, item, est_count) rows (scalar columns
+    only). Rows-only for the driver; exactness on a small key space
+    and merge-vs-direct parity are pinned in
+    tests/test_temporal_stats_ops.py."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.expr("approx_top_k_accumulate(event_type, 10)").alias("state"))
+    weekly = daily.groupBy("week").agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(state, 10), 10)").alias("top")
+    )
+    return weekly.select(
+        "week", F.explode("top").alias("t")
+    ).select(
+        "week",
+        F.col("t.item").alias("item"),
+        F.col("t.count").cast("long").alias("est_count"),
+    )
+
+
+@register(
+    "events_mergeable_daily_rollup",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('week', {_TS}) AS DATE) AS week,
+             CAST({_TS} AS DATE) AS day, event_type,
+             count(*) AS n,
+             SUM(CAST(value AS DECIMAL(27,4))) AS sum_value,
+             min(value) AS min_value, max(value) AS max_value
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT week, event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(CAST(sum(sum_value) AS DECIMAL(27,4)) AS DOUBLE) AS sum_value,
+           min(min_value) AS min_value,
+           max(max_value) AS max_value,
+           CAST(CAST(sum(sum_value) AS DECIMAL(27,4)) AS DOUBLE) / sum(n) AS avg_value
+    FROM daily GROUP BY week, event_type
+    """,
+)
+def events_mergeable_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mergeable-partial rollup — the incremental materialized-
+    view pattern: per-(day, type) partial states (count, exact DECIMAL
+    sum, min, max) are built once; weekly aggregates — including the
+    average, derived as merged-sum/merged-count — are computed ONLY by
+    merging partials, never rescanning events. The oracle computes the
+    same numbers from the raw table, so the hash match PROVES the
+    partial-merge algebra (counts add, decimal sums add, min/max
+    compose, avg = Σsum/Σn) is lossless. At 100 TB this is the
+    difference between an O(day) nightly update and an O(history)
+    rescan; same shape as the HLL/top-k sketch entries but exact."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.to_date("ts").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,4)")).alias("sum_value_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    merged_sum = F.sum("sum_value_dec").cast("decimal(27,4)")
+    return daily.groupBy("week", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("n_events"),
+        merged_sum.cast("double").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        (merged_sum.cast("double") / F.sum("n")).alias("avg_value"),
+    )

@@ -86,6 +86,8 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("similarity.py", "ivf_topk"): "k-means centroids (n_lists) + query set — parameter-bounded",
     ("similarity.py", "ann_lsh_topk_multiprobe"): "probe buckets: n_queries × (1+n_planes) rows",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
+    ("zorder.py", "zorder_index"):
+        "1-row global min/max scalar frame for the z-curve scaling",
     ("pipeline.py", "decontaminate"):
         "benchmark n-gram set — bounded by the evaluation suite size (a "
         "fixed artifact chosen by the benchmark author), not the corpus SF; "

@@ -62,6 +62,9 @@ def register(name: str, oracle: str | None):
 # attestation should be older than r2.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
+    "events_zorder_index",
+    "events_mergeable_daily_rollup",
+    "events_approx_topk_rollup",
     "pipeline_paragraph_dedup",
     "text_bm25_topk",
     "dq_expectations_report",
@@ -165,6 +168,7 @@ def _load_all() -> None:
         queries_tpch,
         queries_analytics,
         queries_pipeline,
+        zorder,
     )
 
     _LOADED = True

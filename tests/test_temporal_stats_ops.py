@@ -90,3 +90,48 @@ def test_hll_daily_sketches_merge_to_range_estimate(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     ).first()["est"]
     assert est2 == est
+
+
+def test_approx_topk_rollup_exact_on_small_keyspace(spark, sf_dir):
+    """The mergeable top-k contract: (a) with k ≥ |key space| the
+    sketch is EXACT, so the combined weekly estimates must equal the
+    true per-week counts; (b) combining per-day states is
+    order/grouping-immaterial — merging two half-combines equals the
+    direct combine (the property that lets old daily states roll up
+    without recomputation)."""
+    rows = all_queries()["events_approx_topk_rollup"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.week, r.event_type): r.n
+        for r in e.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r.week, r.item): r.est_count for r in rows}
+    assert got == exact
+
+    # associativity: estimate(combine(combine(half1), combine(half2)))
+    # == the registry entry's single-level combine
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 10)").alias("state")
+    )
+    halves = (
+        daily.withColumn("h", F.col("day") >= F.lit("2024-01-15"))
+        .groupBy("h")
+        .agg(F.expr("approx_top_k_combine(state, 10)").alias("state"))
+    )
+    two_level = {
+        (r.t.item, r.t["count"])
+        for r in halves.agg(
+            F.expr("approx_top_k_estimate(approx_top_k_combine(state, 10), 10)").alias("top")
+        )
+        .select(F.explode("top").alias("t"))
+        .collect()
+    }
+    total_exact = {
+        (r.event_type, r.n)
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert two_level == total_exact
