@@ -10,7 +10,7 @@ window sums cast to BIGINT (DuckDB HUGEINT), integer ceil-division via
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table, parallelize
@@ -771,3 +771,40 @@ def pipeline_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import paragraph_dedup
 
     return paragraph_dedup(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "pipeline_stratified_sample",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_h60('CAST(doc_id AS VARCHAR)', seed=23)}, doc_id
+             ) AS pick
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(pick AS BIGINT) AS pick
+    FROM r WHERE pick <= 10
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k stratified sampling: exactly min(k, |stratum|) docs per
+    source, drawn in a deterministic pseudo-random order (md5 of the
+    id — reproducible across runs AND engines, unlike rand(seed)
+    which is engine-specific). The complement of `pipeline_
+    mixture_sample`'s rate-based draw: rates give binomial-sized
+    strata, this gives exact counts (eval sets, per-domain quotas).
+    One source-partitioned exchange over an (id, source, hash)
+    sliver; text never shuffles — rejoin by id downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .dedup import md5_hash60
+
+    w = Window.partitionBy("source").orderBy(
+        md5_hash60(F.col("doc_id").cast("string"), seed=23), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("pick", F.row_number().over(w).cast("bigint"))
+        .where(F.col("pick") <= 10)
+    )

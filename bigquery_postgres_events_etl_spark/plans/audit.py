@@ -86,6 +86,10 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("similarity.py", "ivf_topk"): "k-means centroids (n_lists) + query set — parameter-bounded",
     ("similarity.py", "ann_lsh_topk_multiprobe"): "probe buckets: n_queries × (1+n_planes) rows",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
+    ("stream.py", "streaming_enriched_segment_counts"):
+        "static user→segment dimension — bounded by contract (docstring "
+        "requires a dim, not a fact; a growing side belongs in a "
+        "stream-stream join)",
     ("zorder.py", "zorder_index"):
         "1-row global min/max scalar frame for the z-curve scaling",
     ("pipeline.py", "decontaminate"):

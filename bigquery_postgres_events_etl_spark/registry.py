@@ -62,6 +62,8 @@ def register(name: str, oracle: str | None):
 # attestation should be older than r2.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
+    "interval_overlap_sessions",
+    "pipeline_stratified_sample",
     "events_zorder_index",
     "events_mergeable_daily_rollup",
     "events_approx_topk_rollup",

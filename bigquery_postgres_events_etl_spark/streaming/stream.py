@@ -328,3 +328,36 @@ def streaming_purchase_click_left_join(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}")),
         "leftOuter",
     ).select("purchase_id", "p_user", "p_ts", "click_id", "c_ts")
+
+
+def streaming_enriched_segment_counts(
+    events: DataFrame,
+    segments: DataFrame,
+    window: str = "1 hour",
+    lateness: str = "30 minutes",
+) -> DataFrame:
+    """Stream-STATIC join + windowed aggregation: each micro-batch of
+    the event stream is enriched with a bounded static dimension
+    (user → market segment) before the tumbling count. The static
+    side is joined per micro-batch with no streaming state at all —
+    the standard enrichment shape (dim broadcast each batch, stream
+    never buffered for the join) — and only the post-join aggregation
+    keeps watermark-bounded state. The batch twin is the same join +
+    groupBy over the static reader, which the parity test compares
+    against exactly.
+
+    ``segments`` must be bounded (a dimension, not a fact): the hint
+    pins the broadcast, so a dimension that grows with the data
+    belongs in a stream-stream join instead.
+    """
+    dim = segments.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        events.withWatermark("ts", lateness)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", window).alias("win"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "segment", "n_events")
+    )

@@ -192,7 +192,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch_n > 0
 
 
-def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+def test_streaming_dedup_composite_key_within_watermark(spark, sf_dir, tmp_path):
     """dropDuplicatesWithinWatermark: duplicated source files dedupe to
     the batch-distinct key count with bounded state (the streaming
     native form of the K4 conflict-skip)."""
@@ -336,3 +336,50 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     ).first()
     want = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert got["n"] == got["d"] == want > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join: windowed per-segment counts from the
+    enriched stream must equal the same join + groupBy run in batch
+    (the static dim joins per micro-batch with no join state)."""
+    import shutil
+
+    from bigquery_postgres_events_etl_spark.streaming.stream import (
+        read_events_stream,
+        streaming_enriched_segment_counts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    customer = load_table(spark, sf_dir, "customer")
+
+    out = streaming_enriched_segment_counts(
+        read_events_stream(spark, str(src)), customer
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("seg_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.segment): r.n_events
+        for r in spark.sql("SELECT * FROM seg_out").collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    want = {
+        (r.window_start, r.segment): r.n_events
+        for r in e.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "segment", "n_events")
+        .collect()
+    }
+    assert got == want and len(got) > 0
