@@ -456,3 +456,81 @@ def events_mergeable_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("max_value").alias("max_value"),
         (merged_sum.cast("double") / F.sum("n")).alias("avg_value"),
     )
+
+
+# Fixed logistic-regression weights for the scoring demo (a trained
+# model's coefficients are deployment constants — broadcast literals,
+# never data). Exact decimal-string literals parse to identical
+# doubles in both engines.
+_LR_WEIGHTS = {
+    "n_click": "0.02",
+    "n_view": "-0.01",
+    "n_purchase": "0.3",
+    "n_signup": "0.5",
+    "n_active_days": "0.05",
+    "total_spend": "0.001",
+}
+_LR_BIAS = "-2.5"
+
+
+@register(
+    "ml_linear_score_users",
+    f"""
+    WITH feat AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS n_click,
+             count(*) FILTER (WHERE event_type = 'view') AS n_view,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+             count(DISTINCT CAST({_TS} AS DATE)) AS n_active_days,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(27,4))
+                           ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+               AS total_spend
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST({_LR_BIAS} AS DOUBLE)
+             {' '.join(f"+ CAST({w} AS DOUBLE) * {c}" for c, w in _LR_WEIGHTS.items())}
+             AS score,
+           CASE WHEN CAST({_LR_BIAS} AS DOUBLE)
+             {' '.join(f"+ CAST({w} AS DOUBLE) * {c}" for c, w in _LR_WEIGHTS.items())}
+             > 0 THEN 1 ELSE 0 END AS predicted
+    FROM feat
+    """,
+)
+def ml_linear_score_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model scoring, JVM-side: a trained linear model's
+    coefficients applied to the per-user feature aggregation as ONE
+    fixed-order arithmetic expression — no Python in the scoring
+    path, no model server round-trips; at 100 TB this is a map-side
+    pass over the feature shuffle. The linear score is a monotone
+    transform of the logistic probability, so thresholding z > 0 IS
+    thresholding sigmoid(z) > 0.5 without evaluating exp (whose JVM
+    vs libm rounding differs by 1 ulp — the score stays bit-exact
+    across engines)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")  # noqa: E731
+    feat = e.groupBy("user_id").agg(
+        cnt("click"),
+        cnt("view"),
+        cnt("purchase"),
+        cnt("signup"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(27,4)")
+            ).otherwise(F.lit(0).cast("decimal(27,4)"))
+        )
+        .cast("double")
+        .alias("total_spend"),
+    )
+    score = F.expr(
+        f"CAST({_LR_BIAS} AS DOUBLE) "
+        + " ".join(f"+ CAST({w} AS DOUBLE) * {c}" for c, w in _LR_WEIGHTS.items())
+    )
+    return feat.select(
+        "user_id",
+        score.alias("score"),
+        F.when(score > 0, 1).otherwise(0).alias("predicted"),
+    )

@@ -808,3 +808,65 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pick", F.row_number().over(w).cast("bigint"))
         .where(F.col("pick") <= 10)
     )
+
+
+@register(
+    "pipeline_temperature_mixture",
+    f"""
+    WITH sizes AS (
+      SELECT source, count(*) AS n_src FROM documents GROUP BY source
+    ),
+    weights AS (
+      SELECT source, n_src, sqrt(CAST(n_src AS DOUBLE)) AS w FROM sizes
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(w AS DECIMAL(27,12))) AS DOUBLE) AS w_total
+      FROM weights
+    ),
+    rates AS (
+      SELECT source, n_src,
+             least(CAST(1 AS DOUBLE),
+                   CAST(100 AS DOUBLE) * (w / t.w_total) / n_src) AS rate
+      FROM weights, tot t
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {_h60('CAST(d.doc_id AS VARCHAR)', seed=31)} % 1000000
+          < CAST(r.rate * 1000000 AS BIGINT)
+    """,
+)
+def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (the mT5/XLM-R recipe,
+    alpha = 0.5): sampling mass per source ∝ n^alpha, so dominant
+    sources are down-weighted and tail sources up-weighted relative
+    to natural proportions. sqrt is IEEE correctly-rounded (unlike
+    ln), the weight total sums in exact decimal, and membership is
+    the deterministic md5-threshold draw — so the exact sampled SET
+    is engine-reproducible. Plan: source sizes (one narrow agg) →
+    1-row total → per-source rates joined back (AQE broadcasts the
+    |sources|-row rate table). Differs from `pipeline_mixture_sample`
+    (hand-specified fractions) by DERIVING the rates from measured
+    sizes + temperature."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .dedup import md5_hash60
+
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    weights = sizes.withColumn("w", F.sqrt(F.col("n_src").cast("double")))
+    tot = weights.agg(
+        F.sum(F.col("w").cast("decimal(27,12)")).cast("double").alias("w_total")
+    )
+    rates = weights.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(100.0) * (F.col("w") / F.col("w_total")) / F.col("n_src"),
+        ).alias("rate"),
+    )
+    return (
+        docs.join(rates, "source")
+        .where(
+            F.pmod(md5_hash60(F.col("doc_id").cast("string"), seed=31), F.lit(1000000))
+            < (F.col("rate") * 1000000).cast("bigint")
+        )
+        .select("doc_id", "source", "rate")
+    )

@@ -549,3 +549,82 @@ def part_pairs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
         .limit(100)
     )
+
+
+@register(
+    "part_association_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    totals AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    supp AS (
+      SELECT l_partkey, count(*) AS n_part FROM items GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, n_ab,
+           sa.n_part AS n_a, sb.n_part AS n_b,
+           CAST(n_ab AS DOUBLE) / sa.n_part AS confidence,
+           CAST(n_ab * t.n_orders AS DOUBLE) / (sa.n_part * sb.n_part) AS lift
+    FROM pairs
+    JOIN supp sa ON sa.l_partkey = part_a
+    JOIN supp sb ON sb.l_partkey = part_b
+    CROSS JOIN totals t
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-occurrence pairs: support counts,
+    confidence P(b|a) and lift P(a,b)/(P(a)P(b)) — each an integer
+    ratio with ONE deterministic IEEE division (lift multiplies the
+    integers first so only the final division rounds). Adds two
+    narrow joins to the co-occurrence plan: per-part supports
+    (shuffled on partkey — the same key the pair aggregation already
+    produced) and a 1-row order-count scalar; ranked by lift with a
+    total tie-break. At 100 TB the pair table still carries only
+    co-occurring pairs (bounded per-order fan-out), supports are
+    |parts|-sized, and the scalar is free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(100)
+    )

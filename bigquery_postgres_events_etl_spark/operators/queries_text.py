@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import load_table, parallelize
 from ..registry import register
@@ -449,4 +450,51 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bm25_topk(
         parallelize(load_table(spark, sf_dir, "documents")), _BM25_TERMS
+    )
+
+
+@register("text_bpe_train_merges", None)  # iterative — rows-only
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 10 BPE merges from the corpus (one corpus pass for word
+    frequencies, then vocab-table iteration). Rows-only; the merge
+    sequence is pinned against a pure-Python reference BPE in
+    tests/test_text_quality.py."""
+    from .text import bpe_train
+
+    return bpe_train(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "text_feature_hashing",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS bucket,
+           count(*) AS n
+    FROM tok GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): tokens map to a
+    FIXED 64-bucket feature space by hash, so the feature
+    dimensionality is a constant independent of vocabulary size — no
+    vocab table, no broadcast, no OOV handling; the sparse (doc,
+    bucket, count) output feeds linear models directly. One explode +
+    one partial-aggregated shuffle; at a web-scale vocab this is the
+    difference between a bounded pipeline and a vocabulary join
+    (cf. text_tfidf_top_terms' gated broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .dedup import md5_hash60, with_tokens
+
+    return (
+        with_tokens(parallelize(docs))
+        .select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy(
+            "doc_id",
+            F.pmod(md5_hash60("token"), F.lit(64)).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
     )

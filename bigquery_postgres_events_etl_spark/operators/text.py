@@ -468,3 +468,73 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
     )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 10) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) in the
+    production-scale shape: the corpus is touched exactly ONCE (one
+    explode + groupBy building the word-frequency table — the only
+    step that scales with data); the merge loop then iterates over
+    the VOCAB table, which Heaps' law keeps sublinear in corpus size.
+    Each round: weighted adjacent-pair counts (one small aggregation),
+    a deterministic argmax (count desc, then lexicographic — a
+    bounded single-row fetch, same driver-scalar discipline as the
+    convergence counters in cluster.py), and a map-side left-to-right
+    non-overlapping merge applied via a higher-order ``aggregate``
+    over each word's symbol array (the last-element check reproduces
+    BPE's canonical scan: after a merge the new symbol differs from
+    the pair's left element, so overlaps self-exclude — including the
+    a==a run case, pinned by the reference-parity test).
+
+    Returns the learned merge table (rank, left, right, merged,
+    n_occurrences). Iterative → rows-only in the registry;
+    tests/test_text_quality.py compares the full merge sequence
+    against a pure-Python reference BPE."""
+    spark = docs.sparkSession
+    words = (
+        with_tokens(docs)
+        .select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms) - 1),"
+                        " slice(syms, 2, size(syms) - 1),"
+                        " (a, b) -> struct(a, b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).first()
+        if best is None or best["n"] < 2:
+            break
+        a, b = best["a"], best["b"]
+        merges.append((rank, a, b, a + b, int(best["n"])))
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        vocab = vocab.withColumn(
+            "syms",
+            F.expr(
+                f"aggregate(syms, cast(array() as array<string>),"
+                f" (acc, s) -> CASE WHEN size(acc) > 0"
+                f" AND element_at(acc, -1) = '{qa}' AND s = '{qb}'"
+                f" THEN concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}'))"
+                f" ELSE concat(acc, array(s)) END)"
+            ),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "rank BIGINT, left STRING, right STRING, merged STRING, n_occurrences BIGINT"
+    )

@@ -86,6 +86,8 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("similarity.py", "ivf_topk"): "k-means centroids (n_lists) + query set — parameter-bounded",
     ("similarity.py", "ann_lsh_topk_multiprobe"): "probe buckets: n_queries × (1+n_planes) rows",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
+    ("queries_pipeline.py", "pipeline_temperature_mixture"):
+        "1-row weight-total scalar for the temperature rates",
     ("stream.py", "streaming_enriched_segment_counts"):
         "static user→segment dimension — bounded by contract (docstring "
         "requires a dim, not a fact; a growing side belongs in a "
@@ -98,6 +100,7 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "tens of MB at WMDP/MMLU scale. Drop the hint to shuffle-join if a "
         "suite ever approaches the 8 GB broadcast limit.",
     ("queries_tpch.py", "q22_global_sales_opportunity"): "1-row average-balance scalar",
+    ("queries_relational.py", "part_association_rules"): "1-row order-count scalar",
     ("ranking.py", "with_global_ranks"):
         "per-range-partition prefix offsets — row count bounded by the "
         "shuffle partition count (a cluster config constant), not the data",

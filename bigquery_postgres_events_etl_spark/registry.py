@@ -62,6 +62,12 @@ def register(name: str, oracle: str | None):
 # attestation should be older than r2.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
+    "part_association_rules",
+    "pipeline_temperature_mixture",
+    "ml_linear_score_users",
+    "text_feature_hashing",
+    "graph_pagerank_copurchase",
+    "text_bpe_train_merges",
     "interval_overlap_sessions",
     "pipeline_stratified_sample",
     "events_zorder_index",
@@ -171,6 +177,7 @@ def _load_all() -> None:
         queries_analytics,
         queries_pipeline,
         zorder,
+        graph,
     )
 
     _LOADED = True

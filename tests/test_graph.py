@@ -1,0 +1,57 @@
+"""PageRank: per-node parity with a pure-Python power iteration plus
+the conservation/ordering invariants (rows-only registry entry, so
+this IS the correctness gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigquery_postgres_events_etl_spark.operators.graph import pagerank
+from bigquery_postgres_events_etl_spark.registry import all_queries
+
+
+def _reference_pagerank(edge_list, damping=0.85, n_iter=10):
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    out = {}
+    for u, v in set(edge_list):
+        out.setdefault(u, set()).add(v)
+    n = len(nodes)
+    rank = {x: 1.0 / n for x in nodes}
+    for _ in range(n_iter):
+        dangling = sum(rank[x] for x in nodes if x not in out)
+        base = (1.0 - damping) / n + damping * dangling / n
+        mass = {x: 0.0 for x in nodes}
+        for u, vs in out.items():
+            share = rank[u] / len(vs)
+            for v in vs:
+                mass[v] += share
+        rank = {x: base + damping * mass[x] for x in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference_and_conserves_mass(spark):
+    # a small directed graph with a dangling node (4) and a hub (1)
+    edges = [(2, 1), (3, 1), (4, 1), (1, 4), (3, 2), (5, 1), (5, 2), (2, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(df, n_iter=10).collect()}
+    want = _reference_pagerank(edges, n_iter=10)
+    assert set(got) == set(want)
+    for node in want:
+        assert abs(got[node] - want[node]) <= 1e-9, node
+    assert abs(sum(got.values()) - 1.0) <= 1e-9  # mass conserved
+    # node 4 receives ALL of the heavily-ranked 1's mass (1→4 is 1's
+    # only out-edge), so it tops; 3 has no in-edges and bottoms
+    assert got[4] == max(got.values())
+    assert got[3] == min(got.values())
+
+
+def test_pagerank_copurchase_entry(spark, sf_dir):
+    df = all_queries()["graph_pagerank_copurchase"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) <= 1e-6
+    # bipartite both-directions graph has no dangling nodes and both
+    # node families present
+    assert any(r.node >= 10_000_000 for r in rows)
+    assert any(r.node < 10_000_000 for r in rows)

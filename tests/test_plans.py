@@ -338,6 +338,21 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "events_burst_detection": 7,
     "pipeline_importance_weight": 5,
     "asof_join_next_purchase": 1,
+    # round-5 second wave
+    "dq_expectations_report": 3,   # 1-row agg + anti-join + union
+    "etl_scd2_user_state": 1,      # ONE user_id exchange serves 3 windows + agg
+    "etl_snapshot_diff": 2,        # both snapshots + join share o_custkey (reuse at run)
+    "pipeline_paragraph_dedup": 3,  # input repartition + digest window + doc agg
+    "text_bm25_topk": 3,           # corpus subtree ×2 (reused) + 1-row stats agg
+    "events_zorder_index": 1,      # the 1-row min/max frame — index itself is map-side
+    "events_mergeable_daily_rollup": 2,  # daily partials + weekly merge
+    "events_approx_topk_rollup": 2,      # daily sketch states + weekly combine
+    "interval_overlap_sessions": 2,      # user_id sessions + hour-bucket join
+    "pipeline_stratified_sample": 1,     # one source-partitioned rank
+    "part_association_rules": 9,   # items subtree ×3 static (reused at run)
+    "pipeline_temperature_mixture": 3,  # sizes agg + 1-row total + rate join
+    "ml_linear_score_users": 2,    # feature agg (distinct-days two-phase)
+    "text_feature_hashing": 2,     # input repartition + bucket agg
 }
 
 

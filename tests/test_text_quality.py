@@ -218,3 +218,53 @@ def test_bigram_coherence_separates_fluent_from_shuffled(spark):
     # sanity: integer components are exact and positive
     assert out[99].n_bigrams == len(words) - 1
     assert 0 < out[99].sum_bigram <= out[99].sum_prefix
+
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int = 10):
+    """Sennrich-style BPE on a word-frequency table: argmax pair by
+    (count, then lexicographic), left-to-right non-overlapping merge."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), n = best
+        if n < 2:
+            break
+        merges.append((rank, a, b, a + b, n))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    from collections import Counter
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["n_occurrences"])
+        for r in all_queries()["text_bpe_train_merges"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    texts = [r.text for r in load_table(spark, sf_dir, "documents").collect()]
+    freqs = Counter(w for t in texts for w in t.split(" "))
+    want = _reference_bpe(dict(freqs), n_merges=10)
+    assert got == want
+    assert len(got) == 10
+    # learned merges compose: later merges may consume earlier ones
+    assert all(m[3] == m[1] + m[2] for m in got)

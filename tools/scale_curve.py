@@ -51,6 +51,11 @@ QUERIES = [
     "dedup_entity_resolve",
     "dedup_cdc_chunk_spans",
     "similarity_hybrid_topk",
+    # round-5 second wave: corpus rewrite dedup (digest window + doc
+    # agg), lexical top-k (should be near-flat shuffle: the corpus
+    # never shuffles, only the 1-row stats frame)
+    "pipeline_paragraph_dedup",
+    "text_bm25_topk",
 ]
 
 
