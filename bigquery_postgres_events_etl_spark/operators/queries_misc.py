@@ -318,3 +318,61 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", "the"), F.lit(0)).cast("bigint").alias("n_the"),
         F.coalesce(F.element_at("m", "spark"), F.lit(0)).cast("bigint").alias("n_spark"),
     )
+
+
+@register(
+    "events_json_key_stats",
+    """
+    WITH keys AS (
+      SELECT event_id, unnest(json_keys(props)) AS key FROM events
+    ),
+    per_key AS (
+      SELECT key, count(*) AS n_events FROM keys GROUP BY key
+    ),
+    vals AS (
+      SELECT key,
+             count(DISTINCT json_extract_string(e.props, '$.' || key))
+               AS n_distinct_values
+      FROM per_key p, events e
+      WHERE json_extract_string(e.props, '$.' || p.key) IS NOT NULL
+      GROUP BY key
+    )
+    SELECT p.key, p.n_events,
+           CAST(p.n_events AS DOUBLE)
+             / (SELECT count(*) FROM events) AS coverage,
+           v.n_distinct_values
+    FROM per_key p JOIN vals v ON v.key = p.key
+    """,
+)
+def events_json_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload profiling: which keys the JSON props
+    column actually carries, their row coverage, and value
+    cardinality — the schema-inference report run before promoting a
+    raw JSON feed to typed columns (the reference trusts its payload
+    shape blindly; a 100 TB feed can't). json_object_keys/
+    get_json_object are codegen'd expressions; one explode + two
+    small aggregations."""
+    e = load_table(spark, sf_dir, "events")
+    total = e.agg(F.count(F.lit(1)).alias("n_total"))
+    keys = e.select(
+        "event_id", "props", F.explode(F.json_object_keys("props")).alias("key")
+    )
+    per_key = keys.groupBy("key").agg(F.count(F.lit(1)).alias("n_events"))
+    vals = (
+        keys.withColumn(
+            "val", F.expr("get_json_object(props, concat('$.', key))")
+        )
+        .where(F.col("val").isNotNull())
+        .groupBy("key")
+        .agg(F.countDistinct("val").alias("n_distinct_values"))
+    )
+    return (
+        per_key.join(vals, "key")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n_total")).alias("coverage"),
+            "n_distinct_values",
+        )
+    )

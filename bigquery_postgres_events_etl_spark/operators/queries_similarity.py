@@ -357,3 +357,17 @@ def similarity_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return hybrid_topk(docs, emb, k=TOP_K, n_queries=N_QUERIES, max_df=HYBRID_MAX_DF)
+
+
+@register("similarity_mmr_topk", None)  # iterative — rows-only
+def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 for the first 4 query vectors (λ = 0.7,
+    20 brute-force candidates): the RAG re-rank stage that stops
+    near-duplicate passages crowding a result list. Rows-only
+    (greedy iteration); tests/test_similarity.py pins per-pick parity
+    with a pure-Python MMR and the diversity property."""
+    from .similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    return mmr_topk(queries, emb, k=5, n_candidates=20)

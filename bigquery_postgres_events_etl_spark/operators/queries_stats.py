@@ -12,11 +12,13 @@ partial-aggregatable (scale-safe).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
+
+_TS = "CAST(ts AS TIMESTAMP)"
 
 
 def _dsum(col, scale=4):
@@ -455,4 +457,82 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (MAD_CONSISTENCY * F.col("mad"))
             ).alias("robust_z"),
         )
+    )
+
+
+@register(
+    "events_cusum_changepoints",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST({_TS} AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n_days,
+             CAST(SUM(CAST(n AS DECIMAL(27,0))) AS DOUBLE) / count(*) AS mu,
+             sqrt(
+               (CAST(SUM(CAST(n * n AS DECIMAL(27,0))) AS DOUBLE)
+                - CAST(SUM(CAST(n AS DECIMAL(27,0))) AS DOUBLE)
+                  * CAST(SUM(CAST(n AS DECIMAL(27,0))) AS DOUBLE) / count(*))
+               / count(*)) AS sigma
+      FROM daily GROUP BY event_type
+    ),
+    runs AS (
+      SELECT d.event_type, d.day, d.n, s.mu, s.sigma,
+             CAST(SUM(CAST(d.n AS DECIMAL(27,0)))
+                    OVER (PARTITION BY d.event_type ORDER BY d.day
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               - CAST(ROW_NUMBER()
+                    OVER (PARTITION BY d.event_type ORDER BY d.day)
+                      AS DOUBLE) * s.mu AS cusum
+      FROM daily d JOIN stats s ON s.event_type = d.event_type
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n, cusum,
+           CASE WHEN abs(cusum) > 3 * sigma THEN 1 ELSE 0 END
+             AS is_changepoint
+    FROM runs
+    """,
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over daily event-type volumes
+    (Page 1954): the cumulative deviation from the per-type mean,
+    flagged where |CUSUM| exceeds 3σ — drift that per-day z-scores
+    can't see (a small persistent shift never trips a pointwise
+    threshold but accumulates here). Numerics are engine-exact with
+    NO double accumulation: CUSUM_d = (integer running sum) − d·μ,
+    one multiply + subtract per row; μ and σ come from the integer
+    Σn / Σn² sums (the variance-from-sums identity) with
+    correctly-rounded sqrt. One day-level aggregation plus one
+    per-type window — the fact shuffles once."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dsum_n = F.sum(F.col("n").cast("decimal(27,0)")).cast("double")
+    dsum_n2 = F.sum((F.col("n") * F.col("n")).cast("decimal(27,0)")).cast("double")
+    cnt = F.count(F.lit(1))
+    stats = daily.groupBy("event_type").agg(
+        (dsum_n / cnt).alias("mu"),
+        F.sqrt((dsum_n2 - dsum_n * dsum_n / cnt) / cnt).alias("sigma"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    runs = (
+        daily.join(stats, "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(F.col("n").cast("decimal(27,0)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            - F.row_number().over(w).cast("double") * F.col("mu"),
+        )
+    )
+    return runs.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        "cusum",
+        F.when(F.abs("cusum") > 3 * F.col("sigma"), 1).otherwise(0).alias(
+            "is_changepoint"
+        ),
     )

@@ -641,3 +641,105 @@ def hybrid_topk(
             "rank",
         )
     )
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998):
+    diversified top-k — greedily pick the candidate maximizing
+    λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s), so near-
+    duplicate hits don't crowd the result list (the re-rank stage of
+    a RAG retrieval stack).
+
+    Scale shape: the DATA-scaled stage is candidate generation
+    (brute_force_topk here — swap in the LSH/IVF tiers at scale);
+    the greedy selection then runs k rounds over the bounded
+    (|queries| × n_candidates) candidate frame ENTIRELY as DataFrame
+    ops (per-round argmax window + anti-join; eager localCheckpoint
+    materializes each round distributed — nothing is ever fetched to
+    the driver). Iterative → rows-only;
+    tests/test_similarity.py pins parity with a pure-Python MMR
+    reference and the diversity property it exists for."""
+    cands = brute_force_topk(
+        queries, corpus, k=n_candidates, id_col=id_col, emb_col=emb_col
+    ).select("query_id", "neighbor_id", "cosine")
+    # pairwise candidate-candidate similarity (bounded: ≤ n_candidates²
+    # per query), computed once up front
+    emb = with_norm_sq(corpus, emb_col).select(
+        F.col(id_col).alias("cid"),
+        F.col(emb_col).alias("emb"),
+        F.col("norm_sq").alias("nsq"),
+    )
+    a = cands.join(emb, cands.neighbor_id == emb.cid).select(
+        "query_id", F.col("neighbor_id").alias("da"), F.col("cosine").alias("rel_a"),
+        F.col("emb").alias("ea"), F.col("nsq").alias("na"),
+    )
+    b = cands.join(emb, cands.neighbor_id == emb.cid).select(
+        F.col("query_id").alias("qb"), F.col("neighbor_id").alias("db"),
+        F.col("emb").alias("eb"), F.col("nsq").alias("nb"),
+    )
+    pair_sim = (
+        a.join(b, (a.query_id == b.qb) & (a.da != b.db))
+        .select(
+            "query_id", "da", "db",
+            cosine(dot("ea", "eb"), F.col("na"), F.col("nb")).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rel = a.select("query_id", "da", "rel_a").distinct().localCheckpoint(eager=True)
+
+    spark = queries.sparkSession
+    sel_schema = "query_id BIGINT, sel BIGINT, mmr_score DOUBLE, pick_rank BIGINT"
+    selected = spark.createDataFrame([], sel_schema)
+    remaining = rel
+    for rank in range(k):
+        # max similarity to anything already selected (empty in round
+        # one → the left join below coalesces the penalty to 0)
+        penalty = (
+            pair_sim.join(
+                selected.select(F.col("query_id").alias("qs"), "sel"),
+                (pair_sim.query_id == F.col("qs")) & (pair_sim.db == F.col("sel")),
+            )
+            .groupBy(F.col("query_id").alias("qq"), "da")
+            .agg(F.max("sim").alias("max_sel_sim"))
+        )
+        scored = remaining.join(
+            penalty,
+            (remaining.query_id == penalty.qq) & (remaining.da == penalty.da),
+            "left",
+        ).select(
+            remaining.query_id,
+            remaining.da,
+            (
+                F.lit(lam) * F.col("rel_a")
+                - F.lit(1.0 - lam) * F.coalesce("max_sel_sim", F.lit(0.0))
+            ).alias("mmr"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("da"))
+        picks = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.col("da").alias("sel"),
+                F.col("mmr").alias("mmr_score"),
+                F.lit(rank + 1).cast("bigint").alias("pick_rank"),
+            )
+        )
+        selected = selected.unionByName(picks).localCheckpoint(eager=True)
+        remaining = remaining.join(
+            selected.select(F.col("query_id").alias("qs"), "sel"),
+            (remaining.query_id == F.col("qs")) & (remaining.da == F.col("sel")),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+
+    return selected.select(
+        "query_id", F.col("sel").alias("neighbor_id"), "mmr_score", "pick_rank"
+    )

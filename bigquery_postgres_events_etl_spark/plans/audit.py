@@ -101,6 +101,7 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "suite ever approaches the 8 GB broadcast limit.",
     ("queries_tpch.py", "q22_global_sales_opportunity"): "1-row average-balance scalar",
     ("queries_relational.py", "part_association_rules"): "1-row order-count scalar",
+    ("queries_misc.py", "events_json_key_stats"): "1-row total-count scalar",
     ("ranking.py", "with_global_ranks"):
         "per-range-partition prefix offsets — row count bounded by the "
         "shuffle partition count (a cluster config constant), not the data",

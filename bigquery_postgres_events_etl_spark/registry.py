@@ -62,6 +62,9 @@ def register(name: str, oracle: str | None):
 # attestation should be older than r2.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
+    "events_cusum_changepoints",
+    "events_json_key_stats",
+    "similarity_mmr_topk",
     "part_association_rules",
     "pipeline_temperature_mixture",
     "ml_linear_score_users",

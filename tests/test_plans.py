@@ -353,6 +353,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "pipeline_temperature_mixture": 3,  # sizes agg + 1-row total + rate join
     "ml_linear_score_users": 2,    # feature agg (distinct-days two-phase)
     "text_feature_hashing": 2,     # input repartition + bucket agg
+    "events_cusum_changepoints": 3,  # daily agg + stats agg + type window
+    "events_json_key_stats": 4,    # key agg + distinct-vals two-phase + 1-row total
 }
 
 

@@ -113,3 +113,64 @@ def test_quantize_int8_zero_vector_guard(spark):
     assert rows[1]["q8"] == [0, 0, 0]
     assert rows[2]["scale"] == 127.0
     assert rows[2]["q8"] == [63, -127, 31]
+
+
+def test_mmr_matches_reference_and_diversifies(spark, sf_dir):
+    """Per-pick parity with a pure-Python MMR over the same
+    candidates, plus the property MMR exists for: the diversified
+    list's average pairwise similarity is <= the plain top-k's."""
+    import math
+
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    lam, k = 0.7, 5
+    cands = brute_force_topk(
+        emb.where(F.col("vec_id") < 4), emb, k=20
+    ).collect()
+    by_q: dict[int, dict[int, float]] = {}
+    for r in cands:
+        by_q.setdefault(r.query_id, {})[r.neighbor_id] = r.cosine
+
+    want = {}
+    for q, rel in by_q.items():
+        sel: list[int] = []
+        remaining = dict(rel)
+        for rank in range(k):
+            best, best_score = None, None
+            for d, rv in sorted(remaining.items()):
+                pen = max((cos(vecs[d], vecs[s]) for s in sel), default=0.0)
+                score = lam * rv - (1 - lam) * pen
+                if best_score is None or score > best_score:
+                    best, best_score = d, score
+            sel.append(best)
+            want[(q, best)] = (rank + 1, best_score)
+            del remaining[best]
+
+    got = {
+        (r.query_id, r.neighbor_id): (r.pick_rank, r.mmr_score)
+        for r in all_queries()["similarity_mmr_topk"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], key
+        assert abs(got[key][1] - want[key][1]) <= 1e-9, key
+
+    # diversity: MMR's selected set is no more self-similar than the
+    # plain top-k head of the same candidate list
+    for q, rel in by_q.items():
+        plain = sorted(rel, key=lambda d: (-rel[d], d))[:k]
+        mmr_sel = [d for (qq, d), (rk, _) in sorted(got.items(), key=lambda kv: kv[1][0]) if qq == q]
+        def avg_pair(sel):
+            ps = [cos(vecs[a], vecs[b]) for i, a in enumerate(sel) for b in sel[i + 1:]]
+            return sum(ps) / len(ps)
+        assert avg_pair(mmr_sel) <= avg_pair(plain) + 1e-12
