@@ -536,3 +536,84 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_changepoint"
         ),
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_sql() -> str:
+    """One-pass correlation matrix oracle: every Σx, Σx², Σxy in one
+    aggregation (same decimal→varchar→double parity trick as
+    agg_correlation_from_sums), then the 6 pairs stacked to rows."""
+    cols = _CORR_COLS
+    d19 = lambda c: f"CAST({c} AS DECIMAL(19,4))"  # noqa: E731
+    terms = [f"count(*) AS n"]
+    for i, c in enumerate(cols):
+        terms.append(
+            f"CAST(CAST(SUM(CAST({c} AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS s{i}"
+        )
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i <= j:
+                terms.append(
+                    f"CAST(CAST(SUM(CAST({d19(a)} * {d19(b)} AS DECIMAL(38,8)))"
+                    f" AS VARCHAR) AS DOUBLE) AS s{i}{j}"
+                )
+    pair_rows = []
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i < j:
+                corr = (
+                    f"(s{i}{j} - s{i} * s{j} / n)"
+                    f" / sqrt((s{i}{i} - s{i} * s{i} / n)"
+                    f" * (s{j}{j} - s{j} * s{j} / n))"
+                )
+                pair_rows.append(
+                    f"SELECT '{a}' AS col_a, '{b}' AS col_b, {corr} AS corr FROM sums"
+                )
+    return (
+        "WITH sums AS (SELECT " + ", ".join(terms) + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(pair_rows)
+    )
+
+
+@register("lineitem_correlation_matrix", _corr_sql())
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Pearson correlation matrix over the lineitem numerics in
+    ONE pass: all Σx / Σx² / Σxy moments come from a single
+    aggregation (14 exact decimal sums — partial-aggregatable, one
+    scan, one 1-row exchange no matter how many columns), and the 6
+    upper-triangle pairs are stack-unpivoted map-side. The
+    feature-correlation screen an ML pipeline runs before training;
+    at 100 TB the cost is identical to any single global aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(cols):
+        aggs.append(_dsum(c).alias(f"s{i}"))
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i <= j:
+                pa = F.col(a).cast("decimal(19,4)")
+                pb = F.col(b).cast("decimal(19,4)")
+                aggs.append(
+                    F.sum((pa * pb).cast("decimal(38,8)"))
+                    .cast("string")
+                    .cast("double")
+                    .alias(f"s{i}{j}")
+                )
+    sums = li.agg(*aggs)
+    n = F.col("n")
+    stack_args = []
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i < j:
+                corr = (
+                    f"(s{i}{j} - s{i} * s{j} / n)"
+                    f" / sqrt((s{i}{i} - s{i} * s{i} / n)"
+                    f" * (s{j}{j} - s{j} * s{j} / n))"
+                )
+                stack_args.append(f"'{a}', '{b}', {corr}")
+    return sums.selectExpr(
+        f"stack(6, {', '.join(stack_args)}) AS (col_a, col_b, corr)"
+    )

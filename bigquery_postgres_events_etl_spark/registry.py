@@ -62,6 +62,7 @@ def register(name: str, oracle: str | None):
 # attestation should be older than r2.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
+    "lineitem_correlation_matrix",
     "events_cusum_changepoints",
     "events_json_key_stats",
     "similarity_mmr_topk",

@@ -381,3 +381,35 @@ def write_training_shards(
         if f.endswith(".parquet")
     ]
     return {"rows": out.count(), "files": len(files), "shards": n_shards}
+
+
+def write_daily_partitions(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    compression: str = "zstd",
+) -> dict:
+    """Date-partitioned lake write with DYNAMIC partition overwrite —
+    the incremental-backfill contract: rewriting one day's data
+    replaces exactly that day's directory and leaves every other
+    partition's files untouched (static overwrite mode would truncate
+    the whole table — the classic lake data-loss footgun). The `day`
+    partition column is derived from the event time, so readers get
+    partition pruning on date predicates for free.
+
+    Uses a per-write `partitionOverwriteMode=dynamic` option (scoped
+    to this writer, not a session-level config flip). Returns the
+    distinct days written.
+    """
+    from pyspark.sql import functions as F
+
+    out = df.withColumn("day", F.col(ts_col).cast("date"))
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", compression)
+        .partitionBy("day")
+        .parquet(path)
+    )
+    days = [r.day for r in out.select("day").distinct().collect()]
+    return {"days_written": sorted(str(d) for d in days)}

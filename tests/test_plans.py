@@ -355,6 +355,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "text_feature_hashing": 2,     # input repartition + bucket agg
     "events_cusum_changepoints": 3,  # daily agg + stats agg + type window
     "events_json_key_stats": 4,    # key agg + distinct-vals two-phase + 1-row total
+    "lineitem_correlation_matrix": 1,  # one global agg carries all 14 moments
 }
 
 

@@ -163,3 +163,51 @@ def test_write_training_shards_layout(spark, sf_dir, tmp_path):
         order_cols=["first_bin", "start_offset"], max_records_per_file=40,
     )
     assert shard_contents(path) == shard_contents(path2)
+
+
+def test_daily_partition_overwrite_is_dynamic(spark, sf_dir, tmp_path):
+    """Rewriting ONE day must replace exactly that day's partition and
+    leave every other day's files byte-identical (static overwrite
+    would truncate the table)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.sources.sinks import (
+        write_daily_partitions,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "lake")
+    r = write_daily_partitions(e, path)
+    assert len(r["days_written"]) > 1
+    day0 = r["days_written"][0]
+    other_files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/day=*/*.parquet")
+        if f"day={day0}" not in f
+    }
+    total_before = spark.read.parquet(path).count()
+
+    # backfill day0 only, with a marker transformation
+    day0_rows = e.where(F.col("ts").cast("date") == F.lit(day0)).withColumn(
+        "value", F.lit(0.0)
+    )
+    write_daily_partitions(day0_rows, path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == total_before  # nothing truncated
+    assert (
+        back.where(F.col("day") == F.lit(day0))
+        .agg(F.sum(F.abs("value")))
+        .first()[0]
+        == 0.0
+    )  # day0 replaced
+    other_files_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/day=*/*.parquet")
+        if f"day={day0}" not in f
+    }
+    assert other_files_after == other_files_before  # untouched partitions
