@@ -534,3 +534,38 @@ def ml_linear_score_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         F.when(score > 0, 1).otherwise(0).alias("predicted"),
     )
+
+
+@register(
+    "event_second_order_transitions",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER w AS next1,
+             LEAD(event_type, 2) OVER w AS next2
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY {_TS}, event_id)
+    )
+    SELECT event_type AS t0, next1 AS t1, next2 AS t2, count(*) AS n
+    FROM seq WHERE next2 IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def event_second_order_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order Markov transition counts (trigram of events): the
+    sequence-mining depth first-order transitions can't see (is
+    view→click→purchase different from click→view→purchase?). The
+    SAME single user_id exchange as the first-order op — both LEADs
+    share one window sort — then a partial-aggregated count."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.col("event_type").alias("t0"),
+            F.lead("event_type").over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+        )
+        .where(F.col("t2").isNotNull())
+        .groupBy("t0", "t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -158,3 +158,43 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return resample_audio(media, decimation=4)
+
+
+@register(
+    "multimodal_content_dedup",
+    """
+    WITH digests AS (
+      SELECT doc_id AS media_id, md5(text) AS payload_md5,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT payload_md5,
+           count(*) AS n_copies,
+           min(media_id) AS canonical_id,
+           min(n_bytes) AS n_bytes
+    FROM digests
+    GROUP BY payload_md5
+    """,
+)
+def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by content digest — the image/audio twin of
+    dedup_exact (how production pipelines drop byte-identical assets
+    re-crawled under different URLs, and the first pass of any
+    filter-list check): digest computed JVM-side per payload, ONE
+    hash-aggregated shuffle of (digest, id, size) slivers — payload
+    bytes never shuffle. Canonical survivor = smallest id; groups with
+    n_copies > 1 are the deletion set (this corpus has none — the
+    near-dup tiers exist for exactly that reason — so the full digest
+    report is returned rather than an empty dup list)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return (
+        media.select(
+            "media_id", F.md5("payload").alias("payload_md5"), "n_bytes"
+        )
+        .groupBy("payload_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("canonical_id"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+    )

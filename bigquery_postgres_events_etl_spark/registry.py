@@ -62,6 +62,8 @@ def register(name: str, oracle: str | None):
 # attestation should be older than r2.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
+    "multimodal_content_dedup",
+    "event_second_order_transitions",
     "lineitem_correlation_matrix",
     "events_cusum_changepoints",
     "events_json_key_stats",
