@@ -617,3 +617,53 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.selectExpr(
         f"stack(6, {', '.join(stack_args)}) AS (col_a, col_b, corr)"
     )
+
+
+@register(
+    "lineitem_equidepth_histogram",
+    """
+    WITH r AS (
+      SELECT l_extendedprice,
+             NTILE(10) OVER (ORDER BY l_extendedprice,
+                             l_orderkey, l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
+             / count(*) AS mean_price
+    FROM r GROUP BY bucket
+    """,
+)
+def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 equal-count buckets with data-driven
+    bounds — the optimizer-statistics / feature-binning shape, vs the
+    fixed-bound equi-width histogram): NTILE(10) over price, computed
+    by the TWO-PASS global ranking (range partition → local
+    row_number + broadcast per-partition offsets → integer ntile
+    arithmetic) so no single-reducer WindowExec appears at any scale;
+    then one bucket aggregation for counts/bounds/exact means. The
+    oracle runs SQL NTILE directly, pinning the two-pass integer
+    reconstruction against the engine-native semantics."""
+    from .ranking import ntile_from_rn, with_global_ranks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ranked = with_global_ranks(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        key_order=[("l_extendedprice", "asc")],
+        tie_order=[("l_orderkey", "asc"), ("l_linenumber", "asc")],
+    )
+    bucketed = ranked.withColumn(
+        "bucket", ntile_from_rn(F.col("rn"), F.col("n_total"), 10)
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(27,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price"),
+    )

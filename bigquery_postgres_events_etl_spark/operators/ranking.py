@@ -62,8 +62,19 @@ def with_global_ranks(
     key_sort = _sort(key_order)
     full_sort = key_sort + _sort(tie_order)
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n_part, *key_sort).withColumn(
-        _PID, F.spark_partition_id()
+    # localCheckpoint: the range partitioner SAMPLES the input to pick
+    # boundaries, and the partitioned frame is consumed twice (local
+    # ranks + per-partition stats). If the exchange is not reused —
+    # AQE can replan the two subtrees independently — each consumer
+    # can see DIFFERENT sampled boundaries, and the stats offsets no
+    # longer describe the rank pass's partitions: rn stops being a
+    # permutation (observed on 60k-row lineitem: max rn 59732, gapped
+    # and overlapping bucket ranges). Materializing once pins ONE set
+    # of boundaries and partition ids for both consumers.
+    part = (
+        df.repartitionByRange(n_part, *key_sort)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
 
     w_rn = Window.partitionBy(_PID).orderBy(*full_sort)

@@ -62,6 +62,11 @@ def register(name: str, oracle: str | None):
 # attestation should be older than r2.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
+    "lineitem_equidepth_histogram",
+    # re-attest the two-pass-ranking consumers after the boundary-
+    # consistency fix in ranking.with_global_ranks (localCheckpoint)
+    "rfm_segmentation",
+    "text_ccnet_buckets",
     "multimodal_content_dedup",
     "event_second_order_transitions",
     "lineitem_correlation_matrix",

@@ -90,7 +90,11 @@ def _ts_is_nanos_int64(source_dir: str) -> bool:
     return votes.pop() if votes else False  # no ts-bearing file: modern layout
 
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Unbounded view of the events source (parquet-dir stand-in).
 
     The fixture writer has flipped ``ts`` between TIMESTAMP(NANOS)-as-
@@ -111,11 +115,13 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
         else T.StructField("ts", T.LongType() if nanos else T.TimestampType(), True)
         for f in RAW_EVENTS_SCHEMA_NANOS.fields
     ]
-    raw = (
-        spark.readStream.schema(T.StructType(fields))
-        .format("parquet")
-        .load(source_dir)
-    )
+    reader = spark.readStream.schema(T.StructType(fields)).format("parquet")
+    if max_files_per_trigger is not None:
+        # bound each micro-batch's input (backpressure for backfills:
+        # a month of files arrives as many small exactly-once batches,
+        # not one giant one that OOMs the first trigger)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(source_dir)
     if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw

@@ -265,6 +265,7 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     "rfm_segmentation": {"_gr_pid", "specifiedwindowframe"},
     "pipeline_length_buckets": {"_gr_pid", "specifiedwindowframe"},
     "text_ccnet_buckets": {"_gr_pid", "specifiedwindowframe"},
+    "lineitem_equidepth_histogram": {"_gr_pid", "specifiedwindowframe"},
     # calendar-bounded frame: |weeks| rows (52/year), not data-sized
     "events_wow_growth": {"week"},
     # 5-row market-segment aggregate — constant cardinality

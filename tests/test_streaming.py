@@ -383,3 +383,43 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_max_files_per_trigger_batches_backfill_exactly_once(spark, sf_dir, tmp_path):
+    """A 3-file backfill with maxFilesPerTrigger=1 must process as ≥3
+    separate micro-batches whose union is exactly the source (no rows
+    duplicated or dropped across batch boundaries)."""
+    from bigquery_postgres_events_etl_spark.streaming.stream import (
+        read_events_stream,
+    )
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    # slice with pyarrow so each file keeps the SOURCE's ts encoding
+    # (a Spark re-write would switch to INT96 and defeat the probe)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        ids = tbl["event_id"].to_pylist()
+        mask = [x is not None and x % 3 == i for x in ids]
+        pq.write_table(tbl.filter(mask), src / f"part{i}.parquet")
+    e = load_table(spark, sf_dir, "events")
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("batched_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM batched_out"
+    ).first()
+    assert n_batches >= 3
+    assert got["n"] == got["d"] == e.count()
