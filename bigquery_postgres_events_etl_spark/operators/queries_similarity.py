@@ -371,3 +371,190 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 4)
     return mmr_topk(queries, emb, k=5, n_candidates=20)
+
+
+@register(
+    "embedding_label_centroids",
+    f"""
+    WITH dims AS (
+      SELECT label, unnest(generate_series(1, {EMBEDDING_DIM})) AS dim,
+             embedding, vec_id
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT label, dim,
+             list(CAST(embedding[dim] AS DOUBLE) ORDER BY vec_id) AS vals
+      FROM dims GROUP BY label, dim
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), vals),
+                       (acc, x) -> acc + x) / len(vals) AS centroid
+    FROM cells
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes — the nearest-
+    centroid classifier / prototype-network primitive, and the same
+    aggregation a k-means assignment step runs). Parity note: float
+    cell values are binary fractions whose exact decimal expansions
+    end in ...5, so the decimal-rounding trick TIES at the rounding
+    digit (observed: 1 cell in 4000 differed between Spark HALF_UP
+    and DuckDB half-even) — instead both engines fold the cells in
+    the SAME vec_id-ordered left-associative double chain (the dot-
+    product discipline), bit-exact with no rounding step. Plan: one
+    (label, dim) shuffle of scalar slivers; the ordered fold is per
+    cell over |label members| values. At production scale swap the
+    collected fold for the decimal partial-agg sum (order-free) —
+    the fold here exists for cross-engine bit-parity, the decimal
+    twin for unbounded groups; same shuffle either way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        emb.select(
+            "label", "vec_id", F.posexplode("embedding").alias("dim0", "val")
+        )
+        .groupBy("label", (F.col("dim0") + 1).cast("int").alias("dim"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", F.col("val").cast("double").alias("v")))
+            ).alias("vals")
+        )
+    )
+    return cells.select(
+        "label",
+        "dim",
+        F.expr(
+            "aggregate(vals, CAST(0 AS DOUBLE), (acc, s) -> acc + s.v)"
+            " / size(vals)"
+        ).alias("centroid"),
+    )
+
+
+@register(
+    "similarity_hard_negatives",
+    f"""
+    WITH {_NORMS_CTE},
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             {_dot_sql('q.embedding', 'c.embedding')}
+               / sqrt(nq.nsq * nc.nsq) AS cosine
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id != q.vec_id AND c.label != q.label
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, negative_id
+      ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, query_label, negative_id, negative_label, cosine, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each query's
+    top-5 most-similar vectors with a DIFFERENT label — the negatives
+    that actually move an embedding model (random negatives are
+    trivially separable). Same broadcast-query / corpus-never-
+    shuffles plan as the brute-force tier plus a label filter pushed
+    into the join; swap in the ANN tier for candidate generation at
+    scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    from .similarity import cosine, dot, with_norm_sq
+
+    q = with_norm_sq(emb.where(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    c = with_norm_sq(emb).select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_sq").alias("c_norm"),
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("negative_id") != F.col("query_id"))
+        & (F.col("negative_label") != F.col("query_label")),
+    )
+    scored = pairs.withColumn(
+        "cosine", cosine(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "query_label", "negative_id", "negative_label", "cosine", "rank"
+        )
+    )
+
+
+@register(
+    "pipeline_negative_sampling",
+    f"""
+    WITH cands AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+             ('0x' || substr(md5('17:' || CAST(q.vec_id AS VARCHAR) || ':'
+                              || CAST(c.vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM embeddings q JOIN embeddings c
+        ON c.vec_id != q.vec_id AND c.label != q.label
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, negative_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY h, negative_id
+             ) AS BIGINT) AS draw
+      FROM cands
+    )
+    SELECT query_id, negative_id, draw FROM ranked WHERE draw <= 5
+    """,
+)
+def pipeline_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform random negative sampling for contrastive training, the
+    complement of hard-negative mining: 5 different-label negatives
+    per query drawn in deterministic md5 order (reproducible across
+    runs, engines, and retries — rand() is none of those). The hash
+    ranks the candidate set; at scale the candidate join is replaced
+    by per-shard sampling, same draw rule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    from .dedup import md5_hash60
+
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"), F.col("label").alias("clabel")
+    )
+    cands = c.join(
+        F.broadcast(q),
+        (F.col("negative_id") != F.col("query_id"))
+        & (F.col("clabel") != F.col("qlabel")),
+    ).select(
+        "query_id",
+        "negative_id",
+        md5_hash60(
+            F.concat_ws(
+                ":",
+                F.lit("17"),
+                F.col("query_id").cast("string"),
+                F.col("negative_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("query_id").orderBy("h", "negative_id")
+    return (
+        cands.withColumn("draw", F.row_number().over(w).cast("bigint"))
+        .where(F.col("draw") <= 5)
+        .select("query_id", "negative_id", "draw")
+    )

@@ -79,6 +79,10 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "vocab broadcast GATED on measured cardinality ≤ max_broadcast_terms "
         "— same gate and rationale as tfidf_top_terms",
     ("similarity.py", "brute_force_topk"): "query set bounded by n_queries param",
+    ("queries_similarity.py", "similarity_hard_negatives"):
+        "query set bounded by N_QUERIES — same contract as brute_force_topk",
+    ("queries_similarity.py", "pipeline_negative_sampling"):
+        "query set bounded by N_QUERIES — same contract as brute_force_topk",
     ("text.py", "bm25_topk"):
         "1-row (N, avgdl, df...) stats scalar — width bounded by the fixed "
         "query-term list, unconditionally safe at any corpus size",

@@ -46,22 +46,23 @@ def register(name: str, oracle: str | None):
 # front — so each round's CORRECTNESS file attests the staleness
 # frontier instead of re-checking the same 50.
 #
-# r5 front-load: the 17 new entries (entity resolve, CDC chunks +
-# their chunk-span dedup composition, bigram coherence, source caps,
-# hybrid retrieval, robust z-score + burst detection, DSIR
-# importance weights, forward as-of, normalized exact dedup, CCNet
-# terciles, dedup stats report, HLL rollups, DQ expectations, SCD2,
-# snapshot diff), then the 14 entries whose freshest green row
-# is STILL r1 (the r4 sample covered positions 1–50 =
-# text_fingerprints + 19 new + 30 of the r1 group; distinct_segments
-# onward missed it), then the oldest 19 of the 43 r2-freshest
-# entries. 17+14+19 = 50; the remaining 24 r2 entries (the listed
-# tail from agg_variance_from_sums onward plus
-# string_functions_extended onward) roll to the r6 front along with
-# anything r6 changes. After this round no entry's freshest
-# attestation should be older than r2.
+# r5 front-load: all 41 never-attested r5 entries (newest first:
+# contrastive prep, equi-depth histogram, media dedup, second-order
+# transitions, correlation matrix, CUSUM, JSON profiling, MMR,
+# association rules, temperature mixture, model scoring, feature
+# hashing, PageRank, BPE training, interval overlap, stratified
+# sample, z-order, mergeable rollups, paragraph dedup, BM25, DQ
+# suite, SCD2, snapshot diff, then the first-wave r5 batch from
+# entity resolve through HLL rollups) plus the two re-attests for
+# the with_global_ranks boundary fix (rfm, ccnet). The driver's
+# 50-sample covers through roughly the first-wave batch; the 14
+# r1-stale and the r2 tail listed below roll to the r6 front —
+# r6 must front anything here that misses this round's sample.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
+    "embedding_label_centroids",
+    "similarity_hard_negatives",
+    "pipeline_negative_sampling",
     "lineitem_equidepth_histogram",
     # re-attest the two-pass-ranking consumers after the boundary-
     # consistency fix in ranking.with_global_ranks (localCheckpoint)
@@ -100,7 +101,6 @@ _DRIVER_PRIORITY = [
     "events_burst_detection",
     "asof_join_next_purchase",
     "dedup_exact_normalized",
-    "text_ccnet_buckets",
     "dedup_stats_report",
     "events_hll_rolling_users",
     # -- freshest attestation is r1 (14 entries — refresh them all)
