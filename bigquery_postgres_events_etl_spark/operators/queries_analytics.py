@@ -569,3 +569,67 @@ def event_second_order_transitions(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("t0", "t1", "t2")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "funnel_ordered_steps",
+    f"""
+    WITH base AS (
+      SELECT user_id, {_TS} AS tsx, event_type
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    w1 AS (
+      SELECT *, min(CASE WHEN event_type = 'signup' THEN tsx END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM base
+    ),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND tsx > t1 THEN tsx END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND tsx > t2 THEN tsx END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    )
+    SELECT user_id,
+           epoch_us(min(t1)) AS signup_us,
+           epoch_us(min(t2)) AS first_click_after_us,
+           epoch_us(min(t3)) AS first_purchase_after_us,
+           CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END AS converted
+    FROM w3 GROUP BY user_id
+    """,
+)
+def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-ORDER funnel (signup → later click → later purchase):
+    each step's timestamp must follow the previous step's, which the
+    unordered `funnel_conversion` counts cannot express. Three full-
+    frame window minimums chained on the SAME user_id partitioning —
+    each step's threshold is the previous window's result — so the
+    fact shuffles once no matter how many funnel stages are added;
+    the final per-user collapse reuses the same exchange."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    return staged.groupBy("user_id").agg(
+        F.unix_micros(F.min("t1")).alias("signup_us"),
+        F.unix_micros(F.min("t2")).alias("first_click_after_us"),
+        F.unix_micros(F.min("t3")).alias("first_purchase_after_us"),
+        F.when(F.min("t3").isNotNull(), 1).otherwise(0).alias("converted"),
+    )

@@ -60,6 +60,7 @@ def register(name: str, oracle: str | None):
 # r6 must front anything here that misses this round's sample.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
+    "funnel_ordered_steps",
     "embedding_label_centroids",
     "similarity_hard_negatives",
     "pipeline_negative_sampling",
