@@ -633,3 +633,101 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("t3")).alias("first_purchase_after_us"),
         F.when(F.min("t3").isNotNull(), 1).otherwise(0).alias("converted"),
     )
+
+
+@register(
+    "attribution_position_credit",
+    f"""
+    WITH purchases AS (
+      SELECT user_id, {_TS} AS p_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    touches AS (
+      SELECT p.purchase_id, e.event_type AS channel, {_TS.replace('ts', 'e.ts')} AS t_ts,
+             e.event_id
+      FROM purchases p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type IN ('click', 'view')
+       AND CAST(e.ts AS TIMESTAMP) < p.p_ts
+       AND CAST(e.ts AS TIMESTAMP) >= p.p_ts - INTERVAL 1 DAY
+    ),
+    ranked AS (
+      SELECT purchase_id, channel,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY t_ts, event_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY t_ts DESC, event_id DESC) AS rn_last,
+             count(*) OVER (PARTITION BY purchase_id) AS n_touch
+      FROM touches
+    ),
+    credited AS (
+      SELECT purchase_id, channel,
+             CASE WHEN n_touch = 1 THEN CAST(1 AS DOUBLE)
+                  WHEN n_touch = 2 THEN CAST(0.5 AS DOUBLE)
+                  WHEN rn_first = 1 THEN CAST(0.4 AS DOUBLE)
+                  WHEN rn_last = 1 THEN CAST(0.4 AS DOUBLE)
+                  ELSE CAST(0.2 AS DOUBLE) / (n_touch - 2) END AS credit
+      FROM ranked
+    )
+    SELECT channel,
+           CAST(SUM(CAST(credit AS DECIMAL(27,12))) AS DOUBLE) AS total_credit,
+           count(*) AS n_touches
+    FROM credited GROUP BY channel
+    """,
+)
+def attribution_position_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) marketing attribution:
+    each purchase's last-day click/view touches share credit — 40%
+    to first touch, 40% to last, the middle 20% split evenly (the
+    standard multi-touch model between last-click and Shapley).
+    Touch discovery is the range join; credit assignment is two
+    row_numbers + a count over the SAME purchase_id partitioning
+    (one exchange); per-touch credits are deterministic divisions
+    summed in exact decimal."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    t = e.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_type").alias("channel"), F.col("ts").alias("t_ts"),
+        "event_id",
+    )
+    touches = p.join(
+        t,
+        (t.user_id == p.p_user)
+        & (t.t_ts < p.p_ts)
+        & (t.t_ts >= p.p_ts - F.expr("INTERVAL 1 DAY")),
+    ).select("purchase_id", "channel", "t_ts", "event_id")
+    wf = Window.partitionBy("purchase_id").orderBy("t_ts", "event_id")
+    wl = Window.partitionBy("purchase_id").orderBy(
+        F.desc("t_ts"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("purchase_id")
+    ranked = touches.select(
+        "purchase_id",
+        "channel",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count(F.lit(1)).over(wc).alias("n_touch"),
+    )
+    credit = (
+        F.when(F.col("n_touch") == 1, F.lit(1.0))
+        .when(F.col("n_touch") == 2, F.lit(0.5))
+        .when(F.col("rn_first") == 1, F.lit(0.4))
+        .when(F.col("rn_last") == 1, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_touch") - 2))
+    )
+    return (
+        ranked.withColumn("credit", credit)
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("credit").cast("decimal(27,12)"))
+            .cast("double")
+            .alias("total_credit"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+    )

@@ -376,3 +376,39 @@ def events_json_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_values",
         )
     )
+
+
+@register(
+    "join_cardinality_estimate",
+    """
+    WITH a AS (SELECT o_custkey AS k, count(*) AS n_a FROM orders GROUP BY 1),
+    b AS (SELECT c_custkey AS k, count(*) AS n_b FROM customer GROUP BY 1)
+    SELECT CAST(SUM(n_a * n_b) AS BIGINT) AS join_rows,
+           CAST(SUM(n_a) AS BIGINT) AS left_rows,
+           CAST(count(*) AS BIGINT) AS matched_keys,
+           CAST(max(n_a * n_b) AS BIGINT) AS hottest_key_rows
+    FROM a JOIN b USING (k)
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT join-output cardinality from per-key histograms —
+    Σ n_A(k)·n_B(k) — without executing the join: the number a
+    planner (or an engineer sizing a 100 TB shuffle) needs BEFORE
+    committing to a strategy, plus the hottest key's contribution
+    (the skew-join trigger). Cost: two key-count aggregations over
+    narrow slivers + a count-level join — orders of magnitude
+    cheaper than materializing the join it describes. All-integer
+    arithmetic, so the 'estimate' is exact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("n_a"))
+    b = c.groupBy(F.col("c_custkey").alias("k")).agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        a.join(b, "k")
+        .agg(
+            F.sum(F.col("n_a") * F.col("n_b")).cast("bigint").alias("join_rows"),
+            F.sum("n_a").cast("bigint").alias("left_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
+            F.max(F.col("n_a") * F.col("n_b")).cast("bigint").alias("hottest_key_rows"),
+        )
+    )

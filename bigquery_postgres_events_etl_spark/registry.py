@@ -60,6 +60,8 @@ def register(name: str, oracle: str | None):
 # r6 must front anything here that misses this round's sample.
 _DRIVER_PRIORITY = [
     # -- new this round (attest first time)
+    "join_cardinality_estimate",
+    "attribution_position_credit",
     "funnel_ordered_steps",
     "embedding_label_centroids",
     "similarity_hard_negatives",

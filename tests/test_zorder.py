@@ -89,3 +89,30 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert z_back.select(F.sum("event_id")).first()[0] == e.select(
         F.sum("event_id")
     ).first()[0]
+
+
+def test_morton_interleave_matches_reference(spark):
+    """The shift-or-mask spread ladder must equal a bit-by-bit Python
+    interleave for arbitrary 16-bit inputs (and hence be a bijection
+    on the probed grid)."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.operators.zorder import morton_z
+
+    def ref(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    xs = [0, 1, 2, 3, 255, 256, 4095, 21845, 43690, 65535]
+    pairs = [(x, y) for x in xs for y in xs]
+    df = spark.createDataFrame(pairs, "x BIGINT, y BIGINT")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", F.expr(morton_z("x", "y")).alias("z")).collect()
+    }
+    want = {(x, y): ref(x, y) for x, y in pairs}
+    assert got == want
+    assert len(set(got.values())) == len(pairs)  # injective on the grid
