@@ -186,3 +186,27 @@ def scan_is_pruned(df: DataFrame, max_columns: int) -> bool:
     (column pruning reached the source)."""
     cols = plan_summary(df)["scan_columns"]
     return bool(cols) and all(c <= max_columns for c in cols)
+
+
+def scan_read_schemas(df: DataFrame) -> list[tuple[str, list[str]]]:
+    """(table, [columns]) per parquet scan in the optimized plan — the
+    column-pruning evidence: which physical columns each source
+    actually pays for. Table name is derived from the scan Location's
+    last path component."""
+    fp = formatted_plan(df)
+    out: list[tuple[str, list[str]]] = []
+    # detail blocks: "(N) Scan parquet \n Output ... Location: X ... ReadSchema: struct<...>"
+    for block in re.split(r"^\(\d+\) ", fp, flags=re.M):
+        if not block.startswith("Scan parquet"):
+            continue
+        loc = re.search(r"Location: \S+ \[[^\]]*?([A-Za-z0-9_.\-]+)\.parquet\]?", block)
+        schema = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        if not schema:
+            continue
+        cols = [
+            c.split(":")[0].strip()
+            for c in schema.group(1).split(",")
+            if c.strip()
+        ]
+        out.append((loc.group(1) if loc else "?", cols))
+    return out

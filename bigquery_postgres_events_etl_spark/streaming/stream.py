@@ -367,3 +367,58 @@ def streaming_enriched_segment_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("win.start").alias("window_start"), "segment", "n_events")
     )
+
+
+def run_streaming_to_lake(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+) -> dict:
+    """Streaming lake sink with EPOCH-KEYED idempotent writes — the
+    canonical exactly-once foreachBatch pattern for stores without
+    transactions (Spark docs' "idempotent write by batchId"): each
+    micro-batch lands in ``target/epoch=<id>`` via write-to-tmp +
+    atomic rename, and a replayed epoch (sink crashed after writing
+    but before the checkpoint commit) is detected by the directory's
+    existence and skipped. Complements run_streaming_etl's anti-join
+    dedup: that one dedups by ROW KEY (works with any layout, costs a
+    target read per batch); this one dedups by EPOCH (zero read cost,
+    requires the epoch-dir layout). A stranded ``.tmp`` from a
+    mid-write crash is overwritten by the retry — only the rename
+    publishes.
+    """
+    import shutil
+
+    events = read_events_stream(spark, source_dir)
+    cleaned = events.where(F.col("user_id").isNotNull())
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        final = os.path.join(target_dir, f"epoch={epoch_id}")
+        if os.path.isdir(final):
+            return  # replayed epoch — already published, no-op
+        tmp = final + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # stranded half-write from a crash
+        batch_df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)  # atomic publish
+
+    q = (
+        cleaned.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    epochs = sorted(
+        d for d in os.listdir(target_dir)
+        if d.startswith("epoch=") and not d.endswith(".tmp")
+    ) if os.path.isdir(target_dir) else []
+    # count ONLY published epoch dirs — a stranded *.tmp from a crash
+    # must never be readable as data
+    return {
+        "epochs": epochs,
+        "rows_in_target": spark.read.parquet(
+            *[os.path.join(target_dir, e) for e in epochs]
+        ).count() if epochs else 0,
+    }

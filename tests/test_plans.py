@@ -623,3 +623,36 @@ def test_runtime_shuffle_bytes_match_inventory(spark, sf_dir):
         n: (round(mb, 3), cases[n]) for n, mb in written.items() if mb > cases[n]
     }
     assert not over, f"runtime shuffle bytes over inventory envelope: {over}"
+
+
+# Column-pruning contracts: these queries output narrow slivers, so
+# their scans must never pay for the heavyweight columns — a silent
+# pruning regression (e.g. an expression rewrite that drags `text`
+# through a shuffle) multiplies 100 TB scan cost without changing
+# results. (table -> columns that must be ABSENT from its ReadSchema)
+PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
+    "pipeline_stratified_sample": {"documents": {"text"}},
+    "events_zorder_index": {"events": {"props", "value", "event_type"}},
+    "join_cardinality_estimate": {
+        "orders": {"o_totalprice", "o_orderdate", "o_orderpriority"},
+        "customer": {"c_name", "c_acctbal", "c_mktsegment"},
+    },
+    "active_user_rollups": {"events": {"props", "value"}},
+    "rfm_segmentation": {"events": {"props"}},
+    "events_hll_rolling_users": {"events": {"props", "value", "event_type"}},
+    "key_skew_profile": {"events": {"props", "value", "event_type", "ts"}},
+    "pipeline_train_test_split": {"documents": {"text"}},
+}
+
+
+def test_narrow_queries_never_scan_heavy_columns(spark, sf_dir):
+    from bigquery_postgres_events_etl_spark.plans.audit import scan_read_schemas
+
+    qs = all_queries()
+    offenders = {}
+    for name, tables in PRUNING_CONTRACTS.items():
+        for table, cols in scan_read_schemas(qs[name](spark, sf_dir)):
+            forbidden = tables.get(table, set()) & set(cols)
+            if forbidden:
+                offenders.setdefault(name, []).append((table, sorted(forbidden)))
+    assert not offenders, f"heavy columns leaked into narrow scans: {offenders}"

@@ -423,3 +423,45 @@ def test_max_files_per_trigger_batches_backfill_exactly_once(spark, sf_dir, tmp_
     ).first()
     assert n_batches >= 3
     assert got["n"] == got["d"] == e.count()
+
+
+def test_epoch_keyed_lake_sink_is_exactly_once(spark, sf_dir, tmp_path):
+    """Epoch-idempotent foreachBatch: (a) the drained run equals the
+    batch filter; (b) a REPLAYED epoch (same batch, same id — the
+    post-write pre-commit crash) is a no-op; (c) a stranded .tmp from
+    a mid-write crash does not block the retry or double-publish."""
+    import os
+    import shutil
+
+    from bigquery_postgres_events_etl_spark.streaming.stream import (
+        run_streaming_to_lake,
+    )
+
+    src = _stage_source(sf_dir, tmp_path)
+    target = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    r = run_streaming_to_lake(spark, src, target, ckpt)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .count()
+    )
+    assert r["rows_in_target"] == want > 0
+    assert r["epochs"]
+
+    # (b) replay the same source+checkpoint: no new epochs, no new rows
+    r2 = run_streaming_to_lake(spark, src, target, ckpt)
+    assert r2["epochs"] == r["epochs"]
+    assert r2["rows_in_target"] == want
+
+    # (c) strand a half-written tmp next to a fresh epoch id and rerun
+    # with new source data: the tmp is cleaned, the epoch publishes once
+    stranded = os.path.join(target, "epoch=999.tmp")
+    os.makedirs(stranded)
+    with open(os.path.join(stranded, "garbage"), "w") as f:
+        f.write("partial")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "more.parquet"))
+    r3 = run_streaming_to_lake(spark, src, target, ckpt)
+    assert len(r3["epochs"]) == len(r["epochs"]) + 1
+    assert r3["rows_in_target"] == 2 * want
+    assert not os.path.isdir(stranded) or "epoch=999" not in r3["epochs"]
