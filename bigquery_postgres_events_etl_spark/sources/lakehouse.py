@@ -1,0 +1,147 @@
+"""Minimal versioned-table layer over parquet: MERGE semantics and
+time travel, the two lakehouse capabilities plain `mode("append")`
+cannot give you (what Delta/Iceberg provide; rebuilt here from
+primitives so the engine is complete without either dependency).
+
+Layout:
+    table_dir/
+      v=1/  v=2/ ...        immutable version snapshots (parquet)
+      _manifest.json         {"current": N, "versions": {...}}
+
+The manifest is the single source of truth and is published by
+write-to-tmp + atomic os.replace — readers either see the old version
+or the new one, never a half-state. Writers serialize on the existing
+``TargetLock`` (same lock the append/compaction paths take, so MERGE
+composes with them). Old versions stay readable until vacuumed —
+that's time travel.
+
+MERGE = read current snapshot, full-outer against the updates on the
+key, matched rows take the update's values, unmatched-source rows
+insert, unmatched-target rows carry over — one distributed join, then
+a NEW immutable snapshot. No file is ever rewritten in place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sinks import TargetLock
+
+_MANIFEST = "_manifest.json"
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _MANIFEST)
+
+
+def _read_manifest(table_dir: str) -> dict:
+    p = _manifest_path(table_dir)
+    if not os.path.exists(p):
+        return {"current": 0, "versions": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _publish_manifest(table_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(table_dir))  # atomic on POSIX
+
+
+def current_version(table_dir: str) -> int:
+    return _read_manifest(table_dir)["current"]
+
+
+def read_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the current snapshot, or any retained version (time
+    travel)."""
+    m = _read_manifest(table_dir)
+    v = m["current"] if version is None else version
+    if v == 0 or str(v) not in m["versions"]:
+        raise ValueError(f"version {v} does not exist in {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+
+
+def write_snapshot(df: DataFrame, table_dir: str, note: str = "") -> int:
+    """Publish ``df`` as the next immutable version. Returns it."""
+    os.makedirs(table_dir, exist_ok=True)
+    with TargetLock(table_dir):
+        m = _read_manifest(table_dir)
+        v = m["current"] + 1
+        path = os.path.join(table_dir, f"v={v}")
+        df.write.mode("overwrite").parquet(path)
+        m["versions"][str(v)] = {"note": note}
+        m["current"] = v
+        _publish_manifest(table_dir, m)
+        return v
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> dict:
+    """MERGE INTO: rows matching on ``key_cols`` take the update's
+    values, new keys insert, untouched rows carry over — published as
+    a new snapshot (the previous version remains readable). The join
+    shuffles both sides on the key once; at 100 TB pair this with the
+    daily-partition layout so only affected partitions join."""
+    with TargetLock(table_dir):
+        m = _read_manifest(table_dir)
+        base = (
+            spark.read.parquet(os.path.join(table_dir, f"v={m['current']}"))
+            if m["current"]
+            else spark.createDataFrame([], updates.schema)
+        )
+        val_cols = [c for c in updates.columns if c not in key_cols]
+        b = base.alias("b")
+        # presence marker: "this side had a row" must not be inferred
+        # from key nullability (a null-keyed update row would misroute)
+        u = updates.withColumn("__is_update", F.lit(1)).alias("u")
+        cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}")) for k in key_cols]
+        merged = b.join(u, cond, "full_outer").select(
+            *[
+                F.when(F.col("u.__is_update").isNotNull(), F.col(f"u.{k}"))
+                .otherwise(F.col(f"b.{k}"))
+                .alias(k)
+                for k in key_cols
+            ],
+            *[
+                F.when(F.col("u.__is_update").isNotNull(), F.col(f"u.{c}"))
+                .otherwise(F.col(f"b.{c}"))
+                .alias(c)
+                for c in val_cols
+            ],
+        )
+        v = m["current"] + 1
+        path = os.path.join(table_dir, f"v={v}")
+        merged.write.mode("overwrite").parquet(path)
+        n_rows = spark.read.parquet(path).count()
+        m["versions"][str(v)] = {"note": f"merge on {key_cols}"}
+        m["current"] = v
+        _publish_manifest(table_dir, m)
+        return {"version": v, "rows": n_rows}
+
+
+def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Drop snapshot dirs older than the last ``keep_last`` versions
+    (bounded storage; time travel keeps only the retained window)."""
+    import shutil
+
+    with TargetLock(table_dir):
+        m = _read_manifest(table_dir)
+        versions = sorted(int(v) for v in m["versions"])
+        to_drop = versions[:-keep_last] if keep_last else versions
+        for v in to_drop:
+            shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+            del m["versions"][str(v)]
+        _publish_manifest(table_dir, m)
+        return to_drop

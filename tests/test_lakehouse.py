@@ -1,0 +1,102 @@
+"""Versioned-table layer: MERGE semantics, time travel, vacuum, and
+manifest atomicity."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from bigquery_postgres_events_etl_spark.io import load_table
+from bigquery_postgres_events_etl_spark.sources.lakehouse import (
+    current_version,
+    merge_upsert,
+    read_table,
+    vacuum,
+    write_snapshot,
+)
+
+
+def test_merge_updates_inserts_and_carries_over(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "customers")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    v1 = write_snapshot(c, table, note="initial load")
+    assert v1 == current_version(table) == 1
+
+    # updates: change 10 balances, insert 5 new keys
+    updated = (
+        c.where(F.col("c_custkey") <= 10)
+        .withColumn("c_acctbal", F.lit(0.0))
+    )
+    inserted = spark.createDataFrame(
+        [(1_000_000 + i, f"new#{i}", 1.5) for i in range(5)],
+        "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE",
+    )
+    r = merge_upsert(
+        spark, table, updated.unionByName(inserted), ["c_custkey"]
+    )
+    assert r["version"] == 2
+
+    now = read_table(spark, table)
+    n_base = c.count()
+    assert now.count() == n_base + 5  # inserts added, updates in place
+    assert (
+        now.where(F.col("c_custkey") <= 10)
+        .agg(F.sum(F.abs("c_acctbal")))
+        .first()[0]
+        == 0.0
+    )  # matched rows took the update
+    # untouched rows carried over byte-for-byte
+    untouched_now = now.where(
+        (F.col("c_custkey") > 10) & (F.col("c_custkey") < 1_000_000)
+    )
+    untouched_before = c.where(F.col("c_custkey") > 10)
+    assert untouched_now.exceptAll(untouched_before).count() == 0
+    assert untouched_before.exceptAll(untouched_now).count() == 0
+
+    # time travel: v1 still shows the pre-merge balances
+    old = read_table(spark, table, version=1)
+    assert old.count() == n_base
+    assert (
+        old.where(F.col("c_custkey") <= 10)
+        .agg(F.sum(F.abs("c_acctbal")))
+        .first()[0]
+        > 0
+    )
+
+
+def test_vacuum_bounds_history_and_keeps_current(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "t")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    for i in range(4):
+        write_snapshot(c.withColumn("v", F.lit(i)), table, note=f"s{i}")
+    dropped = vacuum(table, keep_last=2)
+    assert dropped == [1, 2]
+    assert current_version(table) == 4
+    assert read_table(spark, table).count() == c.count()
+    try:
+        read_table(spark, table, version=1)
+        raise AssertionError("vacuumed version must not be readable")
+    except ValueError:
+        pass
+
+
+def test_manifest_publish_is_atomic(spark, sf_dir, tmp_path):
+    """A stranded manifest tmp (crash between write and rename) must
+    not affect readers — the published manifest stays authoritative."""
+    table = str(tmp_path / "t")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    write_snapshot(c, table)
+    # simulate the crash artifact
+    with open(os.path.join(table, "_manifest.json.tmp"), "w") as f:
+        f.write('{"current": 999, "versions": {}}')
+    assert current_version(table) == 1
+    assert read_table(spark, table).count() == c.count()
+    # and the next writer just overwrites the stale tmp
+    write_snapshot(c, table)
+    assert current_version(table) == 2
+    m = json.load(open(os.path.join(table, "_manifest.json")))
+    assert m["current"] == 2
