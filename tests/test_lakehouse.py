@@ -100,3 +100,43 @@ def test_manifest_publish_is_atomic(spark, sf_dir, tmp_path):
     assert current_version(table) == 2
     m = json.load(open(os.path.join(table, "_manifest.json")))
     assert m["current"] == 2
+
+
+def test_apply_changelog_insert_update_delete(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "t")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n0 = c.count()
+    write_snapshot(c, table)
+
+    from bigquery_postgres_events_etl_spark.sources.lakehouse import (
+        apply_changelog,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, 0.0, "U"), (2, 0.0, "U"), (9_999_991, 7.5, "I"), (3, None, "D")],
+        "c_custkey BIGINT, c_acctbal DOUBLE, op STRING",
+    )
+    r = apply_changelog(spark, table, changes, ["c_custkey"])
+    now = read_table(spark, table)
+    assert r["rows"] == now.count() == n0 + 1 - 1  # +insert −delete
+    assert now.where(F.col("c_custkey") == 3).count() == 0
+    assert (
+        now.where(F.col("c_custkey").isin(1, 2))
+        .agg(F.sum(F.abs("c_acctbal")))
+        .first()[0]
+        == 0.0
+    )
+    assert now.where(F.col("c_custkey") == 9_999_991).count() == 1
+    # pre-apply snapshot still intact (time travel)
+    assert read_table(spark, table, version=1).count() == n0
+
+    # duplicate-key changelog must be rejected, not silently resolved
+    dup = spark.createDataFrame(
+        [(1, 5.0, "U"), (1, 9.0, "D")],
+        "c_custkey BIGINT, c_acctbal DOUBLE, op STRING",
+    )
+    try:
+        apply_changelog(spark, table, dup, ["c_custkey"])
+        raise AssertionError("duplicate keys must raise")
+    except ValueError:
+        pass
