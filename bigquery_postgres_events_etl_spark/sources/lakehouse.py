@@ -212,3 +212,28 @@ def apply_changelog(
         m["current"] = v
         _publish_manifest(table_dir, m)
         return {"version": v, "rows": n}
+
+
+def checked_write(
+    df: DataFrame,
+    table_dir: str,
+    expectations: list[tuple[str, str]],
+    note: str = "",
+) -> int:
+    """DQ-GATED publish: evaluate every (rule_name, violation_predicate)
+    as one conditional-aggregate pass over ``df``; if ANY rule has
+    violations the snapshot is NOT published and the error names each
+    failing rule with its count — the promotion gate
+    `dq_expectations_report` describes, actually wired to the write
+    path. One extra aggregation job; the table's current version is
+    untouched on failure."""
+    agg = df.agg(
+        *[
+            F.count_if(F.expr(pred)).alias(name)
+            for name, pred in expectations
+        ]
+    ).first()
+    failed = {name: agg[name] for name, _ in expectations if agg[name] > 0}
+    if failed:
+        raise ValueError(f"expectations failed, snapshot not published: {failed}")
+    return write_snapshot(df, table_dir, note=note)

@@ -140,3 +140,44 @@ def test_apply_changelog_insert_update_delete(spark, sf_dir, tmp_path):
         raise AssertionError("duplicate keys must raise")
     except ValueError:
         pass
+
+
+def test_checked_write_gates_bad_batches(spark, sf_dir, tmp_path):
+    """A batch violating an expectation must NOT publish a version;
+    a clean batch must."""
+    from bigquery_postgres_events_etl_spark.sources.lakehouse import (
+        checked_write,
+    )
+
+    table = str(tmp_path / "t")
+    e = load_table(spark, sf_dir, "events")
+    rules = [
+        ("null_user", "user_id IS NULL"),
+        ("negative_value", "value < 0"),
+    ]
+    clean = e.where(F.col("user_id").isNotNull() & (F.col("value") >= 0))
+    v = checked_write(clean, table, rules)
+    assert v == current_version(table) == 1
+
+    bad = clean.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 100 == 0, None).otherwise(F.col("user_id")),
+    )
+    try:
+        checked_write(bad, table, rules)
+        raise AssertionError("violating batch must not publish")
+    except ValueError as ex:
+        assert "null_user" in str(ex)
+    assert current_version(table) == 1  # still the clean version
+
+
+def test_snapshot_schema_evolution(spark, sf_dir, tmp_path):
+    """A later snapshot may add columns; time travel reads each
+    version under its own schema."""
+    table = str(tmp_path / "t")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    write_snapshot(c, table)
+    write_snapshot(c.withColumn("segment", F.lit("retail")), table)
+    assert "segment" in read_table(spark, table).columns
+    assert "segment" not in read_table(spark, table, version=1).columns
+    assert read_table(spark, table).count() == c.count()
