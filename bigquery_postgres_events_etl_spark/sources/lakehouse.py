@@ -237,3 +237,91 @@ def checked_write(
     if failed:
         raise ValueError(f"expectations failed, snapshot not published: {failed}")
     return write_snapshot(df, table_dir, note=note)
+
+
+def scd2_apply(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    effective_us: int,
+) -> dict:
+    """SCD Type-2 MAINTENANCE on the versioned dimension (the write-
+    side twin of the `etl_scd2_user_state` derivation): for each
+    incoming key whose ``compare_cols`` differ from the key's CURRENT
+    row, the current row closes (``valid_to_us = effective_us``) and a
+    new current row opens at ``effective_us``; brand-new keys open a
+    first interval; unchanged keys and all history rows carry over
+    untouched. One keyed join against the current slice only (history
+    never joins), then a new immutable snapshot.
+
+    First call bootstraps the dimension: every update row opens with
+    ``valid_from_us = effective_us`` and an open ``valid_to_us``.
+    """
+    meta = ["valid_from_us", "valid_to_us", "is_current"]
+    with TargetLock(table_dir):
+        m = _read_manifest(table_dir)
+        if m["current"]:
+            base = spark.read.parquet(
+                os.path.join(table_dir, f"v={m['current']}")
+            )
+        else:
+            base = None
+
+        opened = updates.select(
+            *key_cols,
+            *compare_cols,
+            F.lit(effective_us).cast("bigint").alias("valid_from_us"),
+            F.lit(None).cast("bigint").alias("valid_to_us"),
+            F.lit(1).alias("is_current"),
+        )
+        if base is None:
+            merged = opened
+            n_changed = opened.count()
+        else:
+            history = base.where(F.col("is_current") == 0)
+            cur = base.where(F.col("is_current") == 1).alias("b")
+            u = updates.withColumn("__present", F.lit(1)).alias("u")
+            cond = [
+                F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}")) for k in key_cols
+            ]
+            j = cur.join(u, cond, "full_outer")
+            changed = F.col("u.__present").isNotNull() & (
+                F.col("b.is_current").isNull()  # brand-new key
+                | ~F.struct(*[F.col(f"b.{c}") for c in compare_cols]).eqNullSafe(
+                    F.struct(*[F.col(f"u.{c}") for c in compare_cols])
+                )
+            )
+            # current rows: carried over unchanged, or closed if changed
+            kept_cur = j.where(F.col("b.is_current").isNotNull()).select(
+                *[F.col(f"b.{k}").alias(k) for k in key_cols],
+                *[F.col(f"b.{c}").alias(c) for c in compare_cols],
+                F.col("b.valid_from_us").alias("valid_from_us"),
+                F.when(changed, F.lit(effective_us).cast("bigint"))
+                .otherwise(F.col("b.valid_to_us"))
+                .alias("valid_to_us"),
+                F.when(changed, F.lit(0)).otherwise(F.lit(1)).alias("is_current"),
+            )
+            new_cur = (
+                j.where(changed)
+                .select(
+                    *[F.col(f"u.{k}").alias(k) for k in key_cols],
+                    *[F.col(f"u.{c}").alias(c) for c in compare_cols],
+                    F.lit(effective_us).cast("bigint").alias("valid_from_us"),
+                    F.lit(None).cast("bigint").alias("valid_to_us"),
+                    F.lit(1).alias("is_current"),
+                )
+            )
+            merged = history.select(*key_cols, *compare_cols, *meta).unionByName(
+                kept_cur
+            ).unionByName(new_cur)
+            n_changed = new_cur.count()
+
+        v = m["current"] + 1
+        path = os.path.join(table_dir, f"v={v}")
+        merged.write.mode("overwrite").parquet(path)
+        m["versions"][str(v)] = {"note": f"scd2 @ {effective_us}"}
+        m["current"] = v
+        _publish_manifest(table_dir, m)
+        return {"version": v, "changed_keys": n_changed}

@@ -181,3 +181,58 @@ def test_snapshot_schema_evolution(spark, sf_dir, tmp_path):
     assert "segment" in read_table(spark, table).columns
     assert "segment" not in read_table(spark, table, version=1).columns
     assert read_table(spark, table).count() == c.count()
+
+
+def test_scd2_apply_maintains_validity_intervals(spark, sf_dir, tmp_path):
+    """Three loads: bootstrap, a change batch (some keys change, some
+    don't), and a revert — intervals must tile per key with exactly
+    one current row, closed rows pinned to their change instant."""
+    from bigquery_postgres_events_etl_spark.sources.lakehouse import (
+        scd2_apply,
+    )
+
+    table = str(tmp_path / "dim")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    n_keys = c.count()
+    r1 = scd2_apply(spark, table, c, ["c_custkey"], ["c_mktsegment"], 1000)
+    assert r1["changed_keys"] == n_keys
+
+    # change segment for keys <= 50, leave the rest
+    upd = c.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") <= 50, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    n_low = c.where(F.col("c_custkey") <= 50).count()
+    r2 = scd2_apply(spark, table, upd, ["c_custkey"], ["c_mktsegment"], 2000)
+    assert r2["changed_keys"] == n_low
+
+    dim = read_table(spark, table)
+    assert dim.count() == n_keys + n_low  # one closed + one open per changed key
+    cur = dim.where(F.col("is_current") == 1)
+    assert cur.count() == n_keys  # exactly one current row per key
+    assert cur.where(F.col("c_custkey") <= 50).where(
+        F.col("c_mktsegment") != "CHANGED"
+    ).count() == 0
+    closed = dim.where(F.col("is_current") == 0)
+    assert closed.count() == n_low
+    assert closed.where(
+        (F.col("valid_from_us") != 1000) | (F.col("valid_to_us") != 2000)
+    ).count() == 0
+
+    # revert: the changed keys change BACK — another n_low closures
+    r3 = scd2_apply(spark, table, c, ["c_custkey"], ["c_mktsegment"], 3000)
+    assert r3["changed_keys"] == n_low
+    dim3 = read_table(spark, table)
+    assert dim3.count() == n_keys + 2 * n_low
+    assert dim3.where(F.col("is_current") == 1).count() == n_keys
+    # per-key intervals tile: each key's rows ordered by valid_from
+    # have valid_to == next valid_from (None only on the open row)
+    rows = dim3.where(F.col("c_custkey") == 1).orderBy("valid_from_us").collect()
+    assert [r.valid_to_us for r in rows[:-1]] == [
+        r.valid_from_us for r in rows[1:]
+    ]
+    assert rows[-1].valid_to_us is None
