@@ -586,3 +586,99 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ).alias("text_kept"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 17,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis exponential-jump key (2006, public paper): each row draws
+    a deterministic uniform u from its md5-60bit hash and competes on
+    key = −ln(u)/w — the k smallest keys are exactly a weight-
+    proportional sample without replacement. One map-side key
+    expression + a TakeOrderedAndProject top-k: no shuffle of the
+    corpus, no per-stratum windows, and the same rows win on ANY
+    cluster size (the draw depends only on the row, not partitioning).
+
+    Oracle parity: u is an identical double on both engines (integer
+    hash / 2^60+1 literal); ln differs by ≤1 ulp across libm/JVM, so
+    the key rounds to DECIMAL(20,9) with doc_id as the total
+    tie-break."""
+    h = md5_hash60(F.col(id_col).cast("string"), seed=seed)
+    u = (h + 1).cast("double") / F.lit(2**60 + 1).cast("double")
+    key = (-F.log(u) / F.col(weight_col).cast("double")).cast("decimal(20,9)")
+    return (
+        docs.select(id_col, weight_col, key.alias("es_key"))
+        .orderBy("es_key", id_col)
+        .limit(k)
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Scale tier of :func:`decontaminate`: the benchmark n-gram set
+    folds into an explicit Bloom BITSET — the distinct relation of
+    ``pmod(xxhash64(shingle, seed_i), num_bits)`` positions — whose
+    size is capped by ``num_bits`` (a CONFIGURATION constant, ~4 MB
+    of longs at the default), not by the suite size, so its broadcast
+    is unconditionally safe even when a benchmark outgrows
+    comfortable n-gram-set broadcasts. The corpus probes its k bit
+    positions map-side against the broadcast bitset; a shingle is
+    flagged iff its distinct matched bits equal its distinct probe
+    bits (countDistinct on both sides — robust to a shingle repeating
+    within a document and to seed collisions on one bit).
+
+    One-sided error: a flagged shingle may be a false positive (rate
+    ≈ (1 − e^{−k·n/m})^k), never a false negative — the flagged doc
+    set is a SUPERSET of the exact tier's and ``n_overlap`` an upper
+    bound; the standard composition re-checks survivors with the
+    exact tier confined to the flagged sliver. (Spark's own
+    bloom_filter_agg/might_contain pair is optimizer-internal, not a
+    user routine — the runtime-injected variant is pinned separately
+    in tests/test_plans.py; this operator makes the same idea an
+    explicit, engine-portable plan.) Rows-only entry (no DuckDB
+    twin); superset + upper-bound properties are pytest-pinned
+    against the exact tier."""
+    def probe_bits(col: str):
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(num_bits))
+                for i in range(k_hashes)
+            ]
+        )
+
+    bench_sh = exploded_shingles(benchmark, n, id_col).select("shingle").distinct()
+    bitset = bench_sh.select(F.explode(probe_bits("shingle")).alias("bit")).distinct()
+    train_sh = exploded_shingles(train, n, id_col)
+    # distinct matched bits vs distinct probe bits: robust both to a
+    # shingle repeating within a doc (duplicate probe rows) and to two
+    # seeds mapping one shingle onto the same bit
+    pb = F.array_distinct(probe_bits("shingle"))
+    probes = train_sh.select(
+        "doc_id",
+        "shingle",
+        F.size(pb).alias("n_bits"),
+        F.explode(pb).alias("bit"),
+    )
+    flagged = (
+        probes.join(F.broadcast(bitset), "bit")
+        .groupBy("doc_id", "shingle")
+        .agg(
+            F.countDistinct("bit").alias("n_hit"),
+            F.max("n_bits").alias("n_bits"),
+        )
+        .where(F.col("n_hit") == F.col("n_bits"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_overlap")
+    )

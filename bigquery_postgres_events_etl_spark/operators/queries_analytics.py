@@ -731,3 +731,72 @@ def attribution_position_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_touches"),
         )
     )
+
+
+@register(
+    "events_mergeable_quantile_rollup",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('week', {_TS}) AS DATE) AS week,
+             CAST({_TS} AS DATE) AS day, value, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    wk AS (
+      SELECT week, list(value ORDER BY value) AS vals, CAST(count(*) AS BIGINT) AS n_events
+      FROM (
+        SELECT week, value, sum(n) AS cnt FROM daily GROUP BY week, value
+      ), LATERAL unnest(generate_series(1, CAST(cnt AS INTEGER))) AS g(i)
+      GROUP BY week
+    )
+    SELECT week, n_events,
+           vals[CAST(ceil(0.5 * n_events) AS INTEGER)] AS p50_value,
+           vals[CAST(ceil(0.9 * n_events) AS INTEGER)] AS p90_value
+    FROM wk
+    """,
+)
+def events_mergeable_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable quantiles — the value-histogram twin of
+    ``events_mergeable_daily_rollup``: per-(day, value) count states
+    are built once; a week's p50/p90 is answered ONLY by merging
+    daily states (counts add by value) and walking the cumulative
+    count to rank ceil(q·N) — discrete-percentile semantics, no raw
+    rescan. The oracle materializes each week's fully expanded sorted
+    value list from the raw table and indexes it directly, so the
+    hash match proves the state merge + cumulative-rank walk equals
+    the definitional quantile.
+
+    Scale: state size is |distinct values| per day — for metrics with
+    bounded domains (latency ms buckets, prices in cents) this is the
+    standard exact incremental-quantile design; for unbounded
+    continuous domains you quantize the value first and the same
+    algebra gives ε-approximate quantiles with ε = grid step. The
+    per-week cumulative walk windows over distinct values WITHIN a
+    week partition (never a global window)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.to_date("ts").alias("day"),
+        "value",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    merged = daily.groupBy("week", "value").agg(F.sum("n").alias("n"))
+    w_cum = (
+        Window.partitionBy("week")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("week")
+    cum = merged.select(
+        "week",
+        "value",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("n_events"),
+    )
+    return cum.groupBy("week").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n_events")), F.col("value"))
+        ).alias("p50_value"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(0.9) * F.col("n_events")), F.col("value"))
+        ).alias("p90_value"),
+    )

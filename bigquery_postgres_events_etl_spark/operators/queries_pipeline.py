@@ -870,3 +870,42 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "rate")
     )
+
+
+@register(
+    "pipeline_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(-ln(CAST({_h60("CAST(doc_id AS VARCHAR)", seed=17)} + 1 AS DOUBLE)
+                      / CAST(1152921504606846977 AS DOUBLE))
+                  / CAST(n_chars AS DOUBLE) AS DECIMAL(20,9)) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, es_key
+    FROM keyed ORDER BY es_key, doc_id LIMIT 100
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement: k
+    smallest −ln(u)/w keys, u drawn per-row from md5 — map-side keys +
+    TakeOrderedAndProject, no corpus shuffle, partitioning-invariant."""
+    from .pipeline import weighted_sample
+
+    return weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register("pipeline_decontaminate_bloom", None)  # bloom binary: no DuckDB twin
+def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter scale tier of benchmark decontamination: the
+    held-out suite folds to one binary scalar; the corpus streams
+    map-side through might_contain (no corpus-side join). One-sided
+    error — flagged ⊇ exact tier's contaminated set (pytest-pinned)."""
+    from pyspark.sql import functions as F
+
+    from .pipeline import decontaminate_bloom
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate_bloom(train, bench, n=3)

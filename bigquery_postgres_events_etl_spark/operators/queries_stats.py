@@ -667,3 +667,92 @@ def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_price"),
     )
+
+
+@register(
+    "events_ab_ttest",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 2 AS variant,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS metric
+      FROM events GROUP BY user_id
+    ),
+    sums AS (
+      SELECT variant,
+             count(*) AS n,
+             CAST(CAST(SUM(CAST(metric AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(CAST(metric AS DECIMAL(19,4)) * CAST(metric AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS ss
+      FROM per_user GROUP BY variant
+    ),
+    stats AS (
+      SELECT variant, n, s / n AS mean, (ss - s * s / n) / (n - 1) AS var
+      FROM sums
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN variant = 0 THEN mean END) AS mean_a,
+        MAX(CASE WHEN variant = 1 THEN mean END) AS mean_b,
+        MAX(CASE WHEN variant = 0 THEN var END) AS var_a,
+        MAX(CASE WHEN variant = 1 THEN var END) AS var_b
+      FROM stats
+    )
+    SELECT n_a, n_b, mean_a, mean_b,
+           (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+           (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS welch_df
+    FROM wide
+    """,
+)
+def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between experiment arms (the A/B
+    readout the reference's loaded events table feeds downstream):
+    users split into variants by ``user_id % 2`` (a deployment would
+    hash the assignment key), per-user metric = exact DECIMAL revenue
+    sum, then mean/variance per arm from exact sums (the
+    ``agg_variance_from_sums`` moment formula) and the t statistic +
+    Welch–Satterthwaite df as a fixed IEEE chain over identical
+    inputs — reproducible bit-for-bit across engines, unlike native
+    streaming variance.
+
+    Scale: two partial-aggregatable passes (user rollup, then a
+    2-group rollup) — no window, no join; the wide pivot is a 2-row
+    conditional aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        _dsum("value").alias("metric")
+    ).select(
+        (F.col("user_id") % 2).alias("variant"), "metric"
+    )
+    sums = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("metric").alias("s"),
+        _dsum_sq("metric").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    stats = sums.select(
+        "variant", "n", (s / n).alias("mean"), ((ss - s * s / n) / (n - 1)).alias("var")
+    )
+
+    def pick(col: str, variant: int):
+        return F.max(F.when(F.col("variant") == variant, F.col(col)))
+
+    wide = stats.agg(
+        pick("n", 0).alias("n_a"), pick("n", 1).alias("n_b"),
+        pick("mean", 0).alias("mean_a"), pick("mean", 1).alias("mean_b"),
+        pick("var", 0).alias("var_a"), pick("var", 1).alias("var_b"),
+    )
+    se2_a = F.col("var_a") / F.col("n_a")
+    se2_b = F.col("var_b") / F.col("n_b")
+    se2 = se2_a + se2_b
+    return wide.select(
+        "n_a", "n_b", "mean_a", "mean_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)).alias("t_stat"),
+        (
+            se2 * se2
+            / (se2_a * se2_a / (F.col("n_a") - 1) + se2_b * se2_b / (F.col("n_b") - 1))
+        ).alias("welch_df"),
+    )

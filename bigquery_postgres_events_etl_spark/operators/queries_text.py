@@ -498,3 +498,78 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_NB_SRC_SQL = "'src0', 'src1'"
+
+
+@register(
+    "text_nb_quality_train",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+           CAST(SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+    FROM tok GROUP BY token
+    """,
+)
+def text_nb_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality-classifier TRAINING: per-token class-
+    conditional counts (curated sources vs rest) — one explode, one
+    aggregation, integer output (mergeable for incremental retrain)."""
+    from .text import nb_token_counts
+
+    return nb_token_counts(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "text_nb_quality_score",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token,
+             SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 1 ELSE 0 END) AS c_pos,
+             SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 0 ELSE 1 END) AS c_neg
+      FROM tok GROUP BY token
+    ),
+    totals AS (
+      SELECT CAST(SUM(c_pos) AS BIGINT) AS pos_total,
+             CAST(SUM(c_neg) AS BIGINT) AS neg_total,
+             count(*) AS vocab
+      FROM counts
+    ),
+    priors AS (
+      SELECT CAST(ln(CAST(SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 0 ELSE 1 END) AS DOUBLE))
+                  AS DECIMAL(20,9)) AS prior
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             SUM(CAST(ln((c.c_pos + CAST(1 AS DOUBLE)) / (tt.pos_total + CAST(tt.vocab AS DOUBLE)))
+                    - ln((c.c_neg + CAST(1 AS DOUBLE)) / (tt.neg_total + CAST(tt.vocab AS DOUBLE)))
+                  AS DECIMAL(20,9))) AS llr
+      FROM tok t JOIN counts c USING (token) CROSS JOIN totals tt
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, d.n_tokens,
+           CAST(d.llr + p.prior AS DOUBLE) AS nb_score,
+           (d.llr + p.prior) > 0 AS predicted_curated
+    FROM per_doc d CROSS JOIN priors p
+    """,
+)
+def text_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality-classifier SCORING: per-doc Laplace-
+    smoothed log-likelihood ratio + class prior, keep/drop verdict
+    decided on the exact decimal (boundary cannot flip between
+    engines). The CCNet/GPT-3 'looks like the curated corpus' gate."""
+    from .text import nb_quality_score
+
+    return nb_quality_score(parallelize(load_table(spark, sf_dir, "documents")))

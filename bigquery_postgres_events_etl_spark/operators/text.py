@@ -538,3 +538,98 @@ def bpe_train(docs: DataFrame, n_merges: int = 10) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank BIGINT, left STRING, right STRING, merged STRING, n_occurrences BIGINT"
     )
+
+
+# ---------------------------------------------------------------------
+# Naive-Bayes quality classifier (the CCNet / GPT-3 "looks like the
+# curated corpus" filter, trained and applied wholly in-engine)
+# ---------------------------------------------------------------------
+
+NB_TARGET_SOURCES = ("src0", "src1")
+
+
+def nb_token_counts(
+    docs: DataFrame, target_sources: tuple[str, ...] = NB_TARGET_SOURCES
+) -> DataFrame:
+    """TRAINING pass of the multinomial Naive-Bayes quality
+    classifier: per-token occurrence counts in the curated (target)
+    class vs the rest of the corpus. One explode + ONE aggregation
+    carrying both class counters (no second data pass) — pure integer
+    output, so the table is bit-exact across engines and directly
+    mergeable (counts add) for incremental retraining.
+
+    Scale: (doc, token) explode is map-side; the single groupBy(token)
+    shuffle carries ~16-byte rows; output is vocab-sized."""
+    is_target = F.col("source").isin(*target_sources)
+    tok = with_tokens(docs).select(
+        "doc_id", "source", F.explode("tokens").alias("token")
+    )
+    return tok.groupBy("token").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("c_pos"),
+        F.sum(F.when(is_target, 0).otherwise(1)).cast("long").alias("c_neg"),
+    )
+
+
+def nb_quality_score(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = NB_TARGET_SOURCES,
+    max_broadcast_terms: int = 1_000_000,
+) -> DataFrame:
+    """SCORING pass: per-document Laplace-smoothed log-likelihood
+    ratio under the two class-conditional token models + class prior —
+    the fastText/CCNet-style "does this look like the curated set"
+    quality gate, entirely declarative (explode → token join → per-doc
+    sum; no Python in the loop).
+
+    Oracle parity: each token's contribution
+    ``ln((c_pos+1)/(pos_total+V)) − ln((c_neg+1)/(neg_total+V))`` is a
+    deterministic IEEE chain except ``ln`` (JVM vs libm differ by
+    1 ulp on ~8% of inputs), so contributions round to DECIMAL(20,9)
+    — empirically cast-identical — and accumulate in exact decimal;
+    the keep/drop verdict compares the decimal, not a double, so the
+    boundary cannot flip between engines.
+
+    Scale: the vocab-sized count table is broadcast only under the
+    measured-cardinality gate (same contract as tfidf_top_terms);
+    above it the token join shuffles. The totals/prior frames are
+    1-row scalars — unconditionally safe."""
+    counts = nb_token_counts(docs, target_sources).persist()
+    n_terms = counts.count()
+    counts_side = F.broadcast(counts) if n_terms <= max_broadcast_terms else counts
+    totals = counts.agg(
+        F.sum("c_pos").cast("long").alias("pos_total"),
+        F.sum("c_neg").cast("long").alias("neg_total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    is_target = F.col("source").isin(*target_sources)
+    priors = docs.agg(
+        F.count_if(is_target).alias("n_pos_docs"),
+        F.count_if(~is_target).alias("n_neg_docs"),
+    )
+    tok = with_tokens(docs).select("doc_id", F.explode("tokens").alias("token"))
+    contrib = F.expr(
+        "CAST(ln((c_pos + CAST(1 AS DOUBLE)) / (pos_total + CAST(vocab AS DOUBLE)))"
+        " - ln((c_neg + CAST(1 AS DOUBLE)) / (neg_total + CAST(vocab AS DOUBLE)))"
+        " AS DECIMAL(20,9))"
+    )
+    prior = F.expr(
+        "CAST(ln(CAST(n_pos_docs AS DOUBLE) / CAST(n_neg_docs AS DOUBLE))"
+        " AS DECIMAL(20,9))"
+    )
+    scored = (
+        tok.join(counts_side, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(contrib).alias("llr_dec"),
+        )
+        .crossJoin(F.broadcast(priors))
+    )
+    score_dec = F.col("llr_dec") + prior
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        score_dec.cast("double").alias("nb_score"),
+        (score_dec > 0).alias("predicted_curated"),
+    )

@@ -83,6 +83,10 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "query set bounded by N_QUERIES — same contract as brute_force_topk",
     ("queries_similarity.py", "pipeline_negative_sampling"):
         "query set bounded by N_QUERIES — same contract as brute_force_topk",
+    ("text.py", "nb_quality_score"):
+        "vocab-sized count table broadcast GATED on measured cardinality "
+        "≤ max_broadcast_terms (same contract as tfidf_top_terms); the "
+        "totals and prior frames are 1-row scalars — unconditionally safe",
     ("text.py", "bm25_topk"):
         "1-row (N, avgdl, df...) stats scalar — width bounded by the fixed "
         "query-term list, unconditionally safe at any corpus size",
@@ -98,6 +102,10 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "stream-stream join)",
     ("zorder.py", "zorder_index"):
         "1-row global min/max scalar frame for the z-curve scaling",
+    ("pipeline.py", "decontaminate_bloom"):
+        "Bloom bitset relation — ≤ num_bits rows by construction (a "
+        "configuration constant, ~4 MB at the 2^20 default), independent "
+        "of both corpus and benchmark size",
     ("pipeline.py", "decontaminate"):
         "benchmark n-gram set — bounded by the evaluation suite size (a "
         "fixed artifact chosen by the benchmark author), not the corpus SF; "

@@ -322,3 +322,58 @@ def test_importance_weight_favors_target_distribution(spark, sf_dir):
     )
     ood = {r.doc_id: r.importance for r in importance_weight(extra).collect()}
     assert ood[990001] == 0.0
+
+
+def test_bloom_decontaminate_is_superset_of_exact(spark, sf_dir):
+    """One-sided error: the Bloom tier may over-flag (false positive)
+    but can NEVER miss a truly contaminated doc, and its n_overlap is
+    an upper bound on the exact tier's per doc — the properties the
+    re-check composition (exact tier confined to the flagged sliver)
+    relies on. Also bounds the over-flagging: at 2^20 bits / 3 hashes
+    on a fixture-sized suite the FP rate is ~0, so the two tiers
+    should in fact coincide here."""
+    from bigquery_postgres_events_etl_spark.operators.pipeline import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    exact = {r.doc_id: r.n_overlap for r in decontaminate(train, bench, n=3).collect()}
+    bloom = {
+        r.doc_id: r.n_overlap
+        for r in decontaminate_bloom(train, bench, n=3).collect()
+    }
+    assert set(exact) <= set(bloom), "bloom tier missed a contaminated doc"
+    for doc_id, n_exact in exact.items():
+        assert bloom[doc_id] >= n_exact, "bloom n_overlap must be an upper bound"
+    # 2^20 bits vs a few hundred set bits → FP probability ~1e-16 per
+    # probe: any extra flagged doc here means a broken hash layout
+    assert set(bloom) == set(exact)
+    # degenerate-parameter sanity: with a tiny bitset every probe
+    # collides and everything is flagged — the config knob really is
+    # the error dial
+    tiny = decontaminate_bloom(train, bench, n=3, num_bits=4).count()
+    assert tiny >= len(exact)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """Efraimidis–Spirakis keys must produce a weight-biased sample:
+    the selected docs' mean weight exceeds the corpus mean, selection
+    is deterministic across repeated builds, and exactly k rows come
+    back. Inclusion is also partitioning-invariant (keys depend only
+    on the row), checked by recomputing on a repartitioned corpus."""
+    from bigquery_postgres_events_etl_spark.operators.pipeline import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 100
+    picked = weighted_sample(docs, k=k).collect()
+    assert len(picked) == k
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r.n_chars for r in picked) / k
+    assert sample_mean > corpus_mean, (
+        f"weighted sample mean {sample_mean} not above corpus mean {corpus_mean}"
+    )
+    again = weighted_sample(docs.repartition(7), k=k).collect()
+    assert {r.doc_id for r in picked} == {r.doc_id for r in again}

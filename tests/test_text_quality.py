@@ -268,3 +268,38 @@ def test_bpe_train_matches_reference(spark, sf_dir):
     assert len(got) == 10
     # learned merges compose: later merges may consume earlier ones
     assert all(m[3] == m[1] + m[2] for m in got)
+
+
+def test_nb_classifier_separates_and_counts_merge(spark, sf_dir):
+    """The Naive-Bayes quality classifier must (a) produce a training
+    table whose class counts are mergeable integers that reconcile
+    with the corpus token total, and (b) actually discriminate: docs
+    from the target (curated) sources score higher on average than
+    the rest — with the prior's sign making an all-unseen doc default
+    to 'not curated' (the corpus is mostly non-target)."""
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.text import (
+        NB_TARGET_SOURCES,
+        nb_quality_score,
+        nb_token_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = nb_token_counts(docs).collect()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).first()["n"]
+    assert sum(r.c_pos + r.c_neg for r in counts) == total_tokens
+
+    scored = nb_quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    rows = scored.collect()
+    assert len(rows) == docs.count()
+    tgt = [r.nb_score for r in rows if r.source in NB_TARGET_SOURCES]
+    rest = [r.nb_score for r in rows if r.source not in NB_TARGET_SOURCES]
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest), (
+        "classifier does not separate curated from rest"
+    )
+    # verdict column is decided on the exact decimal score
+    assert all((r.nb_score > 0) == r.predicted_curated for r in rows)
