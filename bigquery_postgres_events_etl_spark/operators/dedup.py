@@ -517,44 +517,74 @@ def simhash_near_pairs(
     Chunk extraction masks after the (arithmetic) right shift, so the
     sign bit of the two's-complement fingerprint never leaks into a
     chunk value."""
-    chunks = max_hamming + 1
-    width = SIMHASH_BITS // chunks
     sig = simhash(docs, id_col, hash_fn=hash_fn)
+    return hamming_band_pairs(
+        sig,
+        max_hamming=max_hamming,
+        id_col="doc_id",
+        sig_col="simhash",
+        out_prefix="doc",
+    )
+
+
+def hamming_band_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    out_prefix: str = "doc",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Generic Hamming-radius pairing over ANY 64-bit fingerprint
+    column (SimHash text signatures, perceptual image hashes, …) via
+    pigeonhole banding: split ``bits`` into (max_hamming + 1) chunks —
+    a pair within the radius must share ≥1 identical chunk — then
+    equal-chunk bucket join + exact ``bit_count(xor)`` filter.
+    Provably equal to brute-force all-pairs at inverted-index cost.
+
+    Output columns: ``{prefix}_a, {prefix}_b, {sig_col}_a, {sig_col}_b,
+    hamming``. Chunk extraction masks after the (arithmetic) right
+    shift, so the sign bit of the two's-complement fingerprint never
+    leaks into a chunk value."""
+    chunks = max_hamming + 1
+    width = bits // chunks
+    a_id, b_id = f"{out_prefix}_a", f"{out_prefix}_b"
+    a_sig, b_sig = f"{sig_col}_a", f"{sig_col}_b"
     chunk_cols = [
         F.struct(
             F.lit(c).alias("chunk_id"),
-            F.shiftright("simhash", c * width)
+            F.shiftright(sig_col, c * width)
             .bitwiseAND(F.lit((1 << width) - 1))
             .alias("chunk_val"),
         ).alias(f"c{c}")
         for c in range(chunks)
     ]
     chunked = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
-    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_val")
+        id_col, sig_col, F.explode(F.array(*chunk_cols)).alias("c")
+    ).select(id_col, sig_col, "c.chunk_id", "c.chunk_val")
     # one-pass bucket expansion (see minhash_lsh_pairs): sorted
-    # (doc_id, simhash) structs per chunk bucket → in-bucket pairs
+    # (id, sig) structs per chunk bucket → in-bucket pairs
     buckets = (
         chunked.groupBy("chunk_id", "chunk_val")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, sig_col))).alias("ds"))
         .where(F.size("ds") > 1)
     )
     pairs = buckets.select(
         F.explode(
             F.expr(
-                "flatten(transform(ds, (x, i) ->"
-                " transform(slice(ds, i + 2, size(ds)),"
-                " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
-                "             x.simhash AS simhash_a, y.simhash AS simhash_b))))"
+                f"flatten(transform(ds, (x, i) ->"
+                f" transform(slice(ds, i + 2, size(ds)),"
+                f" y -> struct(x.{id_col} AS {a_id}, y.{id_col} AS {b_id},"
+                f"             x.{sig_col} AS {a_sig}, y.{sig_col} AS {b_sig}))))"
             )
         ).alias("p")
     )
     return (
-        pairs.select("p.doc_a", "p.doc_b", "p.simhash_a", "p.simhash_b")
+        pairs.select(f"p.{a_id}", f"p.{b_id}", f"p.{a_sig}", f"p.{b_sig}")
         .distinct()
         .withColumn(
             "hamming",
-            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+            F.bit_count(F.col(a_sig).bitwiseXOR(F.col(b_sig))),
         )
         .where(F.col("hamming") <= max_hamming)
     )

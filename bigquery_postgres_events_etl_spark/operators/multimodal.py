@@ -340,3 +340,111 @@ def resample_audio(media: DataFrame, decimation: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(_resample, schema=schema)
+
+
+# ---------------------------------------------------------------------
+# perceptual-hash near-duplicate detection
+# ---------------------------------------------------------------------
+
+PHASH_SCHEMA = "media_id BIGINT, phash BIGINT"
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """64-bit perceptual signature per media payload, Arrow-batched.
+
+    With an image codec importable (Pillow) this is the standard
+    dHash: decode → 9×8 grayscale → horizontal-gradient bits — small
+    visual edits flip few bits, so near-duplicate frames land within
+    a small Hamming radius. Without codecs (this container) the
+    kernel falls back to a byte-bigram SimHash: hash each byte pair
+    into 64 buckets, vote, take bits above the mean — the same
+    locality property over raw payloads (a small payload edit
+    perturbs few bucket counts), so the downstream banding stage is
+    exercised with REAL near-dup semantics rather than a placebo.
+    Deterministic either way; which kernel ran is recorded by the
+    caller via `phash_kernel()`.
+
+    Scale: embarrassingly parallel, one 8-byte signature out per
+    payload — the shuffle-bearing stage is the banding join in
+    :func:`phash_near_pairs`, which inherits the SimHash inverted-
+    index cost model (Σ bucket², never |media|²)."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        image_module = _try_import_pil()
+
+        def one(payload: bytes | None) -> int | None:
+            if payload is None:
+                return None
+            if image_module is not None:
+                import io
+
+                try:
+                    img = image_module.open(io.BytesIO(payload)).convert("L")
+                    small = np.asarray(img.resize((9, 8)), dtype=np.int16)
+                    bits = (small[:, 1:] > small[:, :-1]).flatten()
+                except Exception:
+                    bits = None
+                if bits is not None:
+                    v = 0
+                    for i, b in enumerate(bits):
+                        if b:
+                            v |= 1 << i
+                    return v - (1 << 64) if v >= 1 << 63 else v
+            a = np.frombuffer(payload, dtype=np.uint8)
+            if len(a) < 2:
+                return 0
+            bg = a[:-1].astype(np.uint64) * np.uint64(31) + a[1:]
+            buckets = ((bg * np.uint64(2654435761)) >> np.uint64(20)) & np.uint64(63)
+            votes = np.bincount(buckets.astype(np.int64), minlength=64)
+            mean = len(bg) / 64.0
+            v = 0
+            for i in range(64):
+                if votes[i] > mean:
+                    v |= 1 << i
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"].map(one).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        hash_batch, schema=PHASH_SCHEMA
+    )
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def phash_kernel() -> str:
+    """Which perceptual-hash kernel this environment runs."""
+    return "dhash" if _try_import_pil() is not None else "byte-bigram-simhash"
+
+
+def phash_near_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate media pairs: 64-bit signature →
+    pigeonhole Hamming banding (the generic
+    :func:`..dedup.hamming_band_pairs` — identical cost model to the
+    text SimHash tier: equal-chunk bucket join, exact bit_count
+    verify, cost ∝ Σ bucket², never |media|²)."""
+    from .dedup import hamming_band_pairs
+
+    sig = perceptual_hash(media)
+    return hamming_band_pairs(
+        sig,
+        max_hamming=max_hamming,
+        id_col="media_id",
+        sig_col="phash",
+        out_prefix="media",
+    )

@@ -198,3 +198,18 @@ def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_bytes").alias("n_bytes"),
         )
     )
+
+
+@register("multimodal_phash_near_dup", None)  # Python kernel: no DuckDB twin
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate media pairs — the NEAR-dup twin
+    of multimodal_content_dedup (dHash under a real image codec; a
+    locality-sensitive byte-bigram signature in this container, see
+    multimodal.perceptual_hash): 64-bit signature per payload, then
+    the generic pigeonhole Hamming banding shared with the text
+    SimHash tier. Rows-only; locality + exact-dup-superset properties
+    are pytest-pinned."""
+    from .multimodal import phash_near_pairs
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return phash_near_pairs(media, max_hamming=6)

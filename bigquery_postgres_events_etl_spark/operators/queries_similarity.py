@@ -558,3 +558,70 @@ def pipeline_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("draw") <= 5)
         .select("query_id", "negative_id", "draw")
     )
+
+
+def _rrf_oracle() -> str:
+    from .queries_text import _BM25_TERMS, _bm25_contrib
+
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = " + ".join(_bm25_contrib(i) for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_cols} FROM t),
+    s AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(27,0))) AS DOUBLE) / count(*) AS avgdl,
+             {df_cols}
+      FROM d
+    ),
+    bm AS (SELECT doc_id, CAST({contribs} AS DOUBLE) AS bm25 FROM d, s),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+      FROM bm QUALIFY lex_rank <= 20
+    ),
+    {_NORMS_CTE.strip()},
+    dsc AS (
+      SELECT c.vec_id AS doc_id,
+             {_dot_sql('q.embedding', 'c.embedding')} / sqrt(nq.nsq * nc.nsq) AS cosine
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id != q.vec_id
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      WHERE q.vec_id = 0
+    ),
+    dense AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS dense_rank
+      FROM dsc QUALIFY dense_rank <= 20
+    )
+    SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id, l.lex_rank, dn.dense_rank,
+           COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + l.lex_rank AS DOUBLE), CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + dn.dense_rank AS DOUBLE), CAST(0 AS DOUBLE))
+             AS rrf_score
+    FROM lex l FULL OUTER JOIN dense dn ON l.doc_id = dn.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@register("similarity_rrf_fusion", _rrf_oracle())
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-20 and the cosine
+    top-20 (Σ 1/(60+rank) — the Elasticsearch/Vespa hybrid-search
+    combiner): rank windows ride constant-k lists, the corpus-sized
+    work stays inside the two retrievers, and the fused score is a
+    fixed two-term IEEE chain (no decimal rounding needed)."""
+    from ..io import parallelize
+    from .queries_text import _BM25_TERMS
+    from .similarity import rrf_fusion
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rrf_fusion(docs, emb, _BM25_TERMS)

@@ -573,3 +573,16 @@ def text_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import nb_quality_score
 
     return nb_quality_score(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register("text_compression_ratio", None)  # zlib output: no DuckDB twin
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style zlib-compressibility signal: very low ratio =
+    repetitive boilerplate, ratio near 1 = high-entropy noise.
+    Arrow-batched mapInPandas over the stdlib zlib (a real codec
+    kernel, deterministic for a fixed level/library); rows-only —
+    parity vs direct zlib and the repetition ordering are
+    pytest-pinned."""
+    from .text import compression_ratio
+
+    return compression_ratio(parallelize(load_table(spark, sf_dir, "documents")))

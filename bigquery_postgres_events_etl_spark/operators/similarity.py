@@ -743,3 +743,55 @@ def mmr_topk(
     return selected.select(
         "query_id", F.col("sel").alias("neighbor_id"), "mmr_score", "pick_rank"
     )
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k_each: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a dense retrieval list
+    (Cormack et al. 2009 — the standard hybrid-search combiner, used
+    verbatim by Elasticsearch/Vespa/Weaviate): fuse the BM25 top-k
+    and the cosine top-k by score Σ 1/(rrf_k + rank), which rewards
+    agreement between retrievers without comparing incommensurable
+    raw scores.
+
+    Plan: both inputs are top-``k_each`` lists — constant-bounded
+    frames — so the rank windows and the final sort run over ≤ 2k
+    rows regardless of corpus size (the corpus-sized work lives
+    inside bm25_topk / brute_force_topk, which never shuffle the
+    corpus). The fused score is a fixed two-term IEEE chain
+    (lex term + dense term, integer-derived divisions) — bit-exact
+    across engines with no decimal rounding needed."""
+    from .text import bm25_topk
+
+    lex = bm25_topk(docs, query_terms, k=k_each)
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_ranked = lex.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank")
+    )
+    dense_ranked = brute_force_topk(
+        emb.where(F.col("vec_id") == query_vec_id), emb, k=k_each
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("dense_rank"),
+    )
+    fused = lex_ranked.join(dense_ranked, "doc_id", "full_outer")
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(rrf_k) + F.col(c)).cast("double"), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            (contrib("lex_rank") + contrib("dense_rank")).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )

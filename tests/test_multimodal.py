@@ -170,3 +170,46 @@ def test_audio_resample_decimation(spark, sf_dir):
         assert rows[mid].n_samples_in == len(b)
         assert rows[mid].n_samples_out == len(expect)
         assert rows[mid].resampled_md5 == hashlib.md5(expect).hexdigest()
+
+
+def test_perceptual_hash_is_locality_sensitive(spark):
+    """The pHash kernel must behave like a perceptual hash regardless
+    of which kernel the environment provides: byte-identical payloads
+    collide exactly (Hamming 0), a small edit to a long payload moves
+    the signature only a little, and unrelated payloads sit far
+    apart. The banding stage must then surface the identical and
+    lightly-edited pairs inside its radius."""
+    from bigquery_postgres_events_etl_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog " * 40).encode()
+    edited = bytearray(base)
+    edited[100:104] = b"XXXX"  # tiny local edit
+    unrelated = bytes(
+        (i * 131 + 17) % 251 for i in range(len(base))
+    )
+    rows = [
+        (1, bytes(base)),
+        (2, bytes(base)),
+        (3, bytes(edited)),
+        (4, unrelated),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    sig = {r.media_id: r.phash for r in perceptual_hash(media).collect()}
+
+    def ham(a, b):
+        return bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+
+    assert ham(1, 2) == 0
+    assert ham(1, 3) <= 6, f"small edit moved signature too far: {ham(1, 3)}"
+    assert ham(1, 4) > 6, f"unrelated payloads too close: {ham(1, 4)}"
+
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in phash_near_pairs(media, max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)

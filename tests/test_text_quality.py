@@ -303,3 +303,40 @@ def test_nb_classifier_separates_and_counts_merge(spark, sf_dir):
     )
     # verdict column is decided on the exact decimal score
     assert all((r.nb_score > 0) == r.predicted_curated for r in rows)
+
+
+def test_compression_ratio_matches_zlib_and_orders_repetition(spark, sf_dir):
+    """The distributed kernel must equal a direct zlib call per doc
+    (same bytes, same level), and the signal must order content the
+    way the Gopher heuristic assumes: a highly repetitive document
+    compresses strictly better (lower ratio) than the natural-prose
+    corpus median, and random hex noise strictly worse."""
+    import zlib
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    want = {
+        r.doc_id: len(zlib.compress(r.text.encode("utf-8"), 6))
+        for r in docs.collect()
+    }
+    assert set(got) == set(want)
+    for doc_id, comp_len in want.items():
+        assert got[doc_id].compressed_len == comp_len
+        assert got[doc_id].raw_len > 0
+
+    import hashlib
+
+    rep = "spam ham " * 200
+    noise = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(100)
+    )
+    extra = spark.createDataFrame(
+        [(100001, rep), (100002, noise)], "doc_id LONG, text STRING"
+    )
+    rows = {r.doc_id: r.compression_ratio for r in compression_ratio(extra).collect()}
+    ratios = sorted(r.compression_ratio for r in got.values())
+    median = ratios[len(ratios) // 2]
+    assert rows[100001] < median < rows[100002]
