@@ -800,3 +800,119 @@ def events_mergeable_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFr
             F.when(F.col("cum") >= F.ceil(F.lit(0.9) * F.col("n_events")), F.col("value"))
         ).alias("p90_value"),
     )
+
+
+@register("ml_logreg_train", None)  # iterative GD — rows-only
+def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the logistic model ml_linear_score_users consumes:
+    predict whether a user purchases from their click/view/error
+    activity — full-batch gradient descent where each step is one
+    partial-aggregated scan with the current weights compiled in as
+    literals (see operators/ml.py). Rows-only (iterative tier);
+    NumPy parity and loss descent pinned in tests/test_ml.py."""
+    from .ml import logreg_train
+
+    e = load_table(spark, sf_dir, "events")
+    feats = e.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").cast("double").alias("n_click"),
+        F.count_if(F.col("event_type") == "view").cast("double").alias("n_view"),
+        F.count_if(F.col("event_type") == "error").cast("double").alias("n_error"),
+        (F.count_if(F.col("event_type") == "purchase") > 0)
+        .cast("double")
+        .alias("purchased"),
+    )
+    return logreg_train(feats, ["n_click", "n_view", "n_error"], "purchased")
+
+
+@register(
+    "events_trend_seasonal_decompose",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST({_TS} AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER w AS sum7, COUNT(*) OVER w AS cnt7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    full_win AS (
+      SELECT event_type, day, n,
+             CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS weekday,
+             sum7, CAST(7 * n - sum7 AS BIGINT) AS detr7
+      FROM win WHERE cnt7 = 7
+    ),
+    seasonal AS (
+      SELECT event_type, weekday,
+             CAST(SUM(detr7) AS DOUBLE) / CAST(7 * COUNT(*) AS DOUBLE) AS seasonal
+      FROM full_win GROUP BY 1, 2
+    )
+    SELECT f.event_type, f.day, CAST(f.n AS BIGINT) AS n,
+           CAST(f.sum7 AS DOUBLE) / CAST(7 AS DOUBLE) AS trend,
+           s.seasonal,
+           (CAST(f.n AS DOUBLE) - CAST(f.sum7 AS DOUBLE) / CAST(7 AS DOUBLE)) - s.seasonal
+             AS remainder
+    FROM full_win f JOIN seasonal s
+      ON f.event_type = s.event_type AND f.weekday = s.weekday
+    """,
+)
+def events_trend_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition (the moving-
+    average STL ancestor): per event type, trend = 7-day centered
+    moving average of daily counts, seasonal = day-of-week mean of
+    the detrended series, remainder = the rest. Edge days without a
+    full 7-day window are dropped (a centered MA is undefined there).
+
+    Exact-arithmetic design: the windowed sum and count are integers;
+    detrended×7 = 7n − Σ7 stays integer, so the day-of-week seasonal
+    mean is ONE double division of integer sums and every output
+    column is a fixed short IEEE chain — no double accumulation
+    anywhere, hash-exact across engines.
+
+    Scale: daily rollup is one partial-aggregated shuffle; the MA
+    window partitions by event_type over calendar-bounded frames
+    (|days| rows per type); the seasonal join is a 7-rows-per-type
+    frame — AQE broadcasts it."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("cnt7"),
+    ).where(F.col("cnt7") == 7)
+    full_win = win.select(
+        "event_type",
+        "day",
+        "n",
+        F.pmod(F.datediff("day", F.lit("1970-01-05").cast("date")), F.lit(7))
+        .cast("long")
+        .alias("weekday"),
+        "sum7",
+        (F.lit(7) * F.col("n") - F.col("sum7")).cast("long").alias("detr7"),
+    )
+    seasonal = full_win.groupBy("event_type", "weekday").agg(
+        (
+            F.sum("detr7").cast("double")
+            / (F.lit(7) * F.count(F.lit(1))).cast("double")
+        ).alias("seasonal")
+    )
+    trend = F.col("sum7").cast("double") / F.lit(7).cast("double")
+    return full_win.join(seasonal, ["event_type", "weekday"]).select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        trend.alias("trend"),
+        "seasonal",
+        ((F.col("n").cast("double") - trend) - F.col("seasonal")).alias("remainder"),
+    )

@@ -325,3 +325,111 @@ def scd2_apply(
         m["current"] = v
         _publish_manifest(table_dir, m)
         return {"version": v, "changed_keys": n_changed}
+
+
+def purge_keys(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys: list,
+) -> dict:
+    """Right-to-erasure (GDPR Art. 17) purge: publish a new version
+    with every row matching ``keys`` removed, rewriting ONLY the
+    files whose parquet footer min/max statistics can contain a
+    target key — clean files are carried into the new version
+    byte-identical (hard link when possible), so erasure cost scales
+    with the files the subject actually touches, not with the table.
+    A file with missing stats is treated as affected (conservative).
+
+    History is then SCRUBBED: every earlier version is dropped from
+    the manifest and disk, because a purge that time travel can undo
+    is not an erasure. The returned stats make the operation
+    auditable (what was rewritten, what was untouched, how many rows
+    left). Serializes on the same TargetLock as every other writer.
+
+    At cluster scale the same footer-pruning decision is what a
+    key-sorted / z-ordered layout buys: purge requests cluster into
+    few files instead of touching all of them (see
+    operators/zorder.py).
+    """
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    key_set = set(keys)
+    with TargetLock(table_dir):
+        m = _read_manifest(table_dir)
+        if not m["current"]:
+            raise ValueError(f"no current version in {table_dir}")
+        cur_dir = os.path.join(table_dir, f"v={m['current']}")
+        data_files = sorted(
+            f for f in os.listdir(cur_dir)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        affected, clean = [], []
+        for fname in data_files:
+            fpath = os.path.join(cur_dir, fname)
+            meta = pq.ParquetFile(fpath).metadata
+            try:
+                idx = meta.schema.names.index(key_col)
+            except ValueError as exc:
+                raise ValueError(f"{key_col} not in {fpath}") from exc
+            may_hit = False
+            for rg in range(meta.num_row_groups):
+                stats = meta.row_group(rg).column(idx).statistics
+                if stats is None or not stats.has_min_max:
+                    may_hit = True
+                    break
+                if any(stats.min <= k <= stats.max for k in key_set):
+                    may_hit = True
+                    break
+            (affected if may_hit else clean).append(fname)
+
+        v = m["current"] + 1
+        new_dir = os.path.join(table_dir, f"v={v}")
+        tmp_dir = new_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir)
+        rows_removed = 0
+        if affected:
+            paths = [os.path.join(cur_dir, f) for f in affected]
+            src = spark.read.parquet(*paths)
+            rows_removed = src.where(F.col(key_col).isin(list(key_set))).count()
+            rewrite_dir = os.path.join(tmp_dir, "_rewrite")
+            (
+                src.where(~F.col(key_col).isin(list(key_set)))
+                .write.mode("overwrite")
+                .parquet(rewrite_dir)
+            )
+            for i, part in enumerate(
+                sorted(p for p in os.listdir(rewrite_dir) if p.endswith(".parquet"))
+            ):
+                os.replace(
+                    os.path.join(rewrite_dir, part),
+                    os.path.join(tmp_dir, f"purged-{i:05d}.parquet"),
+                )
+            shutil.rmtree(rewrite_dir)
+        for fname in clean:
+            src_path = os.path.join(cur_dir, fname)
+            dst_path = os.path.join(tmp_dir, fname)
+            try:
+                os.link(src_path, dst_path)
+            except OSError:
+                shutil.copy2(src_path, dst_path)
+        os.replace(tmp_dir, new_dir)
+
+        scrubbed = sorted(int(x) for x in m["versions"])
+        for old_v in scrubbed:
+            shutil.rmtree(os.path.join(table_dir, f"v={old_v}"), ignore_errors=True)
+        m["versions"] = {
+            str(v): {"note": f"purge {len(key_set)} keys on {key_col}"}
+        }
+        m["current"] = v
+        _publish_manifest(table_dir, m)
+        return {
+            "version": v,
+            "files_rewritten": len(affected),
+            "files_retained": len(clean),
+            "rows_removed": rows_removed,
+            "versions_scrubbed": scrubbed,
+        }

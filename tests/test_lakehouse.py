@@ -236,3 +236,64 @@ def test_scd2_apply_maintains_validity_intervals(spark, sf_dir, tmp_path):
         r.valid_from_us for r in rows[1:]
     ]
     assert rows[-1].valid_to_us is None
+
+
+def test_purge_keys_rewrites_only_affected_files_and_scrubs_history(
+    spark, sf_dir, tmp_path
+):
+    """GDPR erasure: target rows vanish from the new version; files
+    whose key range cannot contain a target key are carried over
+    BYTE-IDENTICAL (footer-stat pruning — erasure cost ∝ affected
+    files); and every earlier version is scrubbed, because a purge
+    that time travel can undo is not an erasure."""
+    import hashlib
+
+    from bigquery_postgres_events_etl_spark.sources.lakehouse import (
+        current_version,
+        purge_keys,
+        read_table,
+        write_snapshot,
+    )
+
+    target = str(tmp_path / "users_lake")
+    users = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    # range-partition on the key → files carry disjoint key ranges, so
+    # footer stats can actually prune
+    write_snapshot(users.repartitionByRange(6, "c_custkey"), target, note="bootstrap")
+    write_snapshot(
+        read_table(spark, target).where(F.lit(True)), target, note="second version"
+    )
+    v_before = current_version(target)
+    cur_dir = os.path.join(target, f"v={v_before}")
+    before_md5 = {
+        f: hashlib.md5(open(os.path.join(cur_dir, f), "rb").read()).hexdigest()
+        for f in os.listdir(cur_dir)
+        if f.endswith(".parquet")
+    }
+
+    total = read_table(spark, target).count()
+    doomed = [r.c_custkey for r in read_table(spark, target).limit(3).collect()]
+    stats = purge_keys(spark, target, "c_custkey", doomed)
+
+    after = read_table(spark, target)
+    assert after.where(F.col("c_custkey").isin(doomed)).count() == 0
+    assert after.count() == total - stats["rows_removed"]
+    assert stats["rows_removed"] == len(doomed)
+    # pruning really pruned: not every file was rewritten, and the
+    # carried-over files are byte-identical to the originals
+    assert stats["files_retained"] > 0
+    assert stats["files_rewritten"] < len(before_md5)
+    new_dir = os.path.join(target, f"v={stats['version']}")
+    for f in os.listdir(new_dir):
+        if f in before_md5:
+            got = hashlib.md5(open(os.path.join(new_dir, f), "rb").read()).hexdigest()
+            assert got == before_md5[f], f"carried-over file {f} changed"
+    # history is gone: manifest retains only the purged version and
+    # old snapshot dirs are removed from disk
+    m = json.load(open(os.path.join(target, "_manifest.json")))
+    assert list(m["versions"]) == [str(stats["version"])]
+    assert sorted(stats["versions_scrubbed"]) == list(range(1, v_before + 1))
+    for old_v in range(1, v_before + 1):
+        assert not os.path.exists(os.path.join(target, f"v={old_v}"))
