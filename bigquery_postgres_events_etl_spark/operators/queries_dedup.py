@@ -470,3 +470,53 @@ def dedup_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dup_groups"),
     )
+
+
+@register(
+    "dedup_minhash_jaccard_est",
+    f"""
+    WITH {_BANDS_CTE},
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+    ),
+    agree AS (
+      SELECT p.doc_a, p.doc_b,
+             ({" + ".join(f"CASE WHEN a.sig_{k} = b.sig_{k} THEN 1 ELSE 0 END" for k in range(NUM_HASHES))}) AS n_agree
+      FROM pairs p
+      JOIN sig a ON a.doc_id = p.doc_a
+      JOIN sig b ON b.doc_id = p.doc_b
+    ),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT g.doc_a, g.doc_b,
+           CAST(g.n_agree AS BIGINT) AS n_agree,
+           CAST(g.n_agree AS DOUBLE) / CAST({NUM_HASHES} AS DOUBLE) AS est_jaccard,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           sa.sz AS size_a, sb.sz AS size_b,
+           CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / CAST(sa.sz + sb.sz - COALESCE(c.n_common, 0) AS DOUBLE) AS jaccard
+    FROM agree g
+    LEFT JOIN common c ON c.doc_a = g.doc_a AND c.doc_b = g.doc_b
+    JOIN sizes sa ON sa.doc_id = g.doc_a
+    JOIN sizes sb ON sb.doc_id = g.doc_b
+    """,
+)
+def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement Jaccard estimate vs exact, per LSH
+    candidate pair — the calibration surface for (K, bands,
+    threshold): at scale the estimate orders candidates and the exact
+    shingle join runs only on survivors. Estimator quality
+    (E[|est − J|] bound) is pytest-pinned."""
+    from .dedup import minhash_jaccard_estimate
+
+    return minhash_jaccard_estimate(
+        parallelize(load_table(spark, sf_dir, "documents")), NUM_HASHES, BANDS
+    )

@@ -586,3 +586,63 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import compression_ratio
 
     return compression_ratio(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "text_token_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+    tot AS (
+      SELECT doc_id, c,
+             SUM(c) OVER (PARTITION BY doc_id) AS n,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct
+      FROM tc
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_distinct) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    AS DECIMAL(20,9))) AS DOUBLE) AS entropy
+    FROM tot GROUP BY doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution — the
+    information-density quality signal between the repetition stats
+    (which catch exact loops) and the compression ratio (which needs
+    a codec): near-zero entropy = one token stamped over and over,
+    max (ln n_distinct) = perfectly flat usage. Per-token
+    contributions −p·ln p round to DECIMAL(20,9) (the ln 1-ulp rule)
+    and sum exactly.
+
+    Plan: explode → (doc, token) count → doc-partitioned window for
+    the total → one aggregation; both shuffles carry integer slivers,
+    and the window is partitioned by doc_id (never global)."""
+    from pyspark.sql import Window
+
+    from .dedup import with_tokens
+
+    tok = with_tokens(parallelize(load_table(spark, sf_dir, "documents"))).select(
+        "doc_id", F.explode("tokens").alias("token")
+    )
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    tot = tc.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(w).alias("n"),
+        F.count(F.lit(1)).over(w).alias("n_distinct"),
+    )
+    contrib = F.expr(
+        "CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(20,9))"
+    )
+    return tot.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.max("n_distinct").cast("long").alias("n_distinct"),
+        F.sum(contrib).cast("double").alias("entropy"),
+    )

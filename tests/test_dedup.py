@@ -250,3 +250,27 @@ def test_entity_resolve_recall_and_survivorship(spark, sf_dir):
             by_right[r.right_id] = key
     want = {(key[1], rid) for rid, key in by_right.items()}
     assert {(r.left_id, r.right_id) for r in rows} == want
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """est = agreements/K must behave like the unbiased estimator it
+    is: bounded per-pair error at K=16 (σ = √(J(1−J)/K) ≤ 0.125, so a
+    0.35 per-pair ceiling is ~3σ), small mean error over the
+    candidate set, and high-J pairs clearly separated from low-J
+    ones."""
+    from bigquery_postgres_events_etl_spark.io import load_table, parallelize
+    from bigquery_postgres_events_etl_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+
+    rows = minhash_jaccard_estimate(
+        parallelize(load_table(spark, sf_dir, "documents"))
+    ).collect()
+    assert rows, "LSH found no candidate pairs on the near-dup fixture"
+    errs = [abs(r.est_jaccard - r.jaccard) for r in rows]
+    assert max(errs) <= 0.35, f"worst per-pair error {max(errs)}"
+    assert sum(errs) / len(errs) <= 0.15, f"mean error {sum(errs) / len(errs)}"
+    for r in rows:
+        assert 0 <= r.n_agree <= 16
+        if r.jaccard >= 0.8:
+            assert r.est_jaccard >= 0.5, f"high-J pair estimated low: {r}"
