@@ -534,6 +534,7 @@ def hamming_band_pairs(
     sig_col: str = "simhash",
     out_prefix: str = "doc",
     bits: int = SIMHASH_BITS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Generic Hamming-radius pairing over ANY 64-bit fingerprint
     column (SimHash text signatures, perceptual image hashes, …) via
@@ -545,7 +546,19 @@ def hamming_band_pairs(
     Output columns: ``{prefix}_a, {prefix}_b, {sig_col}_a, {sig_col}_b,
     hamming``. Chunk extraction masks after the (arithmetic) right
     shift, so the sign bit of the two's-complement fingerprint never
-    leaks into a chunk value."""
+    leaks into a chunk value.
+
+    ``max_bucket`` is the hot-bucket valve (same role as the
+    hot-shingle valve in ngram_jaccard_pairs): a bucket of B members
+    expands to B²/2 pair structs inside ONE task, so an
+    undiscriminating signature region (observed: byte-bigram
+    signatures over a same-vocabulary corpus) turns a bucket into an
+    OOM. Buckets above the cap are SKIPPED — they carry no pairwise
+    information precisely because the hash failed to discriminate
+    there; production recovers them with a second signature family or
+    the exact tier over the flagged sliver. ``None`` (the SimHash
+    text tier, whose md5 token hashes spread well) keeps every
+    bucket."""
     chunks = max_hamming + 1
     width = bits // chunks
     a_id, b_id = f"{out_prefix}_a", f"{out_prefix}_b"
@@ -569,6 +582,8 @@ def hamming_band_pairs(
         .agg(F.sort_array(F.collect_list(F.struct(id_col, sig_col))).alias("ds"))
         .where(F.size("ds") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ds") <= max_bucket)
     pairs = buckets.select(
         F.explode(
             F.expr(

@@ -432,12 +432,19 @@ def phash_kernel() -> str:
     return "dhash" if _try_import_pil() is not None else "byte-bigram-simhash"
 
 
-def phash_near_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def phash_near_pairs(
+    media: DataFrame, max_hamming: int = 3, max_bucket: int = 256
+) -> DataFrame:
     """Perceptual near-duplicate media pairs: 64-bit signature →
     pigeonhole Hamming banding (the generic
     :func:`..dedup.hamming_band_pairs` — identical cost model to the
     text SimHash tier: equal-chunk bucket join, exact bit_count
-    verify, cost ∝ Σ bucket², never |media|²)."""
+    verify, cost ∝ Σ bucket², never |media|²). The hot-bucket valve
+    is ON here (byte-bigram signatures over a homogeneous corpus can
+    leave whole chunk regions undiscriminating — measured as an OOM
+    at the 10× scale point before the cap); oversize buckets carry no
+    pairwise signal and are skipped, to be recovered by the exact
+    digest tier (multimodal_content_dedup) or a second hash family."""
     from .dedup import hamming_band_pairs
 
     sig = perceptual_hash(media)
@@ -447,4 +454,5 @@ def phash_near_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         id_col="media_id",
         sig_col="phash",
         out_prefix="media",
+        max_bucket=max_bucket,
     )

@@ -593,6 +593,11 @@ def nb_quality_score(
     measured-cardinality gate (same contract as tfidf_top_terms);
     above it the token join shuffles. The totals/prior frames are
     1-row scalars — unconditionally safe."""
+    # persisted: the broadcast gate's count job materializes the vocab
+    # table once and the returned plan reuses the cache (unpersisting
+    # here would drop it before the caller executes; eviction is left
+    # to Spark's LRU — same documented contract as tfidf_top_terms /
+    # token_rarity)
     counts = nb_token_counts(docs, target_sources).persist()
     n_terms = counts.count()
     counts_side = F.broadcast(counts) if n_terms <= max_broadcast_terms else counts

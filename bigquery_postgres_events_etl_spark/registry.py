@@ -41,72 +41,25 @@ def register(name: str, oracle: str | None):
 # The driver's correctness gate checks a prefix-sample of this dict
 # (the first 50, in registration order). Every entry is locally
 # verified by tools/check_oracle.py; this list rotates (a) entries
-# whose PLAN changed since their last green driver row, (b) new
-# entries, then (c) the entries with the OLDEST attestation, to the
-# front — so each round's CORRECTNESS file attests the staleness
-# frontier instead of re-checking the same 50.
+# whose PLAN changed since their last green driver row, (b) stale
+# attestations, (c) new entries, to the front — so each round's
+# CORRECTNESS file attests the staleness frontier instead of
+# re-checking the same 50.
 #
-# r5 front-load: all 41 never-attested r5 entries (newest first:
-# contrastive prep, equi-depth histogram, media dedup, second-order
-# transitions, correlation matrix, CUSUM, JSON profiling, MMR,
-# association rules, temperature mixture, model scoring, feature
-# hashing, PageRank, BPE training, interval overlap, stratified
-# sample, z-order, mergeable rollups, paragraph dedup, BM25, DQ
-# suite, SCD2, snapshot diff, then the first-wave r5 batch from
-# entity resolve through HLL rollups) plus the two re-attests for
-# the with_global_ranks boundary fix (rfm, ccnet). The driver's
-# 50-sample covers through roughly the first-wave batch; the 14
-# r1-stale and the r2 tail listed below roll to the r6 front —
-# r6 must front anything here that misses this round's sample.
+# r5 sample design (50 slots): the 14 r1-stale entries FIRST (the r4
+# verdict's hard requirement — no entry's freshest attestation may
+# stay r1), then the 2 re-attests for the with_global_ranks boundary
+# fix, then 34 first-time entries ranked: the verdict-item operator
+# (entity resolve), this round's hash-oracle additions, then the
+# highest-value wave entries. Past position 50 — the r6 front, in
+# order: 13 deferred hash-oracle first-timers, 9 rows-only
+# first-timers (a driver row adds least for rows-only entries — their
+# correctness signal is the pinned pytest, so they defer best), then
+# the 43 r2-freshest entries oldest-first. r6 MUST front whatever of
+# that block its 50-sample can hold; nothing after r5 should be
+# older than r2.
 _DRIVER_PRIORITY = [
-    # -- new this round (attest first time)
-    "join_cardinality_estimate",
-    "attribution_position_credit",
-    "funnel_ordered_steps",
-    "embedding_label_centroids",
-    "similarity_hard_negatives",
-    "pipeline_negative_sampling",
-    "lineitem_equidepth_histogram",
-    # re-attest the two-pass-ranking consumers after the boundary-
-    # consistency fix in ranking.with_global_ranks (localCheckpoint)
-    "rfm_segmentation",
-    "text_ccnet_buckets",
-    "multimodal_content_dedup",
-    "event_second_order_transitions",
-    "lineitem_correlation_matrix",
-    "events_cusum_changepoints",
-    "events_json_key_stats",
-    "similarity_mmr_topk",
-    "part_association_rules",
-    "pipeline_temperature_mixture",
-    "ml_linear_score_users",
-    "text_feature_hashing",
-    "graph_pagerank_copurchase",
-    "text_bpe_train_merges",
-    "interval_overlap_sessions",
-    "pipeline_stratified_sample",
-    "events_zorder_index",
-    "events_mergeable_daily_rollup",
-    "events_approx_topk_rollup",
-    "pipeline_paragraph_dedup",
-    "text_bm25_topk",
-    "dq_expectations_report",
-    "etl_scd2_user_state",
-    "etl_snapshot_diff",
-    "dedup_entity_resolve",
-    "pipeline_cdc_chunks",
-    "text_bigram_coherence",
-    "pipeline_source_caps",
-    "similarity_hybrid_topk",
-    "stats_robust_zscore",
-    "dedup_cdc_chunk_spans",
-    "pipeline_importance_weight",
-    "events_burst_detection",
-    "asof_join_next_purchase",
-    "dedup_exact_normalized",
-    "dedup_stats_report",
-    "events_hll_rolling_users",
-    # -- freshest attestation is r1 (14 entries — refresh them all)
+    # -- r1-stale refresh (verdict #1: all 14 in the r5 sample)
     "distinct_segments",
     "string_functions",
     "case_when_bucketing",
@@ -121,8 +74,73 @@ _DRIVER_PRIORITY = [
     "tumbling_window_hourly",
     "sliding_window_counts",
     "dedup_minhash_signatures",
-    # -- freshest attestation is r2 (oldest 22 of 43; the other 21
-    #    roll to the r6 front)
+    # -- plan changed (two-pass ranking boundary fix): re-attest
+    "rfm_segmentation",
+    "text_ccnet_buckets",
+    # -- first-time attestations (34 slots): verdict-item op first
+    "dedup_entity_resolve",
+    # this session's hash-oracle additions
+    "events_ab_ttest",
+    "events_mergeable_quantile_rollup",
+    "ivm_join_delta_orders",
+    "text_nb_quality_train",
+    "text_nb_quality_score",
+    "pipeline_weighted_sample",
+    "similarity_rrf_fusion",
+    "events_trend_seasonal_decompose",
+    "dedup_minhash_jaccard_est",
+    "text_token_entropy",
+    # earlier-wave flagships
+    "funnel_ordered_steps",
+    "join_cardinality_estimate",
+    "attribution_position_credit",
+    "lineitem_equidepth_histogram",
+    "text_bm25_topk",
+    "events_zorder_index",
+    "events_mergeable_daily_rollup",
+    "dq_expectations_report",
+    "etl_scd2_user_state",
+    "etl_snapshot_diff",
+    "pipeline_paragraph_dedup",
+    "pipeline_cdc_chunks",
+    "dedup_cdc_chunk_spans",
+    "text_bigram_coherence",
+    "pipeline_source_caps",
+    "similarity_hybrid_topk",
+    "stats_robust_zscore",
+    "pipeline_importance_weight",
+    "events_burst_detection",
+    "asof_join_next_purchase",
+    "interval_overlap_sessions",
+    "multimodal_content_dedup",
+    "dedup_stats_report",
+    # ---------------- position 50 boundary ----------------
+    # r6 front, in order: deferred hash-oracle first-timers ...
+    "dedup_exact_normalized",
+    "event_second_order_transitions",
+    "pipeline_stratified_sample",
+    "text_feature_hashing",
+    "ml_linear_score_users",
+    "pipeline_temperature_mixture",
+    "part_association_rules",
+    "embedding_label_centroids",
+    "similarity_hard_negatives",
+    "pipeline_negative_sampling",
+    "events_json_key_stats",
+    "lineitem_correlation_matrix",
+    "events_cusum_changepoints",
+    # ... rows-only first-timers (pytest-pinned; driver row is
+    # rows-only for these, so they defer cheapest) ...
+    "similarity_mmr_topk",
+    "graph_pagerank_copurchase",
+    "text_bpe_train_merges",
+    "events_approx_topk_rollup",
+    "events_hll_rolling_users",
+    "ml_logreg_train",
+    "pipeline_decontaminate_bloom",
+    "text_compression_ratio",
+    "multimodal_phash_near_dup",
+    # ... then the r2-freshest tail, oldest first
     "sessionization",
     "similarity_topk_bruteforce",
     "similarity_near_pairs",

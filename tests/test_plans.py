@@ -361,6 +361,21 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "events_cusum_changepoints": 3,  # daily agg + stats agg + type window
     "events_json_key_stats": 4,    # key agg + distinct-vals two-phase + 1-row total
     "lineitem_correlation_matrix": 1,  # one global agg carries all 14 moments
+    # round-5 third wave (same static-occurrence caveat)
+    "events_ab_ttest": 6,          # user rollup + 2-arm rollup + 1-row pivot
+    "events_mergeable_quantile_rollup": 6,  # daily states + merge + week window
+    "ivm_join_delta_orders": 8,    # base/delta agg subtrees + state merge (reused at run)
+    "text_nb_quality_train": 4,    # input repartition + one token agg
+    "text_nb_quality_score": 28,   # count/total/prior subtrees ×k static; reuse at run
+    "pipeline_weighted_sample": 0,  # map-side keys + TakeOrderedAndProject
+    "pipeline_decontaminate_bloom": 16,  # bitset distinct + probe join subtrees
+    "similarity_rrf_fusion": 16,   # bm25 + brute-force subtrees, constant-k frames
+    "text_compression_ratio": 2,   # input repartition + Arrow exchange
+    "multimodal_phash_near_dup": 4,  # signature + band-bucket agg + pair distinct
+    "events_trend_seasonal_decompose": 10,  # daily agg + MA window + seasonal join
+    "dedup_minhash_jaccard_est": 100,  # sig/shingle subtrees repeated per join arm —
+    # static count is dominated by repetition; runtime dedups to ReusedExchange
+    "text_token_entropy": 6,       # explode agg + doc window
 }
 
 
@@ -646,6 +661,10 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "events_hll_rolling_users": {"events": {"props", "value", "event_type"}},
     "key_skew_profile": {"events": {"props", "value", "event_type", "ts"}},
     "pipeline_train_test_split": {"documents": {"text"}},
+    # round-5 third wave: the weighted sampler competes on
+    # (doc_id, n_chars) keys only; the t-test reads (user_id, value)
+    "pipeline_weighted_sample": {"documents": {"text", "lang", "source"}},
+    "events_ab_ttest": {"events": {"props", "event_type", "ts"}},
 }
 
 

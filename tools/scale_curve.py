@@ -56,6 +56,14 @@ QUERIES = [
     # never shuffles, only the 1-row stats frame)
     "pipeline_paragraph_dedup",
     "text_bm25_topk",
+    # round-5 third wave: NB classifier scoring (vocab-gated token
+    # join), perceptual-hash banding over media payloads, LSH
+    # estimate + candidate-confined exact verify, entropy (explode +
+    # doc-partitioned window)
+    "text_nb_quality_score",
+    "multimodal_phash_near_dup",
+    "dedup_minhash_jaccard_est",
+    "text_token_entropy",
 ]
 
 
@@ -137,6 +145,10 @@ def main() -> None:
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             walls[f"{label}_s"] = round(best, 2)
+        # persisted intermediates (vocab gates etc.) accumulate across
+        # 15 queries × 2 scales × 2 runs in one JVM — drop them so the
+        # curve measures the queries, not heap pressure
+        spark.catalog.clearCache()
         ratio = walls["sf1_s"] / walls["sf01_s"]
         out[name] = {
             **walls,
