@@ -153,6 +153,7 @@ def apply_changelog(
     changes: DataFrame,
     key_cols: list[str],
     op_col: str = "op",
+    epoch: int | None = None,
 ) -> dict:
     """Apply a CDC changelog (op ∈ {'I','U','D'}) to the versioned
     table — the consumer side of `etl_snapshot_diff`'s producer:
@@ -161,7 +162,19 @@ def apply_changelog(
     appears multiple times in the batch, the LAST op wins by a
     deterministic (key, op-order) rule the caller controls via a
     `seq` column; absent one, duplicate keys are rejected loudly
-    (silent arbitrary-winner is the classic CDC corruption)."""
+    (silent arbitrary-winner is the classic CDC corruption).
+
+    ``epoch`` (streaming use — see ``run_streaming_cdc_to_lake``)
+    makes the apply EXACTLY-ONCE per micro-batch: an epoch already in
+    the manifest's ``applied_epochs`` ledger is a no-op, and the
+    ledger entry is written in the SAME atomic manifest publish as
+    the version pointer — a crash after the snapshot write but before
+    the publish leaves the ledger un-advanced, so the replay simply
+    overwrites the unpublished version dir and publishes once."""
+    if epoch is not None:
+        m0 = _read_manifest(table_dir)
+        if str(epoch) in m0.get("applied_epochs", []):
+            return {"version": m0["current"], "rows": None, "skipped_epoch": epoch}
     dup = (
         changes.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -175,6 +188,10 @@ def apply_changelog(
         )
     with TargetLock(table_dir):
         m = _read_manifest(table_dir)
+        if epoch is not None and str(epoch) in m.get("applied_epochs", []):
+            # another worker applied this epoch between the fast-path
+            # check and lock entry
+            return {"version": m["current"], "rows": None, "skipped_epoch": epoch}
         base = (
             spark.read.parquet(os.path.join(table_dir, f"v={m['current']}"))
             if m["current"]
@@ -210,6 +227,8 @@ def apply_changelog(
         n = spark.read.parquet(path).count()
         m["versions"][str(v)] = {"note": f"changelog on {key_cols}"}
         m["current"] = v
+        if epoch is not None:
+            m.setdefault("applied_epochs", []).append(str(epoch))
         _publish_manifest(table_dir, m)
         return {"version": v, "rows": n}
 

@@ -297,3 +297,74 @@ def test_purge_keys_rewrites_only_affected_files_and_scrubs_history(
     assert sorted(stats["versions_scrubbed"]) == list(range(1, v_before + 1))
     for old_v in range(1, v_before + 1):
         assert not os.path.exists(os.path.join(target, f"v={old_v}"))
+
+
+def test_streaming_cdc_apply_matches_batch_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """The streaming CDC loop must leave the table in exactly the
+    state a single batch apply of all changes would (availableNow may
+    split files into multiple epochs — each applies once, in order),
+    and a FULL REPLAY from a fresh checkpoint must change nothing:
+    the manifest's epoch ledger, committed atomically with the
+    version pointer, is what makes at-least-once delivery
+    exactly-once effect."""
+    import json as _json
+
+    from bigquery_postgres_events_etl_spark.sources.lakehouse import (
+        current_version,
+        read_table,
+        write_snapshot,
+    )
+    from bigquery_postgres_events_etl_spark.streaming.stream import (
+        run_streaming_cdc_to_lake,
+    )
+
+    target = str(tmp_path / "cdc_lake")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).limit(50)
+    write_snapshot(base, target, note="bootstrap")
+    keys = sorted(r.c_custkey for r in base.collect())
+
+    changes_dir = tmp_path / "changes"
+    changes_dir.mkdir()
+    schema = "op STRING, c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE"
+    batch1 = [
+        ("U", keys[0], "renamed-0", 1.0),
+        ("D", keys[1], None, None),
+        ("I", 999001, "new-1", 5.0),
+    ]
+    batch2 = [
+        ("U", 999001, "new-1-renamed", 6.0),
+        ("D", keys[2], None, None),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(
+        str(changes_dir)
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(
+        str(changes_dir)
+    )
+
+    run_streaming_cdc_to_lake(
+        spark, str(changes_dir), target, str(tmp_path / "ck1"),
+        ["c_custkey"], schema, max_files_per_trigger=1,
+    )
+    got = {r.c_custkey: (r.c_name, r.c_acctbal) for r in read_table(spark, target).collect()}
+    assert keys[1] not in got and keys[2] not in got
+    assert got[keys[0]][0] == "renamed-0"
+    assert got[999001] == ("new-1-renamed", 6.0)
+    assert len(got) == 50 - 2 + 1
+    v_after = current_version(target)
+
+    # fresh checkpoint = the stream replays every file; the ledger
+    # must swallow every epoch without publishing a version
+    run_streaming_cdc_to_lake(
+        spark, str(changes_dir), target, str(tmp_path / "ck2"),
+        ["c_custkey"], schema, max_files_per_trigger=1,
+    )
+    assert current_version(target) == v_after
+    again = {r.c_custkey: (r.c_name, r.c_acctbal) for r in read_table(spark, target).collect()}
+    assert again == got
+    m = _json.load(open(os.path.join(target, "_manifest.json")))
+    assert len(m["applied_epochs"]) >= 1
