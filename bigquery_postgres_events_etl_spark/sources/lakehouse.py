@@ -452,3 +452,74 @@ def purge_keys(
             "rows_removed": rows_removed,
             "versions_scrubbed": scrubbed,
         }
+
+
+def merge_additive(
+    spark: SparkSession,
+    table_dir: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    add_cols: list[str],
+    epoch: int | None = None,
+) -> dict:
+    """ADDITIVE merge — the metrics-table counterpart of
+    :func:`merge_upsert`: matched keys ADD the delta's mergeable
+    partial states (counts, exact decimal sums) instead of replacing
+    the row; unmatched delta keys insert; untouched rows carry over.
+    This is the write side of the incremental-materialized-view
+    algebra the `events_mergeable_daily_rollup` /
+    `ivm_join_delta_orders` entries prove read-side: a nightly
+    refresh folds ONE day's partials into stored state — O(|Δ| +
+    |state|) per refresh, never O(history).
+
+    Only works for genuinely mergeable columns (counts add, decimal
+    sums add, min/max would need their own combinators — rejected
+    here rather than silently mis-merged: pass them through
+    ``key_cols`` or precompute). ``epoch`` gives exactly-once per
+    micro-batch via the same manifest ledger as
+    :func:`apply_changelog`."""
+    bad = [c for c in delta.columns if c not in key_cols and c not in add_cols]
+    if bad:
+        raise ValueError(
+            f"non-key, non-additive columns {bad}: additive merge would "
+            f"silently pick one side — drop them or declare them additive"
+        )
+    if epoch is not None:
+        m0 = _read_manifest(table_dir)
+        if str(epoch) in m0.get("applied_epochs", []):
+            return {"version": m0["current"], "rows": None, "skipped_epoch": epoch}
+    with TargetLock(table_dir):
+        m = _read_manifest(table_dir)
+        if epoch is not None and str(epoch) in m.get("applied_epochs", []):
+            return {"version": m["current"], "rows": None, "skipped_epoch": epoch}
+        base = (
+            spark.read.parquet(os.path.join(table_dir, f"v={m['current']}"))
+            if m["current"]
+            else spark.createDataFrame([], delta.schema)
+        )
+        b = base.alias("b")
+        u = delta.withColumn("__present", F.lit(1)).alias("u")
+        cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}")) for k in key_cols]
+        merged = b.join(u, cond, "full_outer").select(
+            *[
+                F.coalesce(F.col(f"u.{k}"), F.col(f"b.{k}")).alias(k)
+                for k in key_cols
+            ],
+            *[
+                (
+                    F.coalesce(F.col(f"b.{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"u.{c}"), F.lit(0))
+                ).alias(c)
+                for c in add_cols
+            ],
+        )
+        v = m["current"] + 1
+        path = os.path.join(table_dir, f"v={v}")
+        merged.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        m["versions"][str(v)] = {"note": f"additive merge on {key_cols}"}
+        m["current"] = v
+        if epoch is not None:
+            m.setdefault("applied_epochs", []).append(str(epoch))
+        _publish_manifest(table_dir, m)
+        return {"version": v, "rows": n}

@@ -368,3 +368,72 @@ def test_streaming_cdc_apply_matches_batch_and_replays_idempotently(
     assert again == got
     m = _json.load(open(os.path.join(target, "_manifest.json")))
     assert len(m["applied_epochs"]) >= 1
+
+
+def test_merge_additive_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Folding per-day partial states into the rollup table one day
+    at a time must end in EXACTLY the state a full aggregation over
+    all events produces (the write side of the mergeable-rollup
+    algebra), with replayed epochs swallowed by the ledger and
+    non-additive columns rejected loudly."""
+    from bigquery_postgres_events_etl_spark.sources.lakehouse import (
+        current_version,
+        merge_additive,
+        read_table,
+    )
+
+    table = str(tmp_path / "rollup")
+    e = load_table(spark, sf_dir, "events")
+    days = sorted(
+        r.day for r in e.select(F.to_date("ts").alias("day")).distinct().collect()
+    )
+
+    def partials(day):
+        return (
+            e.where(F.to_date("ts") == F.lit(day))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(27,4)")).alias("sum_value"),
+            )
+        )
+
+    for i, day in enumerate(days):
+        merge_additive(
+            spark, table, partials(day), ["event_type"], ["n", "sum_value"],
+            epoch=i,
+        )
+    v = current_version(table)
+    # replay every epoch — ledger must swallow all of them
+    for i, day in enumerate(days):
+        r = merge_additive(
+            spark, table, partials(day), ["event_type"], ["n", "sum_value"],
+            epoch=i,
+        )
+        assert r["skipped_epoch"] == i
+    assert current_version(table) == v
+
+    got = {
+        r.event_type: (r.n, r.sum_value)
+        for r in read_table(spark, table).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.sum_value)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,4)")).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    try:
+        merge_additive(
+            spark, table,
+            partials(days[0]).withColumn("note", F.lit("x")),
+            ["event_type"], ["n", "sum_value"],
+        )
+        raise AssertionError("non-additive column must be rejected")
+    except ValueError as ex:
+        assert "note" in str(ex)

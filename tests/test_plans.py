@@ -679,3 +679,42 @@ def test_narrow_queries_never_scan_heavy_columns(spark, sf_dir):
             if forbidden:
                 offenders.setdefault(name, []).append((table, sorted(forbidden)))
     assert not offenders, f"heavy columns leaked into narrow scans: {offenders}"
+
+
+def test_shuffle_hash_join_hint_avoids_sort(spark, sf_dir):
+    """Join-strategy governance, SHJ leg: for a large⨝medium equi-join
+    where neither side broadcasts, SHUFFLE_HASH skips the sort phase
+    SMJ pays (build a hash map per partition instead of sorting both
+    sides) — the right pick when one side is much smaller than the
+    other but too big to broadcast. Pin that the hint actually flips
+    the operator AND preserves the answer against the SMJ plan."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.plans.audit import executed_plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def build(hint):
+            li = load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity"
+            )
+            o = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            )
+            if hint:
+                o = o.hint("shuffle_hash")
+            return (
+                li.join(o, li["l_orderkey"] == o["o_orderkey"])
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        smj, shj = build(False), build(True)
+        assert "SortMergeJoin" in executed_plan(smj)
+        p = executed_plan(shj)
+        assert "ShuffledHashJoin" in p, "hint did not flip the join operator"
+        assert sorted(map(tuple, shj.collect())) == sorted(map(tuple, smj.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
