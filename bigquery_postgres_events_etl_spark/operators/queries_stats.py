@@ -756,3 +756,77 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (se2_a * se2_a / (F.col("n_a") - 1) + se2_b * se2_b / (F.col("n_b") - 1))
         ).alias("welch_df"),
     )
+
+
+@register(
+    "stats_median_ci",
+    f"""
+    WITH vals AS (
+      SELECT event_type, value, CAST({_TS} AS DATE) AS day FROM events
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM vals
+    ),
+    bounds AS (
+      SELECT event_type, n,
+             CAST(ceil(0.5 * n) AS BIGINT) AS r_med,
+             CAST(floor((n - CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) AS r_lo,
+             CAST(ceil(1 + (n + CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) AS r_hi
+      FROM ranked GROUP BY event_type, n
+    )
+    SELECT b.event_type, b.n,
+           MIN(CASE WHEN r.rn = b.r_med THEN r.value END) AS median,
+           MIN(CASE WHEN r.rn = b.r_lo THEN r.value END) AS ci_lo,
+           MIN(CASE WHEN r.rn = b.r_hi THEN r.value END) AS ci_hi
+    FROM bounds b JOIN ranked r ON r.event_type = b.event_type
+    GROUP BY b.event_type, b.n
+    """,
+)
+def stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median via
+    order statistics (the binomial/sign-test bound: P(X < m) = 1/2, so
+    the CI is the values at ranks n/2 ∓ z·√n/2 — no normality
+    assumption, no bootstrap RNG, fully deterministic). The quantity a
+    dashboard should show next to any median at 100 TB: with n in the
+    billions the interval collapses, with n=40/group it visibly does
+    not.
+
+    Plan: one row_number window PARTITIONED by event_type (never
+    global; ties on value are rank-order-irrelevant — equal values
+    yield the same order statistic either way), rank bounds from
+    integer/sqrt arithmetic (z as an exact literal, identical on both
+    engines), then a conditional aggregation picks the three order
+    statistics in one pass. SCALE NOTE: event_type is low-cardinality,
+    so this exact tier funnels each type through one reducer — at
+    100 TB swap the ranking for the mergeable value-histogram walk
+    (`events_mergeable_quantile_rollup`): the same three ranks fall
+    out of the cumulative counts with no per-type total sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", F.to_date("ts"))
+    wt = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    z = F.lit(1.959964).cast("double")
+    sq = F.sqrt(F.col("n").cast("double"))
+    bounds = ranked.groupBy("event_type", "n").agg(F.lit(1).alias("_one")).select(
+        "event_type",
+        "n",
+        F.ceil(F.lit(0.5) * F.col("n")).cast("long").alias("r_med"),
+        F.floor((F.col("n") - z * sq) / 2).cast("long").alias("r_lo"),
+        F.ceil(1 + (F.col("n") + z * sq) / 2).cast("long").alias("r_hi"),
+    )
+    joined = bounds.alias("b").join(
+        ranked.alias("r"), F.col("b.event_type") == F.col("r.event_type")
+    )
+    return joined.groupBy(F.col("b.event_type").alias("event_type"), F.col("b.n").alias("n")).agg(
+        F.min(F.when(F.col("r.rn") == F.col("b.r_med"), F.col("r.value"))).alias("median"),
+        F.min(F.when(F.col("r.rn") == F.col("b.r_lo"), F.col("r.value"))).alias("ci_lo"),
+        F.min(F.when(F.col("r.rn") == F.col("b.r_hi"), F.col("r.value"))).alias("ci_hi"),
+    )

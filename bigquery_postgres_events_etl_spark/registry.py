@@ -116,6 +116,7 @@ _DRIVER_PRIORITY = [
     "dedup_stats_report",
     # ---------------- position 50 boundary ----------------
     # r6 front, in order: deferred hash-oracle first-timers ...
+    "stats_median_ci",
     "dedup_exact_normalized",
     "event_second_order_transitions",
     "pipeline_stratified_sample",

@@ -411,5 +411,9 @@ def write_daily_partitions(
         .partitionBy("day")
         .parquet(path)
     )
+    # calendar-bounded metadata collect (distinct DAYS, not data rows —
+    # |result| = days in the batch, a backfill window at most), same
+    # class as the .first() scalar fetches; data rows never reach the
+    # driver
     days = [r.day for r in out.select("day").distinct().collect()]
     return {"days_written": sorted(str(d) for d in days)}
