@@ -830,3 +830,53 @@ def stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("r.rn") == F.col("b.r_lo"), F.col("r.value"))).alias("ci_lo"),
         F.min(F.when(F.col("r.rn") == F.col("b.r_hi"), F.col("r.value"))).alias("ci_hi"),
     )
+
+
+@register(
+    "stats_groupwise_ols",
+    """
+    WITH sums AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+           sy / n AS mean_y
+    FROM sums
+    """,
+)
+def stats_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price ~ quantity) in closed
+    form from exact sums — the grouped-trend primitive (MLlib would
+    bring a solver; a 2-parameter OLS needs only the moment sums the
+    variance/correlation entries already aggregate): slope =
+    (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = ȳ − b·x̄, each ONE
+    fixed IEEE chain over exact decimal sums. One partial-aggregated
+    shuffle; at any scale the heavy work is the same one pass the
+    mean would cost."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,4)")
+    p = F.col("l_extendedprice").cast("decimal(18,4)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("l_quantity").alias("sx"),
+        _dsum("l_extendedprice").alias("sy"),
+        F.sum((q * q).cast("decimal(38,8)")).cast("string").cast("double").alias("sxx"),
+        F.sum((q * p).cast("decimal(38,8)")).cast("string").cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (sy / n).alias("mean_y"),
+    )

@@ -117,6 +117,7 @@ _DRIVER_PRIORITY = [
     # ---------------- position 50 boundary ----------------
     # r6 front, in order: deferred hash-oracle first-timers ...
     "stats_median_ci",
+    "stats_groupwise_ols",
     "dedup_exact_normalized",
     "event_second_order_transitions",
     "pipeline_stratified_sample",
