@@ -646,3 +646,20 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_distinct").cast("long").alias("n_distinct"),
         F.sum(contrib).cast("double").alias("entropy"),
     )
+
+
+@register("text_bpe_encode_trained", None)  # trained-merge inference: no SQL twin
+def text_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the merges bpe_train LEARNS from it —
+    train and inference in one plan (the merge table is tiny; the
+    corpus pass is embarrassingly parallel mapInPandas with a
+    per-batch word cache). Rows-only; encoder parity vs a pure-Python
+    reference and compression (n_tokens ≤ chars) pinned in pytest."""
+    from .text import bpe_encode, bpe_train
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=10).orderBy("rank").collect()
+    ]
+    return bpe_encode(docs, merges)

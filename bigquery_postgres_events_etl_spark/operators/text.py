@@ -689,3 +689,89 @@ def compression_ratio(docs: DataFrame, level: int = 6) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(compress, schema=COMPRESSION_SCHEMA)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer INFERENCE — apply trained BPE merges to the corpus
+    (the deploy-side half of :func:`bpe_train`; together they close
+    the loop: learn merges from the corpus, then tokenize 100 TB with
+    them): per word, start from characters and repeatedly merge the
+    lowest-rank adjacent pair until none applies (Sennrich encode).
+
+    The merge table is a deployment constant (vocab-size entries —
+    shipped in the task closure like the scoring weights in
+    ml_linear_score_users), so this is embarrassingly parallel: Arrow
+    ``mapInPandas`` with a per-batch word→encoding cache (Zipf: most
+    word instances repeat, so the cache turns per-occurrence work
+    into per-distinct-word work — the same reason bpe_train
+    aggregates words first).
+
+    Output: ``(doc_id, n_words, n_tokens, first_tokens)`` —
+    ``n_tokens`` is the training-cost number (post-BPE sequence
+    length); ``first_tokens`` keeps the segmentation inspectable.
+    Rows-only; parity vs a pure-Python encoder is pytest-pinned."""
+    ranks = {pair: r for r, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank, best_pair = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (syms[i], syms[i + 1])
+            if best_pair is None:
+                break
+            a, b = best_pair
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is None:
+                got = cache[word] = encode_word(word)
+            return got
+
+        for pdf in batches:
+            n_words, n_tokens, first = [], [], []
+            for text in pdf["text"]:
+                words = text.split(" ") if text else []
+                toks: list[str] = []
+                total = 0
+                for w in words:
+                    e = enc(w)
+                    total += len(e)
+                    if len(toks) < 8:
+                        toks.extend(e)
+                n_words.append(len(words))
+                n_tokens.append(total)
+                first.append(" ".join(toks[:8]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                    "first_tokens": first,
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id"), "text").mapInPandas(
+        run, schema="doc_id BIGINT, n_words BIGINT, n_tokens BIGINT, first_tokens STRING"
+    )

@@ -136,6 +136,7 @@ _DRIVER_PRIORITY = [
     "similarity_mmr_topk",
     "graph_pagerank_copurchase",
     "text_bpe_train_merges",
+    "text_bpe_encode_trained",
     "events_approx_topk_rollup",
     "events_hll_rolling_users",
     "ml_logreg_train",

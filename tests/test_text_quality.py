@@ -340,3 +340,57 @@ def test_compression_ratio_matches_zlib_and_orders_repetition(spark, sf_dir):
     ratios = sorted(r.compression_ratio for r in got.values())
     median = ratios[len(ratios) // 2]
     assert rows[100001] < median < rows[100002]
+
+
+def test_bpe_encode_matches_reference_and_compresses(spark, sf_dir):
+    """The distributed encoder must segment every document exactly as
+    a pure-Python Sennrich encoder using the SAME learned merges, and
+    the learned merges must actually compress (n_tokens strictly below
+    character count for multi-char words)."""
+    from bigquery_postgres_events_etl_spark.io import load_table, parallelize
+    from bigquery_postgres_events_etl_spark.operators.text import bpe_encode, bpe_train
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=10).orderBy("rank").collect()
+    ]
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def ref_encode(word):
+        syms = list(word)
+        while len(syms) > 1:
+            pairs = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not pairs:
+                break
+            r, _ = min(pairs)
+            a, b = merges[r]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        words = text.split(" ")
+        want_tokens = [t for w in words for t in ref_encode(w)]
+        assert got[doc_id].n_words == len(words)
+        assert got[doc_id].n_tokens == len(want_tokens), f"doc {doc_id}"
+        assert got[doc_id].first_tokens == " ".join(want_tokens[:8]), f"doc {doc_id}"
+    # merges exist on this corpus and they compress
+    assert merges
+    total_chars = sum(sum(len(w) for w in t.split(" ")) for t in texts.values())
+    total_tokens = sum(r.n_tokens for r in got.values())
+    assert total_tokens < total_chars
