@@ -916,3 +916,65 @@ def events_trend_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFra
         "seasonal",
         ((F.col("n").cast("double") - trend) - F.col("seasonal")).alias("remainder"),
     )
+
+
+@register(
+    "orders_pareto_customers",
+    """
+    WITH per AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(rev) AS trev FROM per),
+    c AS (
+      SELECT o_custkey, rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS rn,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crev
+      FROM per
+    )
+    SELECT c.o_custkey,
+           CAST(CAST(c.rev AS VARCHAR) AS DOUBLE) AS revenue,
+           c.rn,
+           CAST(CAST(c.crev AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(t.trev AS VARCHAR) AS DOUBLE) AS cum_share,
+           CAST(CAST(c.crev AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(t.trev AS VARCHAR) AS DOUBLE) <= 0.8 AS in_top80
+    FROM c, tot t
+    """,
+)
+def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue-concentration analysis: customers
+    ranked by exact decimal revenue with their cumulative share of
+    the total — the 'which 20% of customers carry 80% of revenue'
+    readout. The running total comes from the TWO-PASS distributed
+    cumulative sum (ranking.with_global_cumsum: range partition →
+    partition-local decimal cumsum → broadcast per-partition sum
+    offsets), so no |customers|-sized frame ever funnels through one
+    reducer; exactness makes the running total independent of
+    partitioning. The share and the 80% flag derive from the same
+    double on both engines (identical digit-string conversions →
+    identical division → identical comparison)."""
+    from .ranking import with_global_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)")).alias("rev")
+    )
+    c = with_global_cumsum(
+        per,
+        key_order=[("rev", "desc")],
+        tie_order=[("o_custkey", "asc")],
+        sum_col="rev",
+    )
+    share = (
+        F.col("cum_sum").cast("string").cast("double")
+        / F.col("total_sum").cast("string").cast("double")
+    )
+    return c.select(
+        "o_custkey",
+        F.col("rev").cast("string").cast("double").alias("revenue"),
+        "rn",
+        share.alias("cum_share"),
+        (share <= 0.8).alias("in_top80"),
+    )

@@ -136,3 +136,69 @@ def ntile_from_rn(rn: Column, n_total: Column, k: int) -> Column:
     ceil_big = _idiv(rn + nq, nq + 1)  # ceil(rn / (nq+1))
     ceil_small = _idiv(rn - big + nq - 1, nq)  # ceil((rn-big) / nq)
     return F.when(rn <= big, ceil_big).otherwise(r + ceil_small).cast("bigint")
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    key_order: list[tuple[str, str]],
+    tie_order: list[tuple[str, str]],
+    sum_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global RUNNING TOTAL of ``sum_col`` in key+tie order —
+    the cumulative-sum sibling of :func:`with_global_ranks`, built the
+    same two-pass way so no unpartitioned window ever sees the data:
+    range-partition on the key order, partition-local cumulative sum,
+    then broadcast per-partition SUM offsets (bounded by the partition
+    count, a cluster config constant). Pass an exact DECIMAL column —
+    the local window sum, the offsets, and their addition then stay
+    exact, so the running total is independent of partitioning.
+
+    Adds ``rn`` (exact global row_number), ``cum_sum``, ``total_sum``
+    and ``n_total``. Same localCheckpoint boundary-pinning as the
+    ranking pass (the two consumers must see ONE set of sampled range
+    boundaries). Same skew note as with_global_ranks."""
+
+    def _sort(cols: list[tuple[str, str]]) -> list[Column]:
+        return [
+            F.desc(c) if d.lower().startswith("d") else F.asc(c) for c, d in cols
+        ]
+
+    key_sort = _sort(key_order)
+    full_sort = key_sort + _sort(tie_order)
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n_part, *key_sort)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_cum = (
+        Window.partitionBy(_PID)
+        .orderBy(*full_sort)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy(_PID).orderBy(*full_sort)
+    local = part.select(
+        "*",
+        F.row_number().over(w_rn).alias("_rn_loc"),
+        F.sum(sum_col).over(w_cum).alias("_cum_loc"),
+    )
+    stats = local.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias("_n_rows"),
+        F.sum(sum_col).alias("_p_sum"),
+    )
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    offsets = stats.select(
+        _PID,
+        F.coalesce(F.sum("_n_rows").over(w_off), F.lit(0)).alias("_row_off"),
+        F.coalesce(F.sum("_p_sum").over(w_off), F.lit(0)).alias("_sum_off"),
+        F.sum("_n_rows").over(w_all).alias("n_total"),
+        F.sum("_p_sum").over(w_all).alias("total_sum"),
+    )
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn("rn", (F.col("_row_off") + F.col("_rn_loc")).cast("bigint"))
+        .withColumn("cum_sum", F.col("_sum_off") + F.col("_cum_loc"))
+        .drop(_PID, "_rn_loc", "_cum_loc", "_row_off", "_sum_off")
+    )

@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = [
     # r6 front, in order: deferred hash-oracle first-timers ...
     "stats_median_ci",
     "stats_groupwise_ols",
+    "orders_pareto_customers",
     "dedup_exact_normalized",
     "event_second_order_transitions",
     "pipeline_stratified_sample",

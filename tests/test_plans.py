@@ -274,6 +274,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     # k_each limit, not the corpus (corpus-sized work stays inside
     # the retrievers)
     "similarity_rrf_fusion": {"bm25"},
+    # two-pass cumulative-sum internals: windows ride the bounded
+    # per-partition stats table (same contract as with_global_ranks)
+    "orders_pareto_customers": {"_gr_pid", "specifiedwindowframe"},
 }
 
 
@@ -376,6 +379,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "dedup_minhash_jaccard_est": 100,  # sig/shingle subtrees repeated per join arm —
     # static count is dominated by repetition; runtime dedups to ReusedExchange
     "text_token_entropy": 6,       # explode agg + doc window
+    "orders_pareto_customers": 8,  # customer agg + two-pass cumsum internals
 }
 
 
@@ -718,3 +722,40 @@ def test_shuffle_hash_join_hint_avoids_sort(spark, sf_dir):
         assert sorted(map(tuple, shj.collect())) == sorted(map(tuple, smj.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_two_pass_cumsum_equals_native_window(spark):
+    """with_global_cumsum must equal a native unpartitioned
+    running-total window exactly (decimal-exact, so partitioning
+    cannot perturb it), across several partition counts."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.operators.ranking import (
+        with_global_cumsum,
+    )
+
+    rows = [(i, Decimal(str((i * 37) % 100 + 0.25))) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "k BIGINT, v DECIMAL(27,4)")
+    w = Window.orderBy(F.desc("v"), F.asc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.k: (r.rn, r.cum)
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rn"),
+            F.sum("v").over(w).alias("cum"),
+        ).collect()
+    }
+    for n_part in (2, 7, 32):
+        got = {
+            r.k: (r.rn, r.cum_sum)
+            for r in with_global_cumsum(
+                df, [("v", "desc")], [("k", "asc")], "v", num_partitions=n_part
+            ).collect()
+        }
+        assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
+        assert {k: v[1] for k, v in got.items()} == {k: v[1] for k, v in want.items()}, n_part
