@@ -880,3 +880,62 @@ def stats_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sy - slope * sx) / n).alias("intercept"),
         (sy / n).alias("mean_y"),
     )
+
+
+@register(
+    "stats_weighted_median",
+    """
+    WITH wv AS (
+      SELECT l_returnflag, l_extendedprice AS value,
+             SUM(CAST(l_quantity AS DECIMAL(27,4))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, value,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM wv
+    )
+    SELECT l_returnflag,
+           CAST(CAST(MAX(tw) AS VARCHAR) AS DOUBLE) AS total_weight,
+           MIN(CASE WHEN cw * 2 >= tw THEN value END) AS weighted_median,
+           MIN(CASE WHEN cw * 10 >= tw * 9 THEN value END) AS weighted_p90
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median / weighted p90 of price with quantity as the
+    weight (the 'median unit sold at this price' question — a plain
+    median over rows answers a different one): per-(group, value)
+    exact decimal weight states, then a cumulative-weight walk picks
+    the smallest value covering half (resp. 90%) of the total weight.
+    Quantile boundaries compare DECIMALS scaled by integers (cw·2 ≥
+    tw, cw·10 ≥ 9·tw) — exact, no float boundary flip. Same mergeable
+    two-level shape as events_mergeable_quantile_rollup; the window
+    partitions by group over distinct values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wv = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("value")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(27,4)")).alias("w"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = wv.select(
+        "l_returnflag",
+        "value",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("tw").cast("string").cast("double").alias("total_weight"),
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("tw"), F.col("value"))
+        ).alias("weighted_median"),
+        F.min(
+            F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("value"))
+        ).alias("weighted_p90"),
+    )

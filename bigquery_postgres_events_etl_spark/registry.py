@@ -119,6 +119,7 @@ _DRIVER_PRIORITY = [
     "stats_median_ci",
     "stats_groupwise_ols",
     "orders_pareto_customers",
+    "stats_weighted_median",
     "dedup_exact_normalized",
     "event_second_order_transitions",
     "pipeline_stratified_sample",
