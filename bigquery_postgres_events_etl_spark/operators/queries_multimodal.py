@@ -213,3 +213,28 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return phash_near_pairs(media, max_hamming=6)
+
+
+@register("multimodal_phash_clusters", None)  # iterative CC — rows-only
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup CLUSTER resolution: perceptual-hash pairs →
+    connected components → (media_id, cluster_id, cluster_size,
+    is_canonical) — the deletion step for near-duplicate media, built
+    from the SAME pointer-jumping machinery as the text dedup
+    clusters (operators/cluster.py; union-find-oracle-pinned there).
+    Keeping is_canonical=true rows is the dedup action."""
+    from pyspark.sql import functions as F
+
+    from .cluster import dup_clusters
+    from .multimodal import phash_near_pairs
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    pairs = phash_near_pairs(media, max_hamming=6).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    return dup_clusters(pairs).select(
+        F.col("doc_id").alias("media_id"),
+        "cluster_id",
+        "cluster_size",
+        "is_canonical",
+    )

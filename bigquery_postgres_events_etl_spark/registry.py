@@ -145,6 +145,7 @@ _DRIVER_PRIORITY = [
     "pipeline_decontaminate_bloom",
     "text_compression_ratio",
     "multimodal_phash_near_dup",
+    "multimodal_phash_clusters",
     # ... then the r2-freshest tail, oldest first
     "sessionization",
     "similarity_topk_bruteforce",
