@@ -117,6 +117,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("ranking.py", "with_global_ranks"):
         "per-range-partition prefix offsets — row count bounded by the "
         "shuffle partition count (a cluster config constant), not the data",
+    ("ranking.py", "with_global_cumsum"):
+        "per-range-partition sum offsets — same partition-count bound "
+        "as with_global_ranks",
     ("queries_window.py", "window_distribution"):
         "two 1-row scalar frames (first/last/nth full-frame values from "
         "distributed min_by/max_by + top-2 TakeOrderedAndProject)",
