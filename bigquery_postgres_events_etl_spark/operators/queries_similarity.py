@@ -625,3 +625,42 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize(load_table(spark, sf_dir, "documents"))
     emb = load_table(spark, sf_dir, "embeddings")
     return rrf_fusion(docs, emb, _BM25_TERMS)
+
+
+@register("similarity_ann_recall_report", None)  # ANN side has no SQL twin
+def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality observability: per-query recall@k of the
+    LSH ANN tier against the exact brute-force answer — the
+    continuous-evaluation number a production ANN deployment watches
+    (probe parameters are tuned against exactly this curve). All-
+    DataFrame: the two top-k frames (both deterministic) left-semi
+    join on (query, neighbor); recall = hits/k. Rows-only — the
+    aggregate recall bound is already pinned in
+    tests/test_similarity.py; this entry turns it into a monitorable
+    per-query surface."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    brute = brute_force_topk(queries, emb, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    ann = ann_lsh_topk(queries, emb, k=TOP_K, num_planes=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = brute.join(ann, ["query_id", "neighbor_id"], "semi")
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.lit(TOP_K).cast("double")
+            ).alias("recall_at_k"),
+        )
+    )

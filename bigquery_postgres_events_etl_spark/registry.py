@@ -146,6 +146,7 @@ _DRIVER_PRIORITY = [
     "text_compression_ratio",
     "multimodal_phash_near_dup",
     "multimodal_phash_clusters",
+    "similarity_ann_recall_report",
     # ... then the r2-freshest tail, oldest first
     "sessionization",
     "similarity_topk_bruteforce",
