@@ -841,13 +841,16 @@ def stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sx,
              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sy,
              CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS syy,
              CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
            (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
-           sy / n AS mean_y
+           sy / n AS mean_y,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
     FROM sums
     """,
 )
@@ -868,10 +871,11 @@ def stats_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum("l_quantity").alias("sx"),
         _dsum("l_extendedprice").alias("sy"),
         F.sum((q * q).cast("decimal(38,8)")).cast("string").cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(38,8)")).cast("string").cast("double").alias("syy"),
         F.sum((q * p).cast("decimal(38,8)")).cast("string").cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, sxy = F.col("sxx"), F.col("sxy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return sums.select(
         "l_returnflag",
@@ -879,6 +883,10 @@ def stats_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
         (sy / n).alias("mean_y"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
     )
 
 

@@ -663,3 +663,88 @@ def text_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_train(docs, n_merges=10).orderBy("rank").collect()
     ]
     return bpe_encode(docs, merges)
+
+
+_NB_CAL_BUCKET = (
+    "GREATEST(-4, LEAST(4, CAST(floor(nb_score / CAST(5 AS DOUBLE)) AS BIGINT)))"
+)
+
+
+@register(
+    "text_nb_calibration",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token,
+             SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 1 ELSE 0 END) AS c_pos,
+             SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 0 ELSE 1 END) AS c_neg
+      FROM tok GROUP BY token
+    ),
+    totals AS (
+      SELECT CAST(SUM(c_pos) AS BIGINT) AS pos_total,
+             CAST(SUM(c_neg) AS BIGINT) AS neg_total,
+             count(*) AS vocab
+      FROM counts
+    ),
+    priors AS (
+      SELECT CAST(ln(CAST(SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 0 ELSE 1 END) AS DOUBLE))
+                  AS DECIMAL(20,9)) AS prior
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             SUM(CAST(ln((c.c_pos + CAST(1 AS DOUBLE)) / (tt.pos_total + CAST(tt.vocab AS DOUBLE)))
+                    - ln((c.c_neg + CAST(1 AS DOUBLE)) / (tt.neg_total + CAST(tt.vocab AS DOUBLE)))
+                  AS DECIMAL(20,9))) AS llr
+      FROM tok t JOIN counts c USING (token) CROSS JOIN totals tt
+      GROUP BY t.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, CAST(d.llr + p.prior AS DOUBLE) AS nb_score
+      FROM per_doc d CROSS JOIN priors p
+    ),
+    labeled AS (
+      SELECT s.nb_score, {_NB_CAL_BUCKET} AS bucket,
+             CASE WHEN doc.source IN ({_NB_SRC_SQL}) THEN 1 ELSE 0 END AS is_curated
+      FROM scored s JOIN documents doc USING (doc_id)
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_curated) AS BIGINT) AS n_curated,
+           CAST(SUM(is_curated) AS DOUBLE) / count(*) AS curated_rate
+    FROM labeled GROUP BY bucket
+    """,
+)
+def text_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability curve for the NB quality classifier:
+    score buckets vs the observed curated rate — the evaluation
+    surface that decides where to put the keep/drop threshold (a
+    monotone curve = usable ranking even if probabilities are off,
+    the usual NB situation). Buckets are integer-floored score bands
+    clamped to ±4; all counts integer, one final division."""
+    from pyspark.sql import functions as F
+
+    from .text import nb_quality_score
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    scored = nb_quality_score(docs).select("doc_id", "nb_score")
+    labeled = scored.join(docs.select("doc_id", "source"), "doc_id").select(
+        "nb_score",
+        F.greatest(
+            F.lit(-4),
+            F.least(
+                F.lit(4),
+                F.floor(F.col("nb_score") / F.lit(5).cast("double")).cast("long"),
+            ),
+        ).alias("bucket"),
+        F.when(F.col("source").isin("src0", "src1"), 1).otherwise(0).alias("is_curated"),
+    )
+    return labeled.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_curated").cast("long").alias("n_curated"),
+        (F.sum("is_curated").cast("double") / F.count(F.lit(1))).alias("curated_rate"),
+    )

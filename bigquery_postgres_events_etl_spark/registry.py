@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = [
     # r6 front, in order: deferred hash-oracle first-timers ...
     "stats_median_ci",
     "stats_groupwise_ols",
+    "text_nb_calibration",
     "orders_pareto_customers",
     "stats_weighted_median",
     "dedup_exact_normalized",
