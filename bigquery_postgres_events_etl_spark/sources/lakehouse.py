@@ -523,3 +523,51 @@ def merge_additive(
             m.setdefault("applied_epochs", []).append(str(epoch))
         _publish_manifest(table_dir, m)
         return {"version": v, "rows": n}
+
+
+def clone_table(source_dir: str, target_dir: str) -> dict:
+    """Zero-copy CLONE of the current version (the Delta 'shallow
+    clone' shape, rebuilt on hard links): the clone's v=1 references
+    the source's current data files byte-identically without copying
+    them (falls back to a real copy across filesystems), under its
+    own fresh manifest — so experiments branch from production state
+    in O(files) time and O(0) extra storage, and diverge
+    independently from the first write (immutable snapshots are never
+    modified in place, so a shared file can never be changed by
+    either side; purge_keys replaces rather than rewrites, which is
+    what makes hard-link sharing safe).
+
+    The clone starts with an empty epoch ledger — it is a NEW table
+    whose future CDC stream is its own."""
+    import shutil
+
+    with TargetLock(source_dir):
+        m = _read_manifest(source_dir)
+        if not m["current"]:
+            raise ValueError(f"no current version in {source_dir}")
+        src = os.path.join(source_dir, f"v={m['current']}")
+        os.makedirs(target_dir, exist_ok=True)
+        dst = os.path.join(target_dir, "v=1")
+        tmp = dst + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        n_files = 0
+        for fname in sorted(os.listdir(src)):
+            if not fname.endswith(".parquet"):
+                continue
+            try:
+                os.link(os.path.join(src, fname), os.path.join(tmp, fname))
+            except OSError:
+                shutil.copy2(os.path.join(src, fname), os.path.join(tmp, fname))
+            n_files += 1
+        os.replace(tmp, dst)
+        _publish_manifest(
+            target_dir,
+            {
+                "current": 1,
+                "versions": {
+                    "1": {"note": f"clone of {source_dir} v={m['current']}"}
+                },
+            },
+        )
+        return {"version": 1, "files": n_files, "source_version": m["current"]}

@@ -437,3 +437,48 @@ def test_merge_additive_equals_full_recompute(spark, sf_dir, tmp_path):
         raise AssertionError("non-additive column must be rejected")
     except ValueError as ex:
         assert "note" in str(ex)
+
+
+def test_clone_is_zero_copy_and_diverges_independently(spark, sf_dir, tmp_path):
+    """A clone must read byte-identically to the source's current
+    version without copying data (same inode where the filesystem
+    allows), and writes to either side after the clone must not leak
+    into the other."""
+    from bigquery_postgres_events_etl_spark.sources.lakehouse import (
+        clone_table,
+        current_version,
+        merge_upsert,
+        read_table,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "prod")
+    dst = str(tmp_path / "experiment")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    write_snapshot(c, src, note="prod v1")
+    r = clone_table(src, dst)
+    assert r["version"] == 1 and r["files"] > 0
+
+    src_files = {
+        f: os.stat(os.path.join(src, "v=1", f)).st_ino
+        for f in os.listdir(os.path.join(src, "v=1"))
+        if f.endswith(".parquet")
+    }
+    for f, ino in src_files.items():
+        assert os.stat(os.path.join(dst, "v=1", f)).st_ino == ino, (
+            "clone copied instead of linking"
+        )
+    assert read_table(spark, dst).exceptAll(read_table(spark, src)).count() == 0
+
+    # diverge the clone; the source must not see it (and vice versa)
+    upd = spark.createDataFrame(
+        [(1, -42.0)], "c_custkey BIGINT, c_acctbal DOUBLE"
+    )
+    merge_upsert(spark, dst, upd, ["c_custkey"])
+    assert current_version(dst) == 2 and current_version(src) == 1
+    assert (
+        read_table(spark, src).where(F.col("c_acctbal") == -42.0).count() == 0
+    )
+    assert (
+        read_table(spark, dst).where(F.col("c_acctbal") == -42.0).count() == 1
+    )
