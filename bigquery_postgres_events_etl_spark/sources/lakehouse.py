@@ -57,6 +57,15 @@ def current_version(table_dir: str) -> int:
     return _read_manifest(table_dir)["current"]
 
 
+def _next_version(m: dict) -> int:
+    """Next version NUMBER: one past the highest ever published, not
+    current+1 — after a restore_table rollback the abandoned newer
+    versions still exist on disk, and current+1 would silently
+    overwrite one."""
+    highest = max((int(v) for v in m["versions"]), default=0)
+    return max(highest, m["current"]) + 1
+
+
 def read_table(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
@@ -74,7 +83,7 @@ def write_snapshot(df: DataFrame, table_dir: str, note: str = "") -> int:
     os.makedirs(table_dir, exist_ok=True)
     with TargetLock(table_dir):
         m = _read_manifest(table_dir)
-        v = m["current"] + 1
+        v = _next_version(m)
         path = os.path.join(table_dir, f"v={v}")
         df.write.mode("overwrite").parquet(path)
         m["versions"][str(v)] = {"note": note}
@@ -121,7 +130,7 @@ def merge_upsert(
                 for c in val_cols
             ],
         )
-        v = m["current"] + 1
+        v = _next_version(m)
         path = os.path.join(table_dir, f"v={v}")
         merged.write.mode("overwrite").parquet(path)
         n_rows = spark.read.parquet(path).count()
@@ -221,7 +230,7 @@ def apply_changelog(
                 for c in val_cols
             ],
         )
-        v = m["current"] + 1
+        v = _next_version(m)
         path = os.path.join(table_dir, f"v={v}")
         merged.write.mode("overwrite").parquet(path)
         n = spark.read.parquet(path).count()
@@ -337,7 +346,7 @@ def scd2_apply(
             ).unionByName(new_cur)
             n_changed = new_cur.count()
 
-        v = m["current"] + 1
+        v = _next_version(m)
         path = os.path.join(table_dir, f"v={v}")
         merged.write.mode("overwrite").parquet(path)
         m["versions"][str(v)] = {"note": f"scd2 @ {effective_us}"}
@@ -404,7 +413,7 @@ def purge_keys(
                     break
             (affected if may_hit else clean).append(fname)
 
-        v = m["current"] + 1
+        v = _next_version(m)
         new_dir = os.path.join(table_dir, f"v={v}")
         tmp_dir = new_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -513,7 +522,7 @@ def merge_additive(
                 for c in add_cols
             ],
         )
-        v = m["current"] + 1
+        v = _next_version(m)
         path = os.path.join(table_dir, f"v={v}")
         merged.write.mode("overwrite").parquet(path)
         n = spark.read.parquet(path).count()
@@ -571,3 +580,27 @@ def clone_table(source_dir: str, target_dir: str) -> dict:
             },
         )
         return {"version": 1, "files": n_files, "source_version": m["current"]}
+
+
+def restore_table(table_dir: str, version: int) -> dict:
+    """RESTORE (Delta's rollback verb): repoint ``current`` at a
+    retained earlier version — no data movement, one atomic manifest
+    publish. The abandoned newer versions stay on disk and readable
+    (time travel forward still works) until vacuumed; a later write
+    continues the version sequence from the HIGHEST version ever
+    published, so restore never re-uses a version number."""
+    with TargetLock(table_dir):
+        m = _read_manifest(table_dir)
+        if str(version) not in m["versions"]:
+            raise ValueError(
+                f"version {version} not retained in {table_dir} "
+                f"(have: {sorted(map(int, m['versions']))})"
+            )
+        prev = m["current"]
+        m["current"] = version
+        m["versions"][str(version)]["note"] = (
+            m["versions"][str(version)].get("note", "")
+            + f" [restored over v={prev}]"
+        )
+        _publish_manifest(table_dir, m)
+        return {"restored_to": version, "was": prev}

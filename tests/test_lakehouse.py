@@ -482,3 +482,47 @@ def test_clone_is_zero_copy_and_diverges_independently(spark, sf_dir, tmp_path):
     assert (
         read_table(spark, dst).where(F.col("c_acctbal") == -42.0).count() == 1
     )
+
+
+def test_restore_rolls_back_and_never_reuses_version_numbers(
+    spark, sf_dir, tmp_path
+):
+    """RESTORE repoints current without touching data; a write after a
+    restore must allocate a FRESH version number (current+1 would
+    silently overwrite the abandoned newer snapshot)."""
+    from bigquery_postgres_events_etl_spark.sources.lakehouse import (
+        current_version,
+        read_table,
+        restore_table,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    write_snapshot(c, table, note="v1")
+    write_snapshot(c.withColumn("c_acctbal", F.lit(0.0)), table, note="v2")
+    n = c.count()
+
+    r = restore_table(table, 1)
+    assert r == {"restored_to": 1, "was": 2}
+    assert current_version(table) == 1
+    assert read_table(spark, table).agg(F.sum(F.abs("c_acctbal"))).first()[0] > 0
+    # forward time travel to the abandoned version still works
+    assert (
+        read_table(spark, table, version=2)
+        .agg(F.sum(F.abs("c_acctbal")))
+        .first()[0]
+        == 0.0
+    )
+
+    # a write after restore continues from the HIGHEST version ever
+    v3 = write_snapshot(c.withColumn("c_acctbal", F.lit(7.0)), table, note="v3")
+    assert v3 == 3
+    assert read_table(spark, table, version=2).count() == n  # untouched
+    assert read_table(spark, table).where(F.col("c_acctbal") == 7.0).count() == n
+
+    try:
+        restore_table(table, 99)
+        raise AssertionError("restoring an unknown version must raise")
+    except ValueError:
+        pass
