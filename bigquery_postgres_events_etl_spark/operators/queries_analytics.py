@@ -978,3 +978,50 @@ def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("cum_share"),
         (share <= 0.8).alias("in_top80"),
     )
+
+
+@register(
+    "events_lag_features",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST({_TS} AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CAST(LAG(n, 1) OVER w AS BIGINT) AS lag_1,
+           CAST(LAG(n, 7) OVER w AS BIGINT) AS lag_7,
+           CAST(COUNT(*) OVER w7 AS BIGINT) AS n_prior_days,
+           CAST(SUM(n) OVER w7 AS DOUBLE) / COUNT(*) OVER w7 AS mean_7_prior,
+           CAST(n - LAG(n, 1) OVER w AS BIGINT) AS delta_1
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day),
+           w7 AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting feature engineering: per-(type, day) lag-1 / lag-7
+    counts, the trailing-7-day mean computed STRICTLY from prior days
+    (frame ends at −1 — using the current row would leak the target
+    into its own feature), and the day-over-day delta. Integer counts
+    + one division; windows partition by event_type over
+    calendar-bounded frames. The (features, target) matrix a
+    gradient-boosted or the in-engine logistic trainer consumes."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-7, -1)
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.lag("n", 1).over(w).cast("long").alias("lag_1"),
+        F.lag("n", 7).over(w).cast("long").alias("lag_7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("n_prior_days"),
+        (F.sum("n").over(w7).cast("double") / F.count(F.lit(1)).over(w7)).alias(
+            "mean_7_prior"
+        ),
+        (F.col("n") - F.lag("n", 1).over(w)).cast("long").alias("delta_1"),
+    )

@@ -909,3 +909,121 @@ def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     return decontaminate_bloom(train, bench, n=3)
+
+
+# Ensemble quality-gate thresholds: each signal is cheap and
+# individually weak; the AND of them is the production gate shape
+# (FineWeb/RefinedWeb combine signals exactly this way). Entropy
+# threshold in nats; TTR band filters both stamped-out repetition
+# (low) and hex-soup noise (high ~1.0 on long docs).
+ENSEMBLE_MIN_TOKENS = 30
+ENSEMBLE_MAX_TOKENS = 100_000
+ENSEMBLE_MIN_ENTROPY = "1.5"
+ENSEMBLE_TTR_LO = "0.05"
+ENSEMBLE_TTR_HI = "0.9"
+
+
+@register(
+    "pipeline_quality_ensemble",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(list_distinct(toks),
+                                  x -> x IN ({_FULL_BLOCK_SQL}))) AS BIGINT) AS n_blocked
+      FROM t
+    ),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+    tot AS (
+      SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tc
+    ),
+    ent AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS DECIMAL(20,9))) AS DOUBLE) AS entropy
+      FROM tot GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, e.entropy,
+           CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS ttr,
+           b.n_blocked,
+           (b.n_tokens >= {ENSEMBLE_MIN_TOKENS} AND b.n_tokens <= {ENSEMBLE_MAX_TOKENS}) AS pass_length,
+           (e.entropy >= CAST({ENSEMBLE_MIN_ENTROPY} AS DOUBLE)) AS pass_entropy,
+           (CAST(b.n_distinct AS DOUBLE) / b.n_tokens >= CAST({ENSEMBLE_TTR_LO} AS DOUBLE)
+            AND CAST(b.n_distinct AS DOUBLE) / b.n_tokens <= CAST({ENSEMBLE_TTR_HI} AS DOUBLE)) AS pass_ttr,
+           (b.n_blocked = 0) AS pass_blocklist,
+           (b.n_tokens >= {ENSEMBLE_MIN_TOKENS} AND b.n_tokens <= {ENSEMBLE_MAX_TOKENS}
+            AND e.entropy >= CAST({ENSEMBLE_MIN_ENTROPY} AS DOUBLE)
+            AND CAST(b.n_distinct AS DOUBLE) / b.n_tokens >= CAST({ENSEMBLE_TTR_LO} AS DOUBLE)
+            AND CAST(b.n_distinct AS DOUBLE) / b.n_tokens <= CAST({ENSEMBLE_TTR_HI} AS DOUBLE)
+            AND b.n_blocked = 0) AS keep
+    FROM base b JOIN ent e ON b.doc_id = e.doc_id
+    """,
+)
+def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality GATE — the production shape
+    (FineWeb/RefinedWeb): individually-weak cheap signals ANDed into
+    one keep verdict, every signal emitted alongside so the gate is
+    auditable per document (which rule fired, not just that one did).
+    Signals: Gopher length band, unigram-entropy floor (the
+    stamped-out-boilerplate catch), type-token-ratio band (low =
+    repetition, ~1.0 on long docs = hex soup), and the token
+    blocklist. All integer/decimal-rounded arithmetic — the whole
+    ensemble hash-matches.
+
+    Plan: the array-expression signals are map-side on one scan; the
+    entropy leg shares the (doc, token)-count shuffle with
+    text_token_entropy and joins back on doc_id (already the key).
+    Boolean columns compare doubles derived identically on both
+    engines, so the verdict cannot flip across engines."""
+    from pyspark.sql import Window
+
+    from .dedup import with_tokens
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    toks = with_tokens(docs)
+    arr = F.array(*[F.lit(t) for t in FULL_PREP_BLOCKLIST])
+    base = toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct"),
+        F.size(F.array_intersect(F.array_distinct("tokens"), arr))
+        .cast("long")
+        .alias("n_blocked"),
+    )
+    tok = toks.select("doc_id", F.explode("tokens").alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    contrib = F.expr(
+        "CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(20,9))"
+    )
+    ent = (
+        tc.select("doc_id", "c", F.sum("c").over(w).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).cast("double").alias("entropy"))
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    pass_length = (F.col("n_tokens") >= ENSEMBLE_MIN_TOKENS) & (
+        F.col("n_tokens") <= ENSEMBLE_MAX_TOKENS
+    )
+    pass_entropy = F.col("entropy") >= F.lit(ENSEMBLE_MIN_ENTROPY).cast("double")
+    pass_ttr = (ttr >= F.lit(ENSEMBLE_TTR_LO).cast("double")) & (
+        ttr <= F.lit(ENSEMBLE_TTR_HI).cast("double")
+    )
+    pass_block = F.col("n_blocked") == 0
+    return base.join(ent, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "entropy",
+        ttr.alias("ttr"),
+        "n_blocked",
+        pass_length.alias("pass_length"),
+        pass_entropy.alias("pass_entropy"),
+        pass_ttr.alias("pass_ttr"),
+        pass_block.alias("pass_blocklist"),
+        (pass_length & pass_entropy & pass_ttr & pass_block).alias("keep"),
+    )

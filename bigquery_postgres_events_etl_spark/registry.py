@@ -119,6 +119,8 @@ _DRIVER_PRIORITY = [
     "stats_median_ci",
     "stats_groupwise_ols",
     "text_nb_calibration",
+    "pipeline_quality_ensemble",
+    "events_lag_features",
     "orders_pareto_customers",
     "stats_weighted_median",
     "dedup_exact_normalized",
