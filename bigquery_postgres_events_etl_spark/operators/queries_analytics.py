@@ -1025,3 +1025,63 @@ def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n") - F.lag("n", 1).over(w)).cast("long").alias("delta_1"),
     )
+
+
+@register(
+    "events_forecast_baseline_eval",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST({_TS} AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    feat AS (
+      SELECT event_type, n,
+             LAG(n, 1) OVER w AS lag_1,
+             CASE WHEN COUNT(*) OVER w7 = 7
+                  THEN SUM(n) OVER w7 ELSE NULL END AS sum_7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day),
+             w7 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (SELECT * FROM feat WHERE lag_1 IS NOT NULL AND sum_7 IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(ABS(n - lag_1)) AS DOUBLE) / count(*) AS mae_lag1,
+           CAST(SUM(ABS(7 * n - sum_7)) AS DOUBLE) / (7 * count(*)) AS mae_mean7
+    FROM scored GROUP BY event_type
+    """,
+)
+def events_forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BACKTEST of the two standard forecasting baselines —
+    persistence (ŷ = lag-1) and the strict-prior 7-day mean — scored
+    by MAE per event type. The mean-7 error is computed in INTEGERS:
+    |n − Σ7/7| = |7n − Σ7|/7, so the aggregate is an exact integer sum
+    with ONE final division (averaging per-day float errors would be
+    order-dependent). Only days where BOTH baselines are defined
+    score, so the MAEs are comparable. This is the model-selection
+    readout that says whether a fancier model beats persistence at
+    all — the first question of any forecasting project."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-7, -1)
+    feat = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("lag_1"),
+        F.when(F.count(F.lit(1)).over(w7) == 7, F.sum("n").over(w7)).alias("sum_7"),
+    ).where(F.col("lag_1").isNotNull() & F.col("sum_7").isNotNull())
+    return feat.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("lag_1"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_lag1"),
+        (
+            F.sum(F.abs(F.lit(7) * F.col("n") - F.col("sum_7"))).cast("double")
+            / (F.lit(7) * F.count(F.lit(1)))
+        ).alias("mae_mean7"),
+    )

@@ -121,6 +121,7 @@ _DRIVER_PRIORITY = [
     "text_nb_calibration",
     "pipeline_quality_ensemble",
     "events_lag_features",
+    "events_forecast_baseline_eval",
     "orders_pareto_customers",
     "stats_weighted_median",
     "dedup_exact_normalized",

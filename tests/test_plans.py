@@ -380,6 +380,14 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # static count is dominated by repetition; runtime dedups to ReusedExchange
     "text_token_entropy": 6,       # explode agg + doc window
     "orders_pareto_customers": 8,  # customer agg + two-pass cumsum internals
+    "stats_median_ci": 6,          # type-partitioned ranks + bounds join
+    "stats_groupwise_ols": 2,      # one moment aggregation
+    "stats_weighted_median": 4,    # (group,value) weight states + cum walk
+    "text_nb_calibration": 34,     # NB score subtrees ×k static; reuse at run
+    "pipeline_quality_ensemble": 10,  # map-side signals + shared entropy leg
+    "events_lag_features": 4,      # daily agg + type window
+    "events_forecast_baseline_eval": 4,  # same window, scored agg
+    "similarity_ann_recall_report": 18,  # brute+ANN top-k subtrees (reused at run)
 }
 
 
