@@ -1085,3 +1085,107 @@ def events_forecast_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame
             / (F.lit(7) * F.count(F.lit(1)))
         ).alias("mae_mean7"),
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    f"""
+    WITH days AS (SELECT DISTINCT CAST({_TS} AS DATE) AS day FROM events),
+    activity AS (
+      SELECT DISTINCT user_id, CAST({_TS} AS DATE) AS active_day FROM events
+    ),
+    dau AS (SELECT active_day AS day, count(*) AS dau FROM activity GROUP BY 1),
+    mau AS (
+      SELECT d.day, count(DISTINCT a.user_id) AS mau
+      FROM days d JOIN activity a
+        ON a.active_day > d.day - 30 AND a.active_day <= d.day
+      GROUP BY d.day
+    )
+    SELECT d.day, CAST(dau.dau AS BIGINT) AS dau, CAST(mau.mau AS BIGINT) AS mau,
+           CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+    FROM days d JOIN dau ON dau.day = d.day JOIN mau ON mau.day = d.day
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement-quality ratio on
+    top of the active_user_rollups machinery: DAU from the per-day
+    distinct sliver; the trailing-30-day MAU via a range join of the
+    day spine against per-(user, day) activity — only the distinct
+    (user, day) sliver fans out (bounded ×30), never raw events. One
+    division per day.
+
+    Scale: the range join is the documented interval decomposition —
+    at 100 TB you'd precompute daily HLL sketches and union 30 of
+    them (events_hll_rolling_users); this entry is the exact tier."""
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.to_date("ts").alias("active_day")
+    ).distinct()
+    days = activity.select(F.col("active_day").alias("day")).distinct()
+    dau = activity.groupBy(F.col("active_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    mau = (
+        days.join(
+            activity,
+            (F.col("active_day") > F.date_sub(F.col("day"), 30))
+            & (F.col("active_day") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "orders_interarrival_stats",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             datediff('day', LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                    ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS gap_days
+      FROM orders
+    ),
+    gaps AS (SELECT o_custkey, gap_days FROM seq WHERE gap_days IS NOT NULL)
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(SUM(gap_days) AS DOUBLE) / count(*) AS mean_gap_days
+    FROM gaps GROUP BY o_custkey
+    """,
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival statistics (the cadence
+    behind churn/next-purchase models): one lag window on the
+    customer partition, integer day gaps, exact integer sums with one
+    final division. Customers with a single order have no gap and
+    drop out (their cadence is undefined, not zero)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        (F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias("mean_gap_days"),
+    )

@@ -52,12 +52,13 @@ def register(name: str, oracle: str | None):
 # fix, then 34 first-time entries ranked: the verdict-item operator
 # (entity resolve), this round's hash-oracle additions, then the
 # highest-value wave entries. Past position 50 — the r6 front, in
-# order: 13 deferred hash-oracle first-timers, 9 rows-only
-# first-timers (a driver row adds least for rows-only entries — their
-# correctness signal is the pinned pytest, so they defer best), then
-# the 43 r2-freshest entries oldest-first. r6 MUST front whatever of
-# that block its 50-sample can hold; nothing after r5 should be
-# older than r2.
+# order: the deferred hash-oracle first-timers (the 13 earlier-wave
+# ones plus the late-wave stats/calibration/ensemble/forecast/Pareto
+# additions), then the rows-only first-timers (a driver row adds
+# least for rows-only entries — their correctness signal is the
+# pinned pytest, so they defer best), then the 43 r2-freshest entries
+# oldest-first. r6 MUST front whatever of that block its 50-sample
+# can hold; nothing after r5 should be older than r2.
 _DRIVER_PRIORITY = [
     # -- r1-stale refresh (verdict #1: all 14 in the r5 sample)
     "distinct_segments",
@@ -122,6 +123,8 @@ _DRIVER_PRIORITY = [
     "pipeline_quality_ensemble",
     "events_lag_features",
     "events_forecast_baseline_eval",
+    "events_dau_mau_stickiness",
+    "orders_interarrival_stats",
     "orders_pareto_customers",
     "stats_weighted_median",
     "dedup_exact_normalized",
