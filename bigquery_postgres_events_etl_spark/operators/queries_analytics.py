@@ -1189,3 +1189,59 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_days").cast("long").alias("max_gap_days"),
         (F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias("mean_gap_days"),
     )
+
+
+@register(
+    "events_user_gini",
+    """
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n, user_id) AS BIGINT) AS rn
+      FROM per_user
+    ),
+    sums AS (
+      SELECT count(*) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM(rn * n) AS BIGINT) AS weighted
+      FROM ranked
+    )
+    SELECT n_users, total,
+           CAST(2 * weighted AS DOUBLE) / (CAST(n_users AS DOUBLE) * total)
+             - CAST(n_users + 1 AS DOUBLE) / n_users AS gini
+    FROM sums
+    """,
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the concentration
+    scalar next to the Pareto curve (0 = everyone equally active,
+    →1 = one user is the workload): G = 2Σ(rank·x)/(n·Σx) − (n+1)/n
+    over counts ranked ascending. The rank comes from the TWO-PASS
+    global ranking (no single-reducer window over users); Σ(rank·x)
+    and Σx are exact integer sums, and the result is two divisions.
+    Also the key-skew planning number: a high Gini on the join key
+    says salt before shuffling at 100 TB."""
+    from .ranking import with_global_ranks
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = with_global_ranks(
+        per_user,
+        key_order=[("n", "asc")],
+        tie_order=[("user_id", "asc")],
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("rn") * F.col("n")).cast("long").alias("weighted"),
+    )
+    return sums.select(
+        "n_users",
+        "total",
+        (
+            (F.lit(2) * F.col("weighted")).cast("double")
+            / (F.col("n_users").cast("double") * F.col("total"))
+            - (F.col("n_users") + 1).cast("double") / F.col("n_users")
+        ).alias("gini"),
+    )

@@ -125,6 +125,7 @@ _DRIVER_PRIORITY = [
     "events_forecast_baseline_eval",
     "events_dau_mau_stickiness",
     "orders_interarrival_stats",
+    "events_user_gini",
     "orders_pareto_customers",
     "stats_weighted_median",
     "dedup_exact_normalized",

@@ -277,6 +277,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     # two-pass cumulative-sum internals: windows ride the bounded
     # per-partition stats table (same contract as with_global_ranks)
     "orders_pareto_customers": {"_gr_pid", "specifiedwindowframe"},
+    # two-pass ranking internals (Gini rank pass)
+    "events_user_gini": {"_gr_pid"},
 }
 
 
