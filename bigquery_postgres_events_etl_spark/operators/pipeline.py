@@ -22,7 +22,7 @@ documents its per-shard parallel form.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import exploded_shingles, md5_hash60, with_tokens
@@ -681,4 +681,60 @@ def decontaminate_bloom(
     )
     return flagged.groupBy("doc_id").agg(
         F.countDistinct("shingle").alias("n_overlap")
+    )
+
+
+def epoch_repeat(
+    docs: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Repeat-factor (multi-epoch) upsampling — the mixture-building
+    primitive that materializes "source S is seen w× per training
+    epoch" (Gopher/LLaMA-style data recipes quote exactly these
+    factors). A doc gets ``floor(w)`` copies plus one more iff its
+    deterministic md5 draw falls under ``frac(w)``, so expected copies
+    = w per doc and the realized sample is exactly reproducible (a doc
+    never flips when other docs arrive — same stability contract as
+    train_test_split).
+
+    Scale: map-side expression + row-expanding explode, NO shuffle;
+    output size is Σ w_s·|S| by construction. Weights are quantized to
+    millionths so the fractional draw compares integer-to-integer.
+    The ``n_copies > 0`` filter runs BEFORE the sequence (Spark's
+    ``sequence(1, 0)`` is a descending 2-element sequence, not empty).
+    """
+    base: Column | None = None
+    thresh: Column | None = None
+    weight: Column | None = None
+    for src, w in weights.items():
+        b, t = int(w), int(round((w - int(w)) * 1_000_000))
+        cond = F.col(source_col) == src
+        base = F.when(cond, b) if base is None else base.when(cond, b)
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+        weight = (
+            F.when(cond, F.lit(float(w)))
+            if weight is None
+            else weight.when(cond, F.lit(float(w)))
+        )
+    d_b, d_t = int(default_weight), int(round((default_weight - int(default_weight)) * 1_000_000))
+    base = base.otherwise(d_b)
+    thresh = thresh.otherwise(d_t)
+    weight = weight.otherwise(F.lit(float(default_weight)))
+    u = F.pmod(md5_hash60(F.col(id_col).cast("string"), seed=41), F.lit(1_000_000))
+    n_copies = (base + F.when(u < thresh, 1).otherwise(0)).cast("int")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(source_col),
+            weight.alias("weight"),
+            n_copies.alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 0)
+        .select(
+            "*",
+            F.explode(F.expr("sequence(1, n_copies)")).alias("copy_id"),
+        )
     )

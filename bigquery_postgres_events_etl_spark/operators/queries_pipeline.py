@@ -1027,3 +1027,41 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_block.alias("pass_blocklist"),
         (pass_length & pass_entropy & pass_ttr & pass_block).alias("keep"),
     )
+
+
+# Gopher/LLaMA-style epoch repeat factors for the fixture mix: a
+# curated source seen 2.5x per epoch, a boosted one 1.5x, a
+# down-weighted one 0.25x, everything else exactly once.
+EPOCH_WEIGHTS = {"src0": 2.5, "src3": 1.5, "src7": 0.25}
+
+
+@register(
+    "pipeline_epoch_repeat",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN CAST(2.5 AS DOUBLE)
+                         WHEN 'src3' THEN CAST(1.5 AS DOUBLE)
+                         WHEN 'src7' THEN CAST(0.25 AS DOUBLE)
+                         ELSE CAST(1.0 AS DOUBLE) END AS weight,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src3' THEN 1 WHEN 'src7' THEN 0 ELSE 1 END
+               + CASE WHEN {_h60("CAST(doc_id AS VARCHAR)", 41)} % 1000000 <
+                           CASE source WHEN 'src0' THEN 500000 WHEN 'src3' THEN 500000
+                                       WHEN 'src7' THEN 250000 ELSE 0 END
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, source, weight, CAST(n_copies AS INTEGER) AS n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy_id
+    FROM w WHERE n_copies > 0
+    """,
+)
+def pipeline_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch repeat-factor upsampling of the corpus mix (docs
+    from a 2.5x source appear 2-3 times, deterministically) — see
+    pipeline.epoch_repeat for the stability/scale contract. Map-side
+    expression + explode, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .pipeline import epoch_repeat
+
+    return epoch_repeat(docs, EPOCH_WEIGHTS)

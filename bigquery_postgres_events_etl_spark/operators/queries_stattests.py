@@ -1,0 +1,754 @@
+"""Hypothesis testing, drift monitoring, and lifecycle analytics.
+
+The inference layer over the events/orders stream: two-sample
+distribution tests (KS, Mann-Whitney), independence tests (chi-square,
+Benford), distribution-drift monitoring (PSI), and lifecycle curves
+(Kaplan-Meier survival, cohort LTV, EWMA smoothing). The reference
+pipeline feeds BI dashboards from Postgres (flask_server.py:120-180
+serves aggregate endpoints); these are the statistical read-side
+operators such a warehouse is asked for next.
+
+Oracle-parity rules (registry header): integer/exact-decimal
+aggregation everywhere, `ln()` contributions rounded to DECIMAL(20,9)
+before exact decimal sums (the BM25 idiom — JVM vs libm ln differs by
+1 ulp on ~8% of inputs), every other float op (+,-,*,/,sqrt,exp-once)
+is a fixed IEEE chain over identical inputs.
+
+Scale notes per operator; the only unpartitioned windows are
+(a) the two-pass cumsum internals (bounded per-partition stats) and
+(b) the Kaplan-Meier life table, whose row count is calendar-bounded
+(distinct gap lengths in days ≤ the fixture's date span), both
+declared in tests/test_plans.py::GLOBAL_WINDOW_ALLOWLIST.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+from .ranking import with_global_cumsum
+
+_TS = "CAST(ts AS TIMESTAMP)"
+
+# pack two non-negative counts into one decimal so ONE distributed
+# cumulative-sum pass yields both running totals: packed = a*M + b.
+# M must exceed any possible total count; 10^12 covers 10^12 rows and
+# keeps a*M + b inside DECIMAL(38,0) for totals up to 10^26.
+_PACK_M = 10**12
+
+
+def _packed_cum(df: DataFrame, a_col: str, b_col: str, key: str) -> DataFrame:
+    """Distributed exact running totals of TWO count columns in key
+    order with a single two-pass cumsum (ranking.with_global_cumsum):
+    the counts are packed into one DECIMAL(38,0), cum-summed, then
+    unpacked with exact-divisible arithmetic (the subtraction makes the
+    division exact, so no rounding can flip the quotient)."""
+    m = F.lit(_PACK_M).cast("decimal(19,0)")
+    packed = (
+        F.col(a_col).cast("decimal(19,0)") * m + F.col(b_col).cast("decimal(19,0)")
+    ).alias("_packed")
+    cum = with_global_cumsum(
+        df.select("*", packed), [(key, "asc")], [], "_packed"
+    )
+    cum_b = F.col("cum_sum") % m
+    tot_b = F.col("total_sum") % m
+    return cum.select(
+        "*",
+        ((F.col("cum_sum") - cum_b) / m).cast("long").alias("_cum_a"),
+        cum_b.cast("long").alias("_cum_b"),
+        ((F.col("total_sum") - tot_b) / m).cast("long").alias("_tot_a"),
+        tot_b.cast("long").alias("_tot_b"),
+    ).drop("_packed", "cum_sum", "total_sum", "rn", "n_total")
+
+
+def _ab_counts(spark: SparkSession, sf_dir: str, a: str, b: str) -> DataFrame:
+    """Per-distinct-value sample counts for two event types — the
+    shared scaffold of the rank/ECDF tests. One hash aggregation; the
+    grouped frame is |distinct values|, far smaller than the stream."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_type").isin(a, b))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == a, 1).otherwise(0)).alias("a_cnt"),
+            F.sum(F.when(F.col("event_type") == b, 1).otherwise(0)).alias("b_cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# two-sample Kolmogorov–Smirnov
+# ---------------------------------------------------------------------
+
+
+@register(
+    "events_ks_test",
+    """
+    WITH ab AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value
+    ),
+    cum AS (
+      SELECT CAST(SUM(a_cnt) OVER (ORDER BY value) AS BIGINT) AS ca,
+             CAST(SUM(b_cnt) OVER (ORDER BY value) AS BIGINT) AS cb
+      FROM ab
+    ),
+    tot AS (SELECT CAST(SUM(a_cnt) AS BIGINT) AS n1, CAST(SUM(b_cnt) AS BIGINT) AS n2 FROM ab)
+    SELECT n1, n2,
+           CAST(MAX(ABS(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(ca * n2 - cb * n1)) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat,
+           CAST(1.358 AS DOUBLE)
+             * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS d_crit_05,
+           CAST(MAX(ABS(ca * n2 - cb * n1)) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             > CAST(1.358 AS DOUBLE)
+               * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS reject_05
+    FROM cum CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test (click vs purchase values):
+    D = sup |F1 − F2| over the pooled support, computed entirely in
+    integers — |cumA·n2 − cumB·n1| — with ONE final division.
+
+    Scale shape: a hash agg collapses the stream to |distinct values|
+    rows, then the two-pass distributed cumsum (no unpartitioned
+    window over data; both running counts ride one packed DECIMAL
+    column) and a scalar max-aggregate. The asymptotic α=0.05
+    threshold 1.358·sqrt((n1+n2)/(n1·n2)) ships alongside so the
+    verdict is in the row, not a lookup table.
+    """
+    ab = _ab_counts(spark, sf_dir, "click", "purchase")
+    cum = _packed_cum(ab, "a_cnt", "b_cnt", "value")
+    ca, cb = F.col("_cum_a"), F.col("_cum_b")
+    n1, n2 = F.col("_tot_a"), F.col("_tot_b")
+    stat = cum.groupBy(n1.alias("n1"), n2.alias("n2")).agg(
+        F.max(F.abs(ca * n2 - cb * n1)).cast("long").alias("d_num")
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d = F.col("d_num").cast("double") / (n1d * n2d)
+    crit = F.lit(1.358).cast("double") * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double") / (n1d * n2d)
+    )
+    return stat.select(
+        "n1", "n2", "d_num",
+        d.alias("d_stat"),
+        crit.alias("d_crit_05"),
+        (d > crit).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Mann–Whitney U (rank-sum) with tie correction
+# ---------------------------------------------------------------------
+
+
+@register(
+    "stats_mann_whitney",
+    """
+    WITH ab AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value
+    ),
+    cum AS (
+      SELECT a_cnt, a_cnt + b_cnt AS t,
+             CAST(SUM(a_cnt + b_cnt) OVER (ORDER BY value) AS BIGINT) AS ct
+      FROM ab
+    ),
+    sums AS (
+      SELECT CAST(SUM(a_cnt * (2 * (ct - t) + t + 1)) AS BIGINT) AS two_r1,
+             CAST(CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS VARCHAR) AS DOUBLE) AS tie_sum,
+             (SELECT CAST(SUM(a_cnt) AS BIGINT) FROM ab) AS n1,
+             (SELECT CAST(SUM(b_cnt) AS BIGINT) FROM ab) AS n2
+      FROM cum
+    )
+    SELECT n1, n2,
+           (CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
+             / CAST(2 AS DOUBLE) AS u1,
+           CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(2 AS DOUBLE) AS mu_u,
+           sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12 AS DOUBLE)
+                * ((CAST(n1 + n2 AS DOUBLE) + 1)
+                   - tie_sum / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS sigma_u,
+           ((CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
+              / CAST(2 AS DOUBLE)
+            - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(2 AS DOUBLE))
+           / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12 AS DOUBLE)
+                  * ((CAST(n1 + n2 AS DOUBLE) + 1)
+                     - tie_sum / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z
+    FROM sums
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test with tie correction — the
+    distribution-free alternative to the t-test (events_ab_ttest)
+    when metric distributions are skewed, which engagement metrics
+    always are.
+
+    Average tie ranks never materialize: with cum_before = cumulative
+    pooled count strictly before a value and t its tie-group size,
+    2·R1 = Σ a·(2·cum_before + t + 1) stays in exact integers, as does
+    the tie term Σ(t³−t); μ, σ (tie-corrected) and z are one fixed
+    IEEE chain at the end. Same |distinct values| hash-agg + two-pass
+    cumsum shape as the KS test, single-column cumsum (no packing
+    needed — only the pooled running count is required).
+    """
+    ab = _ab_counts(spark, sf_dir, "click", "purchase")
+    witht = ab.select(
+        "*", (F.col("a_cnt") + F.col("b_cnt")).alias("t")
+    )
+    cum = with_global_cumsum(witht, [("value", "asc")], [], "t")
+    t, ct, a = F.col("t"), F.col("cum_sum"), F.col("a_cnt")
+    sums = cum.agg(
+        F.sum(a * (F.lit(2) * (ct - t) + t + F.lit(1))).cast("long").alias("two_r1"),
+        F.sum(t.cast("decimal(38,0)") * t * t - t).cast("string").cast("double").alias("tie_sum"),
+        F.sum(a).cast("long").alias("n1"),
+        F.sum("b_cnt").cast("long").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1 = (F.col("two_r1").cast("double") - n1d * (n1d + 1)) / F.lit(2).cast("double")
+    mu = n1d * n2d / F.lit(2).cast("double")
+    sigma = F.sqrt(
+        n1d * n2d / F.lit(12).cast("double")
+        * ((nd + 1) - F.col("tie_sum") / (nd * (nd - 1)))
+    )
+    return sums.select(
+        "n1", "n2",
+        u1.alias("u1"),
+        mu.alias("mu_u"),
+        sigma.alias("sigma_u"),
+        ((u1 - mu) / sigma).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------
+# chi-square test of independence
+# ---------------------------------------------------------------------
+
+
+@register(
+    "stats_chi_square_independence",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(user_id % 4 AS INTEGER) AS segment
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    cells AS (
+      SELECT event_type, segment, CAST(count(*) AS BIGINT) AS o
+      FROM base GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    cols_ AS (SELECT segment, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS tl,
+             CAST(count(DISTINCT segment) AS BIGINT) AS sl
+      FROM cells
+    ),
+    terms AS (
+      SELECT n, tl, sl,
+             CAST((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                  AS DECIMAL(20,9)) AS term
+      FROM cells
+      JOIN rows_ USING (event_type) JOIN cols_ USING (segment) CROSS JOIN tot
+    )
+    SELECT MAX(n) AS n, MAX(tl) AS type_levels, MAX(sl) AS segment_levels,
+           (MAX(tl) - 1) * (MAX(sl) - 1) AS dof,
+           CAST(SUM(term) AS DOUBLE) AS chi2,
+           sqrt(CAST(SUM(term) AS DOUBLE)
+                / (CAST(MAX(n) AS DOUBLE) * CAST(least(MAX(tl) - 1, MAX(sl) - 1) AS DOUBLE))) AS cramers_v
+    FROM terms
+    """,
+)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence (event_type × user
+    segment) + Cramér's V effect size. The contingency table is one
+    hash aggregation; margins re-aggregate the CELL table (|types| ×
+    |segments| rows, never the stream again); per-cell terms
+    (o−e)²/e — exact-integer inputs through one deterministic IEEE
+    chain — round to DECIMAL(20,9) so the 20-cell sum is
+    order-independent. Everything after the first groupBy is
+    constant-cardinality, broadcast by AQE."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cells = e.groupBy(
+        "event_type", (F.col("user_id") % 4).cast("int").alias("segment")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = cells.groupBy("segment").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").alias("tl"),
+        F.countDistinct("segment").alias("sl"),
+    )
+    j = cells.join(rows_, "event_type").join(cols_, "segment").crossJoin(tot)
+    od = F.col("o").cast("double")
+    ed = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast("double")
+    term = ((od - ed) * (od - ed) / ed).cast("decimal(20,9)")
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.max("tl").alias("type_levels"),
+        F.max("sl").alias("segment_levels"),
+        F.sum(term).alias("chi2_dec"),
+    )
+    chi2 = F.col("chi2_dec").cast("double")
+    dof_min = F.least(F.col("type_levels") - 1, F.col("segment_levels") - 1)
+    return agg.select(
+        "n", "type_levels", "segment_levels",
+        ((F.col("type_levels") - 1) * (F.col("segment_levels") - 1)).alias("dof"),
+        chi2.alias("chi2"),
+        F.sqrt(chi2 / (F.col("n").cast("double") * dof_min.cast("double"))).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Benford first-digit conformance
+# ---------------------------------------------------------------------
+
+# expected shares log10(1 + 1/d) as shared literals: computed ONCE here
+# and formatted into BOTH plans, so no cross-engine log arithmetic at all
+_BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({v!r} AS DOUBLE)" for d, v in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "orders_benford_first_digit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs),
+    terms AS (
+      SELECT digit, n_obs, n_total,
+             CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+             {_BENFORD_SQL_CASE} AS exp_share
+      FROM obs CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT *,
+             CAST((CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * exp_share)
+                  * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * exp_share)
+                  / (CAST(n_total AS DOUBLE) * exp_share) AS DECIMAL(20,9)) AS term
+      FROM terms
+    )
+    SELECT digit, n_obs, n_total, obs_share, exp_share,
+           CAST(term AS DOUBLE) AS chi2_term,
+           (SELECT CAST(SUM(term) AS DOUBLE) FROM scored) AS chi2_total
+    FROM scored
+    """,
+)
+def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance of order totals — the
+    classic anomaly/fraud screen on financial facts. The first
+    significant digit comes from exact decimal string arithmetic (no
+    cross-engine log10: the expected shares are Python-computed
+    literals formatted into BOTH plans). One digit hash-agg (9 rows),
+    chi-square contributions rounded to DECIMAL(20,9), total re-joined
+    as a broadcast scalar."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    exp_share: Column = F.lit(None).cast("double")
+    for d, v in _BENFORD.items():
+        exp_share = F.when(F.col("digit") == d, F.lit(v)).otherwise(exp_share)
+    terms = obs.crossJoin(tot).select(
+        "digit", "n_obs", "n_total",
+        (F.col("n_obs").cast("double") / F.col("n_total").cast("double")).alias("obs_share"),
+        exp_share.alias("exp_share"),
+    )
+    e = F.col("n_total").cast("double") * F.col("exp_share")
+    term = (
+        (F.col("n_obs").cast("double") - e) * (F.col("n_obs").cast("double") - e) / e
+    ).cast("decimal(20,9)")
+    scored = terms.select("*", term.alias("term"))
+    total = scored.agg(F.sum("term").cast("double").alias("chi2_total"))
+    return scored.crossJoin(total).select(
+        "digit", "n_obs", "n_total", "obs_share", "exp_share",
+        F.col("term").cast("double").alias("chi2_term"),
+        "chi2_total",
+    )
+
+
+# ---------------------------------------------------------------------
+# PSI distribution drift
+# ---------------------------------------------------------------------
+
+
+@register(
+    "events_psi_drift",
+    """
+    WITH binned AS (
+      SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+             CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(ref_cnt) AS BIGINT) AS n_ref,
+             CAST(SUM(cur_cnt) AS BIGINT) AS n_cur,
+             CAST(count(*) AS BIGINT) AS n_bins
+      FROM binned
+    ),
+    scored AS (
+      SELECT bin, ref_cnt, cur_cnt, n_bins,
+             CAST(ref_cnt + 1 AS DOUBLE) / CAST(n_ref + n_bins AS DOUBLE) AS p_ref,
+             CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + n_bins AS DOUBLE) AS p_cur,
+             CAST((CAST(ref_cnt + 1 AS DOUBLE) / CAST(n_ref + n_bins AS DOUBLE)
+                   - CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + n_bins AS DOUBLE))
+                  * (CAST(CAST(ln(CAST(ref_cnt + 1 AS DOUBLE) / CAST(n_ref + n_bins AS DOUBLE)) AS DECIMAL(20,9))
+                          - CAST(ln(CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + n_bins AS DOUBLE)) AS DECIMAL(20,9)) AS DOUBLE))
+                  AS DECIMAL(20,12)) AS term
+      FROM binned CROSS JOIN tot
+    )
+    SELECT bin, bin * CAST(50.0 AS DOUBLE) AS bin_low, ref_cnt, cur_cnt,
+           p_ref, p_cur, CAST(term AS DOUBLE) AS psi_term,
+           (SELECT CAST(SUM(term) AS DOUBLE) FROM scored) AS psi_total,
+           (SELECT CAST(SUM(term) AS DOUBLE) FROM scored) > CAST(0.2 AS DOUBLE) AS drift_alert
+    FROM scored
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream — the standard model-monitoring drift score
+    (PSI > 0.2 = significant shift). Laplace-smoothed bin shares (+1
+    per bin, so empty bins never divide by zero), per-bin
+    (p−q)·ln(p/q) contributions with the lns rounded to DECIMAL(20,9)
+    and the product re-rounded to DECIMAL(20,12) for the exact total.
+    Bin count is value-range/50 — constant-bounded — so everything
+    after the first hash-agg is scalar work."""
+    e = load_table(spark, sf_dir, "events")
+    is_ref = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    binned = e.groupBy(
+        F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bin")
+    ).agg(
+        F.sum(F.when(is_ref, 1).otherwise(0)).cast("long").alias("ref_cnt"),
+        F.sum(F.when(is_ref, 0).otherwise(1)).cast("long").alias("cur_cnt"),
+    )
+    tot = binned.agg(
+        F.sum("ref_cnt").cast("long").alias("n_ref"),
+        F.sum("cur_cnt").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    j = binned.crossJoin(tot)
+    p_ref = (F.col("ref_cnt") + 1).cast("double") / (F.col("n_ref") + F.col("n_bins")).cast("double")
+    p_cur = (F.col("cur_cnt") + 1).cast("double") / (F.col("n_cur") + F.col("n_bins")).cast("double")
+    ln_diff = (
+        F.log(p_ref).cast("decimal(20,9)") - F.log(p_cur).cast("decimal(20,9)")
+    ).cast("double")
+    term = ((p_ref - p_cur) * ln_diff).cast("decimal(20,12)")
+    scored = j.select(
+        "bin", "ref_cnt", "cur_cnt",
+        p_ref.alias("p_ref"), p_cur.alias("p_cur"), term.alias("term"),
+    )
+    total = scored.agg(F.sum("term").cast("double").alias("psi_total"))
+    return scored.crossJoin(total).select(
+        "bin",
+        (F.col("bin") * F.lit(50.0).cast("double")).alias("bin_low"),
+        "ref_cnt", "cur_cnt", "p_ref", "p_cur",
+        F.col("term").cast("double").alias("psi_term"),
+        "psi_total",
+        (F.col("psi_total") > F.lit(0.2).cast("double")).alias("drift_alert"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Kaplan–Meier survival
+# ---------------------------------------------------------------------
+
+
+@register(
+    "customer_survival_km",
+    """
+    WITH horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+    gaps AS (
+      SELECT datediff('day', o_orderdate,
+                      COALESCE(lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                               (SELECT h FROM horizon))) AS gap_days,
+             CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+                  THEN 0 ELSE 1 END AS event
+      FROM orders
+    ),
+    life AS (
+      SELECT CAST(gap_days AS INTEGER) AS gap_days,
+             CAST(SUM(event) AS BIGINT) AS d_events,
+             CAST(SUM(1 - event) AS BIGINT) AS c_censored
+      FROM gaps GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(d_events + c_censored) AS BIGINT) AS n FROM life),
+    risk AS (
+      SELECT gap_days, d_events, c_censored,
+             n - COALESCE(CAST(SUM(d_events + c_censored)
+                   OVER (ORDER BY gap_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS at_risk
+      FROM life CROSS JOIN tot
+    ),
+    surv AS (
+      SELECT gap_days, d_events, c_censored, at_risk,
+             CAST(d_events AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard,
+             SUM(CASE WHEN d_events < at_risk
+                      THEN CAST(ln(CAST(1 AS DOUBLE) - CAST(d_events AS DOUBLE) / CAST(at_risk AS DOUBLE)) AS DECIMAL(20,9))
+                      ELSE CAST(0 AS DECIMAL(20,9)) END)
+               OVER (ORDER BY gap_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ln,
+             CASE WHEN d_events = at_risk THEN 0 ELSE 1 END AS alive
+      FROM risk
+    )
+    SELECT gap_days, at_risk, d_events, c_censored, hazard,
+           CAST(cum_ln AS DOUBLE) AS log_survival,
+           CASE WHEN alive = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(CAST(exp(CAST(cum_ln AS DOUBLE)) AS DECIMAL(20,9)) AS DOUBLE) END AS survival
+    FROM surv WHERE d_events > 0
+    """,
+)
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival over customer inter-purchase gaps, with
+    right-censoring at the data horizon (a customer's open-ended gap
+    after their last order is censored, not an event) — the
+    churn-model life table.
+
+    Scale shape: gaps come from one per-customer lead window
+    (partitioned — never global); the life table collapses to
+    |distinct gap lengths| rows, CALENDAR-BOUNDED (≤ the date span in
+    days — the declared GLOBAL_WINDOW_ALLOWLIST exemption, same class
+    as events_wow_growth's |weeks| frame), so the at-risk/survival
+    windows ride a bounded frame. Survival = exp(Σ ln(1−d/n)) with
+    per-step lns rounded to DECIMAL(20,9) (exact cumulative sums;
+    `log_survival` IS the hash-stable value, survival re-rounds the
+    one exp through DECIMAL(20,9)). A d=n final step short-circuits
+    to survival 0 (ln(0) never evaluates: Spark and DuckDB both
+    branch the CASE first)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    gaps = (
+        o.select(
+            "o_custkey", "o_orderdate", "o_orderkey", nxt.alias("nxt")
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(
+                F.coalesce(F.col("nxt"), F.col("h")).cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("gap_days"),
+            F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("event"),
+        )
+    )
+    life = gaps.groupBy(F.col("gap_days").cast("int").alias("gap_days")).agg(
+        F.sum("event").cast("long").alias("d_events"),
+        F.sum(F.lit(1) - F.col("event")).cast("long").alias("c_censored"),
+    )
+    tot = life.agg(F.sum(F.col("d_events") + F.col("c_censored")).cast("long").alias("n"))
+    wd = Window.orderBy("gap_days")
+    cum_prior = F.coalesce(
+        F.sum(F.col("d_events") + F.col("c_censored"))
+        .over(wd.rowsBetween(Window.unboundedPreceding, -1))
+        .cast("long"),
+        F.lit(0).cast("long"),
+    )
+    risk = life.crossJoin(F.broadcast(tot)).select(
+        "gap_days", "d_events", "c_censored",
+        (F.col("n") - cum_prior).alias("at_risk"),
+    )
+    dd = F.col("d_events").cast("double")
+    nr = F.col("at_risk").cast("double")
+    lnf = F.when(
+        F.col("d_events") < F.col("at_risk"),
+        F.log(F.lit(1).cast("double") - dd / nr).cast("decimal(20,9)"),
+    ).otherwise(F.lit(0).cast("decimal(20,9)"))
+    surv = risk.select(
+        "*",
+        (dd / nr).alias("hazard"),
+        F.sum(lnf).over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_ln"),
+        F.when(F.col("d_events") == F.col("at_risk"), 0).otherwise(1).alias("alive"),
+    )
+    return surv.where(F.col("d_events") > 0).select(
+        "gap_days", "at_risk", "d_events", "c_censored", "hazard",
+        F.col("cum_ln").cast("double").alias("log_survival"),
+        F.when(F.col("alive") == 0, F.lit(0).cast("double"))
+        .otherwise(
+            F.exp(F.col("cum_ln").cast("double")).cast("decimal(20,9)").cast("double")
+        )
+        .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------
+# cohort LTV curves
+# ---------------------------------------------------------------------
+
+
+@register(
+    "cohort_ltv_curves",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort_month
+      FROM orders GROUP BY 1
+    ),
+    sizes AS (SELECT cohort_month, CAST(count(*) AS BIGINT) AS cohort_size FROM firsts GROUP BY 1),
+    cells AS (
+      SELECT f.cohort_month,
+             CAST(datediff('month', f.cohort_month, CAST(date_trunc('month', o.o_orderdate) AS DATE)) AS INTEGER) AS age_months,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c.cohort_month, c.age_months, s.cohort_size, c.active_customers,
+           CAST(c.rev_dec AS DOUBLE) AS revenue,
+           CAST(SUM(c.rev_dec) OVER (PARTITION BY c.cohort_month ORDER BY c.age_months
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+           CAST(SUM(c.rev_dec) OVER (PARTITION BY c.cohort_month ORDER BY c.age_months
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(s.cohort_size AS DOUBLE) AS ltv_per_customer
+    FROM cells c JOIN sizes s USING (cohort_month)
+    """,
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue per cohort age — the growth-accounting
+    view next to cohort_retention's activity view. Revenue folds in
+    exact DECIMAL; the cumulative window is PARTITIONED by cohort (and
+    the cell table is |cohorts|×|ages| ≤ calendar², tiny); the
+    firsts join shuffles on custkey — same cardinality as the
+    customer dimension, the intended sort-merge shape at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort_month")
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate").cast("date"),
+                F.col("cohort_month"),
+            )
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+        )
+    )
+    wc = Window.partitionBy("cohort_month").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("rev_dec").over(wc).cast("double")
+    return cells.join(sizes, "cohort_month").select(
+        "cohort_month", "age_months", "cohort_size", "active_customers",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        cum.alias("cum_revenue"),
+        (cum / F.col("cohort_size").cast("double")).alias("ltv_per_customer"),
+    )
+
+
+# ---------------------------------------------------------------------
+# EWMA smoothing with exact dyadic weights
+# ---------------------------------------------------------------------
+
+_EWMA_LAGS = 8  # half-life 1 day: weights 2^-k, k = 0..7 — exact decimals
+
+
+def _ewma_weight(k: int) -> str:
+    return repr(0.5**k)  # 2^-k is exact in decimal up to scale 7
+
+
+@register(
+    "events_ewma_halflife",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', {_TS}) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    filled AS (
+      SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+      FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+    ),
+    lagged AS (
+      SELECT event_type, day, n,
+             {", ".join(f"lag(n, {k}) OVER (PARTITION BY event_type ORDER BY day) AS l{k}" for k in range(_EWMA_LAGS))}
+      FROM filled
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           CAST({" + ".join(f"COALESCE(l{k} * CAST({_ewma_weight(k)} AS DECIMAL(10,7)), CAST(0 AS DECIMAL(10,7)))" for k in range(_EWMA_LAGS))} AS DOUBLE)
+           / CAST({" + ".join(f"CASE WHEN l{k} IS NOT NULL THEN CAST({_ewma_weight(k)} AS DECIMAL(10,7)) ELSE CAST(0 AS DECIMAL(10,7)) END" for k in range(_EWMA_LAGS))} AS DOUBLE) AS ewma
+    FROM lagged
+    """,
+)
+def events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event counts
+    with a one-day half-life — smoothing weights 2^-k are EXACT
+    decimals, so the weighted sum is exact decimal arithmetic and the
+    whole smoother is one division per row (no cross-engine pow/exp).
+    Missing days enter as true zeros via a per-type day spine
+    (sequence/generate_series — calendar-bounded); leading rows
+    renormalize over the weights actually present. Windows are
+    partitioned per event_type."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lags = [F.lag("n", k).over(w) for k in range(_EWMA_LAGS)]
+    zero = F.lit("0").cast("decimal(10,7)")
+    num = None
+    den = None
+    for k, lg in enumerate(lags):
+        wk = F.lit(_ewma_weight(k)).cast("decimal(10,7)")
+        nk = F.coalesce(lg * wk, zero)
+        dk = F.when(lg.isNotNull(), wk).otherwise(zero)
+        num = nk if num is None else num + nk
+        den = dk if den is None else den + dk
+    return filled.select(
+        "event_type", "day",
+        F.col("n").cast("long").alias("n_events"),
+        (num.cast("double") / den.cast("double")).alias("ewma"),
+    )

@@ -116,7 +116,17 @@ _DRIVER_PRIORITY = [
     "multimodal_content_dedup",
     "dedup_stats_report",
     # ---------------- position 50 boundary ----------------
-    # r6 front, in order: deferred hash-oracle first-timers ...
+    # r6 front, in order: deferred hash-oracle first-timers (the
+    # newest wave first: the stat-test/lifecycle suite) ...
+    "events_ks_test",
+    "stats_mann_whitney",
+    "stats_chi_square_independence",
+    "orders_benford_first_digit",
+    "events_psi_drift",
+    "customer_survival_km",
+    "cohort_ltv_curves",
+    "events_ewma_halflife",
+    "pipeline_epoch_repeat",
     "stats_median_ci",
     "stats_groupwise_ols",
     "text_nb_calibration",
@@ -217,6 +227,7 @@ def _load_all() -> None:
         queries_sql,
         queries_scalars,
         queries_stats,
+        queries_stattests,
         queries_skew,
         queries_agg2,
         queries_misc,

@@ -279,6 +279,14 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     "orders_pareto_customers": {"_gr_pid", "specifiedwindowframe"},
     # two-pass ranking internals (Gini rank pass)
     "events_user_gini": {"_gr_pid"},
+    # two-pass cumulative-sum internals (KS / Mann-Whitney ECDF walks
+    # ride the bounded per-partition stats table)
+    "events_ks_test": {"_gr_pid", "specifiedwindowframe"},
+    "stats_mann_whitney": {"_gr_pid", "specifiedwindowframe"},
+    # Kaplan-Meier life table: |distinct gap lengths in days| rows —
+    # calendar-bounded (≤ the fixture date span), same class as
+    # events_wow_growth's |weeks| frame
+    "customer_survival_km": {"gap_days"},
 }
 
 
