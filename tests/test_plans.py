@@ -398,6 +398,16 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "events_lag_features": 4,      # daily agg + type window
     "events_forecast_baseline_eval": 4,  # same window, scored agg
     "similarity_ann_recall_report": 18,  # brute+ANN top-k subtrees (reused at run)
+    # stat-test / lifecycle suite (queries_stattests)
+    "events_ks_test": 4,           # value agg + two-pass cumsum internals
+    "stats_mann_whitney": 4,       # same scaffold, single-column cumsum
+    "stats_chi_square_independence": 9,  # cell agg + margin re-aggs (reused at run)
+    "orders_benford_first_digit": 7,     # digit agg + scalar total subtrees
+    "events_psi_drift": 7,         # bin agg + scalar totals subtrees
+    "customer_survival_km": 8,     # custkey window + life-table agg + scalars
+    "cohort_ltv_curves": 6,        # firsts agg + custkey join + cell/size aggs
+    "events_ewma_halflife": 2,     # daily agg + per-type spine join
+    "pipeline_epoch_repeat": 0,    # pure map-side expression + explode
 }
 
 
