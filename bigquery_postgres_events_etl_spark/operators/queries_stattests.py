@@ -752,3 +752,279 @@ def events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
         (num.cast("double") / den.cast("double")).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------
+# log-rank test (stratified survival comparison)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "stats_logrank_test",
+    """
+    WITH seg AS (
+      SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+    gaps AS (
+      SELECT grp,
+             datediff('day', o_orderdate,
+                      COALESCE(lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                               (SELECT h FROM horizon))) AS gap_days,
+             CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+                  THEN 0 ELSE 1 END AS event
+      FROM seg
+    ),
+    life AS (
+      SELECT CAST(gap_days AS INTEGER) AS gap_days,
+             CAST(SUM(CASE WHEN grp = 1 THEN event ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 - event ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN grp = 0 THEN event ELSE 0 END) AS BIGINT) AS d0,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 - event ELSE 0 END) AS BIGINT) AS c0
+      FROM gaps GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(d1 + c1) AS BIGINT) AS n1_tot,
+                   CAST(SUM(d0 + c0) AS BIGINT) AS n0_tot FROM life),
+    risk AS (
+      SELECT gap_days, d1, d0,
+             n1_tot - COALESCE(CAST(SUM(d1 + c1) OVER (ORDER BY gap_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS r1,
+             n0_tot - COALESCE(CAST(SUM(d0 + c0) OVER (ORDER BY gap_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS r0,
+             n1_tot, n0_tot
+      FROM life CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT n1_tot, n0_tot, d1, d1 + d0 AS d, r1, r1 + r0 AS n
+      FROM risk WHERE d1 + d0 > 0
+    ),
+    sums AS (
+      SELECT MAX(n1_tot) AS n1_total, MAX(n0_tot) AS n0_total,
+             CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(d) AS BIGINT) AS o_total,
+             CAST(SUM(CAST(CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE) AS e1_sum,
+             CAST(SUM(CASE WHEN n > 1
+                           THEN CAST(CAST(d AS DOUBLE) * (CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                     * (CAST(1 AS DOUBLE) - CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                     * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)) AS DECIMAL(20,9))
+                           ELSE CAST(0 AS DECIMAL(20,9)) END) AS DOUBLE) AS var_sum
+      FROM terms
+    )
+    SELECT n1_total, n0_total, o1, o_total, e1_sum, var_sum,
+           (CAST(o1 AS DOUBLE) - e1_sum) / sqrt(var_sum) AS z,
+           ((CAST(o1 AS DOUBLE) - e1_sum) / sqrt(var_sum))
+             * ((CAST(o1 AS DOUBLE) - e1_sum) / sqrt(var_sum)) AS chi2
+    FROM sums
+    """,
+)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing inter-purchase survival between two
+    customer strata (BUILDING segment vs the rest) — "does this
+    segment churn faster?", answered with censoring handled correctly
+    (a plain mean-gap comparison is biased by the open-ended last
+    gaps; the log-rank statistic is the standard unbiased answer).
+
+    At each event time: observed group-1 events d1 vs expected
+    d·r1/n under H0, hypergeometric variance d·(r1/n)(1−r1/n)(n−d)/
+    (n−1); Z = Σ(d1−e1)/√Σv. At-risk counts are exact integers from
+    the same calendar-bounded life-table window as customer_survival_km
+    (declared allowlist exemption); per-time e/v terms round to
+    DECIMAL(20,9) for order-independent summation. The customer join
+    shuffles on custkey — dimension-sized, the intended sort-merge
+    shape."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = o.join(
+        c.select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("grp"),
+        ),
+        "o_custkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    gaps = (
+        seg.select("grp", "o_custkey", "o_orderdate", "o_orderkey", nxt.alias("nxt"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "grp",
+            F.datediff(
+                F.coalesce(F.col("nxt"), F.col("h")).cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("gap_days"),
+            F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("event"),
+        )
+    )
+    life = gaps.groupBy(F.col("gap_days").cast("int").alias("gap_days")).agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("event")).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("grp") == 1, 1 - F.col("event")).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("event")).otherwise(0)).cast("long").alias("d0"),
+        F.sum(F.when(F.col("grp") == 0, 1 - F.col("event")).otherwise(0)).cast("long").alias("c0"),
+    )
+    tot = life.agg(
+        F.sum(F.col("d1") + F.col("c1")).cast("long").alias("n1_tot"),
+        F.sum(F.col("d0") + F.col("c0")).cast("long").alias("n0_tot"),
+    )
+    wd = Window.orderBy("gap_days").rowsBetween(Window.unboundedPreceding, -1)
+    prior1 = F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(wd).cast("long"), F.lit(0).cast("long"))
+    prior0 = F.coalesce(F.sum(F.col("d0") + F.col("c0")).over(wd).cast("long"), F.lit(0).cast("long"))
+    risk = life.crossJoin(F.broadcast(tot)).select(
+        "gap_days", "d1", "d0", "n1_tot", "n0_tot",
+        (F.col("n1_tot") - prior1).alias("r1"),
+        (F.col("n0_tot") - prior0).alias("r0"),
+    )
+    terms = risk.where(F.col("d1") + F.col("d0") > 0).select(
+        "n1_tot", "n0_tot", "d1", "r1",
+        (F.col("d1") + F.col("d0")).alias("d"),
+        (F.col("r1") + F.col("r0")).alias("n"),
+    )
+    dd = F.col("d").cast("double")
+    r1d = F.col("r1").cast("double")
+    nd = F.col("n").cast("double")
+    p1 = r1d / nd
+    e1 = (dd * p1).cast("decimal(20,9)")
+    v = F.when(
+        F.col("n") > 1,
+        (
+            dd * p1 * (F.lit(1).cast("double") - p1)
+            * ((F.col("n") - F.col("d")).cast("double") / (F.col("n") - 1).cast("double"))
+        ).cast("decimal(20,9)"),
+    ).otherwise(F.lit(0).cast("decimal(20,9)"))
+    sums = terms.agg(
+        F.max("n1_tot").alias("n1_total"),
+        F.max("n0_tot").alias("n0_total"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("d").cast("long").alias("o_total"),
+        F.sum(e1).cast("double").alias("e1_sum"),
+        F.sum(v).cast("double").alias("var_sum"),
+    )
+    z = (F.col("o1").cast("double") - F.col("e1_sum")) / F.sqrt(F.col("var_sum"))
+    return sums.select(
+        "n1_total", "n0_total", "o1", "o_total", "e1_sum", "var_sum",
+        z.alias("z"), (z * z).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------
+# funnel time-to-convert distribution
+# ---------------------------------------------------------------------
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_signup
+      FROM events WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1
+    ),
+    conv AS (
+      SELECT s.user_id,
+             CAST(datediff('second', s.t_signup, min(CAST(e.ts AS TIMESTAMP))) AS BIGINT) AS delta_s
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND CAST(e.ts AS TIMESTAMP) >= s.t_signup
+      GROUP BY s.user_id, s.t_signup
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup_users,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM s) AS conversion_rate,
+           CAST(min(delta_s) AS BIGINT) AS min_seconds,
+           quantile_cont(delta_s, 0.5) AS median_seconds,
+           quantile_cont(delta_s, 0.9) AS p90_seconds,
+           CAST(max(delta_s) AS BIGINT) AS max_seconds,
+           CAST(CAST(SUM(CAST(delta_s AS DECIMAL(27,0))) AS VARCHAR) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean_seconds
+    FROM conv
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the signup→purchase funnel:
+    per user, seconds from FIRST signup to the first purchase at or
+    after it (a purchase before signup never counts — the funnel is
+    ordered), summarized as conversion rate + min/median/p90/max/mean.
+    Complements funnel_conversion (who converts) with HOW FAST.
+
+    Both sides truncate to whole seconds (Spark's timestamp→long cast
+    ≡ DuckDB datediff('second')); the mean folds through an exact
+    DECIMAL sum; median/p90 are exact interpolated percentiles
+    (identical arithmetic both engines — the percentile_exact
+    contract). Scale: two user_id hash-aggs + one user_id join, all
+    one shuffle key; the quantile is over |converted users| values,
+    with the mergeable value-histogram walk as the documented huge-N
+    scale twin (events_mergeable_quantile_rollup)."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.where((F.col("event_type") == "signup") & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_purchase"))
+        .select(
+            (
+                F.col("t_purchase").cast("long") - F.col("t_signup").cast("long")
+            ).alias("delta_s")
+        )
+    )
+    n_signups = s.agg(F.count(F.lit(1)).alias("n_signup_users"))
+    agg = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("delta_s").cast("long").alias("min_seconds"),
+        F.percentile("delta_s", F.lit(0.5)).alias("median_seconds"),
+        F.percentile("delta_s", F.lit(0.9)).alias("p90_seconds"),
+        F.max("delta_s").cast("long").alias("max_seconds"),
+        F.sum(F.col("delta_s").cast("decimal(27,0)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_s"),
+    )
+    return agg.crossJoin(F.broadcast(n_signups)).select(
+        "n_signup_users",
+        "n_converted",
+        (F.col("n_converted").cast("double") / F.col("n_signup_users").cast("double")).alias("conversion_rate"),
+        "min_seconds", "median_seconds", "p90_seconds", "max_seconds",
+        (F.col("sum_s") / F.col("n_converted").cast("double")).alias("mean_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------
+# HLL segment-overlap estimate
+# ---------------------------------------------------------------------
+
+
+@register("events_segment_overlap_hll", None)  # Spark HLL binary: no DuckDB twin
+def events_segment_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from mergeable sketches: distinct
+    users who click, who purchase, their union (one hll_union), and
+    the inclusion-exclusion intersection estimate |A∩B| ≈ |A|+|B|−|A∪B|
+    with the derived Jaccard — the segment-overlap question answered
+    WITHOUT a distinct-join, from sketches that can be rolled up
+    incrementally (same states as events_hll_rolling_users). Rows-only
+    for the driver; the ≤5% error vs exact countDistinct and the
+    identity est_a + est_b = est_union + est_inter are pinned in
+    tests/test_stattests.py."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    sk = e.agg(
+        F.expr("hll_sketch_agg(user_id) FILTER (WHERE event_type = 'click')").alias("sk_a"),
+        F.expr("hll_sketch_agg(user_id) FILTER (WHERE event_type = 'purchase')").alias("sk_b"),
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("sk_a").alias("est_click"),
+        F.hll_sketch_estimate("sk_b").alias("est_purchase"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_union"),
+    )
+    inter = (
+        F.col("est_click") + F.col("est_purchase") - F.col("est_union")
+    ).alias("est_intersection")
+    return est.select(
+        "est_click", "est_purchase", "est_union", inter,
+        (
+            (F.col("est_click") + F.col("est_purchase") - F.col("est_union")).cast("double")
+            / F.col("est_union").cast("double")
+        ).alias("jaccard_est"),
+    )

@@ -67,6 +67,11 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("queries_stattests.py", "customer_survival_km"):
         "two 1-row scalar aggregates (data horizon max-date; total gap "
         "count) — unconditionally safe",
+    ("queries_stattests.py", "stats_logrank_test"):
+        "two 1-row scalar aggregates (horizon; per-group totals) — "
+        "unconditionally safe",
+    ("queries_stattests.py", "funnel_time_to_convert"):
+        "1-row signup-count scalar — unconditionally safe",
     ("queries_tpch.py", "q7_volume_shipping"): "nation dim ×2 — constant 25 rows",
     ("queries_tpch.py", "q8_market_share"): "nation ×2 + region — constant",
     ("queries_tpch.py", "q10_returned_items"): "nation dim — constant 25 rows",

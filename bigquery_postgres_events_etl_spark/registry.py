@@ -127,6 +127,8 @@ _DRIVER_PRIORITY = [
     "cohort_ltv_curves",
     "events_ewma_halflife",
     "pipeline_epoch_repeat",
+    "stats_logrank_test",
+    "funnel_time_to_convert",
     "stats_median_ci",
     "stats_groupwise_ols",
     "text_nb_calibration",
@@ -153,6 +155,7 @@ _DRIVER_PRIORITY = [
     "events_cusum_changepoints",
     # ... rows-only first-timers (pytest-pinned; driver row is
     # rows-only for these, so they defer cheapest) ...
+    "events_segment_overlap_hll",
     "similarity_mmr_topk",
     "graph_pagerank_copurchase",
     "text_bpe_train_merges",

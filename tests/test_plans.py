@@ -287,6 +287,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     # calendar-bounded (≤ the fixture date span), same class as
     # events_wow_growth's |weeks| frame
     "customer_survival_km": {"gap_days"},
+    # log-rank shares the KM life table (calendar-bounded gap frame)
+    "stats_logrank_test": {"gap_days"},
 }
 
 
@@ -408,6 +410,9 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "cohort_ltv_curves": 6,        # firsts agg + custkey join + cell/size aggs
     "events_ewma_halflife": 2,     # daily agg + per-type spine join
     "pipeline_epoch_repeat": 0,    # pure map-side expression + explode
+    "stats_logrank_test": 8,       # custkey join/window + life-table agg + scalars
+    "funnel_time_to_convert": 5,   # two user_id aggs + user_id join + scalar
+    "events_segment_overlap_hll": 1,  # one filtered two-sketch agg
 }
 
 

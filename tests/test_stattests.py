@@ -358,3 +358,110 @@ def test_epoch_repeat_copy_counts_and_determinism(spark):
     for r in _run(spark, "pipeline_epoch_repeat"):
         again[r.doc_id] += 1
     assert again == {k: len(v) for k, v in per_doc.items()}
+
+
+# ---------------------------------------------------------------------
+# log-rank
+# ---------------------------------------------------------------------
+
+
+def test_logrank_matches_reference(spark):
+    o = _orders()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    seg = dict(
+        zip(cust.c_custkey, (cust.c_mktsegment == "BUILDING").astype(int))
+    )
+    horizon = o.o_orderdate.max()
+    life = defaultdict(lambda: [0, 0, 0, 0])  # d1 c1 d0 c0
+    for ck, grp in o.sort_values(["o_orderdate", "o_orderkey"]).groupby("o_custkey"):
+        g = seg[ck]
+        dates = list(grp.o_orderdate)
+        for i, d in enumerate(dates):
+            if i + 1 < len(dates):
+                gap, ev = (dates[i + 1] - d).days, 1
+            else:
+                gap, ev = (horizon - d).days, 0
+            life[gap][0 if g else 2] += ev
+            life[gap][1 if g else 3] += 1 - ev
+    n1 = sum(v[0] + v[1] for v in life.values())
+    n0 = sum(v[2] + v[3] for v in life.values())
+    r1, r0 = n1, n0
+    o1 = e1 = var = 0.0
+    for gap in sorted(life):
+        d1, c1, d0, c0 = life[gap]
+        d, n = d1 + d0, r1 + r0
+        if d > 0:
+            o1 += d1
+            e1 += d * r1 / n
+            if n > 1:
+                var += d * (r1 / n) * (1 - r1 / n) * (n - d) / (n - 1)
+        r1 -= d1 + c1
+        r0 -= d0 + c0
+    (row,) = _run(spark, "stats_logrank_test")
+    assert (row.n1_total, row.n0_total) == (n1, n0)
+    assert row.o1 == o1
+    assert row.e1_sum == pytest.approx(e1, abs=1e-5)
+    assert row.var_sum == pytest.approx(var, abs=1e-5)
+    z = (o1 - e1) / math.sqrt(var)
+    assert row.z == pytest.approx(z, rel=1e-6)
+    assert row.chi2 == pytest.approx(z * z, rel=1e-6)
+
+
+# ---------------------------------------------------------------------
+# funnel time-to-convert
+# ---------------------------------------------------------------------
+
+
+def test_time_to_convert_matches_reference(spark):
+    e = _events()
+    e = e[e.user_id.notna()]
+    signups = e[e.event_type == "signup"].groupby("user_id")["ts"].min()
+    deltas = []
+    for uid, t0 in signups.items():
+        purch = e[
+            (e.user_id == uid) & (e.event_type == "purchase") & (e.ts >= t0)
+        ]["ts"]
+        if len(purch):
+            t1 = purch.min()
+            # whole-second truncation on both endpoints, like the engines
+            deltas.append(
+                int(t1.value // 10**9) - int(t0.value // 10**9)
+            )
+    deltas.sort()
+    (row,) = _run(spark, "funnel_time_to_convert")
+    assert row.n_signup_users == len(signups)
+    assert row.n_converted == len(deltas)
+    assert row.conversion_rate == pytest.approx(len(deltas) / len(signups), rel=1e-12)
+    assert (row.min_seconds, row.max_seconds) == (deltas[0], deltas[-1])
+
+    def q(p):
+        idx = p * (len(deltas) - 1)
+        lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+        return deltas[lo] + (deltas[hi] - deltas[lo]) * (idx - lo)
+
+    assert row.median_seconds == pytest.approx(q(0.5), rel=1e-12)
+    assert row.p90_seconds == pytest.approx(q(0.9), rel=1e-12)
+    assert row.mean_seconds == pytest.approx(sum(deltas) / len(deltas), rel=1e-12)
+
+
+# ---------------------------------------------------------------------
+# HLL segment overlap
+# ---------------------------------------------------------------------
+
+
+def test_hll_overlap_within_error_and_consistent(spark):
+    e = _events()
+    e = e[e.user_id.notna()]
+    a = set(e.loc[e.event_type == "click", "user_id"])
+    b = set(e.loc[e.event_type == "purchase", "user_id"])
+    (row,) = _run(spark, "events_segment_overlap_hll")
+    # HLL default sketch error is ~1.6%; allow 5%
+    assert row.est_click == pytest.approx(len(a), rel=0.05)
+    assert row.est_purchase == pytest.approx(len(b), rel=0.05)
+    assert row.est_union == pytest.approx(len(a | b), rel=0.05)
+    assert row.est_intersection == pytest.approx(len(a & b), rel=0.10)
+    # inclusion-exclusion identity holds exactly by construction
+    assert row.est_click + row.est_purchase == row.est_union + row.est_intersection
+    assert row.jaccard_est == pytest.approx(
+        row.est_intersection / row.est_union, rel=1e-12
+    )
