@@ -20,7 +20,7 @@ reference and checks conservation + ordering properties.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -113,3 +113,189 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cust").alias("src"), F.col("part").alias("dst")
     ).union(bought.select(F.col("part").alias("src"), F.col("cust").alias("dst")))
     return pagerank(edges, n_iter=8)
+
+
+def markov_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    conv_type: str = "purchase",
+    n_squarings: int = 8,
+) -> DataFrame:
+    """Markov-chain multi-touch attribution by removal effect — the
+    data-driven alternative to position rules (attribution_position_
+    credit): model journeys as a first-order chain over channels with
+    absorbing CONV/NULL states; a channel's credit is how much total
+    conversion probability disappears when that channel's node is
+    removed (its inbound transitions re-routed to NULL, its outbound
+    dropped — the standard removal-effect construction).
+
+    Physical strategy: journeys/transition counts are ordinary
+    partitioned window + hash-agg work; the chain itself is
+    CONSTANT-SIZED (|channels|+3 states), so absorption probabilities
+    for ALL scenarios (full + one per removed channel) come from
+    repeated SQUARING of one scenario-keyed transition matrix —
+    P^(2^k) after k tiny self-joins, transient mass decays to ~0 at
+    machine precision with k=8 (vs ~2^8 linear power iterations).
+    Everything stays in DataFrames; the driver holds only loop
+    control, same discipline as :func:`pagerank`.
+    """
+    evs = events.where(
+        F.col(user_col).isNotNull() & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+        F.col("event_id"),
+    )
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    fp = (
+        evs.where(F.col("etype") == conv_type)
+        .groupBy("user")
+        .agg(F.min(order_key).alias("fp_key"))
+    )
+    j = evs.join(fp, "user", "left")
+    touches = j.where(
+        (F.col("etype") != conv_type)
+        & (F.col("fp_key").isNull() | (order_key < F.col("fp_key")))
+    ).localCheckpoint(eager=True)
+
+    w = Window.partitionBy("user").orderBy("ts", "event_id")
+    trans_mid = touches.select(
+        F.coalesce(F.lag("etype").over(w), F.lit("START")).alias("src"),
+        F.col("etype").alias("dst"),
+    )
+    per_user = touches.groupBy("user").agg(
+        F.max_by("etype", order_key).alias("last_type")
+    )
+    # terminal step per user with touches; converted users with zero
+    # touches contribute a direct START→CONV edge
+    terminals = per_user.join(fp, "user", "left").select(
+        F.col("last_type").alias("src"),
+        F.when(F.col("fp_key").isNotNull(), F.lit("CONV"))
+        .otherwise(F.lit("NULL"))
+        .alias("dst"),
+    )
+    direct = (
+        fp.join(per_user, "user", "left_anti")
+        .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    )
+    counts = (
+        trans_mid.unionByName(terminals)
+        .unionByName(direct)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    probs = counts.join(totals, "src").select(
+        "src", "dst", (F.col("cnt").cast("double") / F.col("tot").cast("double")).alias("p")
+    ).localCheckpoint(eager=True)
+
+    spark = events.sparkSession
+    channels = [
+        r.src for r in probs.select("src").distinct().collect() if r.src != "START"
+    ]  # channel-cardinality-bounded metadata fetch (|event types|)
+    scenarios = spark.createDataFrame(
+        [("full",)] + [(c,) for c in channels], "scenario string"
+    )
+    # removal: drop the channel's out-edges, re-route its in-edges to
+    # NULL; other rows keep their original probabilities (mass into a
+    # removed channel is lost to NULL — no renormalization, per the
+    # standard removal-effect definition)
+    redirected = (
+        probs.crossJoin(F.broadcast(scenarios))
+        .where((F.col("scenario") == "full") | (F.col("src") != F.col("scenario")))
+        .select(
+            "scenario",
+            "src",
+            F.when(
+                (F.col("scenario") != "full") & (F.col("dst") == F.col("scenario")),
+                F.lit("NULL"),
+            )
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p",
+        )
+        .groupBy("scenario", "src", "dst")
+        .agg(F.sum("p").alias("p"))
+    )
+    loops = scenarios.crossJoin(
+        spark.createDataFrame([("CONV",), ("NULL",)], "state string")
+    ).select("scenario", F.col("state").alias("src"), F.col("state").alias("dst"), F.lit(1.0).alias("p"))
+    m = redirected.unionByName(loops).localCheckpoint(eager=True)
+
+    for _ in range(n_squarings):
+        a, b = m.alias("a"), m.alias("b")
+        m = (
+            a.join(
+                b,
+                (F.col("a.scenario") == F.col("b.scenario"))
+                & (F.col("a.dst") == F.col("b.src")),
+            )
+            .groupBy(
+                F.col("a.scenario").alias("scenario"),
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+            )
+            .agg(F.sum(F.col("a.p") * F.col("b.p")).alias("p"))
+            .localCheckpoint(eager=True)
+        )
+
+    p_conv = m.where((F.col("src") == "START") & (F.col("dst") == "CONV")).select(
+        "scenario", F.col("p").alias("p_conv")
+    )
+    full = p_conv.where(F.col("scenario") == "full").select(
+        F.col("p_conv").alias("p_conv_full")
+    )
+    n_conv = fp.agg(F.count(F.lit(1)).alias("n_conversions"))
+    touch_counts = touches.groupBy(F.col("etype").alias("channel")).agg(
+        F.count(F.lit(1)).alias("touches")
+    )
+    per_channel = (
+        scenarios.where(F.col("scenario") != "full")
+        .join(p_conv, "scenario", "left")
+        .select(
+            F.col("scenario").alias("channel"),
+            F.coalesce("p_conv", F.lit(0.0)).alias("p_conv_removed"),
+        )
+        .crossJoin(F.broadcast(full))
+        .select(
+            "channel",
+            "p_conv_full",
+            "p_conv_removed",
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - F.col("p_conv_removed") / F.col("p_conv_full"),
+            ).alias("removal_effect"),
+        )
+    )
+    re_tot = per_channel.agg(F.sum("removal_effect").alias("re_sum"))
+    return (
+        per_channel.join(touch_counts, "channel", "left")
+        .crossJoin(F.broadcast(re_tot))
+        .crossJoin(F.broadcast(n_conv))
+        .select(
+            "channel",
+            F.coalesce("touches", F.lit(0).cast("long")).alias("touches"),
+            "p_conv_full",
+            "p_conv_removed",
+            "removal_effect",
+            (F.col("removal_effect") / F.col("re_sum")).alias("credit_share"),
+            (
+                F.col("removal_effect") / F.col("re_sum")
+                * F.col("n_conversions").cast("double")
+            ).alias("attributed_conversions"),
+        )
+    )
+
+
+@register("events_markov_attribution", None)  # iterative — rows-only
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect Markov attribution over user journeys (touches
+    up to each user's first purchase; purchase absorbs to CONV,
+    journey abandonment to NULL). Rows-only (iterative matrix
+    squaring has no single-SQL oracle); every number is compared to a
+    numpy fundamental-matrix solve in tests/test_stattests.py."""
+    e = load_table(spark, sf_dir, "events")
+    return markov_attribution(e)

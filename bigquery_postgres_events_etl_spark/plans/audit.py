@@ -72,6 +72,10 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "unconditionally safe",
     ("queries_stattests.py", "funnel_time_to_convert"):
         "1-row signup-count scalar — unconditionally safe",
+    ("graph.py", "markov_attribution"):
+        "scenario frame (|channels|+1 rows, channel cardinality is "
+        "constant) and three 1-row scalars (p_conv_full, removal-effect "
+        "sum, conversion count) — unconditionally safe",
     ("queries_tpch.py", "q7_volume_shipping"): "nation dim ×2 — constant 25 rows",
     ("queries_tpch.py", "q8_market_share"): "nation ×2 + region — constant",
     ("queries_tpch.py", "q10_returned_items"): "nation dim — constant 25 rows",

@@ -156,6 +156,7 @@ _DRIVER_PRIORITY = [
     # ... rows-only first-timers (pytest-pinned; driver row is
     # rows-only for these, so they defer cheapest) ...
     "events_segment_overlap_hll",
+    "events_markov_attribution",
     "similarity_mmr_topk",
     "graph_pagerank_copurchase",
     "text_bpe_train_merges",

@@ -465,3 +465,90 @@ def test_hll_overlap_within_error_and_consistent(spark):
     assert row.jaccard_est == pytest.approx(
         row.est_intersection / row.est_union, rel=1e-12
     )
+
+
+# ---------------------------------------------------------------------
+# Markov removal-effect attribution
+# ---------------------------------------------------------------------
+
+
+def _markov_reference():
+    import numpy as np
+
+    e = _events()
+    e = e[e.user_id.notna() & e.event_type.notna()]
+    trans = Counter()
+    touch = Counter()
+    n_conv = 0
+    for _, grp in e.sort_values(["ts", "event_id"]).groupby("user_id"):
+        rows = list(grp.itertuples())
+        fp = next(
+            (i for i, r in enumerate(rows) if r.event_type == "purchase"), None
+        )
+        if fp is not None:
+            n_conv += 1
+            journey, term = [r.event_type for r in rows[:fp]], "CONV"
+        else:
+            journey, term = [r.event_type for r in rows], "NULL"
+        prev = "START"
+        for t in journey:
+            trans[(prev, t)] += 1
+            touch[t] += 1
+            prev = t
+        trans[(prev, term)] += 1
+    # row-normalize ONCE on the full chain
+    tot = Counter()
+    for (s, _), c in trans.items():
+        tot[s] += c
+    probs = {(s, d): c / tot[s] for (s, d), c in trans.items()}
+
+    def absorb(edges):
+        transient = sorted({s for s, _ in edges})
+        idx = {s: i for i, s in enumerate(transient)}
+        q = np.zeros((len(transient), len(transient)))
+        r = np.zeros((len(transient), 2))  # CONV, NULL
+        for (s, d), p in edges.items():
+            if d in idx:
+                q[idx[s], idx[d]] += p
+            else:
+                r[idx[s], 0 if d == "CONV" else 1] += p
+        b = np.linalg.solve(np.eye(len(transient)) - q, r)
+        return b[idx["START"], 0]
+
+    p_full = absorb(probs)
+    removed = {}
+    for c in sorted({s for s, _ in probs if s != "START"}):
+        edges = {
+            (s, "NULL" if d == c else d): 0.0
+            for (s, d) in probs
+            if s != c
+        }
+        for (s, d), p in probs.items():
+            if s != c:
+                edges[(s, "NULL" if d == c else d)] += p
+        removed[c] = absorb(edges)
+    return p_full, removed, touch, n_conv
+
+
+def test_markov_attribution_matches_fundamental_matrix(spark):
+    p_full, removed, touch, n_conv = _markov_reference()
+    rows = {r.channel: r for r in _run(spark, "events_markov_attribution")}
+    assert set(rows) == set(removed)
+    re_ref = {
+        c: max(0.0, 1 - p / p_full) for c, p in removed.items()
+    }
+    re_sum = sum(re_ref.values())
+    for c, r in rows.items():
+        assert r.touches == touch[c]
+        # 8 squarings leave transient residual ~q^256 — machine zero
+        assert r.p_conv_full == pytest.approx(p_full, abs=1e-9)
+        assert r.p_conv_removed == pytest.approx(removed[c], abs=1e-9)
+        assert r.removal_effect == pytest.approx(re_ref[c], abs=1e-9)
+        assert r.credit_share == pytest.approx(re_ref[c] / re_sum, rel=1e-9)
+        assert r.attributed_conversions == pytest.approx(
+            re_ref[c] / re_sum * n_conv, rel=1e-9
+        )
+    # credit is a partition of the conversions
+    assert sum(r.attributed_conversions for r in rows.values()) == pytest.approx(
+        n_conv, rel=1e-9
+    )
