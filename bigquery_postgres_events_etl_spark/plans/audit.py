@@ -72,6 +72,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "unconditionally safe",
     ("queries_stattests.py", "funnel_time_to_convert"):
         "1-row signup-count scalar — unconditionally safe",
+    ("stream.py", "psi_between"):
+        "1-row histogram-totals scalar over a constant-bounded bin "
+        "table — unconditionally safe",
     ("graph.py", "markov_attribution"):
         "scenario frame (|channels|+1 rows, channel cardinality is "
         "constant) and three 1-row scalars (p_conv_full, removal-effect "

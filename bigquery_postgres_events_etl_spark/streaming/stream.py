@@ -473,3 +473,114 @@ def run_streaming_cdc_to_lake(
     )
     q.awaitTermination()
     return {"version": current_version(table_dir)}
+
+
+def value_histogram_ref(events: DataFrame, bin_width: float = 50.0) -> DataFrame:
+    """(bin, cnt) histogram of a reference window — the frozen
+    training-period distribution a stream is monitored against.
+    One hash-agg; the result is bounded by |value range| / bin_width,
+    not by the data."""
+    return events.groupBy(
+        F.floor(F.col("value") / F.lit(bin_width)).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def psi_between(ref_hist: DataFrame, cur_hist: DataFrame) -> float:
+    """Population Stability Index between two (bin, cnt) histograms,
+    Laplace-smoothed (+1 per bin over the union of bins, so a bin seen
+    on only one side never divides by zero) — the same math as the
+    batch `events_psi_drift` entry. Returns a driver scalar: both
+    inputs are constant-bounded bin tables, so the `.first()` fetch is
+    bounded metadata, not data movement."""
+    j = (
+        ref_hist.select("bin", F.col("cnt").alias("a"))
+        .join(cur_hist.select("bin", F.col("cnt").alias("b")), "bin", "full")
+        .select(
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb"), F.count(F.lit(1)).alias("k")
+    )
+    p = (F.col("a") + 1).cast("double") / (F.col("na") + F.col("k")).cast("double")
+    q = (F.col("b") + 1).cast("double") / (F.col("nb") + F.col("k")).cast("double")
+    row = (
+        j.crossJoin(F.broadcast(tot))
+        .agg(F.sum((p - q) * (F.log(p) - F.log(q))).alias("psi"))
+        .first()
+    )
+    return float(row["psi"] or 0.0)
+
+
+def run_streaming_psi_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    reference_dir: str,
+    monitor_dir: str,
+    checkpoint_dir: str,
+    bin_width: float = 50.0,
+    alert_threshold: float = 0.2,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Streaming model-monitoring: per micro-batch, the PSI of the
+    batch's value distribution against a FROZEN reference histogram,
+    appended to a monitor table with the same epoch-keyed idempotent
+    publish as run_streaming_to_lake (a replayed epoch is a no-op, a
+    stranded tmp is overwritten — the monitor never double-counts a
+    batch after a crash).
+
+    The reference histogram is computed once per run from
+    ``reference_dir`` and persisted (bounded bin table); each batch
+    adds one hash-agg over the batch plus a tiny histogram join —
+    the monitoring cost is O(batch), independent of stream history.
+    Returns the monitor rows (epoch, n_events, psi, alert).
+    """
+    import shutil
+
+    from ..io import load_table
+
+    ref_hist = value_histogram_ref(
+        load_table(spark, reference_dir, "events"), bin_width
+    ).persist()
+    ref_hist.count()  # materialize once before the stream starts
+
+    events = read_events_stream(spark, source_dir, max_files_per_trigger)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        final = os.path.join(monitor_dir, f"epoch={epoch_id}")
+        if os.path.isdir(final):
+            return  # replayed epoch — already recorded
+        tmp = final + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        cur = value_histogram_ref(batch_df, bin_width)
+        psi = psi_between(ref_hist, cur)
+        n = batch_df.count()
+        row = batch_df.sparkSession.createDataFrame(
+            [(int(epoch_id), int(n), float(psi), bool(psi > alert_threshold))],
+            "epoch BIGINT, n_events BIGINT, psi DOUBLE, alert BOOLEAN",
+        )
+        row.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ref_hist.unpersist()
+    epochs = sorted(
+        d for d in os.listdir(monitor_dir)
+        if d.startswith("epoch=") and not d.endswith(".tmp")
+    ) if os.path.isdir(monitor_dir) else []
+    rows = (
+        spark.read.parquet(*[os.path.join(monitor_dir, e) for e in epochs])
+        .orderBy("epoch")
+        .collect()
+        if epochs
+        else []
+    )  # bounded: one row per micro-batch epoch
+    return {"epochs": epochs, "rows": rows}

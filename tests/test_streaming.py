@@ -465,3 +465,91 @@ def test_epoch_keyed_lake_sink_is_exactly_once(spark, sf_dir, tmp_path):
     assert len(r3["epochs"]) == len(r["epochs"]) + 1
     assert r3["rows_in_target"] == 2 * want
     assert not os.path.isdir(stranded) or "epoch=999" not in r3["epochs"]
+
+
+def test_streaming_psi_monitor_zero_on_reference_and_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """PSI monitor: (a) a stream that IS the reference distribution
+    scores exactly 0 per batch (identical histograms → p==q per bin);
+    (b) two source files under maxFilesPerTrigger=1 become two
+    independently-scored epochs; (c) a rerun on the same checkpoint
+    replays nothing (epoch-idempotent monitor)."""
+    import shutil as sh
+
+    from bigquery_postgres_events_etl_spark.streaming.stream import (
+        run_streaming_psi_monitor,
+    )
+
+    src = tmp_path / "psi_src"
+    src.mkdir()
+    sh.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    sh.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+    monitor = str(tmp_path / "monitor")
+    ckpt = str(tmp_path / "psi_ckpt")
+    r = run_streaming_psi_monitor(
+        spark, str(src), sf_dir, monitor, ckpt, max_files_per_trigger=1
+    )
+    assert len(r["epochs"]) == 2
+    n_fixture = load_table(spark, sf_dir, "events").count()
+    for row in r["rows"]:
+        assert row.n_events == n_fixture
+        assert row.psi == 0.0  # identical histograms — exact zero
+        assert row.alert is False
+    # replay: nothing new to process, monitor unchanged
+    r2 = run_streaming_psi_monitor(
+        spark, str(src), sf_dir, monitor, ckpt, max_files_per_trigger=1
+    )
+    assert r2["epochs"] == r["epochs"]
+    assert [tuple(x) for x in r2["rows"]] == [tuple(x) for x in r["rows"]]
+
+
+def test_streaming_psi_monitor_detects_drift_vs_reference(spark, sf_dir, tmp_path):
+    """A reference frozen on a narrow slice (values < 50 only)
+    against the full stream must alert, and the scored PSI must equal
+    an independent pure-Python recomputation from the raw parquet."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq2
+
+    from bigquery_postgres_events_etl_spark.streaming.stream import (
+        run_streaming_psi_monitor,
+    )
+
+    ref_dir = tmp_path / "psi_ref"
+    ref_dir.mkdir()
+    full = load_table(spark, sf_dir, "events")
+    full.where(F.col("value") < 50).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "ref_tmp")
+    )
+    import glob
+    import shutil as sh
+
+    (part,) = glob.glob(str(tmp_path / "ref_tmp" / "part-*.parquet"))
+    sh.copy(part, ref_dir / "events.parquet")
+
+    src = _stage_source(sf_dir, tmp_path)
+    monitor = str(tmp_path / "monitor2")
+    ckpt = str(tmp_path / "psi_ckpt2")
+    r = run_streaming_psi_monitor(spark, src, str(ref_dir), monitor, ckpt)
+    (row,) = r["rows"]
+
+    import pytest
+
+    # pure-Python recomputation with the same Laplace smoothing
+    vals = pq2.read_table(f"{sf_dir}/events.parquet").to_pandas()["value"]
+    cur = Counter((vals // 50).astype("int64"))
+    ref = Counter((vals[vals < 50] // 50).astype("int64"))
+    bins = set(cur) | set(ref)
+    na, nb, k = sum(ref.values()), sum(cur.values()), len(bins)
+    psi = sum(
+        ((ref.get(b, 0) + 1) / (na + k) - (cur.get(b, 0) + 1) / (nb + k))
+        * math.log(
+            ((ref.get(b, 0) + 1) / (na + k)) / ((cur.get(b, 0) + 1) / (nb + k))
+        )
+        for b in bins
+    )
+    assert row.psi == pytest.approx(psi, rel=1e-9)
+    assert row.alert == (row.psi > 0.2)
+    assert row.alert  # a collapsed support IS a drift
