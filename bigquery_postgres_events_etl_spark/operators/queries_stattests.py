@@ -1028,3 +1028,129 @@ def events_segment_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("est_union").cast("double")
         ).alias("jaccard_est"),
     )
+
+
+# ---------------------------------------------------------------------
+# two-proportion z-test with Wilson intervals
+# ---------------------------------------------------------------------
+
+_Z95 = 1.959963984540054  # Phi^-1(0.975), shared literal on both plans
+
+
+def _wilson_sql(x: str, n: str) -> str:
+    """Wilson 95% score interval as identical SQL text on both engines:
+    (p + z²/2n ± z·sqrt(p(1−p)/n + z²/4n²)) / (1 + z²/n)."""
+    p = f"(CAST({x} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    z2n = f"(CAST({_Z95!r} AS DOUBLE) * CAST({_Z95!r} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    half = (
+        f"(CAST({_Z95!r} AS DOUBLE) * sqrt({p} * (CAST(1 AS DOUBLE) - {p}) / CAST({n} AS DOUBLE)"
+        f" + {z2n} / (CAST(4 AS DOUBLE) * CAST({n} AS DOUBLE))))"
+    )
+    lo = f"(({p} + {z2n} / CAST(2 AS DOUBLE) - {half}) / (CAST(1 AS DOUBLE) + {z2n}))"
+    hi = f"(({p} + {z2n} / CAST(2 AS DOUBLE) + {half}) / (CAST(1 AS DOUBLE) + {z2n}))"
+    return lo, hi
+
+
+def _wilson_col(x, n):
+    z = F.lit(_Z95).cast("double")
+    p = x.cast("double") / n.cast("double")
+    z2n = z * z / n.cast("double")
+    half = z * F.sqrt(
+        p * (F.lit(1).cast("double") - p) / n.cast("double")
+        + z2n / (F.lit(4).cast("double") * n.cast("double"))
+    )
+    denom = F.lit(1).cast("double") + z2n
+    return (
+        (p + z2n / F.lit(2).cast("double") - half) / denom,
+        (p + z2n / F.lit(2).cast("double") + half) / denom,
+    )
+
+
+_AB_LO_A, _AB_HI_A = _wilson_sql("x_a", "n_a")
+_AB_LO_B, _AB_HI_B = _wilson_sql("x_b", "n_b")
+
+
+@register(
+    "events_ab_proportion_ztest",
+    f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converted
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    wide AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS x_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS x_b
+      FROM per_user
+    )
+    SELECT n_a, n_b, x_a, x_b,
+           CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN CAST(NULL AS DOUBLE)
+                ELSE (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                         * (CAST(1 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                         * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) END AS z,
+           {_AB_LO_A} AS ci_a_lo, {_AB_HI_A} AS ci_a_hi,
+           {_AB_LO_B} AS ci_b_lo, {_AB_HI_B} AS ci_b_hi,
+           {_AB_HI_A} < {_AB_LO_B} OR {_AB_HI_B} < {_AB_LO_A} AS ci_disjoint
+    FROM wide
+    """,
+)
+def events_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on CONVERSION between hash-assigned
+    experiment arms — the rates sibling of events_ab_ttest's means
+    test (most experiment metrics are conversions, not continuous):
+    pooled-variance z plus per-arm Wilson 95% score intervals (the
+    small-n/extreme-p-correct interval — a normal interval can leave
+    [0,1]; Wilson cannot, which the test pins). One per-user hash agg
+    (converted = MAX over the user's rows — partial-aggregatable),
+    one 1-row fold; every float after the integer counts is a shared
+    fixed IEEE chain, including the z² literal."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_user = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14,
+            F.lit(1).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("converted")
+    )
+    wide = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).cast("long").alias("x_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).cast("long").alias("x_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    xa, xb = F.col("x_a"), F.col("x_b")
+    pa = xa.cast("double") / na.cast("double")
+    pb = xb.cast("double") / nb.cast("double")
+    pool = (xa + xb).cast("double") / (na + nb).cast("double")
+    z = F.when(
+        ((xa + xb) == 0) | ((xa + xb) == (na + nb)), F.lit(None).cast("double")
+    ).otherwise(
+        (pa - pb)
+        / F.sqrt(
+            pool
+            * (F.lit(1).cast("double") - pool)
+            * (
+                F.lit(1).cast("double") / na.cast("double")
+                + F.lit(1).cast("double") / nb.cast("double")
+            )
+        )
+    )
+    lo_a, hi_a = _wilson_col(xa, na)
+    lo_b, hi_b = _wilson_col(xb, nb)
+    return wide.select(
+        "n_a", "n_b", "x_a", "x_b",
+        pa.alias("p_a"), pb.alias("p_b"), z.alias("z"),
+        lo_a.alias("ci_a_lo"), hi_a.alias("ci_a_hi"),
+        lo_b.alias("ci_b_lo"), hi_b.alias("ci_b_hi"),
+        ((hi_a < lo_b) | (hi_b < lo_a)).alias("ci_disjoint"),
+    )

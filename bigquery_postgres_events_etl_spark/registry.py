@@ -129,6 +129,7 @@ _DRIVER_PRIORITY = [
     "pipeline_epoch_repeat",
     "stats_logrank_test",
     "funnel_time_to_convert",
+    "events_ab_proportion_ztest",
     "stats_median_ci",
     "stats_groupwise_ols",
     "text_nb_calibration",

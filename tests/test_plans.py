@@ -413,6 +413,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "stats_logrank_test": 8,       # custkey join/window + life-table agg + scalars
     "funnel_time_to_convert": 5,   # two user_id aggs + user_id join + scalar
     "events_segment_overlap_hll": 1,  # one filtered two-sketch agg
+    "events_ab_proportion_ztest": 2,  # per-user agg + 1-row fold
 }
 
 

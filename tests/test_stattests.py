@@ -552,3 +552,48 @@ def test_markov_attribution_matches_fundamental_matrix(spark):
     assert sum(r.attributed_conversions for r in rows.values()) == pytest.approx(
         n_conv, rel=1e-9
     )
+
+
+# ---------------------------------------------------------------------
+# two-proportion z-test + Wilson intervals
+# ---------------------------------------------------------------------
+
+
+def test_ab_proportion_ztest_matches_reference(spark):
+    e = _events()
+    e = e[e.user_id.notna()].copy()
+    purch = (
+        e[e.event_type == "purchase"].groupby("user_id").size().rename("np")
+    )
+    users = sorted(e.user_id.unique())
+    conv = {u: int(purch.get(u, 0) >= 14) for u in users}
+    arms = {0: [u for u in users if u % 2 == 0], 1: [u for u in users if u % 2 == 1]}
+    n_a, n_b = len(arms[0]), len(arms[1])
+    x_a = sum(conv[u] for u in arms[0])
+    x_b = sum(conv[u] for u in arms[1])
+    (row,) = _run(spark, "events_ab_proportion_ztest")
+    assert (row.n_a, row.n_b, row.x_a, row.x_b) == (n_a, n_b, x_a, x_b)
+    assert row.p_a == pytest.approx(x_a / n_a, rel=1e-12)
+    assert row.p_b == pytest.approx(x_b / n_b, rel=1e-12)
+    pool = (x_a + x_b) / (n_a + n_b)
+    if 0 < pool < 1:
+        z = (x_a / n_a - x_b / n_b) / math.sqrt(
+            pool * (1 - pool) * (1 / n_a + 1 / n_b)
+        )
+        assert row.z == pytest.approx(z, rel=1e-9)
+    else:
+        assert row.z is None
+    # Wilson interval: contains the point estimate, stays inside [0,1]
+    # (the property a normal interval lacks), matches the closed form
+    zc = 1.959963984540054
+    for x, n, lo, hi in [
+        (x_a, n_a, row.ci_a_lo, row.ci_a_hi),
+        (x_b, n_b, row.ci_b_lo, row.ci_b_hi),
+    ]:
+        p = x / n
+        z2n = zc * zc / n
+        half = zc * math.sqrt(p * (1 - p) / n + z2n / (4 * n))
+        assert lo == pytest.approx((p + z2n / 2 - half) / (1 + z2n), rel=1e-12)
+        assert hi == pytest.approx((p + z2n / 2 + half) / (1 + z2n), rel=1e-12)
+        assert 0.0 <= lo <= p <= hi <= 1.0
+    assert row.ci_disjoint == (row.ci_a_hi < row.ci_b_lo or row.ci_b_hi < row.ci_a_lo)
