@@ -1154,3 +1154,98 @@ def events_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo_b.alias("ci_b_lo"), hi_b.alias("ci_b_hi"),
         ((hi_a < lo_b) | (hi_b < lo_a)).alias("ci_disjoint"),
     )
+
+
+# ---------------------------------------------------------------------
+# seasonal-residual anomaly detection (decompose ∘ robust-z)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_residual_anomalies",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST({_TS} AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER w AS sum7, COUNT(*) OVER w AS cnt7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    full_win AS (
+      SELECT event_type, day, n,
+             CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS weekday,
+             sum7, CAST(7 * n - sum7 AS BIGINT) AS detr7
+      FROM win WHERE cnt7 = 7
+    ),
+    seasonal AS (
+      SELECT event_type, weekday,
+             CAST(SUM(detr7) AS DOUBLE) / CAST(7 * COUNT(*) AS DOUBLE) AS seasonal
+      FROM full_win GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT f.event_type, f.day, CAST(f.n AS BIGINT) AS n,
+             (CAST(f.n AS DOUBLE) - CAST(f.sum7 AS DOUBLE) / CAST(7 AS DOUBLE)) - s.seasonal
+               AS remainder
+      FROM full_win f JOIN seasonal s
+        ON f.event_type = s.event_type AND f.weekday = s.weekday
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(remainder, 0.5) AS med
+      FROM resid GROUP BY 1
+    ),
+    mad AS (
+      SELECT r.event_type, quantile_cont(abs(r.remainder - m.med), 0.5) AS mad
+      FROM resid r JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT r.event_type, r.day, r.n, r.remainder,
+           CAST(0.6745 AS DOUBLE) * (r.remainder - m.med) / d.mad AS rz,
+           abs(CAST(0.6745 AS DOUBLE) * (r.remainder - m.med) / d.mad) > CAST(3.5 AS DOUBLE) AS is_anomaly
+    FROM resid r JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    WHERE d.mad > 0
+    """,
+)
+def events_seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection — the composition the two
+    pieces exist for: classical decomposition strips trend + weekday
+    seasonality (events_trend_seasonal_decompose), then the robust
+    median/MAD z-score (stats_robust_zscore's machinery) flags days
+    whose RESIDUAL is extreme. A plain z-score over raw counts calls
+    every Friday an anomaly on a weekday-heavy stream and misses a
+    quiet-day spike; the residual test sees both.
+
+    Every remainder is a fixed IEEE chain over integer sums (the
+    decompose contract), so both engines feed IDENTICAL doubles into
+    the same interpolated-percentile arithmetic — the hash matches end
+    to end. Zero-MAD groups (perfectly regular series) are excluded
+    on both engines. Scale: daily rollup shuffle + per-type
+    calendar-bounded windows + two tiny percentile frames per type."""
+    from .queries_analytics import events_trend_seasonal_decompose
+
+    dec = events_trend_seasonal_decompose(spark, sf_dir).select(
+        "event_type", "day", "n", "remainder"
+    )
+    med = dec.groupBy("event_type").agg(
+        F.percentile("remainder", F.lit(0.5)).alias("med")
+    )
+    j1 = dec.join(med, "event_type")
+    mad = j1.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("remainder") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    rz = (
+        F.lit(0.6745).cast("double")
+        * (F.col("remainder") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        j1.join(mad, "event_type")
+        .where(F.col("mad") > 0)
+        .select(
+            "event_type", "day", "n", "remainder",
+            rz.alias("rz"),
+            (F.abs(rz) > F.lit(3.5).cast("double")).alias("is_anomaly"),
+        )
+    )

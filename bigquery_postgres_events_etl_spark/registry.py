@@ -130,6 +130,7 @@ _DRIVER_PRIORITY = [
     "stats_logrank_test",
     "funnel_time_to_convert",
     "events_ab_proportion_ztest",
+    "events_seasonal_residual_anomalies",
     "stats_median_ci",
     "stats_groupwise_ols",
     "text_nb_calibration",

@@ -414,6 +414,9 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "funnel_time_to_convert": 5,   # two user_id aggs + user_id join + scalar
     "events_segment_overlap_hll": 1,  # one filtered two-sketch agg
     "events_ab_proportion_ztest": 2,  # per-user agg + 1-row fold
+    # decompose subtree appears ×3 static (resid/med/mad legs) and
+    # dedups to ReusedExchange at runtime
+    "events_seasonal_residual_anomalies": 16,
 }
 
 

@@ -597,3 +597,48 @@ def test_ab_proportion_ztest_matches_reference(spark):
         assert hi == pytest.approx((p + z2n / 2 + half) / (1 + z2n), rel=1e-12)
         assert 0.0 <= lo <= p <= hi <= 1.0
     assert row.ci_disjoint == (row.ci_a_hi < row.ci_b_lo or row.ci_b_hi < row.ci_a_lo)
+
+
+# ---------------------------------------------------------------------
+# seasonal-residual anomalies
+# ---------------------------------------------------------------------
+
+
+def test_seasonal_residual_anomalies_match_reference(spark):
+    import statistics
+
+    e = _events()
+    e["day"] = e.ts.dt.floor("D")
+    daily = e.groupby(["event_type", "day"]).size().rename("n").reset_index()
+    rows = {(r.event_type, pd.Timestamp(r.day)): r
+            for r in _run(spark, "events_seasonal_residual_anomalies")}
+    seen = set()
+    for etype, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day").reset_index(drop=True)
+        days = list(grp.day)
+        ns = list(grp.n)
+        resid = {}
+        detr = {}
+        for i in range(3, len(days) - 3):
+            # contiguous fixture days: the 7-row frame is the 7-day MA
+            s7 = sum(ns[i - 3 : i + 4])
+            wd = (days[i] - pd.Timestamp("1970-01-05")).days % 7
+            detr.setdefault(wd, []).append(7 * ns[i] - s7)
+        seasonal = {wd: sum(v) / (7 * len(v)) for wd, v in detr.items()}
+        for i in range(3, len(days) - 3):
+            s7 = sum(ns[i - 3 : i + 4])
+            wd = (days[i] - pd.Timestamp("1970-01-05")).days % 7
+            resid[days[i]] = (ns[i] - s7 / 7) - seasonal[wd]
+        med = statistics.median(resid.values())
+        mad = statistics.median(abs(v - med) for v in resid.values())
+        if mad == 0:
+            assert all((etype, d) not in rows for d in resid)
+            continue
+        for d, r in resid.items():
+            row = rows[(etype, d)]
+            seen.add((etype, d))
+            assert row.remainder == pytest.approx(r, abs=1e-9)
+            z = 0.6745 * (r - med) / mad
+            assert row.rz == pytest.approx(z, rel=1e-9)
+            assert row.is_anomaly == (abs(z) > 3.5)
+    assert seen == set(rows)
