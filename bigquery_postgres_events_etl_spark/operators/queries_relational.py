@@ -16,7 +16,7 @@ exchange carries pre-aggregated rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import davg, dsum
@@ -627,4 +627,80 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(100)
+    )
+
+
+@register(
+    "part_similarity_topk",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders FROM items GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part, b.l_partkey AS neighbor,
+             CAST(count(*) AS BIGINT) AS n_together
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.part, p.neighbor, p.n_together,
+             CAST(p.n_together AS DOUBLE)
+               / sqrt(CAST(fa.n_orders AS DOUBLE) * CAST(fb.n_orders AS DOUBLE)) AS cosine
+      FROM pairs p
+      JOIN freq fa ON p.part = fa.l_partkey
+      JOIN freq fb ON p.neighbor = fb.l_partkey
+      WHERE p.n_together >= 2
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY part ORDER BY cosine DESC, neighbor) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT part, neighbor, n_together, cosine, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def part_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering ("customers also bought"):
+    cosine similarity over order-basket co-occurrence —
+    cooc(i,j)/sqrt(n_i·n_j) — top-5 neighbors per part with a
+    deterministic tie-break. The Amazon-style item-item recommender
+    in its batch-precompute shape.
+
+    Scale: same inverted-index self-join as part_pairs_cooccurrence
+    (per-order fan-out bounded by basket size), frequencies are a
+    |parts|-row re-agg of the SAME distinct-items frame (ReusedExchange
+    at runtime), the per-item ranking window partitions by part. The
+    min-support 2 filter prunes the pair tail BEFORE ranking — at
+    100 TB the ranked set carries only genuinely co-bought pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("neighbor"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part") != F.col("neighbor"))
+        .groupBy("part", "neighbor")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .where(F.col("n_together") >= 2)
+    )
+    scored = (
+        pairs.join(freq.select(F.col("l_partkey").alias("part"), F.col("n_orders").alias("na")), "part")
+        .join(freq.select(F.col("l_partkey").alias("neighbor"), F.col("n_orders").alias("nb")), "neighbor")
+        .select(
+            "part", "neighbor", "n_together",
+            (
+                F.col("n_together").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .where(F.col("rnk") <= 5)
     )

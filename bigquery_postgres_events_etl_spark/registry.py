@@ -131,6 +131,7 @@ _DRIVER_PRIORITY = [
     "funnel_time_to_convert",
     "events_ab_proportion_ztest",
     "events_seasonal_residual_anomalies",
+    "part_similarity_topk",
     "stats_median_ci",
     "stats_groupwise_ols",
     "text_nb_calibration",

@@ -417,6 +417,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     # decompose subtree appears ×3 static (resid/med/mad legs) and
     # dedups to ReusedExchange at runtime
     "events_seasonal_residual_anomalies": 16,
+    # distinct-items subtree ×3 static (pairs a/b + freq), reused at run
+    "part_similarity_topk": 8,
 }
 
 
