@@ -1249,3 +1249,60 @@ def events_seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> Data
             (F.abs(rz) > F.lit(3.5).cast("double")).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# ECDF quantile transform (feature normalization)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "ml_quantile_transform",
+    """
+    WITH vals AS (
+      SELECT value, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY value
+    ),
+    cum AS (
+      SELECT value, n,
+             CAST(SUM(n) OVER (ORDER BY value) AS BIGINT) AS c,
+             (SELECT CAST(SUM(n) AS BIGINT) FROM vals) AS total
+      FROM vals
+    )
+    SELECT value, n,
+           CAST(c AS DOUBLE) / CAST(total AS DOUBLE) AS ecdf,
+           CAST(2 * (c - n) + n + 1 AS DOUBLE) / CAST(2 * total AS DOUBLE) AS q_mid
+    FROM cum
+    """,
+)
+def ml_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank-gaussianization-ready) feature transform: maps
+    each purchase value to its ECDF position — the preprocessing that
+    makes heavy-tailed monetary features uniform before model
+    training. Two variants per distinct value: right-continuous
+    ECDF = cum/N, and the midrank ECDF (2·cum_before + t + 1)/(2N),
+    the tie-correct version whose numerator stays an exact integer
+    (the Mann-Whitney average-rank identity).
+
+    Scale: one hash-agg to |distinct values|, then the two-pass
+    distributed cumsum (no unpartitioned data window); emitting the
+    value→quantile MAPPING (not per-row output) keeps the result
+    |distinct values|-sized — applying it to the stream is a map-side
+    join downstream."""
+    e = load_table(spark, sf_dir, "events")
+    vals = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cum = with_global_cumsum(vals, [("value", "asc")], [], "n")
+    c, n, total = F.col("cum_sum").cast("long"), F.col("n"), F.col("total_sum").cast("long")
+    return cum.select(
+        "value",
+        n.alias("n"),
+        (c.cast("double") / total.cast("double")).alias("ecdf"),
+        (
+            (F.lit(2) * (c - n) + n + F.lit(1)).cast("double")
+            / (F.lit(2) * total).cast("double")
+        ).alias("q_mid"),
+    )

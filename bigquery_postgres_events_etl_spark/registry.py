@@ -132,6 +132,7 @@ _DRIVER_PRIORITY = [
     "events_ab_proportion_ztest",
     "events_seasonal_residual_anomalies",
     "part_similarity_topk",
+    "ml_quantile_transform",
     "stats_median_ci",
     "stats_groupwise_ols",
     "text_nb_calibration",

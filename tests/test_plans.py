@@ -289,6 +289,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     "customer_survival_km": {"gap_days"},
     # log-rank shares the KM life table (calendar-bounded gap frame)
     "stats_logrank_test": {"gap_days"},
+    # two-pass cumsum internals (ECDF mapping table)
+    "ml_quantile_transform": {"_gr_pid", "specifiedwindowframe"},
 }
 
 
@@ -419,6 +421,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "events_seasonal_residual_anomalies": 16,
     # distinct-items subtree ×3 static (pairs a/b + freq), reused at run
     "part_similarity_topk": 8,
+    "ml_quantile_transform": 3,    # value agg + two-pass cumsum internals
 }
 
 

@@ -642,3 +642,40 @@ def test_seasonal_residual_anomalies_match_reference(spark):
             assert row.rz == pytest.approx(z, rel=1e-9)
             assert row.is_anomaly == (abs(z) > 3.5)
     assert seen == set(rows)
+
+
+# ---------------------------------------------------------------------
+# quantile transform
+# ---------------------------------------------------------------------
+
+
+def test_quantile_transform_matches_reference_and_is_uniform(spark):
+    e = _events()
+    vals = sorted(e.loc[e.event_type == "purchase", "value"])
+    n_total = len(vals)
+    cnt = Counter(vals)
+    rows = {r.value: r for r in _run(spark, "ml_quantile_transform")}
+    assert set(rows) == set(cnt)
+    cum = 0
+    prev_ecdf = 0.0
+    for v in sorted(cnt):
+        t = cnt[v]
+        cum += t
+        r = rows[v]
+        assert r.n == t
+        assert r.ecdf == pytest.approx(cum / n_total, rel=1e-12)
+        # midrank identity: average rank of the tie group / N
+        assert r.q_mid == pytest.approx(
+            (2 * (cum - t) + t + 1) / (2 * n_total), rel=1e-12
+        )
+        # strictly increasing, bounded; midrank sits inside the step
+        # (coinciding with the right edge exactly when the tie group
+        # is a singleton: midrank of rank r alone IS r)
+        assert prev_ecdf < r.ecdf <= 1.0
+        assert prev_ecdf < r.q_mid <= r.ecdf
+        assert (r.q_mid == r.ecdf) == (t == 1)
+        prev_ecdf = r.ecdf
+    # uniformity: the weighted mean of midranks/N is exactly
+    # (Σ 1..N)/N² = (N+1)/(2N) — the discrete-uniform mean
+    mean_q = sum(rows[v].q_mid * cnt[v] for v in cnt) / n_total
+    assert mean_q == pytest.approx((n_total + 1) / (2 * n_total), abs=1e-12)
