@@ -1,12 +1,15 @@
 """Hypothesis testing, drift monitoring, and lifecycle analytics.
 
 The inference layer over the events/orders stream: two-sample
-distribution tests (KS, Mann-Whitney), independence tests (chi-square,
-Benford), distribution-drift monitoring (PSI), and lifecycle curves
-(Kaplan-Meier survival, cohort LTV, EWMA smoothing). The reference
-pipeline feeds BI dashboards from Postgres (flask_server.py:120-180
-serves aggregate endpoints); these are the statistical read-side
-operators such a warehouse is asked for next.
+distribution tests (KS, Mann-Whitney), independence/conformance tests
+(chi-square, Benford), the two-proportion conversion z-test with
+Wilson intervals, distribution-drift monitoring (PSI), lifecycle
+curves (Kaplan-Meier survival + log-rank comparison, cohort LTV,
+funnel time-to-convert, EWMA smoothing), seasonality-aware residual
+anomaly detection, and the ECDF quantile feature transform. The
+reference pipeline feeds BI dashboards from Postgres
+(flask_server.py:120-180 serves aggregate endpoints); these are the
+statistical read-side operators such a warehouse is asked for next.
 
 Oracle-parity rules (registry header): integer/exact-decimal
 aggregation everywhere, `ln()` contributions rounded to DECIMAL(20,9)
