@@ -129,19 +129,34 @@ def main() -> None:
     sc.setJobGroup("", "")
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_detail": detail,
-                "shuffle": _shuffle_metrics(spark, HEADLINE),
-                "sf": sf,
-            }
-        )
+    # The driver captures only the LAST ~2,000 bytes of stdout; r5's
+    # final line grew to 2,971 bytes (per-query detail + shuffle) and
+    # the round lost its official bench record ("parsed": null). The
+    # final line is therefore kept compact — medians only — and the
+    # full median/min/spread + shuffle-byte detail goes to a sidecar
+    # file, BENCH_DETAIL.json, next to this script.
+    sidecar = {
+        "queries_detail": detail,
+        "shuffle": _shuffle_metrics(spark, HEADLINE),
+        "sf": sf,
+        "protocol": "median-of-3, noop sink, shared warm session",
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(sidecar, f, indent=1)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    assert len(line) < 1500, f"final bench line {len(line)}B > driver tail window"
+    print(line)
 
 
 if __name__ == "__main__":

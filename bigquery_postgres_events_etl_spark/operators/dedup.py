@@ -225,18 +225,31 @@ def minhash_signatures(
     compute identically) or "xxhash64" (production tier — ~5× cheaper
     JVM-native digest, no cross-engine twin; equally valid minhash
     statistics, pinned by the recall test instead of the oracle)."""
+    return signatures_from_shingles(
+        exploded_shingles(docs, n, id_col), num_hashes, hash_fn
+    )
+
+
+def signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 16, hash_fn: str = "md5"
+) -> DataFrame:
+    """K-min-hash signatures from a prebuilt ``(doc_id, shingle)``
+    frame — the shared-scan entry point: duplicate shingles are
+    harmless (min() is idempotent over repeats), so a DISTINCT frame
+    persisted for the exact verify tier yields bit-identical
+    signatures, and the corpus text is tokenized once per run instead
+    of once per consumer (the r5 verdict's repeated-scan item)."""
     if hash_fn == "md5":
         h = md5_hash60("shingle") % MINHASH_P
     elif hash_fn == "xxhash64":
         h = F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P))
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    sh = exploded_shingles(docs, n, id_col).select("doc_id", h.alias("h"))
     aggs = []
     for k in range(num_hashes):
         a, b = minhash_coeffs(k)
         aggs.append(F.min((F.col("h") * a + b) % MINHASH_P).alias(f"sig_{k}"))
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -255,6 +268,14 @@ def minhash_lsh_pairs(
     is proportional to actual near-duplicates, not to |docs|².
     """
     sig = minhash_signatures(docs, num_hashes, n, id_col, hash_fn)
+    return lsh_pairs_from_signatures(sig, num_hashes, bands)
+
+
+def lsh_pairs_from_signatures(
+    sig: DataFrame, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """LSH candidate pairs from a prebuilt signature frame (shared-
+    scan entry point for the calibration/verify tiers)."""
     banded = _bands(sig, num_hashes, bands)
     # Single-pass bucket expansion instead of a self-join: a self-join
     # would execute the whole signature pipeline once per branch (no
@@ -371,8 +392,21 @@ def entity_resolve(
     """
     if policy not in ("best", "all"):
         raise ValueError(f"unknown survivor policy: {policy!r}")
-    sig_l = minhash_signatures(left, num_hashes, n, id_col)
-    sig_r = minhash_signatures(right, num_hashes, n, id_col)
+    # ONE tokenization pass per corpus: the distinct (doc, shingle)
+    # frame is persisted (MEMORY_AND_DISK) and every later stage —
+    # signatures, set sizes, candidate verify — derives from it.
+    # Without this the plan re-reads and re-tokenizes the raw text
+    # per consumer (LINEAGE showed 10 documents(text) scans in r5);
+    # at 100 TB that is ~5 extra corpus passes for zero new
+    # information. Signatures from the DISTINCT frame are identical
+    # (min() is idempotent over repeated shingles). persist(), not
+    # localCheckpoint(): the logical plan stays intact, so lineage/
+    # pushdown evidence remains auditable and the scan-count contract
+    # in tests/test_plans.py can pin "documents scanned once per side".
+    sh_l = exploded_shingles(left, n, id_col, text_col).distinct().persist()
+    sh_r = exploded_shingles(right, n, id_col, text_col).distinct().persist()
+    sig_l = signatures_from_shingles(sh_l, num_hashes)
+    sig_r = signatures_from_shingles(sh_r, num_hashes)
     bl = _bands(sig_l, num_hashes, bands).withColumnRenamed("doc_id", "left_id")
     br = _bands(sig_r, num_hashes, bands).withColumnRenamed("doc_id", "right_id")
     cand = (
@@ -381,16 +415,8 @@ def entity_resolve(
         .distinct()
     )
 
-    dsh_l = (
-        exploded_shingles(left, n, id_col, text_col)
-        .distinct()
-        .withColumnRenamed("doc_id", "left_id")
-    )
-    dsh_r = (
-        exploded_shingles(right, n, id_col, text_col)
-        .distinct()
-        .withColumnRenamed("doc_id", "right_id")
-    )
+    dsh_l = sh_l.withColumnRenamed("doc_id", "left_id")
+    dsh_r = sh_r.withColumnRenamed("doc_id", "right_id")
     sz_l = dsh_l.groupBy("left_id").agg(F.count(F.lit(1)).alias("size_left"))
     sz_r = dsh_r.groupBy("right_id").agg(F.count(F.lit(1)).alias("size_right"))
     # exact verify confined to candidate docs: semi-join prune first
@@ -622,13 +648,18 @@ def minhash_jaccard_estimate(
     candidate so the per-pair error is inspectable (and pinned by the
     E[|est − J|] ≤ 1/√K-ish pytest bound).
 
-    Plan: candidate pairs from the banded one-pass expansion; the
-    signature frame joins back twice (AQE picks the strategy — the
-    signature sliver is K+1 longs per doc); the exact tier is the
-    entity_resolve verify confined to candidate docs by semi-join
-    pruning. All integer counts + one final division per column."""
-    pairs = minhash_lsh_pairs(docs, num_hashes, bands, n, id_col)
-    sig = minhash_signatures(docs, num_hashes, n, id_col)
+    Plan: ONE tokenization pass — the distinct (doc, shingle) frame
+    is persisted and signatures, LSH pairs, sizes, and the exact
+    verify all derive from it (r5's LINEAGE showed 12 documents(text)
+    scans here; signatures from the distinct frame are identical
+    because min() ignores repeats). The signature sliver (K+1 longs
+    per doc) is persisted too — it feeds the band expansion and joins
+    back twice. The exact tier is the entity_resolve verify confined
+    to candidate docs by semi-join pruning. All integer counts + one
+    final division per column."""
+    dsh = exploded_shingles(docs, n, id_col).distinct().persist()
+    sig = signatures_from_shingles(dsh, num_hashes).persist()
+    pairs = lsh_pairs_from_signatures(sig, num_hashes, bands)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"sig_{k}").alias(f"a{k}") for k in range(num_hashes)],
@@ -645,7 +676,6 @@ def minhash_jaccard_estimate(
         "doc_a", "doc_b", match.alias("n_agree")
     )
 
-    dsh = exploded_shingles(docs, n, id_col).distinct()
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select("doc_b"))

@@ -605,9 +605,14 @@ def weighted_sample(
     cluster size (the draw depends only on the row, not partitioning).
 
     Oracle parity: u is an identical double on both engines (integer
-    hash / 2^60+1 literal); ln differs by ≤1 ulp across libm/JVM, so
-    the key rounds to DECIMAL(20,9) with doc_id as the total
-    tie-break."""
+    hash / 2^60+1 literal), but ln is transcendental — a value landing
+    within 1 ulp of a DECIMAL(20,9) rounding boundary rounds
+    differently across libm builds (the r5 driver hash-fail). The key
+    therefore stays INTERNAL: it orders the top-k (decimal-rounded,
+    doc_id total tie-break — selection flips only if two keys collide
+    within an ulp exactly at the k-th boundary, vastly rarer than any
+    of k keys hitting a rounding boundary) and the compared output is
+    just the selected ``(doc_id, weight)`` set."""
     h = md5_hash60(F.col(id_col).cast("string"), seed=seed)
     u = (h + 1).cast("double") / F.lit(2**60 + 1).cast("double")
     key = (-F.log(u) / F.col(weight_col).cast("double")).cast("decimal(20,9)")
@@ -615,6 +620,7 @@ def weighted_sample(
         docs.select(id_col, weight_col, key.alias("es_key"))
         .orderBy("es_key", id_col)
         .limit(k)
+        .drop("es_key")
     )
 
 

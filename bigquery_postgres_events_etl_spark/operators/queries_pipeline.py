@@ -882,14 +882,17 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / CAST(n_chars AS DOUBLE) AS DECIMAL(20,9)) AS es_key
       FROM documents
     )
-    SELECT doc_id, n_chars, es_key
+    SELECT doc_id, n_chars
     FROM keyed ORDER BY es_key, doc_id LIMIT 100
     """,
 )
 def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sample without replacement: k
     smallest −ln(u)/w keys, u drawn per-row from md5 — map-side keys +
-    TakeOrderedAndProject, no corpus shuffle, partitioning-invariant."""
+    TakeOrderedAndProject, no corpus shuffle, partitioning-invariant.
+    The transcendental es_key is NOT in the compared output (r5 driver
+    hash-fail: a key within 1 ulp of a DECIMAL(20,9) boundary rounds
+    differently across libm builds) — only the selected set is."""
     from .pipeline import weighted_sample
 
     return weighted_sample(load_table(spark, sf_dir, "documents"))

@@ -214,6 +214,17 @@ def scan_is_pruned(df: DataFrame, max_columns: int) -> bool:
     return bool(cols) and all(c <= max_columns for c in cols)
 
 
+def table_scan_counts(df: DataFrame) -> dict[str, int]:
+    """How many times each source table is scanned in the optimized
+    plan — the repeated-scan evidence (r5's verdict: entity_resolve
+    re-tokenized documents(text) 10× because nothing was persisted).
+    A persisted frame's scan counts ONCE (the InMemoryRelation body is
+    not a numbered plan node), which is also what executes."""
+    from collections import Counter
+
+    return dict(Counter(t for t, _ in scan_read_schemas(df)))
+
+
 def scan_read_schemas(df: DataFrame) -> list[tuple[str, list[str]]]:
     """(table, [columns]) per parquet scan in the optimized plan — the
     column-pruning evidence: which physical columns each source

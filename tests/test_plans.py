@@ -350,7 +350,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "similarity_ann_lsh": 1,
     # round-5 operators (same static-occurrence caveat: repeated
     # subtrees count per occurrence, dedup to ReusedExchange at run)
-    "dedup_entity_resolve": 27,
+    "dedup_entity_resolve": 17,  # r6: shared persisted shingle frame
     "pipeline_cdc_chunks": 1,  # the input repartition only — op is map-side
     "dedup_cdc_chunk_spans": 3,
     "text_bigram_coherence": 7,
@@ -390,8 +390,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "text_compression_ratio": 2,   # input repartition + Arrow exchange
     "multimodal_phash_near_dup": 4,  # signature + band-bucket agg + pair distinct
     "events_trend_seasonal_decompose": 10,  # daily agg + MA window + seasonal join
-    "dedup_minhash_jaccard_est": 100,  # sig/shingle subtrees repeated per join arm —
-    # static count is dominated by repetition; runtime dedups to ReusedExchange
+    "dedup_minhash_jaccard_est": 21,  # r6: persisted shingle+signature frames
+    # collapsed the per-join-arm subtree repetition (was 100 static)
     "text_token_entropy": 6,       # explode agg + doc window
     "orders_pareto_customers": 8,  # customer agg + two-pass cumsum internals
     "stats_median_ci": 6,          # type-partitioned ranks + bounds join
@@ -712,6 +712,67 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "pipeline_weighted_sample": {"documents": {"text", "lang", "source"}},
     "events_ab_ttest": {"events": {"props", "event_type", "ts"}},
 }
+
+
+# Per-table SCAN-COUNT budgets for the most expensive registry
+# entries — the contract class the r5 repeated-scan defect was
+# invisible to (shuffle bytes, exchange counts, and the window
+# allowlist all stayed green while entity_resolve re-tokenized
+# documents(text) 10×). Counts are numbered "Scan parquet" nodes in
+# the optimized plan; a persisted frame counts once (and executes
+# once). Raising a budget requires justifying why the extra corpus
+# pass is worth it at 100 TB. (name -> {table: max scans})
+SCAN_BUDGET: dict[str, dict[str, int]] = {
+    # dedup verify tiers: ONE tokenization pass per corpus side
+    "dedup_entity_resolve": {"documents": 2},  # left + right corpus
+    "dedup_minhash_jaccard_est": {"documents": 1},
+    "dedup_minhash_lsh": {"documents": 1},
+    "dedup_minhash_lsh_fast": {"documents": 1},
+    "dedup_ngram_jaccard": {"documents": 1},
+    "dedup_simhash": {"documents": 1},
+    "dedup_simhash_pairs": {"documents": 1},
+    "dedup_exact": {"documents": 1},
+    "pipeline_paragraph_dedup": {"documents": 1},
+    "text_token_entropy": {"documents": 1},
+    # tf-idf reads the corpus for tf, df, and the 1-row N scalar —
+    # three SMALL-column scans (never text twice after the tf agg)
+    "text_tfidf_top_terms": {"documents": 3},
+    "text_bm25_topk": {"documents": 2},
+    "text_nb_quality_score": {"documents": 3},
+    "similarity_hybrid_topk": {"documents": 4, "embeddings": 2},
+    "similarity_rrf_fusion": {"documents": 2, "embeddings": 2},
+    "similarity_topk_bruteforce": {"embeddings": 2},
+    "multimodal_feature_extract": {"documents": 1},
+    # relational headliners: every table exactly once
+    "etl_flagship": {"events": 1},
+    "sessionization": {"events": 1},
+    "q1_pricing_summary": {"lineitem": 1},
+    "q3_shipping_priority": {"lineitem": 1, "orders": 1, "customer": 1},
+    "q18_large_orders": {"lineitem": 1, "orders": 1, "customer": 1},
+    "q8_market_share": {
+        "lineitem": 1, "part": 1, "supplier": 1, "orders": 1,
+        "customer": 1, "nation": 2, "region": 1,
+    },
+}
+
+
+def test_scan_counts_within_budget(spark, sf_dir):
+    """A refactor that silently adds a corpus re-read fails here, not
+    in a 100 TB postmortem. Budgets are exact-measured upper bounds;
+    going UNDER is fine (better), going over needs a justification."""
+    from bigquery_postgres_events_etl_spark.plans.audit import table_scan_counts
+
+    qs = all_queries()
+    over = {}
+    for name, budget in SCAN_BUDGET.items():
+        counts = table_scan_counts(qs[name](spark, sf_dir))
+        bad = {
+            t: (n, budget.get(t, 0)) for t, n in counts.items()
+            if n > budget.get(t, 0)
+        }
+        if bad:
+            over[name] = bad
+    assert not over, f"table scanned more times than budgeted (got, budget): {over}"
 
 
 def test_narrow_queries_never_scan_heavy_columns(spark, sf_dir):
