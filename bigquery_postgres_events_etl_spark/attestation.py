@@ -1,0 +1,108 @@
+"""Attestation-driven driver rotation.
+
+The driver's correctness gate samples the FIRST 50 registry entries
+each round (registration order as exposed by ``registry.all_queries``).
+For that sample to attest the *staleness frontier* — never-attested
+entries first, then the oldest green attestations — the ordering must
+track the recorded ``CORRECTNESS_r*.json`` history.
+
+Through round 5 this rotation was a hand-maintained 140-line list in
+``registry.py`` whose invariants lived in comments; the r5 verdict
+(item #8) asked for it to be DERIVED from the attestation data at
+import time with the invariants pytest-pinned. This module is that
+derivation; ``tools/attestation_report.py`` reuses it for the human
+report.
+
+Ordering key, oldest-first (stable within a tier by registration
+order, so the plan is deterministic):
+
+1. never-attested entries (no green driver row in any round — a red
+   hash-fail row does NOT count as attested);
+2. entries whose physical plan changed since their freshest green row
+   (hand-flagged in ``PLAN_CHANGED_REATTEST`` by the change author —
+   plan-hashing at import time would require building every DataFrame,
+   ~minutes of Spark work before the first query runs);
+3. everything else by freshest green round, oldest first.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+# Entries whose physical plan changed since their last green driver
+# row. The ONLY hand-maintained piece of the rotation: add a name here
+# in the same commit that changes its plan; remove it once a newer
+# CORRECTNESS round shows it green (the freshest-round data then
+# supersedes the flag automatically — a green row from a round >= the
+# flagging round means the new plan was attested).
+#
+# r6: the shared-shingle-scan rewrite (one tokenization pass, persisted
+# distinct shingle frame) changed these plans after their r3-r5 rows:
+PLAN_CHANGED_REATTEST: dict[str, int] = {
+    # name -> round in which the plan changed (flag round)
+    "dedup_entity_resolve": 6,
+    "dedup_minhash_jaccard_est": 6,
+    "dedup_minhash_lsh": 6,
+    "dedup_minhash_lsh_fast": 6,
+    "dedup_minhash_signatures": 6,
+}
+
+
+def repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_attestations(root: str | None = None) -> tuple[dict[str, int], int]:
+    """``({entry: freshest green round}, newest round seen)``.
+
+    A row is green if it hash-matched, or was a rows-only check that
+    ran without error (``err == 'no_oracle'``). Unparseable files are
+    skipped (never raises — a fresh checkout with no CORRECTNESS files
+    simply yields ``({}, 0)``, degrading the rotation to registration
+    order)."""
+    root = root or repo_root()
+    freshest: dict[str, int] = {}
+    newest = 0
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        newest = max(newest, rnd)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
+            if ok:
+                freshest[name] = max(freshest.get(name, 0), rnd)
+    return freshest, newest
+
+
+def effective_round(name: str, freshest: dict[str, int]) -> float:
+    """The staleness key: 0 = never attested, 0.5 = attested but the
+    plan changed since (re-attest ahead of every ordinary refresh),
+    else the freshest green round."""
+    rnd = freshest.get(name, 0)
+    if rnd == 0:
+        return 0.0
+    flagged = PLAN_CHANGED_REATTEST.get(name)
+    if flagged is not None and rnd < flagged:
+        return 0.5
+    return float(rnd)
+
+
+def driver_priority(names: list[str], root: str | None = None) -> list[str]:
+    """The full registry ordering: sort ``names`` by staleness key,
+    stable (ties keep registration order)."""
+    freshest, _ = load_attestations(root)
+    return sorted(names, key=lambda n: effective_round(n, freshest))

@@ -14,6 +14,19 @@ Conventions that make the hashes match:
 - fixture ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads int64
   nanos (io.load_table converts to µs TimestampType), the oracle uses
   ``CAST(ts AS TIMESTAMP)`` — identical µs truncation.
+- transcendental boundary safety: NO compared column may be a
+  decimal-rounding of a transcendental (ln/exp/pow/sqrt-of-non-square)
+  of row data. libm and the JVM may differ by 1 ulp, and "rounding to
+  DECIMAL(20,9) absorbs the ulp" fails exactly when a value lands
+  within an ulp of a rounding boundary — the r5
+  ``pipeline_weighted_sample`` driver hash-fail. Transcendentals may
+  ORDER or SELECT rows (a top-k selection flips only if two keys
+  collide within an ulp at the k-th boundary — far rarer, and
+  tie-broken by id), but the compared output must be integers, exact
+  decimals, or values both engines compute bit-identically. Compared
+  transcendental AGGREGATES are acceptable only when every input is
+  integer/decimal-exact and there is a single IEEE chain at the end
+  in a deterministic order (the stat-test suite pattern).
 """
 
 from __future__ import annotations
@@ -39,27 +52,24 @@ def register(name: str, oracle: str | None):
 
 
 # The driver's correctness gate checks a prefix-sample of this dict
-# (the first 50, in registration order). Every entry is locally
-# verified by tools/check_oracle.py; this list rotates (a) entries
-# whose PLAN changed since their last green driver row, (b) stale
-# attestations, (c) new entries, to the front — so each round's
-# CORRECTNESS file attests the staleness frontier instead of
-# re-checking the same 50.
+# (the first 50, in registration order as exposed by all_queries).
+# Every entry is locally verified by tools/check_oracle.py; the
+# ordering rotates the staleness frontier to the front — never-
+# attested entries first, then plan-changed re-attests (flagged in
+# attestation.PLAN_CHANGED_REATTEST), then oldest-attestation-first —
+# so each round's CORRECTNESS file attests what has the weakest hard
+# signal instead of re-checking the same 50.
 #
-# r5 sample design (50 slots): the 14 r1-stale entries FIRST (the r4
-# verdict's hard requirement — no entry's freshest attestation may
-# stay r1), then the 2 re-attests for the with_global_ranks boundary
-# fix, then 34 first-time entries ranked: the verdict-item operator
-# (entity resolve), this round's hash-oracle additions, then the
-# highest-value wave entries. Past position 50 — the r6 front, in
-# order: the deferred hash-oracle first-timers (the 13 earlier-wave
-# ones plus the late-wave stats/calibration/ensemble/forecast/Pareto
-# additions), then the rows-only first-timers (a driver row adds
-# least for rows-only entries — their correctness signal is the
-# pinned pytest, so they defer best), then the 43 r2-freshest entries
-# oldest-first. r6 MUST front whatever of that block its 50-sample
-# can hold; nothing after r5 should be older than r2.
-_DRIVER_PRIORITY = [
+# Through r5 this was the hand-maintained _DRIVER_PRIORITY list below
+# (kept as _LEGACY_PRIORITY: the deterministic fallback when no
+# CORRECTNESS history is on disk, e.g. a fresh checkout). Since r6 the
+# order is DERIVED from the recorded CORRECTNESS_r*.json files at
+# first use (attestation.driver_priority), and the invariants that
+# used to live in comments here are pytest-pinned in
+# tests/test_rotation.py: the front 50 IS the staleness frontier, no
+# green entry precedes a never-attested one, and the order is
+# deterministic.
+_LEGACY_PRIORITY = [
     # -- r1-stale refresh (verdict #1: all 14 in the r5 sample)
     "distinct_segments",
     "string_functions",
@@ -199,10 +209,24 @@ _DRIVER_PRIORITY = [
 ]
 
 
+_PRIORITY_CACHE: list[str] | None = None
+
+
 def _ordered() -> dict[str, QuerySpec]:
-    front = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
-    rest = [n for n in _REGISTRY if n not in _DRIVER_PRIORITY]
-    return {n: _REGISTRY[n] for n in front + rest}
+    global _PRIORITY_CACHE
+    names = list(_REGISTRY)
+    if _PRIORITY_CACHE is None or set(_PRIORITY_CACHE) != set(names):
+        from .attestation import driver_priority, load_attestations
+
+        freshest, newest = load_attestations()
+        if newest == 0:
+            # no CORRECTNESS history on disk — deterministic fallback
+            front = [n for n in _LEGACY_PRIORITY if n in _REGISTRY]
+            rest = [n for n in names if n not in _LEGACY_PRIORITY]
+            _PRIORITY_CACHE = front + rest
+        else:
+            _PRIORITY_CACHE = driver_priority(names)
+    return {n: _REGISTRY[n] for n in _PRIORITY_CACHE}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

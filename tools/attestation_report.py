@@ -20,36 +20,15 @@ ties in current registry order).
 
 from __future__ import annotations
 
-import glob
-import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def load_attestations(repo_root: str) -> tuple[dict[str, int], int]:
-    """{entry: freshest green round}, newest round seen. A row counts
-    as green if it hash-matched, or was a rows-only check that ran
-    without error (err == 'no_oracle')."""
-    freshest: dict[str, int] = {}
-    newest = 0
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        newest = max(newest, rnd)
-        try:
-            data = json.load(open(path))
-        except Exception:
-            continue
-        for name, row in data.items():
-            ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
-            if ok:
-                freshest[name] = max(freshest.get(name, 0), rnd)
-    return freshest, newest
+from bigquery_postgres_events_etl_spark.attestation import (  # noqa: E402
+    load_attestations,
+)
 
 
 def main() -> None:
