@@ -945,21 +945,21 @@ ENSEMBLE_TTR_HI = "0.9"
     ),
     ent AS (
       SELECT doc_id,
-             CAST(SUM(CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                      AS DECIMAL(20,9))) AS DOUBLE) AS entropy
+             SUM(CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 AS DECIMAL(20,9))) AS ent_dec
       FROM tot GROUP BY doc_id
     )
-    SELECT b.doc_id, b.n_tokens, e.entropy,
+    SELECT b.doc_id, b.n_tokens,
            CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS ttr,
            b.n_blocked,
            (b.n_tokens >= {ENSEMBLE_MIN_TOKENS} AND b.n_tokens <= {ENSEMBLE_MAX_TOKENS}) AS pass_length,
-           (e.entropy >= CAST({ENSEMBLE_MIN_ENTROPY} AS DOUBLE)) AS pass_entropy,
+           (e.ent_dec >= CAST({ENSEMBLE_MIN_ENTROPY} AS DECIMAL(20,9))) AS pass_entropy,
            (CAST(b.n_distinct AS DOUBLE) / b.n_tokens >= CAST({ENSEMBLE_TTR_LO} AS DOUBLE)
             AND CAST(b.n_distinct AS DOUBLE) / b.n_tokens <= CAST({ENSEMBLE_TTR_HI} AS DOUBLE)) AS pass_ttr,
            (b.n_blocked = 0) AS pass_blocklist,
            (b.n_tokens >= {ENSEMBLE_MIN_TOKENS} AND b.n_tokens <= {ENSEMBLE_MAX_TOKENS}
-            AND e.entropy >= CAST({ENSEMBLE_MIN_ENTROPY} AS DOUBLE)
+            AND e.ent_dec >= CAST({ENSEMBLE_MIN_ENTROPY} AS DECIMAL(20,9))
             AND CAST(b.n_distinct AS DOUBLE) / b.n_tokens >= CAST({ENSEMBLE_TTR_LO} AS DOUBLE)
             AND CAST(b.n_distinct AS DOUBLE) / b.n_tokens <= CAST({ENSEMBLE_TTR_HI} AS DOUBLE)
             AND b.n_blocked = 0) AS keep
@@ -974,8 +974,11 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signals: Gopher length band, unigram-entropy floor (the
     stamped-out-boilerplate catch), type-token-ratio band (low =
     repetition, ~1.0 on long docs = hex soup), and the token
-    blocklist. All integer/decimal-rounded arithmetic — the whole
-    ensemble hash-matches.
+    blocklist. All integer/decimal-rounded arithmetic; the raw
+    entropy double is NOT in the compared output (registry
+    transcendental boundary-safety rule — the r5 weighted-sample
+    failure class), and the entropy gate compares the exact decimal
+    sum to an exact decimal threshold on both engines.
 
     Plan: the array-expression signals are map-side on one scan; the
     entropy leg shares the (doc, token)-count shuffle with
@@ -1007,13 +1010,17 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = (
         tc.select("doc_id", "c", F.sum("c").over(w).alias("n"))
         .groupBy("doc_id")
-        .agg(F.sum(contrib).cast("double").alias("entropy"))
+        .agg(F.sum(contrib).alias("ent_dec"))
     )
     ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
     pass_length = (F.col("n_tokens") >= ENSEMBLE_MIN_TOKENS) & (
         F.col("n_tokens") <= ENSEMBLE_MAX_TOKENS
     )
-    pass_entropy = F.col("entropy") >= F.lit(ENSEMBLE_MIN_ENTROPY).cast("double")
+    # exact-decimal threshold on the exact-decimal sum (never a
+    # double-vs-double compare; the registry boundary-safety rule)
+    pass_entropy = F.col("ent_dec") >= F.lit(ENSEMBLE_MIN_ENTROPY).cast(
+        "decimal(20,9)"
+    )
     pass_ttr = (ttr >= F.lit(ENSEMBLE_TTR_LO).cast("double")) & (
         ttr <= F.lit(ENSEMBLE_TTR_HI).cast("double")
     )
@@ -1021,7 +1028,6 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(ent, "doc_id").select(
         "doc_id",
         "n_tokens",
-        "entropy",
         ttr.alias("ttr"),
         "n_blocked",
         pass_length.alias("pass_length"),

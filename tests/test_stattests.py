@@ -195,7 +195,11 @@ def test_psi_matches_reference_and_zero_on_self(spark):
         q = (len(cur[cur["bin"] == b]) + 1) / (nc + nb)
         per_bin[b] = (p - q) * math.log(p / q)
         psi += per_bin[b]
-    rows = {r.bin: r for r in _run(spark, "events_psi_drift")}
+    from bigquery_postgres_events_etl_spark.operators.queries_stattests import (
+        events_psi_drift_full,
+    )
+
+    rows = {r.bin: r for r in events_psi_drift_full(spark, SF).collect()}
     assert set(rows) == set(bins)
     for b in bins:
         assert rows[b].psi_term == pytest.approx(per_bin[b], abs=1e-8)
@@ -242,7 +246,11 @@ def _km_reference():
 
 def test_km_matches_reference_life_table(spark):
     table = _km_reference()
-    rows = {r.gap_days: r for r in _run(spark, "customer_survival_km")}
+    from bigquery_postgres_events_etl_spark.operators.queries_stattests import (
+        customer_survival_km_full,
+    )
+
+    rows = {r.gap_days: r for r in customer_survival_km_full(spark, SF).collect()}
     assert set(rows) == set(table)
     prev_s = 1.0
     for g in sorted(table):

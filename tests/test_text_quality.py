@@ -394,3 +394,39 @@ def test_bpe_encode_matches_reference_and_compresses(spark, sf_dir):
     total_chars = sum(sum(len(w) for w in t.split(" ")) for t in texts.values())
     total_tokens = sum(r.n_tokens for r in got.values())
     assert total_tokens < total_chars
+
+
+def test_token_entropy_matches_pure_python(spark, sf_dir):
+    """The entropy double is pinned HERE (vs a pure-Python Shannon
+    reference) because the registry's compared output is all-integer:
+    a decimal-rounded transcendental can round differently across
+    libm builds at a boundary (the r5 weighted-sample hash-fail
+    class), so the oracle checks n_tokens/n_distinct/Σc² and this
+    test owns the entropy values — plus the identity linking them."""
+    import math
+    from collections import Counter
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.queries_text import (
+        text_token_entropy_full,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = {r["doc_id"]: r for r in text_token_entropy_full(spark, sf_dir).collect()}
+    assert set(rows) == set(docs)
+    for doc_id, text in docs.items():
+        counts = Counter(t for t in text.split(" ") if t != "")
+        n = sum(counts.values())
+        ref = -sum((c / n) * math.log(c / n) for c in counts.values())
+        r = rows[doc_id]
+        assert r["n_tokens"] == n
+        assert r["n_distinct"] == len(counts)
+        assert r["sum_c2"] == sum(c * c for c in counts.values())
+        # per-term DECIMAL(20,9) rounding: error ≤ 5e-10 per distinct count
+        assert abs(r["entropy"] - ref) <= 5e-10 * len(counts) + 1e-12
+        assert -1e-12 <= r["entropy"] <= math.log(max(len(counts), 1)) + 1e-9
