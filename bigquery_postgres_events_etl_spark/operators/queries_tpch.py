@@ -1,6 +1,12 @@
 """TPC-H-shaped analytics queries beyond Q1/Q3/Q5 — the subset whose
-required columns exist in the driver fixtures (no partsupp table, no
-shipmode/commitdate columns, so Q2/Q4/Q12/Q16/Q19 are out of reach).
+required columns exist in the driver fixtures. Q2/Q9/Q11/Q16/Q20 live
+in queries_tpch_ps.py over a deterministically synthesized partsupp;
+Q4/Q12/Q19/Q21 remain TRULY fixture-blocked: they need lineitem
+columns the fixtures do not carry and that cannot be synthesized
+consistently with the existing data (Q4/Q12/Q21 require
+l_commitdate/l_receiptdate — inventing them would fabricate the very
+late-vs-committed signal the queries measure; Q12 and Q19 also need
+l_shipmode/l_shipinstruct/p_container).
 
 All follow the same scale discipline: only genuinely bounded dims
 (nation, region - constant-cardinality) carry explicit broadcast

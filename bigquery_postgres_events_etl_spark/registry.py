@@ -268,6 +268,11 @@ def _load_all() -> None:
         queries_pipeline,
         zorder,
         graph,
+        # LAST: new-wave entries register after every existing entry so
+        # the never-attested rotation tier keeps the older frontier in
+        # the driver's front-50 (ties in the never tier break by
+        # registration order)
+        queries_tpch_ps,
     )
 
     _LOADED = True
