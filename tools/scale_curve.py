@@ -64,6 +64,15 @@ QUERIES = [
     "multimodal_phash_near_dup",
     "dedup_minhash_jaccard_est",
     "text_token_entropy",
+    # round-6 additions (the r5 verdict's heavy newcomers): SCD2
+    # gaps-and-islands (one user_id exchange serving four window
+    # steps), Markov attribution (journey transitions + constant-size
+    # matrix squaring), PageRank (per-iteration edge joins over the
+    # basket graph — wall dominated by iteration count, bytes by the
+    # edge exchange)
+    "etl_scd2_user_state",
+    "events_markov_attribution",
+    "graph_pagerank_copurchase",
 ]
 
 
@@ -117,6 +126,46 @@ def build_sf1(spark) -> None:
         os.path.join(SF1_DIR, "embeddings.parquet")
     )
 
+    # events / orders / lineitem for the user-journey and graph ops:
+    # 10× the USERS (ids offset per copy), same time span and part
+    # catalog — the realistic horizontal growth for event streams
+    # (more users, not a longer history) and for the co-purchase graph
+    # (same catalog, 10× the baskets/edge weight)
+    ev = spark.read.parquet(os.path.join(SF01_DIR, "events.parquet"))
+    n_ev = ev.count()
+    n_users = 1 + (ev.agg(F.max("user_id")).collect()[0][0] or 0)
+    out = None
+    for k in range(AMPLIFY):
+        c = ev.withColumn("event_id", F.col("event_id") + F.lit(k * n_ev)).withColumn(
+            "user_id", F.col("user_id") + F.lit(k * n_users)
+        )
+        out = c if out is None else out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "events.parquet")
+    )
+
+    o = spark.read.parquet(os.path.join(SF01_DIR, "orders.parquet"))
+    n_ord = 1 + (o.agg(F.max("o_orderkey")).collect()[0][0] or 0)
+    n_cust = 1 + (o.agg(F.max("o_custkey")).collect()[0][0] or 0)
+    out = None
+    for k in range(AMPLIFY):
+        c = o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * n_ord)).withColumn(
+            "o_custkey", F.col("o_custkey") + F.lit(k * n_cust)
+        )
+        out = c if out is None else out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "orders.parquet")
+    )
+
+    li = spark.read.parquet(os.path.join(SF01_DIR, "lineitem.parquet"))
+    out = None
+    for k in range(AMPLIFY):
+        c = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * n_ord))
+        out = c if out is None else out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "lineitem.parquet")
+    )
+
 
 def main() -> None:
     from bigquery_postgres_events_etl_spark.registry import all_queries
@@ -161,6 +210,47 @@ def main() -> None:
     # steady-state (#r1) shuffle bytes per (query, scale) from the REST
     # API — bytes scale with data even when wall clock is overhead-bound
     # at these sizes, so the bytes RATIO is the honest slope signal
+    # streaming PSI monitor throughput at both scales: rows/s through
+    # the epoch-idempotent foreachBatch sink (reference histogram
+    # frozen from the same scale's events; fresh monitor/checkpoint
+    # dirs per run so every epoch publishes)
+    import shutil
+
+    for label, d in (("sf01", SF01_DIR), ("sf1", SF1_DIR)):
+        from bigquery_postgres_events_etl_spark.streaming.stream import (
+            run_streaming_psi_monitor,
+        )
+
+        work = os.path.join(SF1_DIR, f"_psi_{label}")
+        shutil.rmtree(work, ignore_errors=True)
+        # the file-stream source needs a DIRECTORY; the driver fixture
+        # is a single file — stage it into one (hardlink, no copy cost)
+        src_dir = os.path.join(d, "events.parquet")
+        if os.path.isfile(src_dir):
+            staged = os.path.join(work, "src")
+            os.makedirs(staged, exist_ok=True)
+            os.link(src_dir, os.path.join(staged, "part-00000.parquet"))
+            src_dir = staged
+        t0 = time.time()
+        res = run_streaming_psi_monitor(
+            spark,
+            source_dir=src_dir,
+            reference_dir=d,
+            monitor_dir=os.path.join(work, "monitor"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            max_files_per_trigger=4,
+        )
+        wall = time.time() - t0
+        n = sum(r["n_events"] for r in res["rows"])
+        out[f"streaming_psi_monitor@{label}"] = {
+            "wall_s": round(wall, 2),
+            "rows": n,
+            "rows_per_s": round(n / wall) if n else None,
+            "epochs": len(res["epochs"]),
+        }
+        print(f"# streaming_psi_monitor@{label}: {out[f'streaming_psi_monitor@{label}']}", file=sys.stderr)
+        shutil.rmtree(work, ignore_errors=True)
+
     shuffle = _shuffle_mb(spark)
     for name in QUERIES:
         a = shuffle.get(f"{name}@sf01")
