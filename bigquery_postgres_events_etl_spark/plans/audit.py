@@ -64,9 +64,21 @@ def plan_summary(df: DataFrame) -> dict:
 # Keys are (module basename, enclosing function or "<module>").
 
 ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
-    ("queries_stattests.py", "customer_survival_km"):
+    ("queries_stattests.py", "customer_survival_km_full"):
         "two 1-row scalar aggregates (data horizon max-date; total gap "
         "count) — unconditionally safe",
+    ("queries_tpch_ps.py", "synth_partsupp"):
+        "4-row quad spine + 1-row (s_cnt, s_min) dims scalar — "
+        "unconditionally safe",
+    ("queries_tpch_ps.py", "q2_min_cost_supplier"):
+        "nation (25 rows) + pre-filtered region (1 row) — constant dims",
+    ("queries_tpch_ps.py", "q9_product_type_profit"):
+        "nation dim — constant 25 rows",
+    ("queries_tpch_ps.py", "q11_important_stock"):
+        "single-nation filter (≤1 row) + 1-row national-total scalar — "
+        "unconditionally safe",
+    ("queries_tpch_ps.py", "q20_potential_promotion"):
+        "single-nation filter (≤1 row) — unconditionally safe",
     ("queries_stattests.py", "stats_logrank_test"):
         "two 1-row scalar aggregates (horizon; per-group totals) — "
         "unconditionally safe",
