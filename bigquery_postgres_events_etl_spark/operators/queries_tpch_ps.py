@@ -7,11 +7,16 @@ important-stock HAVING against a scalar subquery, distinct-supplier
 counts with a NOT IN prune, and an availability-vs-shipped correlated
 threshold). Rather than a local parquet the driver's oracle can't see,
 partsupp is DERIVED inside each query from part × supplier with
-TPC-H dbgen's own supplier-assignment formula (4 suppliers per part,
-``suppkey = (partkey + i*(S/4 + (partkey-1)/S)) mod S``, adapted to
-the fixture's 0-based keys via the observed min suppkey) plus
-deterministic integer availqty/supplycost — IDENTICAL integer
-arithmetic on both engines, so the full hash-oracle gate applies.
+dbgen's supplier-assignment shape (4 suppliers per part at stride
+S/4), simplified to ``suppkey = (partkey + partkey/S + i*(S DIV 4))
+mod S`` over the observed 0-based key space: dbgen's exact step
+``S/4 + (partkey-1)/S`` collides for fixture-scale S (at S=10 the
+step walks through multiples of 5 and i=0..3 lands on 2 suppliers),
+so the per-part-block rotation moves into the BASE and the stride is
+fixed — 4 DISTINCT suppliers guaranteed for any S ≥ 4
+(pytest-pinned), deterministic integer availqty/supplycost —
+IDENTICAL integer arithmetic on both engines, so the full
+hash-oracle gate applies.
 
 Scale shape: partsupp is 4×|part| rows built by a crossJoin with a
 4-row spine and a broadcast 1-row dims frame — linear in the part
@@ -46,7 +51,7 @@ _PS_CTE = """
     quad AS (SELECT unnest(generate_series(0, 3)) AS i),
     ps0 AS (
       SELECT p_partkey AS ps_partkey,
-             s_min + ((p_partkey + i * (s_cnt // 4 + (p_partkey - s_min) // s_cnt)) % s_cnt)
+             s_min + ((p_partkey + (p_partkey // s_cnt) + i * (s_cnt // 4)) % s_cnt)
                AS ps_suppkey
       FROM part CROSS JOIN dims CROSS JOIN quad
     ),
@@ -75,11 +80,8 @@ def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     quad = spark.range(4).select(F.col("id").alias("i"))
     sk = F.col("s_min") + F.pmod(
         F.col("p_partkey")
-        + F.col("i")
-        * (
-            F.expr("s_cnt DIV 4")
-            + F.expr("(p_partkey - s_min) DIV s_cnt")
-        ),
+        + F.expr("p_partkey DIV s_cnt")
+        + F.col("i") * F.expr("s_cnt DIV 4"),
         F.col("s_cnt"),
     )
     ps0 = (

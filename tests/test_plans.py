@@ -875,3 +875,46 @@ def test_two_pass_cumsum_equals_native_window(spark):
         }
         assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
         assert {k: v[1] for k, v in got.items()} == {k: v[1] for k, v in want.items()}, n_part
+
+
+def test_synth_partsupp_is_tpch_shaped(spark, sf_dir):
+    """The synthesized bridge table must honor dbgen's invariants or
+    the five partsupp queries test a different workload than TPC-H:
+    exactly 4 DISTINCT suppliers per part, every suppkey a real
+    supplier, availqty/supplycost deterministic (same frame twice =
+    identical rows) and within their documented ranges."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.queries_tpch_ps import (
+        synth_partsupp,
+    )
+
+    ps = synth_partsupp(spark, sf_dir)
+    n_parts = load_table(spark, sf_dir, "part").count()
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("ps_suppkey").alias("nd"),
+    )
+    assert per_part.count() == n_parts
+    bad = per_part.where((F.col("n") != 4) | (F.col("nd") != 4)).count()
+    assert bad == 0, "every part must have exactly 4 distinct suppliers"
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    orphans = ps.join(
+        sup, ps.ps_suppkey == sup.s_suppkey, "left_anti"
+    ).count()
+    assert orphans == 0, "every ps_suppkey must be a real supplier"
+
+    rng = ps.agg(
+        F.min("ps_availqty").alias("lo"),
+        F.max("ps_availqty").alias("hi"),
+        F.min("ps_supplycost").cast("double").alias("clo"),
+        F.max("ps_supplycost").cast("double").alias("chi"),
+    ).collect()[0]
+    assert 1 <= rng.lo and rng.hi <= 9999
+    assert 1.0 <= rng.clo and rng.chi <= 1001.0
+
+    a = sorted(map(tuple, synth_partsupp(spark, sf_dir).collect()))
+    b = sorted(map(tuple, synth_partsupp(spark, sf_dir).collect()))
+    assert a == b, "partsupp must be bit-deterministic across builds"
