@@ -393,6 +393,13 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "dedup_minhash_jaccard_est": 21,  # r6: persisted shingle+signature frames
     # collapsed the per-join-arm subtree repetition (was 100 static)
     "text_token_entropy": 6,       # explode agg + doc window
+    # partsupp-synthesized TPC-H (r6): fact joins + the min/total
+    # aggregate joins; dims are broadcast so the counts stay small
+    "q2_min_cost_supplier": 5,
+    "q9_product_type_profit": 2,
+    "q11_important_stock": 4,
+    "q16_parts_supplier_counts": 3,
+    "q20_potential_promotion": 3,
     "orders_pareto_customers": 8,  # customer agg + two-pass cumsum internals
     "stats_median_ci": 6,          # type-partitioned ranks + bounds join
     "stats_groupwise_ols": 2,      # one moment aggregation

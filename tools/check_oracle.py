@@ -107,9 +107,17 @@ def main():
         )
 
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if name_filter and not any(f in name for f in name_filter):
             continue
+        # the dedup verify tiers persist shingle/signature frames with
+        # no later unpersist handle; a full 250-entry run in one JVM
+        # would accumulate them — drop caches periodically so the tool
+        # measures queries, not heap pressure
+        n_run += 1
+        if n_run % 25 == 0:
+            spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
