@@ -665,6 +665,10 @@ def test_runtime_shuffle_bytes_match_inventory(spark, sf_dir):
         "pipeline_cdc_chunks": 0.3,  # input repartition only
         "dedup_exact": 1.0,  # one digest-sliver exchange
         "etl_flagship": 1.5,  # one dedup-key exchange
+        # partsupp TPC-H (r6): dims broadcast; only key/agg slivers
+        # move — the fact table must never shuffle whole
+        "q9_product_type_profit": 2.0,
+        "q20_potential_promotion": 1.0,
     }
     sc = spark.sparkContext
     for name in cases:
