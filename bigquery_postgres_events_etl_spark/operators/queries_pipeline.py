@@ -990,7 +990,11 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import with_tokens
 
     docs = parallelize(load_table(spark, sf_dir, "documents"))
-    toks = with_tokens(docs)
+    # ONE corpus tokenization pass: the map-side signal frame and the
+    # entropy leg both consume the tokenized frame; unpersisted, the
+    # documents scan + split repeats per consumer (2 corpus passes —
+    # the r5 repeated-scan class).
+    toks = with_tokens(docs).persist()
     arr = F.array(*[F.lit(t) for t in FULL_PREP_BLOCKLIST])
     base = toks.select(
         "doc_id",

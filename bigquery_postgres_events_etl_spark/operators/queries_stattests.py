@@ -466,12 +466,18 @@ def events_psi_drift_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares the boundary-safe projection of this."""
     e = load_table(spark, sf_dir, "events")
     is_ref = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    # persist the constant-bounded bin frame: the totals scalar and
+    # the per-bin scores both derive from it, and without the persist
+    # the events hash-agg subtree repeats per consumer (4 full fact
+    # scans in the optimized plan — the r5 repeated-scan class; at
+    # 100 TB this is 3 free extra stream passes). ≤ value-range/50
+    # rows, so the cache is bytes.
     binned = e.groupBy(
         F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bin")
     ).agg(
         F.sum(F.when(is_ref, 1).otherwise(0)).cast("long").alias("ref_cnt"),
         F.sum(F.when(is_ref, 0).otherwise(1)).cast("long").alias("cur_cnt"),
-    )
+    ).persist()
     tot = binned.agg(
         F.sum("ref_cnt").cast("long").alias("n_ref"),
         F.sum("cur_cnt").cast("long").alias("n_cur"),
@@ -599,10 +605,15 @@ def customer_survival_km_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("event"),
         )
     )
+    # persist the calendar-bounded life table: at-risk totals, the
+    # cumulative window, and the total-n scalar all derive from it —
+    # unpersisted, the per-customer lead-window subtree over orders
+    # repeats per consumer (4 fact scans; the r5 repeated-scan class).
+    # ≤ date-span-in-days rows, so the cache is bytes.
     life = gaps.groupBy(F.col("gap_days").cast("int").alias("gap_days")).agg(
         F.sum("event").cast("long").alias("d_events"),
         F.sum(F.lit(1) - F.col("event")).cast("long").alias("c_censored"),
-    )
+    ).persist()
     tot = life.agg(F.sum(F.col("d_events") + F.col("c_censored")).cast("long").alias("n"))
     wd = Window.orderBy("gap_days")
     cum_prior = F.coalesce(
@@ -841,12 +852,16 @@ def events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MAX(n1_tot) AS n1_total, MAX(n0_tot) AS n0_total,
              CAST(SUM(d1) AS BIGINT) AS o1,
              CAST(SUM(d) AS BIGINT) AS o_total,
-             CAST(SUM(CAST(CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE) AS e1_sum,
+             CAST(SUM(CAST(FLOOR(CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE)
+                                  * 1000000000.0 + 0.5) AS DECIMAL(28,0))) AS DOUBLE)
+               / 1000000000.0 AS e1_sum,
              CAST(SUM(CASE WHEN n > 1
-                           THEN CAST(CAST(d AS DOUBLE) * (CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE))
+                           THEN CAST(FLOOR(CAST(d AS DOUBLE) * (CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE))
                                      * (CAST(1 AS DOUBLE) - CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE))
-                                     * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)) AS DECIMAL(20,9))
-                           ELSE CAST(0 AS DECIMAL(20,9)) END) AS DOUBLE) AS var_sum
+                                     * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                                     * 1000000000.0 + 0.5) AS DECIMAL(28,0))
+                           ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE)
+               / 1000000000.0 AS var_sum
       FROM terms
     )
     SELECT n1_total, n0_total, o1, o_total, e1_sum, var_sum,
@@ -867,8 +882,10 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     d·r1/n under H0, hypergeometric variance d·(r1/n)(1−r1/n)(n−d)/
     (n−1); Z = Σ(d1−e1)/√Σv. At-risk counts are exact integers from
     the same calendar-bounded life-table window as customer_survival_km
-    (declared allowlist exemption); per-time e/v terms round to
-    DECIMAL(20,9) for order-independent summation. The customer join
+    (declared allowlist exemption); per-time e/v terms scale to
+    integers via floor(x·1e9+0.5) — an IEEE chain identical on both
+    engines, unlike a raw double→decimal CAST whose engine-specific
+    rounding path flipped one term at sf0.1 — and sum exactly. The customer join
     shuffles on custkey — dimension-sized, the intended sort-merge
     shape."""
     o = load_table(spark, sf_dir, "orders")
@@ -922,21 +939,36 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1d = F.col("r1").cast("double")
     nd = F.col("n").cast("double")
     p1 = r1d / nd
-    e1 = (dd * p1).cast("decimal(20,9)")
+
+    # scale-9 rounding done EXPLICITLY in IEEE arithmetic: a plain
+    # CAST(double AS DECIMAL(20,9)) takes engine-specific paths (Spark
+    # converts exactly via BigDecimal; DuckDB multiplies in floats),
+    # which disagree when x·1e9 lands within float error of a rounding
+    # boundary — one term of ~1000 flipped at sf0.1. floor(x·1e9+0.5)
+    # is the same IEEE chain on both engines, so the scaled integers
+    # are bit-identical; they sum exactly as DECIMAL(28,0) and divide
+    # back once at the end.
+    def _scaled9(col):
+        return F.floor(
+            col * F.lit(1e9).cast("double") + F.lit(0.5).cast("double")
+        ).cast("decimal(28,0)")
+
+    e1 = _scaled9(dd * p1)
     v = F.when(
         F.col("n") > 1,
-        (
+        _scaled9(
             dd * p1 * (F.lit(1).cast("double") - p1)
             * ((F.col("n") - F.col("d")).cast("double") / (F.col("n") - 1).cast("double"))
-        ).cast("decimal(20,9)"),
-    ).otherwise(F.lit(0).cast("decimal(20,9)"))
+        ),
+    ).otherwise(F.lit(0).cast("decimal(28,0)"))
+    back = F.lit(1e9).cast("double")
     sums = terms.agg(
         F.max("n1_tot").alias("n1_total"),
         F.max("n0_tot").alias("n0_total"),
         F.sum("d1").cast("long").alias("o1"),
         F.sum("d").cast("long").alias("o_total"),
-        F.sum(e1).cast("double").alias("e1_sum"),
-        F.sum(v).cast("double").alias("var_sum"),
+        (F.sum(e1).cast("double") / back).alias("e1_sum"),
+        (F.sum(v).cast("double") / back).alias("var_sum"),
     )
     z = (F.col("o1").cast("double") - F.col("e1_sum")) / F.sqrt(F.col("var_sum"))
     return sums.select(

@@ -405,7 +405,7 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "stats_groupwise_ols": 2,      # one moment aggregation
     "stats_weighted_median": 4,    # (group,value) weight states + cum walk
     "text_nb_calibration": 34,     # NB score subtrees ×k static; reuse at run
-    "pipeline_quality_ensemble": 10,  # map-side signals + shared entropy leg
+    "pipeline_quality_ensemble": 3,  # persisted token frame shared by both legs
     "events_lag_features": 4,      # daily agg + type window
     "events_forecast_baseline_eval": 4,  # same window, scored agg
     "similarity_ann_recall_report": 18,  # brute+ANN top-k subtrees (reused at run)
@@ -414,8 +414,8 @@ EXCHANGE_BUDGET: dict[str, int] = {
     "stats_mann_whitney": 4,       # same scaffold, single-column cumsum
     "stats_chi_square_independence": 9,  # cell agg + margin re-aggs (reused at run)
     "orders_benford_first_digit": 7,     # digit agg + scalar total subtrees
-    "events_psi_drift": 7,         # bin agg + scalar totals subtrees
-    "customer_survival_km": 8,     # custkey window + life-table agg + scalars
+    "events_psi_drift": 4,         # one events agg; bounded bin frame persisted
+    "customer_survival_km": 5,     # custkey window + persisted life table + horizon scalar
     "cohort_ltv_curves": 6,        # firsts agg + custkey join + cell/size aggs
     "events_ewma_halflife": 2,     # daily agg + per-type spine join
     "pipeline_epoch_repeat": 0,    # pure map-side expression + explode
@@ -745,6 +745,11 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "dedup_exact": {"documents": 1},
     "pipeline_paragraph_dedup": {"documents": 1},
     "text_token_entropy": {"documents": 1},
+    # r6: bounded intermediates persisted — the fact scans once (KM's
+    # second orders scan is the 1-column horizon max scalar)
+    "events_psi_drift": {"events": 1},
+    "customer_survival_km": {"orders": 2},
+    "pipeline_quality_ensemble": {"documents": 1},
     # tf-idf reads the corpus for tf, df, and the 1-row N scalar —
     # three SMALL-column scans (never text twice after the tf agg)
     "text_tfidf_top_terms": {"documents": 3},
