@@ -27,6 +27,16 @@ Conventions that make the hashes match:
   transcendental AGGREGATES are acceptable only when every input is
   integer/decimal-exact and there is a single IEEE chain at the end
   in a deterministic order (the stat-test suite pattern).
+- double→decimal cast hazard: even for NON-transcendental doubles,
+  ``CAST(double AS DECIMAL(p,s))`` takes engine-specific paths (Spark
+  converts exactly via BigDecimal; DuckDB scales in floats), which
+  disagree when x·10^s lands within float error of a rounding
+  boundary — the risk grows with the magnitude of x·10^s (ulp grows;
+  one of ~1000 logrank terms flipped at sf0.1). When rounding a
+  computed double for an order-independent decimal sum, scale
+  EXPLICITLY in IEEE arithmetic instead: ``floor(x·10^s + 0.5)`` cast
+  to an integer decimal — the same chain on both engines, so the
+  scaled integers are bit-identical (see stats_logrank_test).
 """
 
 from __future__ import annotations
