@@ -929,22 +929,16 @@ ENSEMBLE_TTR_HI = "0.9"
 @register(
     "pipeline_quality_ensemble",
     f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    base AS (
-      SELECT doc_id,
-             CAST(len(toks) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-             CAST(len(list_filter(list_distinct(toks),
-                                  x -> x IN ({_FULL_BLOCK_SQL}))) AS BIGINT) AS n_blocked
-      FROM t
-    ),
-    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
     tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
     tot AS (
-      SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tc
+      SELECT doc_id, token, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tc
     ),
-    ent AS (
+    b AS (
       SELECT doc_id,
+             CAST(MAX(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CASE WHEN token IN ({_FULL_BLOCK_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
              SUM(CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
                       * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
                  AS DECIMAL(20,9))) AS ent_dec
@@ -954,16 +948,16 @@ ENSEMBLE_TTR_HI = "0.9"
            CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS ttr,
            b.n_blocked,
            (b.n_tokens >= {ENSEMBLE_MIN_TOKENS} AND b.n_tokens <= {ENSEMBLE_MAX_TOKENS}) AS pass_length,
-           (e.ent_dec >= CAST({ENSEMBLE_MIN_ENTROPY} AS DECIMAL(20,9))) AS pass_entropy,
+           (b.ent_dec >= CAST({ENSEMBLE_MIN_ENTROPY} AS DECIMAL(20,9))) AS pass_entropy,
            (CAST(b.n_distinct AS DOUBLE) / b.n_tokens >= CAST({ENSEMBLE_TTR_LO} AS DOUBLE)
             AND CAST(b.n_distinct AS DOUBLE) / b.n_tokens <= CAST({ENSEMBLE_TTR_HI} AS DOUBLE)) AS pass_ttr,
            (b.n_blocked = 0) AS pass_blocklist,
            (b.n_tokens >= {ENSEMBLE_MIN_TOKENS} AND b.n_tokens <= {ENSEMBLE_MAX_TOKENS}
-            AND e.ent_dec >= CAST({ENSEMBLE_MIN_ENTROPY} AS DECIMAL(20,9))
+            AND b.ent_dec >= CAST({ENSEMBLE_MIN_ENTROPY} AS DECIMAL(20,9))
             AND CAST(b.n_distinct AS DOUBLE) / b.n_tokens >= CAST({ENSEMBLE_TTR_LO} AS DOUBLE)
             AND CAST(b.n_distinct AS DOUBLE) / b.n_tokens <= CAST({ENSEMBLE_TTR_HI} AS DOUBLE)
             AND b.n_blocked = 0) AS keep
-    FROM base b JOIN ent e ON b.doc_id = e.doc_id
+    FROM b
     """,
 )
 def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -980,41 +974,41 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure class), and the entropy gate compares the exact decimal
     sum to an exact decimal threshold on both engines.
 
-    Plan: the array-expression signals are map-side on one scan; the
-    entropy leg shares the (doc, token)-count shuffle with
-    text_token_entropy and joins back on doc_id (already the key).
-    Boolean columns compare doubles derived identically on both
-    engines, so the verdict cannot flip across engines."""
+    Plan: ONE corpus scan → one (doc, token) count shuffle of integer
+    slivers → one doc-partitioned window + aggregation deriving every
+    signal; no join, no corpus-sized cache. Boolean columns compare
+    values derived identically on both engines, so the verdict cannot
+    flip across engines."""
     from pyspark.sql import Window
 
     from .dedup import with_tokens
 
     docs = parallelize(load_table(spark, sf_dir, "documents"))
-    # ONE corpus tokenization pass: the map-side signal frame and the
-    # entropy leg both consume the tokenized frame; unpersisted, the
-    # documents scan + split repeats per consumer (2 corpus passes —
-    # the r5 repeated-scan class).
-    toks = with_tokens(docs).persist()
-    arr = F.array(*[F.lit(t) for t in FULL_PREP_BLOCKLIST])
-    base = toks.select(
-        "doc_id",
-        F.size("tokens").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct"),
-        F.size(F.array_intersect(F.array_distinct("tokens"), arr))
-        .cast("long")
-        .alias("n_blocked"),
-    )
-    tok = toks.select("doc_id", F.explode("tokens").alias("token"))
+    # ONE corpus pass, NO corpus-sized cache: every signal — length,
+    # type-token ratio, blocklist hits, entropy — derives from the
+    # (doc, token, count) frame (n_tokens = Σc, n_distinct = rows,
+    # n_blocked = rows with a blocked token), so the corpus is scanned
+    # and tokenized once and the only shuffled/held state is integer
+    # count slivers. (An earlier draft persisted the tokenized corpus
+    # instead — at 100 TB that caches data LARGER than the source for
+    # two consumers; the count frame makes the second consumer free.)
+    tok = with_tokens(docs).select("doc_id", F.explode("tokens").alias("token"))
     tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("doc_id")
     contrib = F.expr(
         "CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
         " * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(20,9))"
     )
-    ent = (
-        tc.select("doc_id", "c", F.sum("c").over(w).alias("n"))
+    blocked = F.when(F.col("token").isin(*FULL_PREP_BLOCKLIST), 1).otherwise(0)
+    base = (
+        tc.select("doc_id", "c", blocked.alias("blk"), F.sum("c").over(w).alias("n"))
         .groupBy("doc_id")
-        .agg(F.sum(contrib).alias("ent_dec"))
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum("blk").cast("long").alias("n_blocked"),
+            F.sum(contrib).alias("ent_dec"),
+        )
     )
     ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
     pass_length = (F.col("n_tokens") >= ENSEMBLE_MIN_TOKENS) & (
@@ -1029,7 +1023,7 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         ttr <= F.lit(ENSEMBLE_TTR_HI).cast("double")
     )
     pass_block = F.col("n_blocked") == 0
-    return base.join(ent, "doc_id").select(
+    return base.select(
         "doc_id",
         "n_tokens",
         ttr.alias("ttr"),

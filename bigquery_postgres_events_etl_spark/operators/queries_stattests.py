@@ -262,17 +262,17 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
       SELECT n, tl, sl,
-             CAST((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             CAST(FLOOR((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
                   * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
                   / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                  AS DECIMAL(20,9)) AS term
+                  * 1000000000.0 + 0.5) AS DECIMAL(28,0)) AS term
       FROM cells
       JOIN rows_ USING (event_type) JOIN cols_ USING (segment) CROSS JOIN tot
     )
     SELECT MAX(n) AS n, MAX(tl) AS type_levels, MAX(sl) AS segment_levels,
            (MAX(tl) - 1) * (MAX(sl) - 1) AS dof,
-           CAST(SUM(term) AS DOUBLE) AS chi2,
-           sqrt(CAST(SUM(term) AS DOUBLE)
+           CAST(SUM(term) AS DOUBLE) / 1000000000.0 AS chi2,
+           sqrt(CAST(SUM(term) AS DOUBLE) / 1000000000.0
                 / (CAST(MAX(n) AS DOUBLE) * CAST(least(MAX(tl) - 1, MAX(sl) - 1) AS DOUBLE))) AS cramers_v
     FROM terms
     """,
@@ -283,8 +283,9 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     hash aggregation; margins re-aggregate the CELL table (|types| ×
     |segments| rows, never the stream again); per-cell terms
     (o−e)²/e — exact-integer inputs through one deterministic IEEE
-    chain — round to DECIMAL(20,9) so the 20-cell sum is
-    order-independent. Everything after the first groupBy is
+    chain — scale to integers via floor(x·1e9+0.5) (identical chain on
+    both engines; a raw double→decimal CAST is engine-divergent near
+    boundaries) so the 20-cell sum is order-independent. Everything after the first groupBy is
     constant-cardinality, broadcast by AQE."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
@@ -302,14 +303,21 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     j = cells.join(rows_, "event_type").join(cols_, "segment").crossJoin(tot)
     od = F.col("o").cast("double")
     ed = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast("double")
-    term = ((od - ed) * (od - ed) / ed).cast("decimal(20,9)")
+    # floor(x·1e9+0.5): explicit IEEE-chain scaling instead of an
+    # engine-divergent double→decimal CAST (the logrank sf0.1 lesson —
+    # (o−e)²/e magnitudes put x·1e9 in the ulp range where the two
+    # engines' cast paths can disagree)
+    term = F.floor(
+        (od - ed) * (od - ed) / ed * F.lit(1e9).cast("double")
+        + F.lit(0.5).cast("double")
+    ).cast("decimal(28,0)")
     agg = j.agg(
         F.max("n").alias("n"),
         F.max("tl").alias("type_levels"),
         F.max("sl").alias("segment_levels"),
         F.sum(term).alias("chi2_dec"),
     )
-    chi2 = F.col("chi2_dec").cast("double")
+    chi2 = F.col("chi2_dec").cast("double") / F.lit(1e9).cast("double")
     dof_min = F.least(F.col("type_levels") - 1, F.col("segment_levels") - 1)
     return agg.select(
         "n", "type_levels", "segment_levels",

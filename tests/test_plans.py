@@ -446,6 +446,10 @@ def test_two_pass_rank_equals_native_window(spark):
     """with_global_ranks/ntile_from_rn must equal the native
     unpartitioned window exactly — including duplicate keys crossing
     range-bucket boundaries and NTILE's uneven bucket rule."""
+    # cold-cache: persisted frames from other entries substitute
+    # InMemoryRelation into matching subtrees and shift the counts
+    spark.catalog.clearCache()
+
     import random
 
     from pyspark.sql import Window
@@ -789,6 +793,10 @@ def test_scan_counts_within_budget(spark, sf_dir):
     """A refactor that silently adds a corpus re-read fails here, not
     in a 100 TB postmortem. Budgets are exact-measured upper bounds;
     going UNDER is fine (better), going over needs a justification."""
+    # cold-cache: persisted frames from other entries substitute
+    # InMemoryRelation into matching subtrees and shift the counts
+    spark.catalog.clearCache()
+
     from bigquery_postgres_events_etl_spark.plans.audit import table_scan_counts
 
     qs = all_queries()
