@@ -129,7 +129,7 @@ def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM europe e
     JOIN minc m ON m.ps_partkey = e.ps_partkey AND e.ps_supplycost = m.min_cost
     JOIN part p ON p.p_partkey = e.ps_partkey
-    WHERE p.p_size = 15 AND p.p_type LIKE '%DARD'
+    WHERE p.p_size IN (15, 25, 35) AND p.p_type LIKE '%DARD'
     ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
     LIMIT 100
     """,
@@ -147,7 +147,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     p = load_table(spark, sf_dir, "part").where(
-        (F.col("p_size") == 15) & F.col("p_type").like("%DARD")
+        F.col("p_size").isin(15, 25, 35) & F.col("p_type").like("%DARD")
     )
     europe = (
         ps.join(s, ps.ps_suppkey == s.s_suppkey)
