@@ -113,8 +113,15 @@ def ngram_jaccard_pairs(
     ever decreases — the filtered run is a candidate generator to
     verify exactly, same as the MinHash tier). Default None = exact
     (the oracle-checked configuration).
+
+    The distinct shingle frame is persisted: the plan consumes it four
+    times (both self-join arms + the size aggregate feeding both pair
+    sides) and unpersisted each consumption re-reads and re-tokenizes
+    the corpus (4 documents scans — the r5 repeated-scan class,
+    exposed when the scan-budget contract went cold-cache; previously
+    masked by another entry's cache leaking into this plan).
     """
-    sh = exploded_shingles(docs, n, id_col).distinct()
+    sh = exploded_shingles(docs, n, id_col).distinct().persist()
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -163,8 +170,12 @@ def ngram_containment_pairs(
     as :func:`ngram_jaccard_pairs`; emits both directions of a pair
     when both exceed the threshold (containment is not symmetric).
     Integer counts, one double division — bit-exact across engines.
+
+    Shingle frame persisted for the same reason as ngram_jaccard_pairs:
+    three consumers (two join arms + the size aggregate) would each
+    re-tokenize the corpus cold.
     """
-    sh = exploded_shingles(docs, n, id_col).distinct()
+    sh = exploded_shingles(docs, n, id_col).distinct().persist()
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")

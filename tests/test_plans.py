@@ -433,9 +433,15 @@ EXCHANGE_BUDGET: dict[str, int] = {
 
 
 def test_headline_exchange_counts_pinned(spark, sf_dir):
+    """Budgets pin the COLD plan: several budget entries persist()
+    their own intermediates at construction time, and a registered
+    cache substitutes InMemoryRelation into any LATER entry whose plan
+    contains a matching subtree, shifting its exchange count — so the
+    cache is cleared before each entry, not just once."""
     qs = all_queries()
     over = {}
     for name, budget in EXCHANGE_BUDGET.items():
+        spark.catalog.clearCache()
         n = plan_summary(qs[name](spark, sf_dir))["exchanges"]
         if n > budget:
             over[name] = (n, budget)
@@ -446,10 +452,6 @@ def test_two_pass_rank_equals_native_window(spark):
     """with_global_ranks/ntile_from_rn must equal the native
     unpartitioned window exactly — including duplicate keys crossing
     range-bucket boundaries and NTILE's uneven bucket rule."""
-    # cold-cache: persisted frames from other entries substitute
-    # InMemoryRelation into matching subtrees and shift the counts
-    spark.catalog.clearCache()
-
     import random
 
     from pyspark.sql import Window
@@ -744,6 +746,7 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "dedup_minhash_lsh": {"documents": 1},
     "dedup_minhash_lsh_fast": {"documents": 1},
     "dedup_ngram_jaccard": {"documents": 1},
+    "dedup_ngram_containment": {"documents": 1},
     "dedup_simhash": {"documents": 1},
     "dedup_simhash_pairs": {"documents": 1},
     "dedup_exact": {"documents": 1},
@@ -793,15 +796,15 @@ def test_scan_counts_within_budget(spark, sf_dir):
     """A refactor that silently adds a corpus re-read fails here, not
     in a 100 TB postmortem. Budgets are exact-measured upper bounds;
     going UNDER is fine (better), going over needs a justification."""
-    # cold-cache: persisted frames from other entries substitute
-    # InMemoryRelation into matching subtrees and shift the counts
-    spark.catalog.clearCache()
-
     from bigquery_postgres_events_etl_spark.plans.audit import table_scan_counts
 
     qs = all_queries()
     over = {}
     for name, budget in SCAN_BUDGET.items():
+        # cold plan per entry: budget entries persist() their own
+        # intermediates at construction; a registered cache would
+        # substitute InMemoryRelation into later entries' subtrees
+        spark.catalog.clearCache()
         counts = table_scan_counts(qs[name](spark, sf_dir))
         bad = {
             t: (n, budget.get(t, 0)) for t, n in counts.items()
