@@ -283,6 +283,66 @@ def pipeline_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pseudonymize_events(_lt(spark, sf_dir, "events"))
 
 
+
+
+def _prep_signals(docs: DataFrame) -> DataFrame:
+    """ONE map-side corpus pass computing every per-doc scalar the
+    composed prep pipelines consume — token count, quality score,
+    PII counts, blocklist verdict, content digest, split bucket — as
+    a persisted SLIVER frame (doc_id + a few numerics + one digest;
+    orders of magnitude smaller than the text). The composed entries
+    previously rebuilt each signal from the raw corpus per consumer
+    (8 documents scans in end2end, 16 in prep_full — the r5
+    repeated-scan class, caught by the cold scan-budget contract);
+    deriving the threshold scalar, the dedup survivors, the filters,
+    and the final aggregate from this frame leaves the raw text
+    scanned once (plus the decontamination shingle pass, which needs
+    the text itself)."""
+    from .text import (
+        EN_STOPWORDS,
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        with_tokens,
+    )
+
+    t = F.col("text")
+    n_pii = (
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
+    ).cast("long")
+    n_tok = F.size("tokens").cast("long")
+    n_dist = F.size(F.array_distinct("tokens")).cast("long")
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+    n_stop = F.expr(
+        f"size(filter(tokens, t -> array_contains({stop_arr}, t)))"
+    ).cast("long")
+    quality = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (n_dist / n_tok) * 0.4
+        + (n_stop / n_tok) * 0.2
+    )
+    block_arr = F.array(*[F.lit(w) for w in FULL_PREP_BLOCKLIST])
+    from .dedup import md5_hash60
+
+    bucket = F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(100))
+    return (
+        with_tokens(docs)
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            quality.alias("quality"),
+            n_pii.alias("n_pii"),
+            F.size(F.array_intersect(F.array_distinct("tokens"), block_arr))
+            .cast("long")
+            .alias("n_blocked"),
+            F.md5("text").alias("digest"),
+            F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+        )
+        .persist()
+    )
+
 @register(
     "pipeline_corpus_prep_end2end",
     f"""
@@ -310,26 +370,17 @@ def pipeline_corpus_prep_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed corpus-prep pipeline in one plan: quality-threshold
     filter → exact-dedup canonical survivors → deterministic train/
     test split → per-split doc and token budgets. One declarative
-    composition of the §2.12 operators — Catalyst fuses the map-side
-    steps and the only shuffles are the dedup hash-agg, the threshold
+    composition of the §2.12 operators over the ONE-PASS persisted
+    signal sliver (_prep_signals): the raw corpus is scanned once,
+    and the only shuffles are the dedup hash-agg, the threshold
     scalar, and the final 2-row aggregate."""
-    from pyspark.sql import functions as F
-
-    from .dedup import exact_dedup
-    from .text import with_tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    kept = quality_threshold_filter(docs).select("doc_id")
-    canon = exact_dedup(docs).select("doc_id")
-    corpus = (
-        with_tokens(docs)
-        .select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
-        .join(kept, "doc_id", "left_semi")
-        .join(canon, "doc_id", "left_semi")
-    )
-    split = train_test_split(corpus).select("doc_id", "split")
+    sig = _prep_signals(load_table(spark, sf_dir, "documents"))
+    thr = sig.agg(F.percentile("quality", F.lit(0.5)).alias("thr"))
+    canon = sig.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
     return (
-        corpus.join(split, "doc_id")
+        sig.join(canon.select("doc_id"), "doc_id", "left_semi")
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("quality") >= F.col("thr"))
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -501,45 +552,36 @@ def pipeline_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold → exact-dedup survivors → benchmark decontamination →
     deterministic split → per-split doc/token/PII budgets. Every
     stage is itself an oracle-checked §2.12 operator; this entry
-    proves the composition stays one declarative Catalyst plan (the
-    map-side stages fuse; shuffles: dedup hash-agg, threshold scalar,
+    proves the composition stays one declarative Catalyst plan over
+    the ONE-PASS persisted signal sliver (_prep_signals — raw text
+    scanned once, plus the decontamination shingle pass which needs
+    the text; shuffles: dedup hash-agg, threshold scalar,
     decontamination join, final 2-row aggregate). Contamination here
     requires ≥ CONTAM_MIN_OVERLAP shared distinct n-grams — on the
     synthetic word-soup a single shared 3-gram flags nearly every
     document, which is a property of the fixture, not the policy."""
-    from .dedup import exact_dedup
-    from .pipeline import blocklist_filter, decontaminate
-    from .text import pii_scan, with_tokens
+    from .pipeline import decontaminate
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     train_docs = docs.where(F.col("doc_id") % 97 != 0)
 
-    blocked_ok = (
-        blocklist_filter(docs, FULL_PREP_BLOCKLIST).where(F.col("kept")).select("doc_id")
-    )
-    pii = pii_scan(docs).select("doc_id", F.col("n_pii"))
-    kept = quality_threshold_filter(docs).select("doc_id")
-    canon = exact_dedup(docs).select("doc_id")
+    sig = _prep_signals(docs)
+    thr = sig.agg(F.percentile("quality", F.lit(0.5)).alias("thr"))
+    canon = sig.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
     contaminated = (
         decontaminate(train_docs, bench, n=3)
         .where(F.col("n_overlap") >= CONTAM_MIN_OVERLAP)
         .select("doc_id")
     )
 
-    corpus = (
-        with_tokens(docs)
-        .select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
-        .where(F.col("doc_id") % 97 != 0)
-        .join(kept, "doc_id", "left_semi")
-        .join(canon, "doc_id", "left_semi")
-        .join(blocked_ok, "doc_id", "left_semi")
-        .join(contaminated, "doc_id", "left_anti")
-        .join(pii, "doc_id")
-    )
-    split = train_test_split(corpus).select("doc_id", "split")
     return (
-        corpus.join(split, "doc_id")
+        sig.where(F.col("doc_id") % 97 != 0)
+        .where(F.col("n_blocked") == 0)
+        .join(canon.select("doc_id"), "doc_id", "left_semi")
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("quality") >= F.col("thr"))
+        .join(contaminated, "doc_id", "left_anti")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -593,7 +593,10 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurring pairs (bounded per-order fan-out), supports are
     |parts|-sized, and the scalar is free."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # persisted post-distinct basket sliver (two longs/row): FIVE
+    # consumers (order count, supports, both join arms) would each
+    # re-scan lineitem otherwise (the repeated-scan class)
+    items = li.select("l_orderkey", "l_partkey").distinct().persist()
     n_orders = items.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )
@@ -677,7 +680,9 @@ def part_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-support 2 filter prunes the pair tail BEFORE ranking — at
     100 TB the ranked set carries only genuinely co-bought pairs."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # persisted post-distinct basket sliver — four consumers (freq +
+    # both join arms) re-scanned lineitem otherwise
+    items = li.select("l_orderkey", "l_partkey").distinct().persist()
     freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("neighbor"))

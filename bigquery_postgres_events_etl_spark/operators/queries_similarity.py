@@ -640,7 +640,11 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query surface."""
     from pyspark.sql import functions as F
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persist the vector table: the exact and ANN retrievers each scan
+    # it 2-3x (query + corpus arms) — 6 embeddings scans cold; an
+    # evaluation op re-reading the corpus six times is exactly what it
+    # exists to catch in others
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     brute = brute_force_topk(queries, emb, k=TOP_K).select(
         "query_id", "neighbor_id"

@@ -1304,9 +1304,13 @@ def events_seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> Data
     calendar-bounded windows + two tiny percentile frames per type."""
     from .queries_analytics import events_trend_seasonal_decompose
 
+    # persist the calendar-bounded decomposition (|types| x |days|
+    # rows): three consumers (rows, median, MAD) would otherwise each
+    # re-run the decompose subtree — 8 events scans cold (the
+    # repeated-scan class caught by the cold scan-budget sweep)
     dec = events_trend_seasonal_decompose(spark, sf_dir).select(
         "event_type", "day", "n", "remainder"
-    )
+    ).persist()
     med = dec.groupBy("event_type").agg(
         F.percentile("remainder", F.lit(0.5)).alias("med")
     )

@@ -121,6 +121,10 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("similarity.py", "ivf_topk"): "k-means centroids (n_lists) + query set — parameter-bounded",
     ("similarity.py", "ann_lsh_topk_multiprobe"): "probe buckets: n_queries × (1+n_planes) rows",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
+    ("queries_pipeline.py", "pipeline_corpus_prep_end2end"):
+        "1-row quality-threshold scalar — unconditionally safe",
+    ("queries_pipeline.py", "pipeline_corpus_prep_full"):
+        "1-row quality-threshold scalar — unconditionally safe",
     ("queries_pipeline.py", "pipeline_temperature_mixture"):
         "1-row weight-total scalar for the temperature rates",
     ("stream.py", "streaming_enriched_segment_counts"):

@@ -757,6 +757,14 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "events_psi_drift": {"events": 1},
     "customer_survival_km": {"orders": 2},
     "pipeline_quality_ensemble": {"documents": 1},
+    "pipeline_corpus_prep_end2end": {"documents": 1},
+    # prep_full: 1 signal pass + 2 decontamination shingle scans
+    "pipeline_corpus_prep_full": {"documents": 3},
+    # persisted basket/vector/decomposition slivers (was 5/4/6/8 cold)
+    "part_association_rules": {"lineitem": 1},
+    "part_similarity_topk": {"lineitem": 1},
+    "similarity_ann_recall_report": {"embeddings": 1},
+    "events_seasonal_residual_anomalies": {"events": 2},
     # tf-idf reads the corpus for tf, df, and the 1-row N scalar —
     # three SMALL-column scans (never text twice after the tf agg)
     "text_tfidf_top_terms": {"documents": 3},
