@@ -43,11 +43,19 @@ import re
 # distinct shingle frame) changed these plans after their r3-r5 rows:
 PLAN_CHANGED_REATTEST: dict[str, int] = {
     # name -> round in which the plan changed (flag round)
+    # shared-shingle-scan rewrite:
     "dedup_entity_resolve": 6,
     "dedup_minhash_jaccard_est": 6,
     "dedup_minhash_lsh": 6,
     "dedup_minhash_lsh_fast": 6,
     "dedup_minhash_signatures": 6,
+    # repeated-scan campaign (persisted shingle/signal slivers):
+    "dedup_ngram_jaccard": 6,
+    "dedup_ngram_containment": 6,
+    "pipeline_corpus_prep_end2end": 6,
+    "pipeline_corpus_prep_full": 6,
+    # compared-output change (entropy column replaced by Σc²):
+    "text_token_entropy": 6,
 }
 
 
