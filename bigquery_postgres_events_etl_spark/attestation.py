@@ -56,6 +56,9 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     "pipeline_corpus_prep_full": 6,
     # compared-output change (entropy column replaced by Σc²):
     "text_token_entropy": 6,
+    # bounded-intermediate persists (repeated-scan campaign, wave 2):
+    "events_burst_detection": 6,
+    "stats_robust_zscore": 6,
 }
 
 

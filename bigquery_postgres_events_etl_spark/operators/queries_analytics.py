@@ -1118,9 +1118,11 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB you'd precompute daily HLL sketches and union 30 of
     them (events_hll_rolling_users); this entry is the exact tier."""
     e = load_table(spark, sf_dir, "events")
+    # persisted (user, day) distinct sliver: four consumers (day
+    # spine, DAU, MAU range join, final) re-scanned events otherwise
     activity = e.select(
         "user_id", F.to_date("ts").alias("active_day")
-    ).distinct()
+    ).distinct().persist()
     days = activity.select(F.col("active_day").alias("day")).distinct()
     dau = activity.groupBy(F.col("active_day").alias("day")).agg(
         F.count(F.lit(1)).alias("dau")

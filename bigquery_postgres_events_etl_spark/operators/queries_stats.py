@@ -349,9 +349,13 @@ def stats_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is undefined there.
     """
     e = load_table(spark, sf_dir, "events")
+    # persist the |types|-row median table (its events-agg subtree fed
+    # every dev consumer); the per-event dev frame itself stays
+    # unpersisted — two narrow (id, type, value) re-scans beat caching
+    # a fact-sized frame at 100 TB
     med = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
-    )
+    ).persist()
     dev = e.join(med, "event_type").select(
         "event_id",
         "event_type",
@@ -421,9 +425,11 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile tables are |types|-sized scalars joined back (AQE
     broadcasts); the flag is map-side."""
     e = load_table(spark, sf_dir, "events")
+    # persisted calendar-bounded hourly rollup: med/dev/mad would each
+    # re-run the events aggregation otherwise (4 scans cold)
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    ).agg(F.count(F.lit(1)).alias("n_events")).persist()
     med = hourly.groupBy("event_type").agg(
         F.percentile("n_events", F.lit(0.5)).alias("med")
     )

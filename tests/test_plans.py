@@ -765,6 +765,12 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "part_similarity_topk": {"lineitem": 1},
     "similarity_ann_recall_report": {"embeddings": 1},
     "events_seasonal_residual_anomalies": {"events": 2},
+    "events_burst_detection": {"events": 1},
+    # robust_z: med's one materialization scan + the fact-sized dev
+    # frame deliberately re-scanning twice (narrow columns) rather
+    # than caching per-event rows
+    "stats_robust_zscore": {"events": 3},
+    "events_dau_mau_stickiness": {"events": 1},
     # tf-idf reads the corpus for tf, df, and the 1-row N scalar —
     # three SMALL-column scans (never text twice after the tf agg)
     "text_tfidf_top_terms": {"documents": 3},
