@@ -113,6 +113,16 @@ def main() -> None:
     sc = spark.sparkContext
     for name in HEADLINE:
         fn = qs[name]
+        # Cache hygiene: several operators persist() intermediate
+        # frames (shingle/signature slivers) and intentionally never
+        # unpersist (the returned lazy plan references the cache).
+        # Within one query's 3 runs that reuse is the steady-state
+        # being measured; ACROSS queries it would accumulate ~18
+        # cached frames in this shared session and let the cache
+        # manager substitute one query's persisted subtree into a
+        # later query's plan — so the slate is wiped per query, same
+        # as check_oracle and the driver gate (fresh session there).
+        spark.catalog.clearCache()
         runs: list[float] = []
         for i in range(3):
             sc.setJobGroup(f"{name}#r{i}", name)
@@ -155,8 +165,18 @@ def main() -> None:
             "sf": sf,
         }
     )
-    assert len(line) < 1500, f"final bench line {len(line)}B > driver tail window"
-    print(line)
+    # The driver reads the LAST line of stdout, so print FIRST and
+    # only then complain about the length: an assert before the print
+    # (the r6 shape) would lose the round's official record to a
+    # traceback — the exact failure this guard exists to prevent —
+    # and asserts vanish under `python -O`.
+    print(line, flush=True)
+    if len(line) >= 1500:
+        raise SystemExit(
+            f"final bench line {len(line)}B > driver tail window (1500B); "
+            "the line above was still printed — move per-query timings "
+            "to BENCH_DETAIL.json"
+        )
 
 
 if __name__ == "__main__":

@@ -35,30 +35,39 @@ import re
 # Entries whose physical plan changed since their last green driver
 # row. The ONLY hand-maintained piece of the rotation: add a name here
 # in the same commit that changes its plan; remove it once a newer
-# CORRECTNESS round shows it green (the freshest-round data then
-# supersedes the flag automatically — a green row from a round >= the
-# flagging round means the new plan was attested).
+# CORRECTNESS round shows it green.
 #
-# r6: the shared-shingle-scan rewrite (one tokenization pass, persisted
-# distinct shingle frame) changed these plans after their r3-r5 rows:
+# The value is the FIRST ROUND THAT MUST RE-ATTEST the new plan —
+# i.e. (round whose driver gate will next see the change) — NOT the
+# round the change was authored in. The distinction matters exactly
+# when a change lands after a round's driver run: flagging with that
+# round's own number would let a same-round green row (which attested
+# the OLD plan) silently supersede the flag (the r6 ADVICE edge). A
+# green row from a round >= the flagged value supersedes the flag
+# automatically; anything older keeps the entry on the 0.5 tier.
+#
+# r6 (all authored after the r6 driver gate, so r7 is the first round
+# that can attest them): the shared-shingle-scan rewrite (one
+# tokenization pass, persisted distinct shingle frame) changed these
+# plans after their r3-r5 rows:
 PLAN_CHANGED_REATTEST: dict[str, int] = {
-    # name -> round in which the plan changed (flag round)
+    # name -> first round that must re-attest the new plan
     # shared-shingle-scan rewrite:
-    "dedup_entity_resolve": 6,
-    "dedup_minhash_jaccard_est": 6,
-    "dedup_minhash_lsh": 6,
-    "dedup_minhash_lsh_fast": 6,
-    "dedup_minhash_signatures": 6,
+    "dedup_entity_resolve": 7,
+    "dedup_minhash_jaccard_est": 7,
+    "dedup_minhash_lsh": 7,
+    "dedup_minhash_lsh_fast": 7,
+    "dedup_minhash_signatures": 7,
     # repeated-scan campaign (persisted shingle/signal slivers):
-    "dedup_ngram_jaccard": 6,
-    "dedup_ngram_containment": 6,
-    "pipeline_corpus_prep_end2end": 6,
-    "pipeline_corpus_prep_full": 6,
+    "dedup_ngram_jaccard": 7,
+    "dedup_ngram_containment": 7,
+    "pipeline_corpus_prep_end2end": 7,
+    "pipeline_corpus_prep_full": 7,
     # compared-output change (entropy column replaced by Σc²):
-    "text_token_entropy": 6,
+    "text_token_entropy": 7,
     # bounded-intermediate persists (repeated-scan campaign, wave 2):
-    "events_burst_detection": 6,
-    "stats_robust_zscore": 6,
+    "events_burst_detection": 7,
+    "stats_robust_zscore": 7,
 }
 
 
@@ -102,7 +111,11 @@ def load_attestations(root: str | None = None) -> tuple[dict[str, int], int]:
 def effective_round(name: str, freshest: dict[str, int]) -> float:
     """The staleness key: 0 = never attested, 0.5 = attested but the
     plan changed since (re-attest ahead of every ordinary refresh),
-    else the freshest green round."""
+    else the freshest green round.
+
+    ``rnd < flagged`` is exact under the flag convention above: the
+    flag IS the first round that may attest the new plan, so any green
+    row from an earlier round attested the old plan and is stale."""
     rnd = freshest.get(name, 0)
     if rnd == 0:
         return 0.0
@@ -112,8 +125,25 @@ def effective_round(name: str, freshest: dict[str, int]) -> float:
     return float(rnd)
 
 
-def driver_priority(names: list[str], root: str | None = None) -> list[str]:
+def driver_priority(
+    names: list[str],
+    root: str | None = None,
+    has_oracle: set[str] | frozenset[str] | None = None,
+) -> list[str]:
     """The full registry ordering: sort ``names`` by staleness key,
-    stable (ties keep registration order)."""
+    stable (remaining ties keep registration order).
+
+    When ``has_oracle`` is given, entries WITH a hash oracle order
+    ahead of rows-only entries of EQUAL staleness: the driver records
+    ``err: no_oracle`` for rows-only entries (no hard signal), so a
+    driver slot spent on one buys less than the same slot spent on a
+    hash-checkable entry that is just as stale. The staleness tiers
+    themselves are untouched — a never-attested rows-only entry still
+    fronts every merely-old hash-checked one."""
     freshest, _ = load_attestations(root)
-    return sorted(names, key=lambda n: effective_round(n, freshest))
+    if has_oracle is None:
+        return sorted(names, key=lambda n: effective_round(n, freshest))
+    return sorted(
+        names,
+        key=lambda n: (effective_round(n, freshest), 0 if n in has_oracle else 1),
+    )

@@ -235,7 +235,10 @@ def _ordered() -> dict[str, QuerySpec]:
             rest = [n for n in names if n not in _LEGACY_PRIORITY]
             _PRIORITY_CACHE = front + rest
         else:
-            _PRIORITY_CACHE = driver_priority(names)
+            oracle_names = frozenset(
+                n for n, spec in _REGISTRY.items() if spec[1] is not None
+            )
+            _PRIORITY_CACHE = driver_priority(names, has_oracle=oracle_names)
     return {n: _REGISTRY[n] for n in _PRIORITY_CACHE}
 
 

@@ -97,6 +97,46 @@ def test_plan_changed_flags_front_ahead_of_ordinary_refreshes():
         assert all(pos[f] > pos[nv] for nv in never), f
 
 
+def test_rows_only_entries_order_behind_hash_checked_peers():
+    """r6 verdict item #8: within one staleness tier, entries WITHOUT a
+    hash oracle (the driver records only `err: no_oracle` for them — a
+    slot with no hard signal) must come after hash-checkable ones, so
+    driver slots prefer entries the driver can actually verify."""
+    from bigquery_postgres_events_etl_spark.registry import all_oracles
+
+    names, freshest, newest = _names_and_freshest()
+    if newest == 0:
+        return
+    oracles = set(all_oracles())
+    keys = {n: attestation.effective_round(n, freshest) for n in names}
+    for x, y in zip(names, names[1:]):
+        if keys[x] == keys[y]:
+            assert not (x not in oracles and y in oracles), (
+                f"rows-only {x!r} precedes hash-checked {y!r} in tier {keys[x]}"
+            )
+
+
+def test_tiebreaker_never_crosses_staleness_tiers():
+    """The oracle tiebreaker must not promote a fresh hash-checked
+    entry over a staler rows-only one — staleness always dominates."""
+    order = attestation.driver_priority(
+        ["fresh_hash", "stale_rows_only"],
+        root=None,
+        has_oracle={"fresh_hash"},
+    )
+    # both unattested in the real history? Use a synthetic root instead:
+    import json as _json
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "CORRECTNESS_r3.json"), "w") as f:
+            _json.dump({"fresh_hash": {"hash_match": True}}, f)
+        order = attestation.driver_priority(
+            ["fresh_hash", "stale_rows_only"], d, has_oracle={"fresh_hash"}
+        )
+        assert order == ["stale_rows_only", "fresh_hash"]
+
+
 def test_red_rows_do_not_count_as_attested(tmp_path):
     """A hash-fail driver row must leave the entry on the never tier
     (the r5 pipeline_weighted_sample red row put it at position 1 of

@@ -420,7 +420,12 @@ def test_token_entropy_matches_pure_python(spark, sf_dir):
     rows = {r["doc_id"]: r for r in text_token_entropy_full(spark, sf_dir).collect()}
     assert set(rows) == set(docs)
     for doc_id, text in docs.items():
-        counts = Counter(t for t in text.split(" ") if t != "")
+        # the engine tokenizes with F.split(text, " ") (limit -1):
+        # consecutive/leading/trailing spaces yield EMPTY-STRING
+        # tokens, and Python's str.split(" ") has identical semantics
+        # — the reference must keep them too, or n_tokens/sum_c2
+        # diverge on any text with doubled spaces (r6 ADVICE).
+        counts = Counter(text.split(" "))
         n = sum(counts.values())
         ref = -sum((c / n) * math.log(c / n) for c in counts.values())
         r = rows[doc_id]
