@@ -68,6 +68,14 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # bounded-intermediate persists (repeated-scan campaign, wave 2):
     "events_burst_detection": 7,
     "stats_robust_zscore": 7,
+    # r7 scan-tail campaign (authored before the r7 driver gate, so r7
+    # itself attests them): NB family shares one persisted token-count
+    # sliver; hybrid/semantic/LTV persist their shared frames:
+    "text_nb_quality_score": 7,
+    "text_nb_calibration": 7,
+    "similarity_hybrid_topk": 7,
+    "dedup_semantic": 7,
+    "cohort_ltv_curves": 7,
 }
 
 

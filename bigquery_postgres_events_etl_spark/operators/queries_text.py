@@ -736,14 +736,25 @@ def text_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface that decides where to put the keep/drop threshold (a
     monotone curve = usable ranking even if probabilities are off,
     the usual NB situation). Buckets are integer-floored score bands
-    clamped to ±4; all counts integer, one final division."""
+    clamped to ±4; all counts integer, one final division.
+
+    Scan shape (r6 verdict item #2): scoring and the per-doc source
+    labels both derive from the ONE persisted (doc_id, source, token,
+    c) sliver — this entry used to re-tokenize/re-read documents 4×
+    (text + priors + the label join); now it is the tc scan plus the
+    (source)-only priors scalar. The label join is inner on doc_id,
+    and scored only contains docs with ≥1 token, so deriving labels
+    from tc's distinct (doc_id, source) is exactly equivalent to
+    joining the documents table."""
     from pyspark.sql import functions as F
 
-    from .text import nb_quality_score
+    from .text import nb_score_with_tc
 
     docs = parallelize(load_table(spark, sf_dir, "documents"))
-    scored = nb_quality_score(docs).select("doc_id", "nb_score")
-    labeled = scored.join(docs.select("doc_id", "source"), "doc_id").select(
+    scored_full, tc = nb_score_with_tc(docs)
+    scored = scored_full.select("doc_id", "nb_score")
+    labels = tc.select("doc_id", "source").distinct()
+    labeled = scored.join(labels, "doc_id").select(
         "nb_score",
         F.greatest(
             F.lit(-4),

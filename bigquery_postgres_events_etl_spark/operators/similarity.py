@@ -412,7 +412,13 @@ def semantic_dedup(
     kept); ``kept`` is false iff some lower-id in-bucket vector is
     within the cosine threshold.
     """
-    v = with_lsh_bucket(with_norm_sq(vectors, emb_col), num_planes, emb_col)
+    # Persisted shared sliver (r6 verdict item #2, the deferred 3-scan
+    # shape): v feeds both pair-join arms AND the final keep/drop
+    # left-join — unpersisted, each consumer re-reads the vectors and
+    # recomputes the num_planes hyperplane projections per row (the
+    # expensive part). Persist-no-unpersist is the documented operator
+    # contract (harnesses clearCache per entry).
+    v = with_lsh_bucket(with_norm_sq(vectors, emb_col), num_planes, emb_col).persist()
     a = v.select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("ea"),
@@ -594,8 +600,18 @@ def hybrid_topk(
     """
     from .dedup import exploded_shingles
 
-    tok = exploded_shingles(docs, n=3, id_col=id_col).distinct().withColumnRenamed(
-        "shingle", "term"
+    # Persisted shared slivers (r6 verdict item #2): the distinct
+    # shingle frame feeds THREE consumers (the df count + both join
+    # arms) and the normed vector frame TWO (query + candidate side);
+    # unpersisted, each consumer re-tokenized/re-read the corpus —
+    # 4 documents scans + 2 embeddings scans cold. Persist-no-unpersist
+    # is the documented operator contract (the returned lazy plan
+    # references the cache; harnesses clearCache per entry).
+    tok = (
+        exploded_shingles(docs, n=3, id_col=id_col)
+        .distinct()
+        .withColumnRenamed("shingle", "term")
+        .persist()
     )
     dfc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     rare = dfc.where(F.col("df") <= max_df).select("term")
@@ -611,7 +627,7 @@ def hybrid_topk(
         .agg(F.count(F.lit(1)).alias("n_shared_rare_terms"))
     )
 
-    v = with_norm_sq(emb, emb_col)
+    v = with_norm_sq(emb, emb_col).persist()
     qv = v.select(
         F.col(vec_id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),

@@ -570,6 +570,47 @@ def nb_token_counts(
     )
 
 
+def nb_doc_token_counts(docs: DataFrame) -> DataFrame:
+    """Persisted ``(doc_id, source, token, c)`` sliver — the ONE
+    corpus tokenization the whole NB family (train counts, per-doc
+    scoring, calibration labels) derives from. Before this frame the
+    scoring path re-tokenized the corpus per consumer (4 documents
+    scans in text_nb_calibration — the r5 repeated-scan class; r6
+    verdict item #2).
+
+    Persisted, never unpersisted here: the returned lazy plans
+    reference the cache (same documented contract as the dedup
+    shingle frames); eviction is LRU, and the bench/oracle harnesses
+    clearCache per entry.
+
+    Scale: one explode + one (doc, token) partial-aggregated shuffle;
+    the persisted payload is per-doc DISTINCT tokens with counts —
+    bounded by the corpus size and ~10× smaller than the raw token
+    stream for natural text."""
+    tc = (
+        with_tokens(docs)
+        .select("doc_id", "source", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return tc.persist()
+
+
+def nb_counts_from_tc(
+    tc: DataFrame, target_sources: tuple[str, ...] = NB_TARGET_SOURCES
+) -> DataFrame:
+    """Vocab count table derived from the shared per-doc sliver —
+    identical values to :func:`nb_token_counts` (the sum over token
+    occurrences equals the c-weighted sum over distinct (doc, token)
+    rows), but the input is the persisted frame, not a fresh corpus
+    scan."""
+    is_target = F.col("source").isin(*target_sources)
+    return tc.groupBy("token").agg(
+        F.sum(F.when(is_target, F.col("c")).otherwise(0)).cast("long").alias("c_pos"),
+        F.sum(F.when(is_target, 0).otherwise(F.col("c"))).cast("long").alias("c_neg"),
+    )
+
+
 def nb_quality_score(
     docs: DataFrame,
     target_sources: tuple[str, ...] = NB_TARGET_SOURCES,
@@ -593,12 +634,35 @@ def nb_quality_score(
     measured-cardinality gate (same contract as tfidf_top_terms);
     above it the token join shuffles. The totals/prior frames are
     1-row scalars — unconditionally safe."""
+    scored, _tc = nb_score_with_tc(docs, target_sources, max_broadcast_terms)
+    return scored
+
+
+def nb_score_with_tc(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = NB_TARGET_SOURCES,
+    max_broadcast_terms: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Scoring plan + the shared persisted ``(doc_id, source, token,
+    c)`` sliver it was built from, so callers needing per-doc labels
+    (calibration) derive them from the SAME cached frame instead of a
+    fourth corpus scan.
+
+    Value parity with the pre-sliver plan (and the SQL oracle, which
+    still sums per occurrence): summing each token occurrence's
+    DECIMAL(20,9) contribution equals summing c × contribution over
+    distinct (doc, token) rows — c is cast to DECIMAL(10,0) so the
+    product is DECIMAL(31,9), inside the 38-digit cap, hence EXACT
+    (a LongType multiplicand would widen to DECIMAL(20,0) and push
+    the product past 38 digits, where Spark truncates the scale to 6
+    and parity dies)."""
     # persisted: the broadcast gate's count job materializes the vocab
     # table once and the returned plan reuses the cache (unpersisting
     # here would drop it before the caller executes; eviction is left
     # to Spark's LRU — same documented contract as tfidf_top_terms /
     # token_rarity)
-    counts = nb_token_counts(docs, target_sources).persist()
+    tc = nb_doc_token_counts(docs)
+    counts = nb_counts_from_tc(tc, target_sources).persist()
     n_terms = counts.count()
     counts_side = F.broadcast(counts) if n_terms <= max_broadcast_terms else counts
     totals = counts.agg(
@@ -607,11 +671,14 @@ def nb_quality_score(
         F.count(F.lit(1)).alias("vocab"),
     )
     is_target = F.col("source").isin(*target_sources)
+    # priors stay a direct documents aggregate: a doc whose text is
+    # NULL has no token rows (explode drops it from tc) but still
+    # counts toward the class prior — and the (source)-only column
+    # scan is near-free under parquet pruning at any scale.
     priors = docs.agg(
         F.count_if(is_target).alias("n_pos_docs"),
         F.count_if(~is_target).alias("n_neg_docs"),
     )
-    tok = with_tokens(docs).select("doc_id", F.explode("tokens").alias("token"))
     contrib = F.expr(
         "CAST(ln((c_pos + CAST(1 AS DOUBLE)) / (pos_total + CAST(vocab AS DOUBLE)))"
         " - ln((c_neg + CAST(1 AS DOUBLE)) / (neg_total + CAST(vocab AS DOUBLE)))"
@@ -622,21 +689,32 @@ def nb_quality_score(
         " AS DECIMAL(20,9))"
     )
     scored = (
-        tok.join(counts_side, "token")
+        tc.join(counts_side, "token")
         .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(contrib).alias("llr_dec"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            # the sum's natural type is DECIMAL(38,9), which would make
+            # the later `+ prior` overflow 38 digits and truncate the
+            # scale to 8 (observed: oracle -1.960757561 vs Spark
+            # -1.96075756); per-doc LLRs are ≪ 10^21 so capping back to
+            # the pre-sliver plan's DECIMAL(30,9) is lossless and keeps
+            # the addition at scale 9
+            F.sum(F.col("c").cast("decimal(10,0)") * contrib)
+            .cast("decimal(30,9)")
+            .alias("llr_dec"),
         )
         .crossJoin(F.broadcast(priors))
     )
     score_dec = F.col("llr_dec") + prior
-    return scored.select(
-        "doc_id",
-        "n_tokens",
-        score_dec.cast("double").alias("nb_score"),
-        (score_dec > 0).alias("predicted_curated"),
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            score_dec.cast("double").alias("nb_score"),
+            (score_dec > 0).alias("predicted_curated"),
+        ),
+        tc,
     )
 
 

@@ -775,8 +775,19 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     # three SMALL-column scans (never text twice after the tf agg)
     "text_tfidf_top_terms": {"documents": 3},
     "text_bm25_topk": {"documents": 2},
-    "text_nb_quality_score": {"documents": 3},
-    "similarity_hybrid_topk": {"documents": 4, "embeddings": 2},
+    # r7 scan-tail campaign: NB scoring/calibration share one persisted
+    # (doc, source, token, c) sliver; the second scan is the
+    # (source)-only priors scalar (null-text docs count toward the
+    # prior but have no token rows, so the prior cannot derive from
+    # the sliver)
+    "text_nb_quality_score": {"documents": 2},
+    "text_nb_calibration": {"documents": 2},
+    "text_nb_quality_train": {"documents": 1},
+    "similarity_hybrid_topk": {"documents": 1, "embeddings": 1},
+    "dedup_semantic": {"embeddings": 1},
+    # firsts (per-customer sliver) persisted; fact scans once for it,
+    # once as the cells probe side
+    "cohort_ltv_curves": {"orders": 2},
     "similarity_rrf_fusion": {"documents": 2, "embeddings": 2},
     "similarity_topk_bruteforce": {"embeddings": 2},
     "multimodal_feature_extract": {"documents": 1},
