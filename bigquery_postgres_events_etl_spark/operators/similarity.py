@@ -598,7 +598,7 @@ def hybrid_topk(
     rank ≤ k), ranked per query by cosine with a deterministic
     tie-break.
     """
-    from .dedup import exploded_shingles
+    from .dedup import distinct_hashed_shingles
 
     # Persisted shared slivers (r6 verdict item #2): the distinct
     # shingle frame feeds THREE consumers (the df count + both join
@@ -606,12 +606,13 @@ def hybrid_topk(
     # unpersisted, each consumer re-tokenized/re-read the corpus —
     # 4 documents scans + 2 embeddings scans cold. Persist-no-unpersist
     # is the documented operator contract (the returned lazy plan
-    # references the cache; harnesses clearCache per entry).
-    tok = (
-        exploded_shingles(docs, n=3, id_col=id_col)
-        .distinct()
-        .withColumnRenamed("shingle", "term")
-        .persist()
+    # references the cache; harnesses clearCache per entry). The
+    # persisted frame carries 60-bit shingle HASHES, not strings
+    # (~10× smaller cache; df counting and posting-list joins need
+    # only equality — collision bound in distinct_hashed_shingles;
+    # the oracle hashes identically).
+    tok = distinct_hashed_shingles(docs, n=3, id_col=id_col).withColumnRenamed(
+        "h", "term"
     )
     dfc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     rare = dfc.where(F.col("df") <= max_df).select("term")
