@@ -39,6 +39,23 @@ HEADLINE = [
     "multimodal_feature_extract",
 ]
 
+# Second tier (r6 verdict item #6): the heavy operators added in
+# rounds 4-6 that the frozen r1 headline set never measured — without
+# them the official perf trend is blind to regressions in exactly the
+# most expensive plans. Kept SEPARATE from HEADLINE so the r1-r6
+# first-tier totals stay comparable: the final line's "value" remains
+# the HEADLINE sum; tier-2 medians ride in "queries2" (+"value2").
+TIER2 = [
+    "dedup_entity_resolve",
+    "dedup_minhash_jaccard_est",
+    "etl_scd2_user_state",
+    "events_markov_attribution",
+    "graph_pagerank_copurchase",
+    "pipeline_paragraph_dedup",
+    "pipeline_corpus_prep_full",
+    "text_nb_quality_score",
+]
+
 
 def _shuffle_metrics(spark, names: list[str]) -> dict[str, dict]:
     """Per-query shuffle bytes / task counts from the REST API — the
@@ -109,9 +126,10 @@ def main() -> None:
     # and spread (max−min) recorded per query so a "regression" can be
     # told from a wobble without burning a verdict cycle.
     timings: dict[str, float] = {}
+    timings2: dict[str, float] = {}
     detail: dict[str, dict[str, float]] = {}
     sc = spark.sparkContext
-    for name in HEADLINE:
+    for name in HEADLINE + TIER2:
         fn = qs[name]
         # Cache hygiene: several operators persist() intermediate
         # frames (shingle/signature slivers) and intentionally never
@@ -130,7 +148,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         runs.sort()
-        timings[name] = round(runs[1], 3)
+        (timings if name in HEADLINE else timings2)[name] = round(runs[1], 3)
         detail[name] = {
             "median": round(runs[1], 3),
             "min": round(runs[0], 3),
@@ -147,7 +165,7 @@ def main() -> None:
     # file, BENCH_DETAIL.json, next to this script.
     sidecar = {
         "queries_detail": detail,
-        "shuffle": _shuffle_metrics(spark, HEADLINE),
+        "shuffle": _shuffle_metrics(spark, HEADLINE + TIER2),
         "sf": sf,
         "protocol": "median-of-3, noop sink, shared warm session",
     }
@@ -162,6 +180,8 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "value2": round(sum(timings2.values()), 3),
+            "queries2": timings2,
             "sf": sf,
         }
     )

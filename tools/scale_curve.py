@@ -73,6 +73,15 @@ QUERIES = [
     "etl_scd2_user_state",
     "events_markov_attribution",
     "graph_pagerank_copurchase",
+    # round-7 additions (the r6 verdict's wave-2 rewrites — new plans
+    # with persisted bounded intermediates, no measured slope yet):
+    # burst detection, robust-z, DAU/MAU stickiness, the one-scan
+    # quality ensemble, and the 3-scan corpus-prep composition
+    "events_burst_detection",
+    "stats_robust_zscore",
+    "events_dau_mau_stickiness",
+    "pipeline_quality_ensemble",
+    "pipeline_corpus_prep_full",
 ]
 
 
@@ -188,7 +197,18 @@ def main() -> None:
     qs = all_queries()
     sc = spark.sparkContext
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    # positional args filter the query list (substring match) — run the
+    # newest entries in their own app so their REST rows can't be
+    # evicted from the UI store by 15 earlier queries' stages (the r6
+    # capture lost rows exactly this way)
+    name_filters = [a for a in sys.argv[1:] if not a.startswith("--")]
+    queries = (
+        [q for q in QUERIES if any(f in q for f in name_filters)]
+        if name_filters
+        else QUERIES
+    )
+    skip_streaming = "--no-streaming" in sys.argv
+    for name in queries:
         fn = qs[name]
         walls = {}
         for label, d in (("sf01", SF01_DIR), ("sf1", SF1_DIR)):
@@ -221,7 +241,7 @@ def main() -> None:
     # dirs per run so every epoch publishes)
     import shutil
 
-    for label, d in (("sf01", SF01_DIR), ("sf1", SF1_DIR)):
+    for label, d in () if skip_streaming else (("sf01", SF01_DIR), ("sf1", SF1_DIR)):
         from bigquery_postgres_events_etl_spark.streaming.stream import (
             run_streaming_psi_monitor,
         )
@@ -257,7 +277,7 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     shuffle = _shuffle_mb(spark)
-    for name in QUERIES:
+    for name in queries:
         a = shuffle.get(f"{name}@sf01")
         b = shuffle.get(f"{name}@sf1")
         if a is not None and b is not None:
