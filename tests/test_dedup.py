@@ -274,3 +274,60 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
         assert 0 <= r.n_agree <= 16
         if r.jaccard >= 0.8:
             assert r.est_jaccard >= 0.5, f"high-J pair estimated low: {r}"
+
+
+def test_hashed_shingle_sliver_matches_string_semantics(spark, sf_dir):
+    """r6 verdict item #5: the persisted dedup frames carry 60-bit
+    shingle hashes instead of strings. Pin that on the fixture the
+    swap is SEMANTICALLY lossless, not just oracle-consistent:
+
+    - zero collisions: |distinct (doc, h)| == |distinct (doc, shingle)|
+      (the documented s²/2⁶¹ bound predicts none at this size);
+    - MinHash signatures from the hashed sliver are bit-identical to
+      signatures from the raw string frame (h60 mod P is the same
+      base hash either way);
+    - the Jaccard pair output equals a string-equality reference."""
+    from bigquery_postgres_events_etl_spark.io import load_table, parallelize
+    from bigquery_postgres_events_etl_spark.operators.dedup import (
+        distinct_hashed_shingles,
+        exploded_shingles,
+        ngram_jaccard_pairs,
+        signatures_from_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+
+    sh_str = exploded_shingles(docs, 3).distinct()
+    sh_h = distinct_hashed_shingles(docs, 3)
+    assert sh_str.count() == sh_h.count(), "hash collision on the fixture"
+
+    sig_str = {r["doc_id"]: r for r in signatures_from_shingles(sh_str).collect()}
+    sig_h = {r["doc_id"]: r for r in signatures_from_shingles(sh_h).collect()}
+    assert sig_str.keys() == sig_h.keys()
+    for d in sig_str:
+        assert tuple(sig_str[d]) == tuple(sig_h[d]), f"signature drift doc {d}"
+
+    # string-equality reference for the pair tier
+    sizes = sh_str.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh_str.alias("a"), sh_str.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ref = {
+        (r.doc_a, r.doc_b): r.n_common
+        for r in common.collect()
+    }
+    got_rows = ngram_jaccard_pairs(docs, 3, threshold=0.5).collect()
+    for r in got_rows:
+        assert ref.get((r.doc_a, r.doc_b)) == r.n_common, (
+            f"hashed n_common diverges from string reference for "
+            f"({r.doc_a}, {r.doc_b})"
+        )
+    spark.catalog.clearCache()
