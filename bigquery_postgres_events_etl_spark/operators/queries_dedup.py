@@ -395,6 +395,51 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# K = 8 because the fixture's nearest non-identical pairs sit at
+# distance 4-8 (token-level substitutions move several chars each):
+# K = 3 would make the oracle comparison vacuous (0 rows). The
+# bucket width must stay ≥ K for the length-blocking completeness
+# argument (|Δlen| ≤ K ⟹ buckets equal or adjacent).
+EDIT_MAX_DIST = 8
+EDIT_BUCKET_W = 8
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS len,
+             length(text) // {EDIT_BUCKET_W} AS bucket
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.len AS len_a, b.len AS len_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+    FROM t a JOIN t b
+      ON b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1
+     AND a.doc_id < b.doc_id
+     AND abs(a.len - b.len) <= {EDIT_MAX_DIST}
+    WHERE levenshtein(a.text, b.text) <= {EDIT_MAX_DIST}
+    """,
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs (edit distance ≤ 3) via
+    length-bucket blocking + banded Levenshtein verify — the
+    record-linkage tier for short fields below shingle Jaccard. See
+    operators.dedup.edit_distance_pairs for the completeness argument
+    (length blocking misses nothing within the distance bound) and
+    the at-scale composition with the SimHash content blocker."""
+    from pyspark.sql import functions as F
+
+    from .dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        parallelize(load_table(spark, sf_dir, "documents")),
+        max_distance=EDIT_MAX_DIST,
+        bucket_width=EDIT_BUCKET_W,
+    ).withColumn("edit_distance", F.col("edit_distance").cast("long"))
+
+
 @register(
     "dedup_exact_normalized",
     """

@@ -364,6 +364,53 @@ def similarity_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_topk(docs, emb, k=TOP_K, n_queries=N_QUERIES, max_df=HYBRID_MAX_DF)
 
 
+@register(
+    "similarity_mutual_knn",
+    f"""
+    WITH {_NORMS_CTE},
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_dot_sql('a.embedding', 'b.embedding')}
+               / sqrt(na.nsq * nb.nsq) AS cosine
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id != b.vec_id
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+    ),
+    edges AS (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rank
+      FROM scored
+      QUALIFY rank <= {TOP_K}
+    )
+    SELECT f.src AS vec_id_a, f.dst AS vec_id_b, f.cosine,
+           CAST(f.rank AS BIGINT) AS rank_ab,
+           CAST(r.rank AS BIGINT) AS rank_ba
+    FROM edges f
+    JOIN edges r ON r.src = f.dst AND r.dst = f.src
+    WHERE f.src < f.dst
+    """,
+)
+def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph (k = 5): undirected edges kept only when the
+    top-k relation holds in BOTH directions — the hub-pruning
+    symmetric filter for semantic-pair mining and graph-based dedup.
+    Exact verify tier (all-pairs cosine + per-source ranking window);
+    see operators.similarity.mutual_knn_graph for the LSH-bucketed
+    composition at corpus scale."""
+    from .similarity import mutual_knn_graph
+
+    df = mutual_knn_graph(load_table(spark, sf_dir, "embeddings"), k=TOP_K)
+    return df.select(
+        "vec_id_a",
+        "vec_id_b",
+        "cosine",
+        F.col("rank_ab").cast("long").alias("rank_ab"),
+        F.col("rank_ba").cast("long").alias("rank_ba"),
+    )
+
+
 @register("similarity_mmr_topk", None)  # iterative — rows-only
 def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-5 for the first 4 query vectors (λ = 0.7,

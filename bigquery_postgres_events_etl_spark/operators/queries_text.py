@@ -676,6 +676,62 @@ def text_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+@register(
+    "text_bigram_lm_score",
+    f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    bi AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS prev,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS cur
+      FROM toks WHERE len(t) >= 2
+    ),
+    tc_bi AS (
+      SELECT doc_id, source, prev, cur, count(*) AS c
+      FROM bi GROUP BY 1, 2, 3, 4
+    ),
+    bc AS (
+      SELECT prev, cur, CAST(SUM(c) AS BIGINT) AS bc
+      FROM tc_bi WHERE source IN ({_NB_SRC_SQL}) GROUP BY 1, 2
+    ),
+    cc AS (SELECT prev, CAST(SUM(bc) AS BIGINT) AS cc FROM bc GROUP BY 1),
+    vocab AS (
+      SELECT count(*) AS v FROM (
+        SELECT DISTINCT tok FROM (
+          SELECT prev AS tok FROM bc UNION ALL SELECT cur FROM bc
+        )
+      )
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(t.c) AS BIGINT) AS n_bigrams,
+             SUM(CAST(t.c AS DECIMAL(10,0))
+                 * CAST(ln((COALESCE(b.bc, 0) + CAST(1 AS DOUBLE))
+                           / (COALESCE(cx.cc, 0) + CAST(vv.v AS DOUBLE)))
+                        AS DECIMAL(20,9))) AS ll_dec
+      FROM tc_bi t
+      LEFT JOIN bc b ON b.prev = t.prev AND b.cur = t.cur
+      LEFT JOIN cc cx ON cx.prev = t.prev
+      CROSS JOIN vocab vv
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           -(CAST(ll_dec AS DOUBLE)) / CAST(n_bigrams AS DOUBLE) AS cross_entropy
+    FROM scored
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring against the curated sources — the
+    CCNet-style 'perplexity vs a clean reference' quality gate,
+    trained and applied wholly in-engine (see operators.text.
+    bigram_lm_score for the model, the exact-decimal ln discipline,
+    and the broadcast gate). Output: per-doc average negative
+    log-likelihood (lower = more fluent under the curated LM)."""
+    from .text import bigram_lm_score
+
+    return bigram_lm_score(parallelize(load_table(spark, sf_dir, "documents")))
+
+
 _NB_CAL_BUCKET = (
     "GREATEST(-4, LEAST(4, CAST(floor(nb_score / CAST(5 AS DOUBLE)) AS BIGINT)))"
 )

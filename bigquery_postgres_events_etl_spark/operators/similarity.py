@@ -174,6 +174,68 @@ def cosine_near_pairs(
     )
 
 
+def mutual_knn_graph(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Mutual k-nearest-neighbor graph: an undirected edge (a, b)
+    exists iff b is in a's cosine top-k AND a is in b's — the
+    symmetric-filter construction used for bitext/semantic-pair
+    mining (mutual-NN filtering is the precision step of
+    margin-based mining, Artetxe & Schwenk 2019) and as the input
+    graph for graph-clustering dedup: a one-directional neighbor is
+    often a hub artifact; mutuality prunes hubs with no parameter.
+
+    Plan: per-vector exact top-k (all-pairs cosine → per-source
+    window rank, same brute-force verify tier as cosine_near_pairs)
+    → the directed edge sliver (|V|·k rows) is persisted — the
+    mutual join consumes it twice (forward and reversed arm) and
+    re-deriving it would repeat the quadratic scoring. At corpus
+    scale, generate candidates per LSH bucket first (ann_lsh) and
+    verify mutuality on the bucketed top-k — same composition as the
+    other brute-force/ANN tier pairs.
+
+    Output: (vec_id_a < vec_id_b, cosine, rank_ab, rank_ba).
+    """
+    v = with_norm_sq(vectors, emb_col)
+    a = v.select(
+        F.col(id_col).alias("src"),
+        F.col(emb_col).alias("ea"),
+        F.col("norm_sq").alias("na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("dst"),
+        F.col(emb_col).alias("eb"),
+        F.col("norm_sq").alias("nb"),
+    )
+    scored = a.join(b, F.col("src") != F.col("dst")).withColumn(
+        "cosine", cosine(dot("ea", "eb"), F.col("na"), F.col("nb"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
+        .persist()
+    )
+    fwd = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("vec_id_a"),
+        F.col("dst").alias("vec_id_b"),
+        "cosine",
+        F.col("rank").alias("rank_ab"),
+    )
+    rev = edges.where(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("vec_id_a"),
+        F.col("src").alias("vec_id_b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return fwd.join(rev, ["vec_id_a", "vec_id_b"]).select(
+        "vec_id_a", "vec_id_b", "cosine", "rank_ab", "rank_ba"
+    )
+
+
 # ---------------------------------------------------------------------
 # Hyperplane LSH (sign random projection)
 # ---------------------------------------------------------------------

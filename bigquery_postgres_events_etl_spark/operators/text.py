@@ -718,6 +718,103 @@ def nb_score_with_tc(
     )
 
 
+def bigram_lm_score(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = NB_TARGET_SOURCES,
+    max_broadcast_bigrams: int = 2_000_000,
+) -> DataFrame:
+    """Bigram language-model fluency scoring — the CCNet/fastText
+    "perplexity vs a curated reference" quality gate (Wenzek et al.
+    2020 train a KenLM on Wikipedia and keep low-perplexity crawl
+    text; here the reference LM is a Laplace-smoothed bigram model
+    trained in-engine on the curated sources, and the score is each
+    document's average negative log-likelihood under it).
+
+    Model: P(cur|prev) = (bc(prev,cur)+1) / (cc(prev)+V), bc = curated
+    bigram count, cc = Σ_cur bc (occurrences of ``prev`` as a
+    non-final token), V = |distinct tokens appearing in any curated
+    bigram| — a deterministic smoothing constant derivable from the
+    bigram table alone (no extra unigram pass; documented choice, not
+    the full unigram vocab).
+
+    Cross-entropy per doc = −(Σ ln P)/n over its n bigrams. Unseen
+    bigrams/contexts fall back to the Laplace floor via COALESCE(·,0)
+    — identical on both engines.
+
+    Oracle parity: same discipline as nb_quality_score — each ln is
+    cast to DECIMAL(20,9) (empirically cast-identical across JVM/libm
+    1-ulp differences), weighted by the EXACT per-doc bigram count in
+    decimal, summed exactly, and only ONE IEEE division (sum/n)
+    happens at the end.
+
+    Scale: one persisted (doc, prev, cur, c) sliver is the single
+    corpus tokenization (train and score both derive from it); the
+    bigram model is vocab²-bounded and broadcast only under the
+    measured-cardinality gate; the totals frame is one row."""
+    tc_bi = (
+        with_tokens(docs)
+        .where(F.size("tokens") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1, size(tokens) - 1)")).alias("i"),
+            "tokens",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("tokens[i - 1]").alias("prev"),
+            F.expr("tokens[i]").alias("cur"),
+        )
+        .groupBy("doc_id", "source", "prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    curated = tc_bi.where(F.col("source").isin(*target_sources))
+    bc = (
+        curated.groupBy("prev", "cur")
+        .agg(F.sum("c").cast("long").alias("bc"))
+        .persist()
+    )
+    n_bigrams_model = bc.count()
+    bc_side = F.broadcast(bc) if n_bigrams_model <= max_broadcast_bigrams else bc
+    cc = bc.groupBy("prev").agg(F.sum("bc").cast("long").alias("cc"))
+    cc_side = F.broadcast(cc) if n_bigrams_model <= max_broadcast_bigrams else cc
+    vocab = (
+        bc.select(F.col("prev").alias("tok"))
+        .union(bc.select("cur"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    contrib = F.expr(
+        "CAST(ln((COALESCE(bc, 0) + CAST(1 AS DOUBLE))"
+        " / (COALESCE(cc, 0) + CAST(v AS DOUBLE))) AS DECIMAL(20,9))"
+    )
+    scored = (
+        tc_bi.join(bc_side, ["prev", "cur"], "left")
+        .join(cc_side, "prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            # c capped at DECIMAL(10,0) so the product stays inside 38
+            # digits and the sum caps back to (30,9) — the exact-decimal
+            # discipline from nb_score_with_tc
+            F.sum(F.col("c").cast("decimal(10,0)") * contrib)
+            .cast("decimal(30,9)")
+            .alias("ll_dec"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        (
+            -(F.col("ll_dec").cast("double"))
+            / F.col("n_bigrams").cast("double")
+        ).alias("cross_entropy"),
+    )
+
+
 # ---------------------------------------------------------------------
 # compression-ratio quality signal (Gopher-style repetition detector)
 # ---------------------------------------------------------------------

@@ -102,6 +102,11 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "applied and the term join shuffles — Heaps' law is sublinear, not "
         "bounded, so an ungated hint would OOM on a web-scale vocab. "
         "The 1-row doc-count crossJoin broadcast is unconditionally safe.",
+    ("text.py", "bigram_lm_score"):
+        "bigram model (bc) and context (cc) broadcasts GATED on measured "
+        "bigram cardinality ≤ max_broadcast_bigrams (2M ≈ tens of MB); "
+        "above the gate both joins shuffle. The 1-row vocab-size "
+        "crossJoin broadcast is unconditionally safe.",
     ("text.py", "token_rarity"):
         "vocab broadcast GATED on measured cardinality ≤ max_broadcast_terms "
         "— same gate and rationale as tfidf_top_terms",
@@ -110,7 +115,7 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "query set bounded by N_QUERIES — same contract as brute_force_topk",
     ("queries_similarity.py", "pipeline_negative_sampling"):
         "query set bounded by N_QUERIES — same contract as brute_force_topk",
-    ("text.py", "nb_quality_score"):
+    ("text.py", "nb_score_with_tc"):
         "vocab-sized count table broadcast GATED on measured cardinality "
         "≤ max_broadcast_terms (same contract as tfidf_top_terms); the "
         "totals and prior frames are 1-row scalars — unconditionally safe",

@@ -785,6 +785,13 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "text_nb_quality_train": {"documents": 1},
     "similarity_hybrid_topk": {"documents": 1, "embeddings": 1},
     "dedup_semantic": {"embeddings": 1},
+    # r7 additions: the bigram LM derives everything from one
+    # persisted (doc, prev, cur, c) sliver; the edit-distance and
+    # mutual-kNN self-joins scan each arm from parquet (re-scanning
+    # narrow columns beats caching corpus text / full vectors)
+    "text_bigram_lm_score": {"documents": 1},
+    "dedup_edit_distance_pairs": {"documents": 2},
+    "similarity_mutual_knn": {"embeddings": 2},
     # firsts (per-customer sliver) persisted; fact scans once for it,
     # once as the cells probe side
     "cohort_ltv_curves": {"orders": 2},
