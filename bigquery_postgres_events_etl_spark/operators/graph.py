@@ -220,9 +220,19 @@ def markov_attribution(
         .groupBy("scenario", "src", "dst")
         .agg(F.sum("p").alias("p"))
     )
-    loops = scenarios.crossJoin(
-        spark.createDataFrame([("CONV",), ("NULL",)], "state string")
-    ).select("scenario", F.col("state").alias("src"), F.col("state").alias("dst"), F.lit(1.0).alias("p"))
+    # one literal LocalRelation, NOT scenarios.crossJoin(states): both
+    # sides are driver-known lists, and a crossJoin of two
+    # LocalRelations fans out to parallelism² tiny tasks — measured
+    # 10.3 s to materialize 10 rows on local[32] (82% of this
+    # operator's bench wall) vs ~0 for the literal
+    loops = spark.createDataFrame(
+        [
+            (s, st, st, 1.0)
+            for s in ["full"] + channels
+            for st in ("CONV", "NULL")
+        ],
+        "scenario string, src string, dst string, p double",
+    )
     m = redirected.unionByName(loops).localCheckpoint(eager=True)
 
     for _ in range(n_squarings):
