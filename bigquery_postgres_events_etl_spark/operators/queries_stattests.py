@@ -1394,3 +1394,134 @@ def ml_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2) * total).cast("double")
         ).alias("q_mid"),
     )
+
+
+# ---------------------------------------------------------------------
+# Poissonized bootstrap CI (distribution-free, fully distributed)
+# ---------------------------------------------------------------------
+
+_BOOT_B = 100  # resamples; CI order statistics below assume this
+# Poisson(1) CDF literals (Python-computed; both engines compare the
+# same repr-exact doubles) — inverse-CDF from one md5-uniform draw.
+# P(w ≥ 8) ≈ 1e-5 is folded into the top bucket.
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+)
+
+
+def _pois_w_sql(u: str) -> str:
+    """Inverse Poisson(1) CDF: uniform → multiplicity (SQL, shared
+    verbatim by both engines)."""
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {cases} ELSE 7 END)"
+
+
+@register(
+    "stats_bootstrap_mean_ci",
+    f"""
+    WITH drawn AS (
+      SELECT b.b, o.o_totalprice,
+             {_pois_w_sql(
+                 "(('0x' || substr(md5(b.b || ':' || o.o_orderkey), 1, 15))::BIGINT"
+                 " / CAST(1152921504606846976 AS DOUBLE))"
+             )} AS w
+      FROM orders o
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
+    ),
+    rs AS (
+      SELECT b,
+             CAST(SUM(w) AS BIGINT) AS n_eff,
+             SUM(CAST(w AS DECIMAL(2,0)) * CAST(o_totalprice AS DECIMAL(18,2))) AS s_dec
+      FROM drawn WHERE w > 0 GROUP BY b
+    ),
+    means AS (
+      SELECT b, CAST(s_dec AS DOUBLE) / CAST(n_eff AS DOUBLE) AS m FROM rs
+    ),
+    point AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS point_mean
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+           p.point_mean,
+           (list_sort(list(m)))[3] AS ci_lo,
+           (list_sort(list(m)))[98] AS ci_hi
+    FROM means CROSS JOIN point p
+    GROUP BY p.point_mean
+    """,
+)
+def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% bootstrap CI for the mean order value via
+    the POISSONIZED bootstrap (each row's per-resample multiplicity ~
+    Poisson(1) — the distributed approximation to multinomial
+    resampling used when rows can't be globally indexed; Chamandy et
+    al. 2012, "Estimating uncertainty for massive data streams").
+
+    Determinism/parity: the multiplicity comes from an inverse-CDF
+    lookup on a 60-bit md5 uniform (both engines compute the same
+    digest, the same IEEE division by 2⁶⁰, and compare against the
+    same Python-literal CDF thresholds); per-resample sums fold in
+    exact DECIMAL; each mean is ONE IEEE division; the CI bounds are
+    DISCRETE order statistics (3rd / 98th of the B = 100 sorted means
+    — sorted inside a single bounded collect, no global window).
+
+    Scale: the 100× row expansion is map-side CPU (explode + hash +
+    CASE — swap md5 for xxhash64 in production, same plan); the only
+    shuffle is the partial-aggregated groupBy(b) carrying ≤ B rows
+    per map task, and the final stats ride a 100-row frame. Cost is
+    B × one scan regardless of cluster size — the bootstrap's
+    inherent price, all embarrassingly parallel."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    u = (
+        "(CAST(conv(substring(md5(concat(CAST(b AS STRING), ':', "
+        "CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        " / CAST(1152921504606846976 AS DOUBLE))"
+    )
+    drawn = o.select(
+        "o_totalprice",
+        F.expr(f"explode(sequence(0, {_BOOT_B - 1})) AS b"),
+        "o_orderkey",
+    ).select(
+        "b",
+        "o_totalprice",
+        F.expr(_pois_w_sql(u)).alias("w"),
+    )
+    rs = (
+        drawn.where(F.col("w") > 0)
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(
+                F.col("w").cast("decimal(2,0)")
+                * F.col("o_totalprice").cast("decimal(18,2)")
+            ).alias("s_dec"),
+        )
+    )
+    means = rs.select(
+        "b",
+        (F.col("s_dec").cast("double") / F.col("n_eff").cast("double")).alias("m"),
+    )
+    point = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("point_mean")
+    )
+    return (
+        means.crossJoin(F.broadcast(point))
+        .groupBy("point_mean")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_resamples"),
+            F.expr("sort_array(collect_list(m))[2]").alias("ci_lo"),
+            F.expr("sort_array(collect_list(m))[97]").alias("ci_hi"),
+        )
+        .select("n_resamples", "point_mean", "ci_lo", "ci_hi")
+    )

@@ -84,6 +84,8 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "unconditionally safe",
     ("queries_stattests.py", "funnel_time_to_convert"):
         "1-row signup-count scalar — unconditionally safe",
+    ("queries_stattests.py", "stats_bootstrap_mean_ci"):
+        "1-row point-estimate scalar — unconditionally safe",
     ("stream.py", "psi_between"):
         "1-row histogram-totals scalar over a constant-bounded bin "
         "table — unconditionally safe",

@@ -792,6 +792,8 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "text_bigram_lm_score": {"documents": 1},
     "dedup_edit_distance_pairs": {"documents": 2},
     "similarity_mutual_knn": {"embeddings": 2},
+    # resample pass + the 1-row point-estimate scalar
+    "stats_bootstrap_mean_ci": {"orders": 2},
     # firsts (per-customer sliver) persisted; fact scans once for it,
     # once as the cells probe side
     "cohort_ltv_curves": {"orders": 2},

@@ -687,3 +687,29 @@ def test_quantile_transform_matches_reference_and_is_uniform(spark):
     # (Σ 1..N)/N² = (N+1)/(2N) — the discrete-uniform mean
     mean_q = sum(rows[v].q_mid * cnt[v] for v in cnt) / n_total
     assert mean_q == pytest.approx((n_total + 1) / (2 * n_total), abs=1e-12)
+
+
+def test_bootstrap_mean_ci_is_valid_and_deterministic(spark, sf_dir):
+    """The Poissonized bootstrap CI must (a) produce exactly B
+    resample means, (b) bracket the point estimate with lo < hi, (c)
+    tighten as ~1/√n (checked loosely: the interval is within ±20% of
+    the mean on this fixture, not degenerate, not huge), and (d) be
+    bit-identical across runs (no RNG state — everything derives from
+    md5)."""
+    from bigquery_postgres_events_etl_spark.operators.queries_stattests import (
+        stats_bootstrap_mean_ci,
+    )
+
+    r1 = stats_bootstrap_mean_ci(spark, sf_dir).collect()
+    assert len(r1) == 1
+    row = r1[0]
+    assert row.n_resamples == 100
+    assert row.ci_lo < row.point_mean < row.ci_hi, row
+    half_width = (row.ci_hi - row.ci_lo) / 2
+    assert 0 < half_width < 0.2 * row.point_mean, row
+    r2 = stats_bootstrap_mean_ci(spark, sf_dir).collect()[0]
+    assert (r2.ci_lo, r2.ci_hi, r2.point_mean) == (
+        row.ci_lo,
+        row.ci_hi,
+        row.point_mean,
+    ), "bootstrap must be deterministic (md5-derived draws)"
