@@ -675,6 +675,13 @@ def test_runtime_shuffle_bytes_match_inventory(spark, sf_dir):
         # move — the fact table must never shuffle whole
         "q9_product_type_profit": 2.0,
         "q20_potential_promotion": 1.0,
+        # r7 entries (measured ~1.48 / 0.04 / 0.006 / 0.19 MB):
+        # bigram sliver exchange; WindowGroupLimit-pruned kNN edges;
+        # ≤B-row bootstrap groups; length-bucket candidate frame
+        "text_bigram_lm_score": 2.5,
+        "similarity_mutual_knn": 0.2,
+        "stats_bootstrap_mean_ci": 0.05,
+        "dedup_edit_distance_pairs": 0.5,
     }
     sc = spark.sparkContext
     for name in cases:
