@@ -11,7 +11,7 @@ tests/test_similarity.py; the driver records a rows-only check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -478,6 +478,126 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(vals, CAST(0 AS DOUBLE), (acc, s) -> acc + s.v)"
             " / size(vals)"
         ).alias("centroid"),
+    )
+
+
+@register(
+    "similarity_centroid_assign",
+    f"""
+    WITH dims AS (
+      SELECT label, unnest(generate_series(1, {EMBEDDING_DIM})) AS dim,
+             embedding, vec_id
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT label, dim,
+             list(CAST(embedding[dim] AS DOUBLE) ORDER BY vec_id) AS vals
+      FROM dims GROUP BY label, dim
+    ),
+    cents AS (
+      SELECT label, dim,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), vals),
+                         (acc, x) -> acc + x) / len(vals) AS centroid
+      FROM cells
+    ),
+    pts AS (
+      SELECT vec_id, label AS true_label,
+             unnest(generate_series(1, {EMBEDDING_DIM})) AS dim, embedding
+      FROM embeddings
+    ),
+    terms AS (
+      SELECT p.vec_id, p.true_label, c.label,
+             CAST((CAST(p.embedding[p.dim] AS DOUBLE) - c.centroid)
+                  * (CAST(p.embedding[p.dim] AS DOUBLE) - c.centroid)
+                  AS DECIMAL(20,9)) AS t
+      FROM pts p JOIN cents c ON c.dim = p.dim
+    ),
+    dists AS (
+      SELECT vec_id, true_label, label, SUM(t) AS dist_dec
+      FROM terms GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist_dec, label) AS rn
+      FROM dists
+    )
+    SELECT vec_id, label AS assigned_label, true_label,
+           CAST(dist_dec AS DOUBLE) AS dist_sq,
+           (label = true_label) AS correct
+    FROM ranked WHERE rn = 1
+    """,
+)
+def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification: every vector assigned to the
+    closest class prototype by squared L2 — the inference half of the
+    prototype classifier whose training half is
+    ``embedding_label_centroids`` (also the assignment step of a
+    k-means iteration, and the standard probe for embedding quality:
+    the `correct` flag gives leave-nothing-out centroid accuracy).
+
+    Parity: centroids reuse the centroids entry's bit-exact ordered
+    fold; each squared-difference term is a deterministic IEEE product
+    rounded to DECIMAL(20,9) — rounding a bit-identical double, not a
+    transcendental, so the r5 boundary-failure class does not apply —
+    and distances fold in exact decimal (order-free), so the argmin
+    (ordered by exact decimal, then label) cannot flip between
+    engines.
+
+    Scale: the centroid table is |labels| × dim rows — bounded by the
+    label vocabulary, broadcast; the per-(vec, label) distance agg is
+    partial-aggregated map-side (dim terms collapse before the
+    exchange), and the argmin window is partitioned by vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        emb.select(
+            "label", "vec_id", F.posexplode("embedding").alias("dim0", "val")
+        )
+        .groupBy("label", (F.col("dim0") + 1).cast("int").alias("dim"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("vec_id", F.col("val").cast("double").alias("v"))
+                )
+            ).alias("vals")
+        )
+    )
+    cents = cells.select(
+        F.col("label").alias("c_label"),
+        "dim",
+        F.expr(
+            "aggregate(vals, CAST(0 AS DOUBLE), (acc, s) -> acc + s.v)"
+            " / size(vals)"
+        ).alias("centroid"),
+    )
+    pts = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "vec_id",
+        "true_label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    term = F.expr(
+        "CAST((val - centroid) * (val - centroid) AS DECIMAL(20,9))"
+    )
+    dists = (
+        pts.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "true_label", F.col("c_label").alias("label"))
+        .agg(F.sum(term).alias("dist_dec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_dec", "label")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("label").alias("assigned_label"),
+            "true_label",
+            F.col("dist_dec").cast("double").alias("dist_sq"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
     )
 
 

@@ -86,6 +86,10 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "1-row signup-count scalar — unconditionally safe",
     ("queries_stattests.py", "stats_bootstrap_mean_ci"):
         "1-row point-estimate scalar — unconditionally safe",
+    ("queries_similarity.py", "similarity_centroid_assign"):
+        "centroid table — |labels| × dim rows, bounded by the label "
+        "vocabulary (a small finite set by construction), not by corpus "
+        "size",
     ("stream.py", "psi_between"):
         "1-row histogram-totals scalar over a constant-bounded bin "
         "table — unconditionally safe",

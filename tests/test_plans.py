@@ -801,6 +801,8 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "similarity_mutual_knn": {"embeddings": 2},
     # resample pass + the 1-row point-estimate scalar
     "stats_bootstrap_mean_ci": {"orders": 2},
+    # centroid pass + assignment pass (both narrow vector scans)
+    "similarity_centroid_assign": {"embeddings": 2},
     # firsts (per-customer sliver) persisted; fact scans once for it,
     # once as the cells probe side
     "cohort_ltv_curves": {"orders": 2},
