@@ -82,6 +82,20 @@ QUERIES = [
     "events_dau_mau_stickiness",
     "pipeline_quality_ensemble",
     "pipeline_corpus_prep_full",
+    # round-7 new entries + the scan-tail rewrites with new plans:
+    # bigram LM (persisted sliver + gated model broadcast), mutual-kNN
+    # (brute-force verify tier — expected quadratic wall, sliver
+    # shuffle), bootstrap (B× map-side CPU, ≤B-row shuffle),
+    # edit-distance (length-blocked quadratic-within-block),
+    # centroid assignment (bounded broadcast + partial-agg distances),
+    # NB calibration (shared tc sliver), LTV (persisted firsts)
+    "text_bigram_lm_score",
+    "similarity_mutual_knn",
+    "stats_bootstrap_mean_ci",
+    "dedup_edit_distance_pairs",
+    "similarity_centroid_assign",
+    "text_nb_calibration",
+    "cohort_ltv_curves",
 ]
 
 
