@@ -737,6 +737,15 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     # (doc_id, n_chars) keys only; the t-test reads (user_id, value)
     "pipeline_weighted_sample": {"documents": {"text", "lang", "source"}},
     "events_ab_ttest": {"events": {"props", "event_type", "ts"}},
+    # r7 entries: the kNN graph needs no labels, edit-distance and the
+    # bigram LM need no doc metadata beyond what they use, the
+    # bootstrap reads only (key, measure)
+    "similarity_mutual_knn": {"embeddings": {"label"}},
+    "dedup_edit_distance_pairs": {"documents": {"lang", "source", "n_chars"}},
+    "text_bigram_lm_score": {"documents": {"lang", "n_chars"}},
+    "stats_bootstrap_mean_ci": {
+        "orders": {"o_orderdate", "o_orderpriority", "o_custkey"}
+    },
 }
 
 
