@@ -56,6 +56,26 @@ def main() -> None:
         rnd = freshest.get(n, 0)
         print(f"  {n}  (freshest: {'never' if rnd == 0 else f'r{rnd}'})")
 
+    # superseded plan-change flags: a green row from a round >= the
+    # flag value supersedes it automatically (attestation.py), so the
+    # dict entry is dead weight the module's own contract says to
+    # remove — surface them here (a warning, not a failure: the flags
+    # are harmless until the next plan change reuses a stale name)
+    from bigquery_postgres_events_etl_spark.attestation import (
+        PLAN_CHANGED_REATTEST,
+    )
+
+    superseded = sorted(
+        n
+        for n, flag_rnd in PLAN_CHANGED_REATTEST.items()
+        if freshest.get(n, 0) >= flag_rnd
+    )
+    if superseded:
+        print(
+            f"\nsuperseded PLAN_CHANGED_REATTEST flags (green row >= flag "
+            f"round exists — prune them): {superseded}"
+        )
+
     if "--check" in sys.argv:
         stale_cut = newest - 3
         stale = [
