@@ -79,6 +79,8 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "unconditionally safe",
     ("queries_tpch_ps.py", "q20_potential_promotion"):
         "single-nation filter (≤1 row) — unconditionally safe",
+    ("queries_tpch_dates.py", "q21_suppliers_kept_waiting"):
+        "single-nation filter (≤1 row) — unconditionally safe",
     ("queries_stattests.py", "stats_logrank_test"):
         "two 1-row scalar aggregates (horizon; per-group totals) — "
         "unconditionally safe",

@@ -286,6 +286,7 @@ def _load_all() -> None:
         # the driver's front-50 (ties in the never tier break by
         # registration order)
         queries_tpch_ps,
+        queries_tpch_dates,
     )
 
     _LOADED = True

@@ -843,6 +843,17 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "q20_potential_promotion": {
         "lineitem": 1, "supplier": 2, "part": 2, "nation": 1,
     },
+    # synthesized-shipping TPC-H (r7): fact scans once except Q21,
+    # whose EXISTS/NOT-EXISTS arms are two additional KEY-sliver
+    # scans of the same synthesized frame (semi/anti probe sides —
+    # at scale the stored columns make these narrow-column re-scans,
+    # cheaper than caching the fact)
+    "q4_order_priority": {"orders": 1, "lineitem": 1},
+    "q12_shipmode_priority": {"orders": 1, "lineitem": 1},
+    "q19_discounted_revenue": {"lineitem": 1, "part": 1},
+    "q21_suppliers_kept_waiting": {
+        "lineitem": 3, "orders": 1, "supplier": 1, "nation": 1,
+    },
 }
 
 
