@@ -96,6 +96,13 @@ QUERIES = [
     "similarity_centroid_assign",
     "text_nb_calibration",
     "cohort_ltv_curves",
+    # round-7 TPC-H completion: synthesized-shipping shapes — Q21 is
+    # the interesting one (semi + anti joins over three key-sliver
+    # scans of the fact)
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q19_discounted_revenue",
+    "q21_suppliers_kept_waiting",
 ]
 
 
@@ -193,6 +200,21 @@ def build_sf1(spark) -> None:
     out.repartition(32).write.mode("overwrite").parquet(
         os.path.join(SF1_DIR, "lineitem.parquet")
     )
+    _link_dims()
+
+
+def _link_dims() -> None:
+    """Dimension tables are NOT amplified — 10× the facts against the
+    SAME part/supplier/nation/region/customer catalog is the realistic
+    scale direction (and what the dim-broadcast plans assume).
+    Hardlinked, no copy cost; idempotent (also run for pre-existing
+    .scale_sf1 dirs built before dims were needed)."""
+    for dim in ("part", "supplier", "nation", "region", "customer"):
+        src = os.path.join(SF01_DIR, f"{dim}.parquet")
+        dst = os.path.join(SF1_DIR, f"{dim}.parquet")
+        if os.path.exists(dst) or not os.path.isfile(src):
+            continue
+        os.link(src, dst)
 
 
 def main() -> None:
@@ -207,6 +229,8 @@ def main() -> None:
         t0 = time.time()
         build_sf1(spark)
         print(f"# built {SF1_DIR} in {time.time() - t0:.1f}s", file=sys.stderr)
+    else:
+        _link_dims()
 
     qs = all_queries()
     sc = spark.sparkContext
