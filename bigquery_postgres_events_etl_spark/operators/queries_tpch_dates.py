@@ -19,7 +19,10 @@ synthesis subtree), the missing columns derive in-query from
 - l_receiptdate = shipdate + 1 + ((13·ok + 5·ln) mod 30) days —
   receipt strictly after shipment;
 - l_shipmode / l_shipinstruct / p_container = key-indexed picks from
-  the spec's literal domains.
+  the spec's literal domains (multipliers COPRIME with the domain
+  size so every value appears — the first container multiplier, 3,
+  shared a factor with 12 and silently covered only 4 of 12
+  containers; caught by the domain property test).
 
 All arithmetic is BIGINT mod + DATE ± INTEGER — bit-identical across
 engines, so the full hash-oracle gate applies. The reference for
@@ -78,7 +81,7 @@ _LX_CTE = f"""
 _PX_CTE = f"""
     part_x AS (
       SELECT p_partkey, p_brand, p_size,
-             ({_sql_list(_CONTAINERS)})[1 + CAST((p_partkey * 3) % 12 AS INTEGER)]
+             ({_sql_list(_CONTAINERS)})[1 + CAST((p_partkey * 7) % 12 AS INTEGER)]
                AS p_container
       FROM part
     )
@@ -117,7 +120,7 @@ def synth_part_x(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", "p_brand", "p_size",
         F.element_at(
-            containers, (F.pmod(F.col("p_partkey") * 3, F.lit(12)) + 1).cast("int")
+            containers, (F.pmod(F.col("p_partkey") * 7, F.lit(12)) + 1).cast("int")
         ).alias("p_container"),
     )
 
