@@ -46,36 +46,22 @@ import re
 # green row from a round >= the flagged value supersedes the flag
 # automatically; anything older keeps the entry on the 0.5 tier.
 #
-# r6 (all authored after the r6 driver gate, so r7 is the first round
-# that can attest them): the shared-shingle-scan rewrite (one
-# tokenization pass, persisted distinct shingle frame) changed these
-# plans after their r3-r5 rows:
+# r7 flags (17 entries, shared-shingle / scan-tail campaigns) were all
+# re-attested green in CORRECTNESS_r07 and removed. r8 flags (authored
+# before the r8 driver gate, so r8 itself attests them):
 PLAN_CHANGED_REATTEST: dict[str, int] = {
     # name -> first round that must re-attest the new plan
-    # shared-shingle-scan rewrite:
-    "dedup_entity_resolve": 7,
-    "dedup_minhash_jaccard_est": 7,
-    "dedup_minhash_lsh": 7,
-    "dedup_minhash_lsh_fast": 7,
-    "dedup_minhash_signatures": 7,
-    # repeated-scan campaign (persisted shingle/signal slivers):
-    "dedup_ngram_jaccard": 7,
-    "dedup_ngram_containment": 7,
-    "pipeline_corpus_prep_end2end": 7,
-    "pipeline_corpus_prep_full": 7,
-    # compared-output change (entropy column replaced by Σc²):
-    "text_token_entropy": 7,
-    # bounded-intermediate persists (repeated-scan campaign, wave 2):
-    "events_burst_detection": 7,
-    "stats_robust_zscore": 7,
-    # r7 scan-tail campaign (authored before the r7 driver gate, so r7
-    # itself attests them): NB family shares one persisted token-count
-    # sliver; hybrid/semantic/LTV persist their shared frames:
-    "text_nb_quality_score": 7,
-    "text_nb_calibration": 7,
-    "similarity_hybrid_topk": 7,
-    "dedup_semantic": 7,
-    "cohort_ltv_curves": 7,
+    # decimal-hazard fix: squared-distance terms now scale via
+    # floor(x*1e9+0.5) into DECIMAL(28,0) instead of a direct
+    # double->DECIMAL(20,9) CAST (r7 ADVICE, engine-divergent class):
+    "similarity_centroid_assign": 8,
+    # compared-output change: per-row decimal-rounded ln replaced by
+    # the all-integer likelihood profile (doc_id, num, den, c_sum);
+    # the entropy fold moved to a pytest-pinned consumer (r7 ADVICE):
+    "text_bigram_lm_score": 8,
+    # predicate change: inclusive between(.. 23:59:59) replaced by the
+    # half-open < '1996-04-01' the oracle always used (r7 ADVICE):
+    "q4_order_priority": 8,
 }
 
 

@@ -423,7 +423,9 @@ EDIT_BUCKET_W = 8
     """,
 )
 def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-level near-dup pairs (edit distance ≤ 3) via
+    f"""Character-level near-dup pairs (edit distance ≤
+    {EDIT_MAX_DIST} — EDIT_MAX_DIST, chosen because the fixture's
+    texts make tighter bounds vacuous) via
     length-bucket blocking + banded Levenshtein verify — the
     record-linkage tier for short fields below shingle Jaccard. See
     operators.dedup.edit_distance_pairs for the completeness argument

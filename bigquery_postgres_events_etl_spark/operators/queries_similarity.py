@@ -507,9 +507,10 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
       SELECT p.vec_id, p.true_label, c.label,
-             CAST((CAST(p.embedding[p.dim] AS DOUBLE) - c.centroid)
-                  * (CAST(p.embedding[p.dim] AS DOUBLE) - c.centroid)
-                  AS DECIMAL(20,9)) AS t
+             CAST(FLOOR((CAST(p.embedding[p.dim] AS DOUBLE) - c.centroid)
+                        * (CAST(p.embedding[p.dim] AS DOUBLE) - c.centroid)
+                        * CAST(1e9 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  AS DECIMAL(28,0)) AS t
       FROM pts p JOIN cents c ON c.dim = p.dim
     ),
     dists AS (
@@ -522,7 +523,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dists
     )
     SELECT vec_id, label AS assigned_label, true_label,
-           CAST(dist_dec AS DOUBLE) AS dist_sq,
+           CAST(dist_dec AS DOUBLE) / CAST(1e9 AS DOUBLE) AS dist_sq,
            (label = true_label) AS correct
     FROM ranked WHERE rn = 1
     """,
@@ -536,12 +537,16 @@ def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the `correct` flag gives leave-nothing-out centroid accuracy).
 
     Parity: centroids reuse the centroids entry's bit-exact ordered
-    fold; each squared-difference term is a deterministic IEEE product
-    rounded to DECIMAL(20,9) — rounding a bit-identical double, not a
-    transcendental, so the r5 boundary-failure class does not apply —
-    and distances fold in exact decimal (order-free), so the argmin
-    (ordered by exact decimal, then label) cannot flip between
-    engines.
+    fold; each squared-difference term is a deterministic IEEE chain
+    scaled to an exact integer via floor(x*1e9 + 0.5) — the house
+    idiom registry.py mandates for rounding computed doubles into
+    order-free decimal sums (a direct double→DECIMAL CAST is
+    engine-divergent near rounding boundaries: Spark converts via
+    BigDecimal of the exact binary value while DuckDB scales in
+    floats — the r5/logrank lesson). Distances fold in exact integer
+    decimal (order-free), so the argmin (ordered by exact decimal,
+    then label) cannot flip between engines, and the reported
+    dist_sq is one final IEEE division identical on both sides.
 
     Scale: the centroid table is |labels| × dim rows — bounded by the
     label vocabulary, broadcast; the per-(vec, label) distance agg is
@@ -579,9 +584,14 @@ def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).cast("int").alias("dim"),
         F.col("val").cast("double").alias("val"),
     )
-    term = F.expr(
-        "CAST((val - centroid) * (val - centroid) AS DECIMAL(20,9))"
-    )
+    # floor(x·1e9+0.5): explicit IEEE-chain scaling instead of an
+    # engine-divergent double→decimal CAST (see docstring / registry.py)
+    term = F.floor(
+        (F.col("val") - F.col("centroid"))
+        * (F.col("val") - F.col("centroid"))
+        * F.lit(1e9).cast("double")
+        + F.lit(0.5).cast("double")
+    ).cast("decimal(28,0)")
     dists = (
         pts.join(F.broadcast(cents), "dim")
         .groupBy("vec_id", "true_label", F.col("c_label").alias("label"))
@@ -595,7 +605,10 @@ def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("label").alias("assigned_label"),
             "true_label",
-            F.col("dist_dec").cast("double").alias("dist_sq"),
+            (
+                F.col("dist_dec").cast("double")
+                / F.lit(1e9).cast("double")
+            ).alias("dist_sq"),
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
     )

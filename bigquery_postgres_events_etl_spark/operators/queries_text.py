@@ -702,34 +702,35 @@ def text_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
       )
     ),
-    scored AS (
+    classes AS (
       SELECT t.doc_id,
-             CAST(SUM(t.c) AS BIGINT) AS n_bigrams,
-             SUM(CAST(t.c AS DECIMAL(10,0))
-                 * CAST(ln((COALESCE(b.bc, 0) + CAST(1 AS DOUBLE))
-                           / (COALESCE(cx.cc, 0) + CAST(vv.v AS DOUBLE)))
-                        AS DECIMAL(20,9))) AS ll_dec
+             CAST(COALESCE(b.bc, 0) + 1 AS BIGINT) AS num,
+             CAST(COALESCE(cx.cc, 0) + vv.v AS BIGINT) AS den,
+             t.c
       FROM tc_bi t
       LEFT JOIN bc b ON b.prev = t.prev AND b.cur = t.cur
       LEFT JOIN cc cx ON cx.prev = t.prev
       CROSS JOIN vocab vv
-      GROUP BY t.doc_id
     )
-    SELECT doc_id, n_bigrams,
-           -(CAST(ll_dec AS DOUBLE)) / CAST(n_bigrams AS DOUBLE) AS cross_entropy
-    FROM scored
+    SELECT doc_id, num, den, CAST(SUM(c) AS BIGINT) AS c_sum
+    FROM classes GROUP BY 1, 2, 3
     """,
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM fluency scoring against the curated sources — the
     CCNet-style 'perplexity vs a clean reference' quality gate,
-    trained and applied wholly in-engine (see operators.text.
-    bigram_lm_score for the model, the exact-decimal ln discipline,
-    and the broadcast gate). Output: per-doc average negative
-    log-likelihood (lower = more fluent under the curated LM)."""
-    from .text import bigram_lm_score
+    trained and applied wholly in-engine. The compared surface is the
+    EXACT integer likelihood profile (doc_id, num=bc+1, den=cc+V,
+    c_sum) — cross-entropy = −Σ c_sum·ln(num/den)/Σ c_sum is a
+    consumer-side fold (operators.text.bigram_lm_score runs it
+    in-engine, pytest-pinned vs a pure-Python math.log reference);
+    per-row decimal-rounded ln is the transcendental class
+    registry.py forbids for compared columns, so it stays out of the
+    oracle frame entirely. See operators.text.bigram_lm_profile for
+    the model and the gated broadcasts."""
+    from .text import bigram_lm_profile
 
-    return bigram_lm_score(parallelize(load_table(spark, sf_dir, "documents")))
+    return bigram_lm_profile(parallelize(load_table(spark, sf_dir, "documents")))
 
 
 _NB_CAL_BUCKET = (

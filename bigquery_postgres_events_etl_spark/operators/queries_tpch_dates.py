@@ -155,10 +155,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.where(
-            F.col("o_orderdate").between(
-                F.lit("1996-01-01").cast("timestamp"),
-                F.lit("1996-03-31 23:59:59").cast("timestamp"),
-            )
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .join(late, o.o_orderkey == late.l_orderkey, "semi")
         .groupBy("o_orderpriority")

@@ -718,39 +718,17 @@ def nb_score_with_tc(
     )
 
 
-def bigram_lm_score(
+def _bigram_lm_joined(
     docs: DataFrame,
-    target_sources: tuple[str, ...] = NB_TARGET_SOURCES,
-    max_broadcast_bigrams: int = 2_000_000,
+    target_sources: tuple[str, ...],
+    max_broadcast_bigrams: int,
 ) -> DataFrame:
-    """Bigram language-model fluency scoring — the CCNet/fastText
-    "perplexity vs a curated reference" quality gate (Wenzek et al.
-    2020 train a KenLM on Wikipedia and keep low-perplexity crawl
-    text; here the reference LM is a Laplace-smoothed bigram model
-    trained in-engine on the curated sources, and the score is each
-    document's average negative log-likelihood under it).
-
-    Model: P(cur|prev) = (bc(prev,cur)+1) / (cc(prev)+V), bc = curated
-    bigram count, cc = Σ_cur bc (occurrences of ``prev`` as a
-    non-final token), V = |distinct tokens appearing in any curated
-    bigram| — a deterministic smoothing constant derivable from the
-    bigram table alone (no extra unigram pass; documented choice, not
-    the full unigram vocab).
-
-    Cross-entropy per doc = −(Σ ln P)/n over its n bigrams. Unseen
-    bigrams/contexts fall back to the Laplace floor via COALESCE(·,0)
-    — identical on both engines.
-
-    Oracle parity: same discipline as nb_quality_score — each ln is
-    cast to DECIMAL(20,9) (empirically cast-identical across JVM/libm
-    1-ulp differences), weighted by the EXACT per-doc bigram count in
-    decimal, summed exactly, and only ONE IEEE division (sum/n)
-    happens at the end.
-
-    Scale: one persisted (doc, prev, cur, c) sliver is the single
-    corpus tokenization (train and score both derive from it); the
-    bigram model is vocab²-bounded and broadcast only under the
-    measured-cardinality gate; the totals frame is one row."""
+    """Shared front half of the bigram LM: ONE corpus tokenization
+    into a persisted (doc, prev, cur, c) sliver, the curated bigram
+    model (bc), its context margins (cc), and the smoothing vocab
+    size V — joined back onto every (doc, bigram) row. Broadcasts of
+    the model and margin tables are GATED on measured bigram
+    cardinality (see plans.audit ALLOWED_BROADCAST_SITES)."""
     tc_bi = (
         with_tokens(docs)
         .where(F.size("tokens") >= 2)
@@ -786,24 +764,103 @@ def bigram_lm_score(
         .distinct()
         .agg(F.count(F.lit(1)).alias("v"))
     )
-    contrib = F.expr(
-        "CAST(ln((COALESCE(bc, 0) + CAST(1 AS DOUBLE))"
-        " / (COALESCE(cc, 0) + CAST(v AS DOUBLE))) AS DECIMAL(20,9))"
-    )
-    scored = (
+    return (
         tc_bi.join(bc_side, ["prev", "cur"], "left")
         .join(cc_side, "prev", "left")
         .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_bigrams"),
-            # c capped at DECIMAL(10,0) so the product stays inside 38
-            # digits and the sum caps back to (30,9) — the exact-decimal
-            # discipline from nb_score_with_tc
-            F.sum(F.col("c").cast("decimal(10,0)") * contrib)
-            .cast("decimal(30,9)")
-            .alias("ll_dec"),
+    )
+
+
+def bigram_lm_profile(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = NB_TARGET_SOURCES,
+    max_broadcast_bigrams: int = 2_000_000,
+) -> DataFrame:
+    """Exact integer sufficient statistics of the bigram-LM score —
+    per (doc, likelihood class): ``num`` = bc+1 (Laplace-smoothed
+    bigram count), ``den`` = cc+V (smoothed context mass), ``c_sum``
+    = how many of the doc's bigram occurrences fall in that class.
+    Cross-entropy follows as −Σ c_sum·ln(num/den) / Σ c_sum — a
+    consumer-side fold over exact integers (``bigram_lm_score`` does
+    exactly this in-engine).
+
+    This table — not the entropy — is the oracle-compared surface:
+    every column is BIGINT, so the driver's repr-exact hash has zero
+    float hazard. Per-row CAST(ln(..) AS DECIMAL) terms are the
+    decimal-rounded-transcendental class registry.py forbids for
+    compared columns (JVM vs libm ln differ by 1 ulp and the cast
+    flips at rounding boundaries — the r5 pipeline_weighted_sample
+    failure); keeping ln out of the compared frame removes the
+    hazard instead of betting on boundary luck.
+
+    Model: P(cur|prev) = (bc(prev,cur)+1) / (cc(prev)+V); unseen
+    bigrams/contexts fall back to the Laplace floor via
+    COALESCE(·,0). Scale: the profile grain is ≤ the (doc, bigram)
+    sliver (identical-likelihood bigrams collapse), the model is
+    vocab²-bounded and broadcast only under the measured-cardinality
+    gate, and the grouping re-partitions on (doc_id, num, den)."""
+    j = _bigram_lm_joined(docs, target_sources, max_broadcast_bigrams)
+    return (
+        j.select(
+            "doc_id",
+            (F.coalesce(F.col("bc"), F.lit(0)) + F.lit(1))
+            .cast("long")
+            .alias("num"),
+            (F.coalesce(F.col("cc"), F.lit(0)) + F.col("v"))
+            .cast("long")
+            .alias("den"),
+            "c",
         )
+        .groupBy("doc_id", "num", "den")
+        .agg(F.sum("c").cast("long").alias("c_sum"))
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = NB_TARGET_SOURCES,
+    max_broadcast_bigrams: int = 2_000_000,
+) -> DataFrame:
+    """Bigram language-model fluency scoring — the CCNet/fastText
+    "perplexity vs a curated reference" quality gate (Wenzek et al.
+    2020 train a KenLM on Wikipedia and keep low-perplexity crawl
+    text; here the reference LM is a Laplace-smoothed bigram model
+    trained in-engine on the curated sources, and the score is each
+    document's average negative log-likelihood under it).
+
+    Model: P(cur|prev) = (bc(prev,cur)+1) / (cc(prev)+V), bc = curated
+    bigram count, cc = Σ_cur bc (occurrences of ``prev`` as a
+    non-final token), V = |distinct tokens appearing in any curated
+    bigram| — a deterministic smoothing constant derivable from the
+    bigram table alone (no extra unigram pass; documented choice, not
+    the full unigram vocab).
+
+    Cross-entropy per doc = −(Σ ln P)/n over its n bigrams, folded
+    from the exact ``bigram_lm_profile`` sufficient statistics: each
+    distinct likelihood class contributes c_sum·ln(num/den) once,
+    summed in decimal (order-free within Spark), with ONE IEEE
+    division at the end. The entropy is deterministic run-to-run but
+    deliberately NOT oracle-compared (per-row rounded ln is the
+    forbidden decimal-rounded-transcendental class); the profile is
+    the compared surface, and pytest pins this fold against a pure-
+    Python math.log reference.
+
+    Scale: inherits the profile's plan — one persisted corpus
+    sliver, gated model broadcasts; the per-doc fold adds one
+    doc_id-keyed aggregation over the (smaller) profile frame."""
+    p = bigram_lm_profile(docs, target_sources, max_broadcast_bigrams)
+    contrib = F.expr(
+        "CAST(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+        " AS DECIMAL(20,9))"
+    )
+    scored = p.groupBy("doc_id").agg(
+        F.sum("c_sum").cast("long").alias("n_bigrams"),
+        # c_sum capped at DECIMAL(10,0) so the product stays inside 38
+        # digits and the sum caps back to (30,9) — the exact-decimal
+        # discipline from nb_score_with_tc
+        F.sum(F.col("c_sum").cast("decimal(10,0)") * contrib)
+        .cast("decimal(30,9)")
+        .alias("ll_dec"),
     )
     return scored.select(
         "doc_id",

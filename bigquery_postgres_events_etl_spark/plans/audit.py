@@ -110,7 +110,7 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "applied and the term join shuffles — Heaps' law is sublinear, not "
         "bounded, so an ungated hint would OOM on a web-scale vocab. "
         "The 1-row doc-count crossJoin broadcast is unconditionally safe.",
-    ("text.py", "bigram_lm_score"):
+    ("text.py", "_bigram_lm_joined"):
         "bigram model (bc) and context (cc) broadcasts GATED on measured "
         "bigram cardinality ≤ max_broadcast_bigrams (2M ≈ tens of MB); "
         "above the gate both joins shuffle. The 1-row vocab-size "

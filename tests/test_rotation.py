@@ -119,12 +119,6 @@ def test_rows_only_entries_order_behind_hash_checked_peers():
 def test_tiebreaker_never_crosses_staleness_tiers():
     """The oracle tiebreaker must not promote a fresh hash-checked
     entry over a staler rows-only one — staleness always dominates."""
-    order = attestation.driver_priority(
-        ["fresh_hash", "stale_rows_only"],
-        root=None,
-        has_oracle={"fresh_hash"},
-    )
-    # both unattested in the real history? Use a synthetic root instead:
     import json as _json
     import tempfile, os
 

@@ -435,3 +435,74 @@ def test_token_entropy_matches_pure_python(spark, sf_dir):
         # per-term DECIMAL(20,9) rounding: error ≤ 5e-10 per distinct count
         assert abs(r["entropy"] - ref) <= 5e-10 * len(counts) + 1e-12
         assert -1e-12 <= r["entropy"] <= math.log(max(len(counts), 1)) + 1e-9
+
+
+def test_bigram_lm_profile_and_score_match_pure_python(spark, sf_dir):
+    """The cross-entropy double is pinned HERE (vs a pure-Python
+    math.log reference built independently from the raw texts)
+    because the registry's compared output is the all-integer
+    likelihood profile: per-row decimal-rounded ln is the
+    transcendental class registry.py forbids for compared columns
+    (r5 weighted-sample hash-fail class), so the oracle checks
+    (doc_id, num, den, c_sum) and this test owns the entropy fold —
+    plus the profile's exact agreement with the reference model."""
+    import math
+    from collections import Counter, defaultdict
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.text import (
+        NB_TARGET_SOURCES,
+        bigram_lm_profile,
+        bigram_lm_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "source", "text").collect()
+    # reference model: same tokenizer semantics as F.split(text, " ")
+    # (keeps empty tokens — the r6 ADVICE lesson)
+    bigrams = {}
+    for r in raw:
+        if r["text"] is None:
+            continue
+        t = r["text"].split(" ")
+        if len(t) >= 2:
+            bigrams[r["doc_id"]] = list(zip(t, t[1:]))
+    bc: Counter = Counter()
+    curated_sources = set(NB_TARGET_SOURCES)
+    src = {r["doc_id"]: r["source"] for r in raw}
+    for doc_id, bgs in bigrams.items():
+        if src[doc_id] in curated_sources:
+            bc.update(bgs)
+    cc: dict = defaultdict(int)
+    for (prev, _cur), c in bc.items():
+        cc[prev] += c
+    vocab = {tok for bg in bc for tok in bg}
+    v = len(vocab)
+
+    # exact profile agreement
+    ref_profile: dict = defaultdict(int)
+    for doc_id, bgs in bigrams.items():
+        for bg in bgs:
+            num = bc.get(bg, 0) + 1
+            den = cc.get(bg[0], 0) + v
+            ref_profile[(doc_id, num, den)] += 1
+    got_profile = {
+        (r["doc_id"], r["num"], r["den"]): r["c_sum"]
+        for r in bigram_lm_profile(docs).collect()
+    }
+    assert got_profile == dict(ref_profile)
+
+    # entropy fold agreement (per-class DECIMAL(20,9) ln rounding:
+    # error ≤ 5e-10 per occurrence, so ≤ 5e-10 after the /n division)
+    rows = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert set(rows) == set(bigrams)
+    for doc_id, bgs in bigrams.items():
+        n = len(bgs)
+        ref = -sum(
+            math.log((bc.get(bg, 0) + 1) / (cc.get(bg[0], 0) + v))
+            for bg in bgs
+        ) / n
+        r = rows[doc_id]
+        assert r["n_bigrams"] == n
+        assert abs(r["cross_entropy"] - ref) <= 5e-10 + 1e-12
+        assert r["cross_entropy"] > 0
