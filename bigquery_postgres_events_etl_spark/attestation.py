@@ -62,6 +62,12 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # predicate change: inclusive between(.. 23:59:59) replaced by the
     # half-open < '1996-04-01' the oracle always used (r7 ADVICE):
     "q4_order_priority": 8,
+    # rows-only -> recursive-CTE hash oracle (r7 verdict item #1): the
+    # prior "green" rows were err:no_oracle attestations of a weaker
+    # contract — the hash compare must run at least once:
+    "dedup_dup_clusters": 8,
+    "dedup_cluster_star": 8,
+    "multimodal_phash_clusters": 8,
 }
 
 

@@ -106,6 +106,37 @@ sim AS (
 """
 
 
+# Transitive-closure fragments shared by the cluster-resolution
+# oracles (queries_pipeline / queries_multimodal): a `p(a, b)` pair
+# CTE in, (node, cid = min reachable node) out. The closure is a
+# standard min-reachability recursive CTE — UNION dedups visited
+# (node, r) states, so it terminates on any graph and costs
+# Σ|component|² rows, cheap at the sf0.01 oracle scale where dup
+# clusters are small near-cliques. The Spark side is iterative
+# (operators/cluster.py) and hence not SQL — but its OUTPUT is, which
+# is all the driver's hash-compare needs. Queries that use these MUST
+# start with `WITH RECURSIVE`.
+_LSH_PAIRS_P_CTE = _BANDS_CTE + """,
+p AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+)
+"""
+
+_CLOSURE_FROM_P_CTE = """,
+e AS (SELECT a AS u, b AS v FROM p UNION SELECT b AS u, a AS v FROM p),
+reach(node, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT q.node, e.v FROM reach q JOIN e ON e.u = q.r
+),
+comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY node),
+sz AS (SELECT cid, count(*) AS n FROM comp GROUP BY cid)
+"""
+
+
 @register(
     "dedup_exact",
     """

@@ -215,14 +215,99 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_pairs(media, max_hamming=6)
 
 
-@register("multimodal_phash_clusters", None)  # iterative CC — rows-only
+# DuckDB twin of the byte-bigram perceptual-hash kernel
+# (operators.multimodal.perceptual_hash, the deterministic no-codec
+# path that ALWAYS runs on these text/plain payloads — PIL, even when
+# importable, cannot decode them, so the kernel choice is stable):
+# bigram g = byte[i]*31 + byte[i+1]; bucket = (g*2654435761)>>20 & 63;
+# bit b set iff votes[b] > n/64 — compared as 64*votes > n, exactly
+# the kernel's float compare because n/64.0 is a power-of-2 division
+# (lossless in IEEE for n < 2^53). Byte access via ascii(substr(..))
+# is valid because the fixture text is pure ASCII (verified at all
+# three sf fixtures; a multibyte corpus would need a blob-indexing
+# twin). Bit 63 assembles as the two's-complement negative, matching
+# _SIMHASH_CTE's convention. All arithmetic stays < 2^45 — bit-equal
+# int64 on both engines.
+_PHASH_SIM_CTE = """
+bg AS (
+  SELECT doc_id AS media_id,
+         unnest(list_transform(generate_series(1, length(text) - 1),
+                i -> ascii(substr(text, i, 1)) * 31 + ascii(substr(text, i + 1, 1)))) AS g
+  FROM documents WHERE length(text) >= 2
+),
+bk AS (SELECT media_id, ((g * 2654435761) >> 20) & 63 AS b FROM bg),
+votes AS (SELECT media_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+tot AS (SELECT media_id, count(*) AS n FROM bk GROUP BY 1),
+bits AS (
+  SELECT v.media_id, v.b FROM votes v JOIN tot t USING (media_id)
+  WHERE v.c * 64 > t.n
+),
+sim0 AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                       ELSE (1::BIGINT << b) END) AS BIGINT) AS phash
+  FROM bits GROUP BY media_id
+),
+sim AS (
+  SELECT d.doc_id AS media_id, COALESCE(s.phash, 0) AS phash
+  FROM documents d LEFT JOIN sim0 s ON s.media_id = d.doc_id
+)
+"""
+
+# pigeonhole banding twin of dedup.hamming_band_pairs(max_hamming=6,
+# max_bucket=256): 7 chunks x 9 bits, hot-bucket valve INCLUDED (the
+# valve is part of the registered output, not an approximation), then
+# the exact bit_count verify and the min-reachability closure shared
+# with the text cluster entries.
+_PHASH_PAIRS_P_CTE = _PHASH_SIM_CTE + """,
+ch AS (
+  SELECT media_id, phash, c, (phash >> (c * 9)) & 511 AS chunk_val
+  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS c) cs
+),
+bucketed AS (SELECT c, chunk_val, count(*) AS nb FROM ch GROUP BY 1, 2),
+ok AS (
+  SELECT ch.media_id, ch.phash, ch.c, ch.chunk_val
+  FROM ch JOIN bucketed b ON b.c = ch.c AND b.chunk_val = ch.chunk_val
+  WHERE b.nb BETWEEN 2 AND 256
+),
+p AS (
+  SELECT DISTINCT x.media_id AS a, y.media_id AS b
+  FROM ok x JOIN ok y
+    ON x.c = y.c AND x.chunk_val = y.chunk_val AND x.media_id < y.media_id
+  WHERE bit_count(xor(x.phash, y.phash)) <= 6
+)
+"""
+
+
+def _phash_cluster_oracle_sql() -> str:
+    from .queries_dedup import _CLOSURE_FROM_P_CTE
+
+    return (
+        "WITH RECURSIVE "
+        + _PHASH_PAIRS_P_CTE
+        + _CLOSURE_FROM_P_CTE
+        + """
+    SELECT c.node AS media_id, c.cid AS cluster_id,
+           CAST(s.n AS BIGINT) AS cluster_size,
+           (c.node = c.cid) AS is_canonical
+    FROM comp c JOIN sz s ON s.cid = c.cid
+    """
+    )
+
+
+@register("multimodal_phash_clusters", _phash_cluster_oracle_sql())
 def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media near-dup CLUSTER resolution: perceptual-hash pairs →
     connected components → (media_id, cluster_id, cluster_size,
     is_canonical) — the deletion step for near-duplicate media, built
     from the SAME pointer-jumping machinery as the text dedup
     clusters (operators/cluster.py; union-find-oracle-pinned there).
-    Keeping is_canonical=true rows is the dedup action."""
+    Keeping is_canonical=true rows is the dedup action. The oracle
+    recomputes the whole path — byte-bigram phash, pigeonhole banding
+    WITH the hot-bucket valve, recursive min-reachability closure —
+    in DuckDB SQL (see _PHASH_SIM_CTE for the bit-equality argument),
+    so the driver hash-checks the fixpoint even though the Spark side
+    iterates."""
     from pyspark.sql import functions as F
 
     from .cluster import dup_clusters

@@ -209,23 +209,56 @@ def pipeline_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_threshold_filter(load_table(spark, sf_dir, "documents"))
 
 
-@register("dedup_dup_clusters", None)  # iterative — rows-only; see test_cluster.py
+def _cluster_oracle_sql(final_select: str) -> str:
+    """Recursive-CTE oracle for the LSH-pair cluster entries: the
+    Spark side is ITERATIVE min-label propagation (not SQL), but its
+    output — comp = min reachable node over the candidate-pair graph
+    — is exactly a recursive transitive closure, so DuckDB can
+    hash-check it (r7 verdict item #1; these were the last rows-only
+    entries with SQL-expressible output)."""
+    from .queries_dedup import _CLOSURE_FROM_P_CTE, _LSH_PAIRS_P_CTE
+
+    return (
+        "WITH RECURSIVE "
+        + _LSH_PAIRS_P_CTE
+        + _CLOSURE_FROM_P_CTE
+        + final_select
+    )
+
+
+@register(
+    "dedup_dup_clusters",
+    _cluster_oracle_sql("""
+    SELECT c.node AS doc_id, c.cid AS cluster_id,
+           CAST(s.n AS BIGINT) AS cluster_size,
+           (c.node = c.cid) AS is_canonical
+    FROM comp c JOIN sz s ON s.cid = c.cid
+    """),
+)
 def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over MinHash-LSH candidate pairs →
     (doc_id, cluster_id, cluster_size, is_canonical). The deletion
-    step of the dedup pipeline; correctness pinned against a
-    union-find oracle in pytest (iteration isn't SQL-expressible)."""
+    step of the dedup pipeline. The ITERATION isn't SQL-expressible
+    but the fixpoint is (min reachable node): the oracle recomputes it
+    with a DuckDB recursive CTE, on top of the union-find pytest pin
+    (tests/test_cluster.py)."""
     pairs = minhash_lsh_pairs(parallelize(load_table(spark, sf_dir, "documents")))
     return dup_clusters(pairs)
 
 
-@register("dedup_cluster_star", None)  # iterative — rows-only; see test_cluster.py
+@register(
+    "dedup_cluster_star",
+    _cluster_oracle_sql("""
+    SELECT node AS doc_id, cid AS cluster_id FROM comp
+    """),
+)
 def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris
     et al.) over the same LSH pairs — the O(log n)-rounds tier that
     stays fast on adversarial long-chain pair graphs where min-label
-    propagation needs O(diameter) rounds. Equals the union-find oracle
-    (and dedup_dup_clusters' labels) in pytest."""
+    propagation needs O(diameter) rounds. Same recursive-closure
+    oracle as dedup_dup_clusters (both compute comp = min reachable
+    node); also equals the union-find oracle in pytest."""
     from .cluster import connected_components_star
 
     pairs = minhash_lsh_pairs(parallelize(load_table(spark, sf_dir, "documents")))
