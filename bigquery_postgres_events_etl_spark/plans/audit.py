@@ -95,6 +95,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("stream.py", "psi_between"):
         "1-row histogram-totals scalar over a constant-bounded bin "
         "table — unconditionally safe",
+    ("graph.py", "pagerank"):
+        "1-row dangling-mass scalar (an aggregate) — unconditionally "
+        "safe; replaces a per-iteration driver .first()",
     ("graph.py", "markov_attribution"):
         "scenario frame (|channels|+1 rows, channel cardinality is "
         "constant) and three 1-row scalars (p_conv_full, removal-effect "
