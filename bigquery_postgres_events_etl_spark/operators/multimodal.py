@@ -99,8 +99,35 @@ def extract_binary_features(media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# STUBS — codec boundaries (no media libs in this container)
+# Codec boundaries. Resolution order on the EXECUTOR (where decode
+# runs): Pillow if importable (full format coverage), else the
+# pure-stdlib 24-bit BMP codec (bmpcodec.StdlibBmpModule — REAL pixel
+# decode/resize/re-encode for BMP payloads, md5-pinned in tests), else
+# a NotImplementedError naming both escape hatches. Only formats the
+# stdlib cannot honestly decode (JPEG/PNG entropy coding) remain
+# Pillow-gated.
 # ---------------------------------------------------------------------
+
+
+def _resolve_image_module():
+    """Executor-side codec resolution: PIL.Image when installed, the
+    stdlib BMP module otherwise (never None — a decode of a format the
+    active codec can't parse raises ValueError at the payload)."""
+    pil = _try_import_pil()
+    if pil is not None:
+        return pil
+    from .bmpcodec import StdlibBmpModule
+
+    return StdlibBmpModule
+
+
+_NO_CODEC_HINT = (
+    "payload is not an uncompressed 24-bit BMP and Pillow is not "
+    "installed on the executors: the stdlib codec owns BMP only — "
+    "pip install pillow for JPEG/PNG, or use the fake_* twin for "
+    "codec-less pipeline tests"
+)
+
 
 DECODED_IMAGE_SCHEMA = T.StructType(
     [
@@ -140,26 +167,22 @@ def _decode_image_batch(pdf: pd.DataFrame, image_module) -> pd.DataFrame:
 
 
 def decode_images(media: DataFrame) -> DataFrame:
-    """Image decode behind an optional import: where Pillow is
-    installed the same code path runs real decodes (``PIL.Image.open``
-    per payload inside an Arrow batch); in codec-less environments it
-    raises ``NotImplementedError`` pointing at ``fake_decode_images``
-    for pipeline exercises. The ``mapInPandas`` shape, schema, and
+    """Real image decode, Arrow-batched: ``PIL.Image.open`` per
+    payload where Pillow is installed, the pure-stdlib BMP codec
+    otherwise (real pixels either way for BMP payloads; other formats
+    without Pillow raise ``NotImplementedError`` pointing at
+    ``fake_decode_images``). The ``mapInPandas`` shape, schema, and
     batch flow are identical in both regimes — only the codec import
     differs, and it is resolved on the *executor* (where the decode
     runs), not the driver."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # optional dependency
-        except ImportError as e:
-            raise NotImplementedError(
-                "image decode needs Pillow on the executors (pip install "
-                "pillow); for codec-less pipeline tests use "
-                "fake_decode_images"
-            ) from e
+        image_module = _resolve_image_module()
         for pdf in batches:
-            yield _decode_image_batch(pdf, Image)
+            try:
+                yield _decode_image_batch(pdf, image_module)
+            except ValueError as e:
+                raise NotImplementedError(_NO_CODEC_HINT) from e
 
     return media.mapInPandas(_decode, schema=DECODED_IMAGE_SCHEMA)
 
@@ -235,11 +258,14 @@ def plan_resize(decoded: DataFrame, max_w: int = 224, max_h: int = 224) -> DataF
 
 
 def resize_images(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
-    """Executor-side image resize behind the same optional-Pillow
-    boundary as :func:`decode_images`: real ``Image.resize`` where the
-    codec exists, ``NotImplementedError`` pointing at the fake twin
-    otherwise. Output carries the resized payload re-encoded plus its
-    byte count — the shape a thumbnailing / model-input stage needs.
+    """Executor-side image resize behind the same codec resolution as
+    :func:`decode_images`: ``Image.resize`` under Pillow, the stdlib
+    BMP codec's integer nearest-neighbor kernel otherwise — REAL
+    decode → resize → re-encode on real pixel bytes in both regimes
+    for BMP payloads (md5-pinned in tests); non-BMP payloads without
+    Pillow raise ``NotImplementedError`` pointing at the fake twin.
+    Output carries the resized payload re-encoded plus its byte count
+    — the shape a thumbnailing / model-input stage needs.
     """
     schema = T.StructType(
         [
@@ -252,14 +278,7 @@ def resize_images(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataF
     )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # optional dependency
-        except ImportError as e:
-            raise NotImplementedError(
-                "image resize needs Pillow on the executors (pip install "
-                "pillow); for codec-less pipeline tests use "
-                "fake_resize_images"
-            ) from e
+        image_module = _resolve_image_module()
         import io
 
         for pdf in batches:
@@ -270,7 +289,10 @@ def resize_images(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataF
                     ows.append(None), ohs.append(None)
                     blobs.append(None), sizes.append(None)
                     continue
-                img = Image.open(io.BytesIO(b))
+                try:
+                    img = image_module.open(io.BytesIO(b))
+                except ValueError as e:
+                    raise NotImplementedError(_NO_CODEC_HINT) from e
                 w, h = img.size
                 if w * max_h >= h * max_w:
                     ow = min(w, max_w)
@@ -352,17 +374,20 @@ PHASH_SCHEMA = "media_id BIGINT, phash BIGINT"
 def perceptual_hash(media: DataFrame) -> DataFrame:
     """64-bit perceptual signature per media payload, Arrow-batched.
 
-    With an image codec importable (Pillow) this is the standard
-    dHash: decode → 9×8 grayscale → horizontal-gradient bits — small
-    visual edits flip few bits, so near-duplicate frames land within
-    a small Hamming radius. Without codecs (this container) the
-    kernel falls back to a byte-bigram SimHash: hash each byte pair
-    into 64 buckets, vote, take bits above the mean — the same
-    locality property over raw payloads (a small payload edit
-    perturbs few bucket counts), so the downstream banding stage is
-    exercised with REAL near-dup semantics rather than a placebo.
-    Deterministic either way; which kernel ran is recorded by the
-    caller via `phash_kernel()`.
+    Payloads the active codec can decode (any format under Pillow;
+    uncompressed 24-bit BMP under the always-available stdlib codec)
+    get the standard dHash: decode → 9×8 grayscale →
+    horizontal-gradient bits — small visual edits flip few bits, so
+    near-duplicate frames land within a small Hamming radius.
+    Undecodable payloads (e.g. the text fixture's utf-8 bytes — a
+    pytest pins that NONE of them parse as BMP, which keeps the
+    byte-bigram DuckDB oracle sound) fall back to a byte-bigram
+    SimHash: hash each byte pair into 64 buckets, vote, take bits
+    above the mean — the same locality property over raw payloads (a
+    small payload edit perturbs few bucket counts), so the downstream
+    banding stage is exercised with REAL near-dup semantics rather
+    than a placebo. Deterministic either way; which kernel family ran
+    is recorded by the caller via `phash_kernel()`.
 
     Scale: embarrassingly parallel, one 8-byte signature out per
     payload — the shuffle-bearing stage is the banding join in
@@ -372,7 +397,7 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        image_module = _try_import_pil()
+        image_module = _resolve_image_module()
 
         def one(payload: bytes | None) -> int | None:
             if payload is None:
@@ -428,8 +453,14 @@ def _try_import_pil():
 
 
 def phash_kernel() -> str:
-    """Which perceptual-hash kernel this environment runs."""
-    return "dhash" if _try_import_pil() is not None else "byte-bigram-simhash"
+    """Which perceptual-hash kernel family this environment runs:
+    full dHash under Pillow, else dHash for BMP payloads (stdlib
+    codec) with byte-bigram SimHash for everything undecodable."""
+    return (
+        "dhash"
+        if _try_import_pil() is not None
+        else "dhash-bmp+byte-bigram-simhash"
+    )
 
 
 def phash_near_pairs(

@@ -39,11 +39,13 @@ def test_feature_extract_values(spark, sf_dir):
         )
 
 
-def test_decode_without_pillow_raises_not_implemented(spark, sf_dir):
-    """In a codec-less environment (this container has no Pillow) the
-    optional-import branch raises a clearly-marked NotImplementedError
-    at execution time; plan construction succeeds — the schema
-    contract is real either way."""
+def test_decode_non_bmp_without_pillow_raises_not_implemented(spark, sf_dir):
+    """Honest-codec contract for payloads the stdlib BMP codec cannot
+    own (the fixture's text bytes): without Pillow, execution raises a
+    clearly-marked NotImplementedError naming both escape hatches —
+    never wrong output. Plan construction succeeds — the schema
+    contract is real either way. (BMP payloads decode for REAL in this
+    environment: test_bmp_decode_resize_e2e_md5_pinned.)"""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     df = decode_images(media)  # plan builds fine
     assert [f.name for f in df.schema.fields] == ["media_id", "width", "height", "channels"]
@@ -53,7 +55,7 @@ def test_decode_without_pillow_raises_not_implemented(spark, sf_dir):
         pytest.skip("Pillow present — decode branch covered by the unit test")
     except ImportError:
         pass
-    with pytest.raises(Exception, match="needs Pillow"):
+    with pytest.raises(Exception, match="not an uncompressed 24-bit BMP"):
         df.collect()
 
 
@@ -133,10 +135,10 @@ def test_plan_resize_invariants(spark, sf_dir):
         assert r.downscaled == (r.out_width < r.width or r.out_height < r.height)
 
 
-def test_resize_without_pillow_raises_not_implemented(spark, sf_dir):
-    """The honest-stub contract: executing the real resize kernel in
-    a codec-less environment surfaces NotImplementedError, not wrong
-    output."""
+def test_resize_non_bmp_without_pillow_raises_not_implemented(spark, sf_dir):
+    """The honest-codec contract: resizing a payload no available
+    codec can decode (text bytes, no Pillow) surfaces a clearly-marked
+    NotImplementedError, not wrong output."""
     import pytest
 
     try:
@@ -145,8 +147,6 @@ def test_resize_without_pillow_raises_not_implemented(spark, sf_dir):
         pytest.skip("Pillow present — stub branch not reachable")
     except ImportError:
         pass
-    from py4j.protocol import Py4JJavaError
-
     from bigquery_postgres_events_etl_spark.operators.multimodal import resize_images
 
     media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(2)
@@ -155,6 +155,7 @@ def test_resize_without_pillow_raises_not_implemented(spark, sf_dir):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+    assert "not an uncompressed 24-bit BMP" in str(ei.value)
 
 
 def test_audio_resample_decimation(spark, sf_dir):
@@ -213,3 +214,149 @@ def test_perceptual_hash_is_locality_sensitive(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+# ---------------------------------------------------------------------
+# pure-stdlib BMP codec: real pixels without Pillow (r7 verdict #4)
+# ---------------------------------------------------------------------
+
+
+def _gradient(w, h, seed):
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(
+                ((x * 7 + seed) % 256, (y * 11 + seed * 3) % 256, (x * y + seed * 5) % 256)
+            )
+    return bytes(px)
+
+
+def test_bmp_roundtrip_and_strictness():
+    """encode→decode identity across widths 1..6 (all four row-padding
+    branches) and top-down decode; non-BMP / wrong-variant inputs are
+    rejected loudly — the strictness that keeps the phash oracle sound."""
+    import struct
+
+    from bigquery_postgres_events_etl_spark.operators.bmpcodec import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    for w in range(1, 7):
+        for h in (1, 2, 5):
+            px = _gradient(w, h, w + h)
+            data = encode_bmp(w, h, px)
+            assert decode_bmp(data) == (w, h, px), (w, h)
+
+    # top-down variant (negative height) decodes to the same pixels
+    w, h = 3, 2
+    px = _gradient(w, h, 9)
+    data = bytearray(encode_bmp(w, h, px))
+    struct.pack_into("<i", data, 14 + 8, -h)  # height field
+    stride = (w * 3 + 3) & ~3
+    off = 54
+    rows = [bytes(data[off + i * stride : off + (i + 1) * stride]) for i in range(h)]
+    data[off:] = b"".join(reversed(rows))  # reorder rows to top-down
+    assert decode_bmp(bytes(data)) == (w, h, px)
+
+    for bad in (b"", b"BM", b"not a bmp at all", "text payload".encode()):
+        with pytest.raises(ValueError):
+            decode_bmp(bad)
+    # 8-bpp variant rejected, not mis-decoded
+    bad8 = bytearray(encode_bmp(2, 2, _gradient(2, 2, 1)))
+    struct.pack_into("<H", bad8, 14 + 14, 8)
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(bad8))
+
+
+def test_bmp_decode_resize_e2e_md5_pinned(spark):
+    """The r7 verdict's 'done' bar: REAL encoded pixel bytes through
+    the Arrow-batched decode and resize kernels in the default
+    (Pillow-less) environment, output payloads pinned by md5. The
+    constants were computed once from the integer nearest-neighbor
+    spec (src = (i*in)//out) and must never drift."""
+    import hashlib
+
+    from bigquery_postgres_events_etl_spark.operators.bmpcodec import encode_bmp
+    from bigquery_postgres_events_etl_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    #       mid  w    h    out_w out_h  md5(resized bmp)                    md5(input bmp)
+    spec = [
+        (1, 320, 200, 224, 140, "52cabeeb2d32a625a617637290347600", "fc0890b46daf3e06bab89d7a73babaed"),
+        (2, 17, 333, 11, 224, "dee08e6ee201c83914dd15aaf660a77f", "f202d2de32b6ecb7e55e2f420f4e8fd0"),
+        (3, 100, 100, 100, 100, "1d1fe9c05d1119717660a7a705d7b615", "1d1fe9c05d1119717660a7a705d7b615"),
+        (4, 5, 3, 5, 3, "a373b611e8324aafec8a91443f307ca6", "a373b611e8324aafec8a91443f307ca6"),
+    ]
+    rows = []
+    for mid, w, h, _ow, _oh, _omd5, imd5 in spec:
+        bmp = encode_bmp(w, h, _gradient(w, h, mid))
+        assert hashlib.md5(bmp).hexdigest() == imd5, "input encoding drifted"
+        rows.append((mid, bmp))
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+
+    decoded = {r.media_id: r for r in decode_images(media).collect()}
+    for mid, w, h, *_ in spec:
+        assert (decoded[mid].width, decoded[mid].height) == (w, h)
+        assert decoded[mid].channels == 3
+
+    resized = {r.media_id: r for r in resize_images(media).collect()}
+    for mid, _w, _h, ow, oh, omd5, _imd5 in spec:
+        r = resized[mid]
+        assert (r.out_width, r.out_height) == (ow, oh), mid
+        assert hashlib.md5(bytes(r.resized)).hexdigest() == omd5, mid
+        assert r.n_bytes_out == len(r.resized)
+    # the no-downscale case re-encodes to the identical file — the
+    # decode→resize→encode chain is lossless where it should be
+    assert (
+        hashlib.md5(bytes(resized[3].resized)).hexdigest()
+        == hashlib.md5(bytes(rows[2][1])).hexdigest()
+    )
+
+
+def test_phash_runs_real_dhash_on_bmp_payloads(spark):
+    """With real BMP bytes the perceptual hash is the actual dHash
+    (9×8 grayscale gradient), not the byte-bigram fallback: identical
+    images collide exactly, a local pixel edit stays within a small
+    Hamming radius, an unrelated image lands far away — on PIXELS, so
+    a byte-level re-encoding artifact (row padding) cannot move it."""
+    from bigquery_postgres_events_etl_spark.operators.bmpcodec import encode_bmp
+    from bigquery_postgres_events_etl_spark.operators.multimodal import (
+        perceptual_hash,
+    )
+
+    w, h = 64, 48
+    base = bytearray(_gradient(w, h, 2))
+    edited = bytearray(base)
+    for i in range(0, 90, 3):  # small local patch edit
+        edited[i] = 255 - edited[i]
+    unrelated = bytes((i * 197 + 31) % 256 for i in range(w * h * 3))
+    rows = [
+        (1, encode_bmp(w, h, bytes(base))),
+        (2, encode_bmp(w, h, bytes(base))),
+        (3, encode_bmp(w, h, bytes(edited))),
+        (4, encode_bmp(w, h, unrelated)),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    sig = {r.media_id: r.phash for r in perceptual_hash(media).collect()}
+
+    def ham(a, b):
+        return bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+
+    assert ham(1, 2) == 0
+    assert ham(1, 3) <= 8, f"local pixel edit moved dHash too far: {ham(1, 3)}"
+    assert ham(1, 4) > 8, f"unrelated images too close: {ham(1, 4)}"
+
+
+def test_fixture_payloads_never_decode_as_bmp(spark, sf_dir):
+    """Soundness pin for the multimodal_phash_clusters DuckDB oracle:
+    it models the BYTE-BIGRAM kernel for every fixture payload, which
+    is only right if no payload parses as BMP (a decodable payload
+    would take the dHash branch and diverge). Strict header validation
+    makes text bytes structurally unable to pass; verify anyway."""
+    from bigquery_postgres_events_etl_spark.operators.bmpcodec import decode_bmp
+
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        with pytest.raises(ValueError):
+            decode_bmp(r.text.encode("utf-8"))
