@@ -68,6 +68,7 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     "dedup_dup_clusters": 8,
     "dedup_cluster_star": 8,
     "multimodal_phash_clusters": 8,
+    "multimodal_phash_near_dup": 8,
 }
 
 

@@ -200,21 +200,6 @@ def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_phash_near_dup", None)  # Python kernel: no DuckDB twin
-def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-duplicate media pairs — the NEAR-dup twin
-    of multimodal_content_dedup (dHash under a real image codec; a
-    locality-sensitive byte-bigram signature in this container, see
-    multimodal.perceptual_hash): 64-bit signature per payload, then
-    the generic pigeonhole Hamming banding shared with the text
-    SimHash tier. Rows-only; locality + exact-dup-superset properties
-    are pytest-pinned."""
-    from .multimodal import phash_near_pairs
-
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    return phash_near_pairs(media, max_hamming=6)
-
-
 # DuckDB twin of the byte-bigram perceptual-hash kernel
 # (operators.multimodal.perceptual_hash, the deterministic no-codec
 # path that ALWAYS runs on these text/plain payloads — PIL, even when
@@ -257,8 +242,9 @@ sim AS (
 # pigeonhole banding twin of dedup.hamming_band_pairs(max_hamming=6,
 # max_bucket=256): 7 chunks x 9 bits, hot-bucket valve INCLUDED (the
 # valve is part of the registered output, not an approximation), then
-# the exact bit_count verify and the min-reachability closure shared
-# with the text cluster entries.
+# the exact bit_count verify. `p` carries the signatures + hamming so
+# ONE fragment serves both the pairs entry (selects them) and the
+# cluster entry (closure uses only a, b).
 _PHASH_PAIRS_P_CTE = _PHASH_SIM_CTE + """,
 ch AS (
   SELECT media_id, phash, c, (phash >> (c * 9)) & 511 AS chunk_val
@@ -271,12 +257,38 @@ ok AS (
   WHERE b.nb BETWEEN 2 AND 256
 ),
 p AS (
-  SELECT DISTINCT x.media_id AS a, y.media_id AS b
+  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+         x.phash AS pa, y.phash AS pb,
+         CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS hamming
   FROM ok x JOIN ok y
     ON x.c = y.c AND x.chunk_val = y.chunk_val AND x.media_id < y.media_id
   WHERE bit_count(xor(x.phash, y.phash)) <= 6
 )
 """
+
+
+@register(
+    "multimodal_phash_near_dup",
+    "WITH " + _PHASH_PAIRS_P_CTE + """
+    SELECT a AS media_a, b AS media_b, pa AS phash_a, pb AS phash_b, hamming
+    FROM p
+    """,
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate media pairs — the NEAR-dup twin
+    of multimodal_content_dedup (dHash under a real image codec; a
+    locality-sensitive byte-bigram signature over these text payloads,
+    see multimodal.perceptual_hash): 64-bit signature per payload,
+    then the generic pigeonhole Hamming banding shared with the text
+    SimHash tier (7×9-bit chunks, hot-bucket valve at 256). The
+    DuckDB oracle recomputes signature, banding, valve, and the exact
+    bit_count verify (same bit-equality argument as the cluster
+    entry's _PHASH_SIM_CTE); locality + exact-dup-superset properties
+    are additionally pytest-pinned."""
+    from .multimodal import phash_near_pairs
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return phash_near_pairs(media, max_hamming=6)
 
 
 def _phash_cluster_oracle_sql() -> str:
