@@ -226,6 +226,43 @@ def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFram
     )
 
 
+def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
+    """Deterministic real-image fixture: one small 24-bit BMP per
+    document, dimensions and gradient pixels pure functions of
+    ``doc_id`` (w = id%37+4, h = id%29+4; pixel (x,y) =
+    ((7x+id)%256, (11y+3id)%256, (xy+5id)%256)). Arrow-batched
+    ``mapInPandas`` over the stdlib encoder — REAL encoded pixel
+    bytes flowing through the same binary envelope as
+    ``documents_as_media``, so the codec kernels are exercisable as
+    registry entries, not only in pytest. Map-side, no shuffle;
+    payload ≤ ~5 KB per row."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .bmpcodec import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 37 + 4, did % 29 + 4
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = ((x * 7 + did) % 256)[None, :]
+                px[:, :, 1] = ((y * 11 + 3 * did) % 256)[:, None]
+                px[:, :, 2] = (y[:, None] * x[None, :] + 5 * did) % 256
+                payloads.append(encode_bmp(w, h, px.tobytes()))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        synth, schema="media_id BIGINT, payload BINARY"
+    )
+
+
 def plan_resize(decoded: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
     """Resize planning: target dimensions fitting each image into a
     ``max_w`` × ``max_h`` box, aspect preserved, never upscaled — in

@@ -335,3 +335,51 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         "is_canonical",
     )
+
+
+@register(
+    "multimodal_bmp_resize_real",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             doc_id % 37 + 4 AS w, doc_id % 29 + 4 AS h
+      FROM documents
+    ),
+    p AS (
+      SELECT media_id, w, h,
+             CASE WHEN w >= h THEN least(w, 16)
+                  ELSE (w * least(h, 16)) // h END AS ow,
+             CASE WHEN w >= h THEN (h * least(w, 16)) // w
+                  ELSE least(h, 16) END AS oh
+      FROM m
+    )
+    SELECT media_id,
+           CAST(ow AS INTEGER) AS out_width,
+           CAST(oh AS INTEGER) AS out_height,
+           CAST(54 + oh * (((ow * 3 + 3) // 4) * 4) AS BIGINT) AS n_bytes_out
+    FROM p
+    """,
+)
+def multimodal_bmp_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode → resize → re-encode as a registry entry: a
+    deterministic 24-bit BMP per document (multimodal.
+    synthesize_bmp_media — dims and gradient pixels pure functions of
+    doc_id) flows through the stdlib codec's Arrow-batched resize
+    kernel (resize_images, max 16×16). The oracle recomputes the
+    geometry invariants the kernel must satisfy — integer
+    aspect-preserving output dims (w>=h ⟺ w·16 >= h·16 is the
+    width-bound test at a square box) and the exact BMP file size
+    (54-byte header + height × 4-padded row stride) — so the driver
+    hash-checks that real pixel bytes went through a real encoder of
+    the planned geometry. The pixel CONTENT is pinned by the
+    md5-pinned pytest (oracle SQL cannot run a codec); this entry
+    pins the codec's observable contract cross-engine.
+
+    Scale: synthesis and resize are both map-side mapInPandas — no
+    shuffle at any size; payloads are bounded (≤ 40×32×3 bytes)."""
+    from .multimodal import resize_images, synthesize_bmp_media
+
+    media = synthesize_bmp_media(load_table(spark, sf_dir, "documents"))
+    return resize_images(media, max_w=16, max_h=16).select(
+        "media_id", "out_width", "out_height", "n_bytes_out"
+    )

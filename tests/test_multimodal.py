@@ -360,3 +360,42 @@ def test_fixture_payloads_never_decode_as_bmp(spark, sf_dir):
     for r in load_table(spark, sf_dir, "documents").select("text").collect():
         with pytest.raises(ValueError):
             decode_bmp(r.text.encode("utf-8"))
+
+
+def test_bmp_synthesis_entry_pins_real_payloads(spark, sf_dir):
+    """multimodal_bmp_resize_real's synthesized inputs are REAL BMPs
+    with pinned content (doc 42: 9×17, md5 pinned below), and the
+    registered output matches the oracle's closed-form geometry on a
+    spot row — the pytest half of the entry's contract (the oracle
+    pins geometry cross-engine; this pins pixel content, which SQL
+    cannot)."""
+    import hashlib
+
+    from bigquery_postgres_events_etl_spark.operators.bmpcodec import decode_bmp
+    from bigquery_postgres_events_etl_spark.operators.multimodal import (
+        synthesize_bmp_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_bmp_media(docs)
+    row = media.where(F.col("media_id") == 42).first()
+    if row is None:
+        pytest.skip("fixture lacks doc_id 42")
+    assert hashlib.md5(bytes(row.payload)).hexdigest() == (
+        "73e1d62ea93dc05e8cbc8cc25a6e996c"
+    )
+    w, h, _px = decode_bmp(bytes(row.payload))
+    assert (w, h) == (42 % 37 + 4, 42 % 29 + 4) == (9, 17)
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    out = {
+        r.media_id: r
+        for r in all_queries()["multimodal_bmp_resize_real"](spark, sf_dir)
+        .where(F.col("media_id") == 42)
+        .collect()
+    }
+    r = out[42]
+    # 9x17 into 16x16: height-bound -> oh=16, ow=9*16//17=8
+    assert (r.out_width, r.out_height) == (8, 16)
+    assert r.n_bytes_out == 54 + 16 * ((8 * 3 + 3) // 4 * 4)
