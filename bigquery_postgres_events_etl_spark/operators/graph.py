@@ -22,6 +22,8 @@ reference and checks conservation + ordering properties.
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -182,6 +184,12 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=8, assume_distinct=True)
 
 
+# Driver-side squaring gate: above this channel cardinality the
+# scenario-keyed matrix stays distributed (collect size grows as
+# (c+1)(c+3)^2 doubles; 64 keeps it under ~300k entries / few MB).
+MARKOV_DRIVER_SQUARING_MAX_CHANNELS = 64
+
+
 def markov_attribution(
     events: DataFrame,
     user_col: str = "user_id",
@@ -300,28 +308,66 @@ def markov_attribution(
         ],
         "scenario string, src string, dst string, p double",
     )
-    m = redirected.unionByName(loops).localCheckpoint(eager=True)
+    m = redirected.unionByName(loops)
 
-    for _ in range(n_squarings):
-        a, b = m.alias("a"), m.alias("b")
-        m = (
-            a.join(
-                b,
-                (F.col("a.scenario") == F.col("b.scenario"))
-                & (F.col("a.dst") == F.col("b.src")),
-            )
-            .groupBy(
-                F.col("a.scenario").alias("scenario"),
-                F.col("a.src").alias("src"),
-                F.col("b.dst").alias("dst"),
-            )
-            .agg(F.sum(F.col("a.p") * F.col("b.p")).alias("p"))
-            .localCheckpoint(eager=True)
-        )
+    if len(channels) <= MARKOV_DRIVER_SQUARING_MAX_CHANNELS:
+        # The chain is CONSTANT-bounded — (|channels|+1 scenarios) ×
+        # (|channels|+3 states)² entries, a few KB here and ≤ ~300k
+        # doubles even at the 64-channel gate — so this collect is a
+        # bounded metadata fetch (same class as the channel list
+        # above), and the squaring is microseconds of numpy matmul.
+        # Running it as 8 Spark self-join jobs costs ~2.5 s of pure
+        # scheduling on local[32] (measured r8) for matrix math whose
+        # size does not grow with the data: the distributed loop below
+        # remains the path for super-gate channel vocabularies.
+        import numpy as np
 
-    p_conv = m.where((F.col("src") == "START") & (F.col("dst") == "CONV")).select(
-        "scenario", F.col("p").alias("p_conv")
-    )
+        rows = m.collect()
+        states = sorted({r.src for r in rows} | {r.dst for r in rows})
+        idx = {s: i for i, s in enumerate(states)}
+        mats: dict[str, Any] = {}
+        for r in rows:
+            mats.setdefault(
+                r.scenario, np.zeros((len(states), len(states)))
+            )[idx[r.src], idx[r.dst]] += r.p
+        i_start, i_conv = idx.get("START"), idx.get("CONV")
+        out = []
+        for s, q in mats.items():
+            for _ in range(n_squarings):
+                q = q @ q
+            out.append(
+                (
+                    s,
+                    float(q[i_start, i_conv])
+                    if i_start is not None and i_conv is not None
+                    else 0.0,
+                )
+            )
+        p_conv = spark.createDataFrame(out, "scenario string, p_conv double")
+    else:
+        m = m.localCheckpoint(eager=True)
+        for _ in range(n_squarings):
+            a, b = m.alias("a"), m.alias("b")
+            m = (
+                a.join(
+                    b,
+                    (F.col("a.scenario") == F.col("b.scenario"))
+                    & (F.col("a.dst") == F.col("b.src")),
+                )
+                .groupBy(
+                    F.col("a.scenario").alias("scenario"),
+                    F.col("a.src").alias("src"),
+                    F.col("b.dst").alias("dst"),
+                )
+                .agg(F.sum(F.col("a.p") * F.col("b.p")).alias("p"))
+                # double self-reference: the plan doubles per round, so
+                # lineage must truncate every iteration (cf. pagerank's
+                # adaptive cadence note)
+                .localCheckpoint(eager=True)
+            )
+        p_conv = m.where(
+            (F.col("src") == "START") & (F.col("dst") == "CONV")
+        ).select("scenario", F.col("p").alias("p_conv"))
     full = p_conv.where(F.col("scenario") == "full").select(
         F.col("p_conv").alias("p_conv_full")
     )
