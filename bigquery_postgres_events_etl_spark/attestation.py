@@ -69,6 +69,11 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     "dedup_cluster_star": 8,
     "multimodal_phash_clusters": 8,
     "multimodal_phash_near_dup": 8,
+    # r8 plan rewrites (rows-only entries — re-attest refreshes the
+    # rows/schema signal): pagerank's one-exchange iteration + adaptive
+    # checkpoint cadence; markov's gated driver-side matrix squaring:
+    "graph_pagerank_copurchase": 8,
+    "events_markov_attribution": 8,
 }
 
 

@@ -167,6 +167,18 @@ def to_grayscale(pixels: bytes) -> bytes:
         )
 
 
+def _expand_gray_rgb(luma: bytes) -> bytes:
+    """One luma byte → three identical RGB bytes, vectorized."""
+    try:
+        import numpy as np
+
+        return np.repeat(
+            np.frombuffer(luma, dtype=np.uint8), 3
+        ).tobytes()
+    except ImportError:  # pragma: no cover
+        return bytes(b for v in luma for b in (v, v, v))
+
+
 class BmpImage:
     """PIL-shaped handle over decoded BMP pixels — exactly the member
     surface the multimodal kernels use, nothing more."""
@@ -196,10 +208,27 @@ class BmpImage:
     def resize(self, wh: tuple[int, int]) -> "BmpImage":
         ow, oh = wh
         if self.mode == "L":
-            # resample the single channel via the same integer mapping
-            rgb = bytes(b for v in self._px for b in (v, v, v))
-            out = resize_nearest(self._w, self._h, rgb, ow, oh)[::3]
-            return BmpImage(ow, oh, bytes(out), "L")
+            # resample the single channel directly with the same
+            # integer index maps (no per-byte Python expansion — this
+            # sits in the per-payload dHash hot path)
+            try:
+                import numpy as np
+
+                a = np.frombuffer(self._px, dtype=np.uint8).reshape(
+                    self._h, self._w
+                )
+                ys = (np.arange(oh, dtype=np.int64) * self._h) // oh
+                xs = (np.arange(ow, dtype=np.int64) * self._w) // ow
+                return BmpImage(ow, oh, a[ys][:, xs].tobytes(), "L")
+            except ImportError:  # pragma: no cover — numpy is baked in
+                out = bytearray(ow * oh)
+                for oy in range(oh):
+                    sy = (oy * self._h) // oh
+                    for ox in range(ow):
+                        out[oy * ow + ox] = self._px[
+                            sy * self._w + (ox * self._w) // ow
+                        ]
+                return BmpImage(ow, oh, bytes(out), "L")
         return BmpImage(
             ow, oh, resize_nearest(self._w, self._h, self._px, ow, oh), "RGB"
         )
@@ -208,7 +237,7 @@ class BmpImage:
         if format not in (None, "BMP"):
             raise ValueError(f"stdlib codec writes BMP only, not {format}")
         if self.mode == "L":  # expand luma to gray RGB for the 24-bit container
-            px = bytes(b for v in self._px for b in (v, v, v))
+            px = _expand_gray_rgb(self._px)
         else:
             px = self._px
         fp.write(encode_bmp(self._w, self._h, px))

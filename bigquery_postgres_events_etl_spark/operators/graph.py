@@ -335,15 +335,23 @@ def markov_attribution(
         for s, q in mats.items():
             for _ in range(n_squarings):
                 q = q @ q
-            out.append(
-                (
-                    s,
-                    float(q[i_start, i_conv])
-                    if i_start is not None and i_conv is not None
-                    else 0.0,
-                )
+            v = (
+                float(q[i_start, i_conv])
+                if i_start is not None and i_conv is not None
+                else 0.0
             )
-        p_conv = spark.createDataFrame(out, "scenario string, p_conv double")
+            # mirror the distributed branch's SPARSE semantics: the
+            # join-groupBy squaring only materializes reachable (i.e.
+            # nonzero — probabilities are non-negative) entries, so a
+            # zero-conversion chain yields NO (START, CONV) row and the
+            # downstream full-crossJoin returns an EMPTY frame. An
+            # explicit 0.0 row here would instead feed 1 - x/0.0 = NaN
+            # into every removal effect.
+            if v != 0.0:
+                out.append((s, v))
+        p_conv = spark.createDataFrame(
+            out, "scenario string, p_conv double"
+        )
     else:
         m = m.localCheckpoint(eager=True)
         for _ in range(n_squarings):

@@ -129,6 +129,12 @@ _NO_CODEC_HINT = (
 )
 
 
+def _is_stdlib_codec(image_module) -> bool:
+    from .bmpcodec import StdlibBmpModule
+
+    return image_module is StdlibBmpModule
+
+
 DECODED_IMAGE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -182,7 +188,13 @@ def decode_images(media: DataFrame) -> DataFrame:
             try:
                 yield _decode_image_batch(pdf, image_module)
             except ValueError as e:
-                raise NotImplementedError(_NO_CODEC_HINT) from e
+                # only the STDLIB codec's can't-parse error means "the
+                # environment lacks a codec for this format"; a
+                # ValueError out of an installed Pillow is a real
+                # decode failure and must surface as itself
+                if _is_stdlib_codec(image_module):
+                    raise NotImplementedError(_NO_CODEC_HINT) from e
+                raise
 
     return media.mapInPandas(_decode, schema=DECODED_IMAGE_SCHEMA)
 
@@ -329,7 +341,12 @@ def resize_images(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataF
                 try:
                     img = image_module.open(io.BytesIO(b))
                 except ValueError as e:
-                    raise NotImplementedError(_NO_CODEC_HINT) from e
+                    # see decode_images: remap ONLY the stdlib codec's
+                    # can't-parse error; Pillow's own ValueErrors are
+                    # real decode failures
+                    if _is_stdlib_codec(image_module):
+                        raise NotImplementedError(_NO_CODEC_HINT) from e
+                    raise
                 w, h = img.size
                 if w * max_h >= h * max_w:
                     ow = min(w, max_w)

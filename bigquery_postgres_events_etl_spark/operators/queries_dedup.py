@@ -454,9 +454,9 @@ EDIT_BUCKET_W = 8
     """,
 )
 def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Character-level near-dup pairs (edit distance ≤
-    {EDIT_MAX_DIST} — EDIT_MAX_DIST, chosen because the fixture's
-    texts make tighter bounds vacuous) via
+    """Character-level near-dup pairs (edit distance ≤ EDIT_MAX_DIST,
+    currently 8 — chosen because the fixture's texts make tighter
+    bounds vacuous; K = 3 yields zero rows) via
     length-bucket blocking + banded Levenshtein verify — the
     record-linkage tier for short fields below shingle Jaccard. See
     operators.dedup.edit_distance_pairs for the completeness argument

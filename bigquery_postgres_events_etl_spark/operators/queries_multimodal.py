@@ -234,8 +234,13 @@ sim0 AS (
   FROM bits GROUP BY media_id
 ),
 sim AS (
+  -- NULL text is EXCLUDED, not coalesced: the kernel returns NULL
+  -- phash for a NULL payload and the banding drops it; only
+  -- non-null-but-short texts (len < 2, no bigrams) take the kernel's
+  -- explicit phash = 0
   SELECT d.doc_id AS media_id, COALESCE(s.phash, 0) AS phash
   FROM documents d LEFT JOIN sim0 s ON s.media_id = d.doc_id
+  WHERE d.text IS NOT NULL
 )
 """
 

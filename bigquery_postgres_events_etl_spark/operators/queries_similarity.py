@@ -510,7 +510,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR((CAST(p.embedding[p.dim] AS DOUBLE) - c.centroid)
                         * (CAST(p.embedding[p.dim] AS DOUBLE) - c.centroid)
                         * CAST(1e9 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                  AS DECIMAL(28,0)) AS t
+                  AS DECIMAL(18,0)) AS t
       FROM pts p JOIN cents c ON c.dim = p.dim
     ),
     dists AS (
@@ -585,13 +585,18 @@ def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").cast("double").alias("val"),
     )
     # floor(x·1e9+0.5): explicit IEEE-chain scaling instead of an
-    # engine-divergent double→decimal CAST (see docstring / registry.py)
+    # engine-divergent double→decimal CAST (see docstring / registry.py).
+    # Spark's floor(double) yields LONG, so the honest term domain is
+    # |diff|²·1e9 < 2^63 (|diff| ≲ 3.0e3 — embeddings are unit-scale);
+    # DECIMAL(18,0) declares that bound on BOTH engines, so an
+    # out-of-range value fails loudly and identically (ANSI overflow)
+    # instead of silently diverging past the long range.
     term = F.floor(
         (F.col("val") - F.col("centroid"))
         * (F.col("val") - F.col("centroid"))
         * F.lit(1e9).cast("double")
         + F.lit(0.5).cast("double")
-    ).cast("decimal(28,0)")
+    ).cast("decimal(18,0)")
     dists = (
         pts.join(F.broadcast(cents), "dim")
         .groupBy("vec_id", "true_label", F.col("c_label").alias("label"))

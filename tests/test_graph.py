@@ -55,3 +55,34 @@ def test_pagerank_copurchase_entry(spark, sf_dir):
     # node families present
     assert any(r.node >= 10_000_000 for r in rows)
     assert any(r.node < 10_000_000 for r in rows)
+
+
+def test_markov_no_conversions_is_empty_on_both_squaring_paths(spark):
+    """Zero-conversion input must yield an EMPTY attribution frame on
+    BOTH squaring branches (driver-side numpy under the channel gate,
+    distributed join-groupBy above it): the driver branch mirrors the
+    distributed path's sparse semantics by dropping exact-zero
+    p_conv entries — an explicit 0.0 'full' row would otherwise feed
+    1 − x/0.0 = NaN into every removal effect."""
+    from bigquery_postgres_events_etl_spark.operators import graph
+    from bigquery_postgres_events_etl_spark.operators.graph import (
+        markov_attribution,
+    )
+
+    rows = [
+        (i, u, f"ch{i % 3}", f"2024-01-01 00:0{i % 6}:00")
+        for u in (1, 2, 3)
+        for i in range(6)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    assert markov_attribution(events).count() == 0  # driver branch
+
+    old = graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS
+    graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS = 0  # force distributed
+    try:
+        assert markov_attribution(events, n_squarings=2).count() == 0
+    finally:
+        graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS = old
