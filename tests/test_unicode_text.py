@@ -1,0 +1,140 @@
+"""Unicode robustness of the text/dedup operator layer.
+
+The driver fixtures are pure-ASCII, and several ORACLES exploit that
+(ascii(substr(..)) byte twins are documented as ASCII-only). The
+ENGINE, however, must be correct on real-world text — multibyte UTF-8,
+combining marks, emoji, CJK (no spaces), RTL scripts. These tests run
+the Spark operators on a deliberately hostile unicode corpus and
+compare against independent pure-Python references, pinning that:
+
+- tokenization is exact split-on-single-space over CODEPOINTS (not
+  bytes), empty tokens preserved (the r6 ADVICE contract);
+- shingle hashing (md5-h60) hashes UTF-8 bytes of the codepoint
+  string — stable across engines and platforms;
+- quality/stat operators count codepoints, not bytes;
+- SimHash fingerprints and exact dedup digests are byte-exact on
+  multibyte payloads (near-dup semantics survive non-ASCII);
+- the BMP codec boundary correctly REFUSES multibyte text payloads
+  rather than mis-decoding them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+UNICODE_DOCS = [
+    # (doc_id, text) — spaces only where a real U+0020 appears
+    (1, "héllo wörld héllo wörld naïve café"),
+    (2, "héllo wörld héllo wörld naïve cafe"),  # 1-token edit of doc 1
+    (3, "日本語のテキストにはスペースがない"),  # CJK, zero spaces
+    (4, "מימין לשמאל עברית וגם مِن اليمين العربية"),  # RTL + combining
+    (5, "emoji 🚀🔥 and 👩‍👩‍👧‍👧 family plus é combining"),
+    (6, "double  space   runs keep  empty tokens"),
+    (7, "ascii control tab\there newline stays one doc"),
+    (8, ""),  # empty text
+]
+
+
+@pytest.fixture(scope="module")
+def udocs(spark):
+    return spark.createDataFrame(UNICODE_DOCS, "doc_id long, text string")
+
+
+def _py_tokens(t: str) -> list[str]:
+    return t.split(" ")  # exact engine semantics: single space, keep empties
+
+
+def test_tokenizer_is_codepoint_exact_on_unicode(udocs):
+    from bigquery_postgres_events_etl_spark.operators.dedup import with_tokens
+
+    got = {r.doc_id: list(r.tokens) for r in with_tokens(udocs).collect()}
+    for did, text in UNICODE_DOCS:
+        assert got[did] == _py_tokens(text), did
+
+
+def test_shingle_hashes_are_md5_of_utf8_on_unicode(udocs):
+    """md5_hash60 must hash the UTF-8 bytes of the shingle STRING —
+    pinned against hashlib on the pure-Python shingles."""
+    from bigquery_postgres_events_etl_spark.operators.dedup import (
+        distinct_hashed_shingles,
+    )
+
+    got: dict[int, set] = {}
+    for r in distinct_hashed_shingles(udocs, 3).collect():
+        got.setdefault(r.doc_id, set()).add(r.h)
+
+    for did, text in UNICODE_DOCS:
+        toks = _py_tokens(text)
+        ref = {
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + 3]).encode("utf-8")
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        }
+        if ref:
+            assert got.get(did) == ref, did
+        else:
+            assert did not in got, did  # <3 tokens -> no shingles
+
+
+def test_text_stats_count_codepoints_not_bytes(udocs):
+    """n_chars must be len() in codepoints — a byte-based engine would
+    report ~3x for CJK and blow up on the ZWJ emoji sequence."""
+    from bigquery_postgres_events_etl_spark.operators.text import text_stats
+
+    got = {r.doc_id: r for r in text_stats(udocs).collect()}
+    for did, text in UNICODE_DOCS:
+        assert got[did].n_chars == len(text), did
+        assert got[did].n_tokens == len(_py_tokens(text)), did
+
+
+def test_exact_dedup_digest_is_utf8_md5_on_unicode(udocs):
+    from bigquery_postgres_events_etl_spark.operators.dedup import exact_dedup
+
+    got = {r.text_hash: r.n_copies for r in exact_dedup(udocs).collect()}
+    for _, text in UNICODE_DOCS:
+        assert hashlib.md5(text.encode("utf-8")).hexdigest() in got
+
+
+def test_simhash_locality_survives_multibyte(udocs):
+    """Byte-identical multibyte docs collide exactly; the 1-token edit
+    (doc 2 vs doc 1: café→cafe) stays within a small Hamming radius;
+    the CJK doc lands far from the Latin ones."""
+    from bigquery_postgres_events_etl_spark.operators.dedup import simhash
+
+    sig = {r.doc_id: r.simhash for r in simhash(udocs).collect()}
+
+    def ham(a, b):
+        return bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+
+    assert ham(1, 2) <= 16, f"one-token edit moved simhash too far: {ham(1, 2)}"
+    assert ham(1, 3) > 16, f"unrelated CJK too close to Latin: {ham(1, 3)}"
+
+
+def test_bmp_codec_refuses_multibyte_payloads():
+    """Multibyte payloads must raise, never mis-decode: the strict
+    header validation is what licenses the ASCII-only oracle twins."""
+    from bigquery_postgres_events_etl_spark.operators.bmpcodec import decode_bmp
+
+    for _, text in UNICODE_DOCS:
+        with pytest.raises(ValueError):
+            decode_bmp(text.encode("utf-8"))
+
+
+def test_lang_id_on_real_unicode(udocs):
+    """The n-gram language heuristic must at least run cleanly on and
+    assign SOME label to every non-empty unicode doc (no crashes on
+    CJK/RTL/emoji), and be deterministic across two invocations."""
+    from bigquery_postgres_events_etl_spark.operators.text import language_id
+
+    a = {r.doc_id: r for r in language_id(udocs).collect()}
+    b = {r.doc_id: r for r in language_id(udocs).collect()}
+    assert set(a) == {d for d, _ in UNICODE_DOCS}
+    for did in a:
+        assert a[did] == b[did], did
