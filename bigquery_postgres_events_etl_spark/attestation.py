@@ -74,6 +74,8 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # checkpoint cadence; markov's gated driver-side matrix squaring:
     "graph_pagerank_copurchase": 8,
     "events_markov_attribution": 8,
+    # shared-snapshot tokenization (documents scans 2 -> 1):
+    "dedup_entity_resolve": 8,
 }
 
 

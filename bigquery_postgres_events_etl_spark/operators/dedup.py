@@ -432,12 +432,22 @@ def entity_resolve(
     policy: str = "best",
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles_left: DataFrame | None = None,
+    shingles_right: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-vs-corpus fuzzy entity resolution: link each RIGHT-corpus
     document to its near-duplicate(s) in the LEFT corpus — the
     cross-dump dedup shape (new crawl vs existing corpus) that the
     batch-ingest operator (``minhash_lsh_incremental``) does not cover
     because it has no verification or survivorship stage.
+
+    ``shingles_left`` / ``shingles_right``: optionally pass
+    precomputed ``(doc_id, h)`` hashed-shingle frames (the
+    ``distinct_hashed_shingles`` shape) instead of raw text sides.
+    When both sides derive from ONE snapshot (the registry entry
+    splits `documents` by id), the caller tokenizes ONCE and filters —
+    halving the corpus scans and md5 passes; at 100 TB this is also
+    the deployment shape (the left index is precomputed and stored).
 
     Three stages, all bucketed/blocked — never |A|×|B|:
 
@@ -474,8 +484,16 @@ def entity_resolve(
     # pin "documents scanned once per side". r7: persisted as HASHED
     # slivers (doc_id, h) — ~10× smaller cache, 60-bit collision
     # bound, oracle hashes identically (distinct_hashed_shingles).
-    sh_l = distinct_hashed_shingles(left, n, id_col, text_col)
-    sh_r = distinct_hashed_shingles(right, n, id_col, text_col)
+    sh_l = (
+        shingles_left
+        if shingles_left is not None
+        else distinct_hashed_shingles(left, n, id_col, text_col)
+    )
+    sh_r = (
+        shingles_right
+        if shingles_right is not None
+        else distinct_hashed_shingles(right, n, id_col, text_col)
+    )
     sig_l = signatures_from_shingles(sh_l, num_hashes)
     sig_r = signatures_from_shingles(sh_r, num_hashes)
     bl = _bands(sig_l, num_hashes, bands).withColumnRenamed("doc_id", "left_id")

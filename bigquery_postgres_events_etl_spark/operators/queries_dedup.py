@@ -380,16 +380,27 @@ def dedup_entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus entity resolution: docs with id % 3 == 0 stand in
     for a new crawl, the rest for the existing corpus; each new doc
     resolves to its best verified near-duplicate (LSH block → exact
-    Jaccard verify → best-match survivorship)."""
+    Jaccard verify → best-match survivorship). Both sides derive from
+    ONE snapshot here, so the corpus is tokenized/hashed ONCE and the
+    persisted shingle frame is filtered per side (r8: documents scans
+    2 → 1, one md5 pass instead of two)."""
     from pyspark.sql import functions as F
 
-    from .dedup import entity_resolve
+    from .dedup import distinct_hashed_shingles, entity_resolve
 
     docs = parallelize(load_table(spark, sf_dir, "documents"))
     corpus = docs.where(F.col("doc_id") % 3 != 0)
     crawl = docs.where(F.col("doc_id") % 3 == 0)
+    sh = distinct_hashed_shingles(docs, 3)
     return entity_resolve(
-        corpus, crawl, NUM_HASHES, BANDS, threshold=RESOLVE_THRESHOLD, policy="best"
+        corpus,
+        crawl,
+        NUM_HASHES,
+        BANDS,
+        threshold=RESOLVE_THRESHOLD,
+        policy="best",
+        shingles_left=sh.where(F.col("doc_id") % 3 != 0),
+        shingles_right=sh.where(F.col("doc_id") % 3 == 0),
     )
 
 

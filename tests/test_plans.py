@@ -759,7 +759,9 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
 # pass is worth it at 100 TB. (name -> {table: max scans})
 SCAN_BUDGET: dict[str, dict[str, int]] = {
     # dedup verify tiers: ONE tokenization pass per corpus side
-    "dedup_entity_resolve": {"documents": 2},  # left + right corpus
+    # r8: one snapshot tokenization shared by both sides (the entry
+    # filters ONE persisted shingle frame per side)
+    "dedup_entity_resolve": {"documents": 1},
     "dedup_minhash_jaccard_est": {"documents": 1},
     "dedup_minhash_lsh": {"documents": 1},
     "dedup_minhash_lsh_fast": {"documents": 1},
