@@ -247,6 +247,42 @@ def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_dedup_apply",
+    _cluster_oracle_sql("""
+    SELECT d.doc_id, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           (c.node IS NOT NULL) AS in_dup_cluster
+    FROM documents d
+    LEFT JOIN comp c ON c.node = d.doc_id
+    WHERE c.node IS NULL OR c.node = c.cid
+    """),
+)
+def pipeline_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup DELETION step end-to-end — the action every dedup
+    tier exists to feed: MinHash-LSH candidate pairs → connected
+    components → drop every non-canonical cluster member → the
+    surviving corpus (doc_id, source, n_tokens, in_dup_cluster). The
+    whole pairs→clusters→corpus composition is hash-oracle-checked
+    via the shared recursive-closure CTE. Scale: the cluster frame is
+    bounded by docs that actually collide in a band (tiny next to the
+    corpus), so the keep-join broadcasts; the corpus itself never
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(parallelize(docs))
+    clusters = dup_clusters(pairs).select("doc_id", "cluster_id", "is_canonical")
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .where(F.col("is_canonical").isNull() | F.col("is_canonical"))
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.col("cluster_id").isNotNull().alias("in_dup_cluster"),
+        )
+    )
+
+
+@register(
     "dedup_cluster_star",
     _cluster_oracle_sql("""
     SELECT node AS doc_id, cid AS cluster_id FROM comp

@@ -399,3 +399,46 @@ def test_bmp_synthesis_entry_pins_real_payloads(spark, sf_dir):
     # 9x17 into 16x16: height-bound -> oh=16, ow=9*16//17=8
     assert (r.out_width, r.out_height) == (8, 16)
     assert r.n_bytes_out == 54 + 16 * ((8 * 3 + 3) // 4 * 4)
+
+
+def test_bmp_decoder_never_crashes_unstructured(tmp_path):
+    """decode_bmp parses UNTRUSTED bytes (payload columns): any
+    malformed input must raise ValueError — never IndexError,
+    struct.error, MemoryError (giant-dimension allocation), or silent
+    garbage. Hypothesis drives random bytes and random mutations of a
+    valid file."""
+    import struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from bigquery_postgres_events_etl_spark.operators.bmpcodec import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    valid = encode_bmp(5, 4, _gradient(5, 4, 7))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def random_bytes_raise_cleanly(data):
+        try:
+            decode_bmp(data)
+        except ValueError:
+            pass  # the contract
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(0, len(valid) - 1),
+        st.binary(min_size=1, max_size=8),
+    )
+    def mutated_valid_file_is_clean(pos, junk):
+        data = valid[:pos] + junk + valid[pos + len(junk):]
+        try:
+            w, h, px = decode_bmp(data)
+        except ValueError:
+            return
+        # if it still parses, the contract holds: bounded, consistent
+        assert w > 0 and h > 0 and len(px) == w * h * 3
+
+    random_bytes_raise_cleanly()
+    mutated_valid_file_is_clean()
