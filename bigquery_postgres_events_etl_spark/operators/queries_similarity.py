@@ -246,7 +246,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_semantic_kmeans", None)
+@register("dedup_semantic_kmeans", None)  # iterative k-means — rows-only
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the paper's k-means clustering (Abbas et al. 2023
     §3) — the trained-quantizer twin of ``dedup_semantic``. The

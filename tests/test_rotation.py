@@ -164,3 +164,29 @@ def test_fresh_checkout_degrades_gracefully(tmp_path):
     freshest, newest = attestation.load_attestations(str(tmp_path))
     assert (freshest, newest) == ({}, 0)
     assert attestation.driver_priority(["b", "a"], str(tmp_path)) == ["b", "a"]
+
+
+def test_rows_only_registrations_carry_inline_reason():
+    """Discipline lint: a rows-only registration (`@register(name,
+    None)`) is a claim that no DuckDB twin can exist — the claim must
+    be stated inline (`# reason`) at the registration site so every
+    reviewer sees WHY the driver gets no hard signal for that entry,
+    and so the rows-only tier can't quietly grow with undocumented
+    entries."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bigquery_postgres_events_etl_spark",
+    )
+    offenders = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        for i, line in enumerate(open(path), 1):
+            m = re.search(r"@register\(\s*\"[^\"]+\",\s*None\s*\)", line)
+            if m and "#" not in line[m.end():]:
+                offenders.append(f"{os.path.relpath(path, root)}:{i}")
+    assert not offenders, (
+        f"rows-only registrations without an inline reason: {offenders}"
+    )
