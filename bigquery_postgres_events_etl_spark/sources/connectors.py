@@ -127,19 +127,22 @@ def duckdb_standin_sql(
 
 @dataclass(frozen=True)
 class JdbcTableSource:
-    """Partition-parallel JDBC reader (PostgreSQL application_events)."""
+    """Partition-parallel JDBC reader (PostgreSQL application_events
+    in the reference deployment; exercised for REAL against embedded
+    Apache Derby — whose driver ships with Spark — in
+    tests/test_jdbc_derby.py, including the partition-split read)."""
 
     url: str  # jdbc:postgresql://host:5432/db
     table: str
-    user: str
+    user: str | None = None
     partition_column: str = "id"
     num_partitions: int = 8
+    driver: str | None = None  # e.g. org.apache.derby.jdbc.EmbeddedDriver
 
     def reader_options(self, lower: int, upper: int) -> dict[str, str]:
-        return {
+        opts = {
             "url": self.url,
             "dbtable": self.table,
-            "user": self.user,
             "partitionColumn": self.partition_column,
             "lowerBound": str(lower),
             "upperBound": str(upper),
@@ -147,6 +150,11 @@ class JdbcTableSource:
             "pushDownPredicate": "true",
             "fetchsize": "10000",
         }
+        if self.user is not None:
+            opts["user"] = self.user
+        if self.driver is not None:
+            opts["driver"] = self.driver
+        return opts
 
     def load(self, spark: SparkSession, lower: int, upper: int) -> DataFrame:
         reader = spark.read.format("jdbc")

@@ -313,7 +313,9 @@ def write_jdbc_upsert(
     """PostgreSQL front-end for ``write_dbapi_upsert`` (import-gated:
     no PG server in this container; the partition/commit/replay
     mechanics are exercised end-to-end against SQLite in
-    tests/test_dbapi_sink.py, same conflict-skip semantics)."""
+    tests/test_dbapi_sink.py, same conflict-skip semantics — and the
+    Spark-JDBC-writer flavor of the same contract runs for REAL
+    against embedded Derby via ``write_jdbc_merge_append``)."""
     try:
         import psycopg2  # noqa: F401
     except ImportError as e:  # pragma: no cover
@@ -332,6 +334,68 @@ def write_jdbc_upsert(
         batch_size,
         dialect="postgres",
     )
+
+
+def write_jdbc_merge_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    conflict_keys: list[str],
+    driver: str | None = None,
+    staging_table: str | None = None,
+) -> None:
+    """Conflict-skipping JDBC append through Spark's REAL JDBC writer:
+    executor-parallel write of the batch into a staging table, then
+    ONE set-based ANSI ``MERGE … WHEN NOT MATCHED THEN INSERT`` on the
+    database — the reference's ``ON CONFLICT DO NOTHING`` retention
+    contract (extract_bq.py:187-267) expressed in the dialect-portable
+    way (Apache Derby — embedded, ships with Spark, exercised for real
+    in tests/test_jdbc_derby.py — and PostgreSQL 15+ both speak ANSI
+    MERGE; for older PG the DBAPI upsert twin with ON CONFLICT
+    remains).
+
+    Idempotent by construction: replaying the same batch merges zero
+    rows, so crash-and-retry around the watermark commit keeps
+    exactly-once EFFECT (the K4/ST3 contract). Identifiers are quoted
+    to match the Spark JDBC writer's case-exact table layout.
+
+    Scale: the batch lands on the DB via Spark's partition-parallel
+    JDBC writer (one connection per partition, batched inserts); the
+    driver runs only the single MERGE statement — no per-row work
+    outside the database."""
+    staging = staging_table or f"{table}_stage"
+    w = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", staging)
+        .mode("overwrite")
+    )
+    if driver:
+        w = w.option("driver", driver)
+    w.save()
+
+    def q(c: str) -> str:
+        return '"' + c.replace('"', '""') + '"'
+
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in conflict_keys)
+    cols = df.columns
+    merge_sql = (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"WHEN NOT MATCHED THEN INSERT ({', '.join(q(c) for c in cols)}) "
+        f"VALUES ({', '.join('s.' + q(c) for c in cols)})"
+    )
+    jvm = df.sparkSession._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(merge_sql)
+        finally:
+            st.close()
+    finally:
+        conn.close()
 
 
 def write_training_shards(
