@@ -343,6 +343,7 @@ def write_jdbc_merge_append(
     conflict_keys: list[str],
     driver: str | None = None,
     staging_table: str | None = None,
+    writer_options: dict[str, str] | None = None,
 ) -> None:
     """Conflict-skipping JDBC append through Spark's REAL JDBC writer:
     executor-parallel write of the batch into a staging table, then
@@ -362,7 +363,12 @@ def write_jdbc_merge_append(
     Scale: the batch lands on the DB via Spark's partition-parallel
     JDBC writer (one connection per partition, batched inserts); the
     driver runs only the single MERGE statement — no per-row work
-    outside the database."""
+    outside the database.
+
+    ``writer_options`` pass through to the staging write — in
+    particular ``createTableColumnTypes`` to pin string key columns to
+    VARCHAR (Derby's default CLOB mapping is not comparable in a MERGE
+    ON clause; PG is unaffected)."""
     staging = staging_table or f"{table}_stage"
     w = (
         df.write.format("jdbc")
@@ -372,6 +378,8 @@ def write_jdbc_merge_append(
     )
     if driver:
         w = w.option("driver", driver)
+    for k, v in (writer_options or {}).items():
+        w = w.option(k, v)
     w.save()
 
     def q(c: str) -> str:

@@ -20,6 +20,7 @@ mechanics themselves are no longer stubbed anywhere.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
@@ -119,3 +120,96 @@ def test_jdbc_merge_append_skips_conflicts_and_replays_idempotently(
         driver=DRIVER,
     )
     assert _rows(read()) == expect
+
+
+def test_incremental_watermark_loop_into_real_jdbc(spark, derby_url, sf_dir, tmp_path):
+    """The reference's PRIMARY flow (watermarked incremental extract →
+    conflict-skipping append into a live SQL database,
+    flask_server.py:82-229) end-to-end against a REAL JDBC engine:
+    run 1 loads history-to-watermark, a crash-and-retry replays run 1
+    (exactly-once effect: zero new rows), run 2 picks up only rows
+    above the advanced watermark. Parquet source stands in for
+    BigQuery, embedded Derby for PostgreSQL — every mechanism between
+    them (watermark predicate, dedup projection, executor-parallel
+    JDBC staging write, set-based MERGE, commit-then-advance) is the
+    real code path."""
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.etl import flagship_pipeline
+    from bigquery_postgres_events_etl_spark.sources.sinks import (
+        write_jdbc_merge_append,
+    )
+    from bigquery_postgres_events_etl_spark.sources.watermark import (
+        read_watermark_us,
+        write_watermark_us,
+    )
+
+    state = str(tmp_path / "wm.json")
+    # Derby maps Spark strings to CLOB, which MERGE cannot compare on;
+    # pin the key-participating string columns to VARCHAR (the same
+    # option a PG deployment uses to control DDL)
+    coltypes = "event_name VARCHAR(128), event_name_detail VARCHAR(512)"  
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.selectExpr(
+        "min(unix_micros(ts))", "max(unix_micros(ts))"
+    ).first()
+    mid = (lo + hi) // 2
+    keys = ["user_id", "event_timestamp", "event_name"]
+
+    def read_target():
+        return (
+            spark.read.format("jdbc")
+            .option("url", derby_url)
+            .option("dbtable", "application_events")
+            .option("driver", DRIVER)
+            .load()
+        )
+
+    def run_once(now_us):
+        wm = read_watermark_us(state, lookback_hours=10**6, now_us=now_us)
+        batch = flagship_pipeline(events, watermark_us=wm).where(
+            F.col("event_timestamp") <= now_us
+        )
+        n, max_ts = batch.agg(
+            F.count(F.lit(1)), F.max("event_timestamp")
+        ).first()
+        if n:
+            write_jdbc_merge_append(
+                batch, derby_url, "application_events",
+                conflict_keys=keys, driver=DRIVER,
+                writer_options={"createTableColumnTypes": coltypes},
+            )
+        if max_ts is not None:
+            write_watermark_us(state, max_ts)  # ST4: after the sink commit
+        return n
+
+    # bootstrap the target table (Spark JDBC writer creates it empty)
+    (
+        flagship_pipeline(events).limit(0)
+        .write.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "application_events")
+        .option("driver", DRIVER)
+        .option("createTableColumnTypes", coltypes)
+        .mode("append")
+        .save()
+    )
+
+    n1 = run_once(mid)
+    count1 = read_target().count()
+    assert n1 > 0 and count1 == n1
+
+    # crash-before-advance replay: rewind the watermark and rerun the
+    # SAME window — the MERGE must insert nothing new
+    # the watermark store is forward-only by design, so the crash is
+    # simulated by restoring the PRE-advance file contents directly
+    open(state, "w").write(str(lo - 1))
+    n_replay = run_once(mid)
+    assert read_target().count() == count1, "replay broke exactly-once effect"
+    assert n_replay == n1  # at-least-once read really did refetch
+
+    # advance: run 2 takes only rows above the watermark
+    n2 = run_once(hi)
+    total = read_target().count()
+    assert n2 > 0 and total == count1 + n2
+    full = flagship_pipeline(events).count()
+    assert total == full, "two windows must reconstruct the full extract"
