@@ -213,3 +213,74 @@ def test_incremental_watermark_loop_into_real_jdbc(spark, derby_url, sf_dir, tmp
     assert n2 > 0 and total == count1 + n2
     full = flagship_pipeline(events).count()
     assert total == full, "two windows must reconstruct the full extract"
+
+
+def test_streaming_etl_to_real_jdbc_is_exactly_once(spark, derby_url, sf_dir, tmp_path):
+    """Structured Streaming → real JDBC database: the flagship stream
+    drains through executor-parallel staging + MERGE (zero per-row
+    Python in the sink), matches the batch pipeline's row set, and a
+    RESTART on the same checkpoint (plus a forced re-run of the same
+    source) inserts nothing new — checkpoint replay ∘ MERGE = effective
+    exactly-once on the database."""
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.etl import flagship_pipeline
+    from bigquery_postgres_events_etl_spark.streaming.stream import (
+        run_streaming_etl_to_jdbc,
+    )
+
+    coltypes = "event_name VARCHAR(128), event_name_detail VARCHAR(512)"
+    events = load_table(spark, sf_dir, "events")
+    # bootstrap the target table
+    (
+        flagship_pipeline(events).limit(0)
+        .write.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "application_events")
+        .option("driver", DRIVER)
+        .option("createTableColumnTypes", coltypes)
+        .mode("append")
+        .save()
+    )
+
+    def run():
+        return run_streaming_etl_to_jdbc(
+            spark,
+            sf_dir,
+            derby_url,
+            "application_events",
+            str(tmp_path / "ckpt"),
+            driver=DRIVER,
+            writer_options={"createTableColumnTypes": coltypes},
+        )
+
+    assert run()["status"] == "success"
+
+    def target_count():
+        return (
+            spark.read.format("jdbc")
+            .option("url", derby_url)
+            .option("dbtable", "application_events")
+            .option("driver", DRIVER)
+            .load()
+            .count()
+        )
+
+    expect = flagship_pipeline(events).count()
+    assert target_count() == expect
+
+    # restart on the same checkpoint: nothing new to process
+    assert run()["status"] == "success"
+    assert target_count() == expect
+
+    # fresh checkpoint = full source REPLAY into the same target: the
+    # MERGE must skip every already-committed row
+    run_streaming_etl_to_jdbc(
+        spark,
+        sf_dir,
+        derby_url,
+        "application_events",
+        str(tmp_path / "ckpt2"),
+        driver=DRIVER,
+        writer_options={"createTableColumnTypes": coltypes},
+    )
+    assert target_count() == expect
