@@ -97,11 +97,22 @@ class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
 
 
 class EtlService:
-    def __init__(self, spark, source_dir: str, state_path: str, target_path: str):
+    def __init__(
+        self,
+        spark,
+        source_dir: str,
+        state_path: str,
+        target_path: str,
+        jdbc_target: dict | None = None,
+    ):
         self.spark = spark
         self.source_dir = source_dir
         self.state_path = state_path
         self.target_path = target_path
+        # optional live-DB deployment shape (the reference's server
+        # writes PostgreSQL): {"url", "table", "driver"?, ...} routes
+        # the sink through the real Spark-JDBC staging+MERGE writer
+        self.jdbc_target = jdbc_target
         self.last_result: dict | None = None
         self._lock = threading.Lock()
 
@@ -145,7 +156,11 @@ class EtlService:
             # caches of its own.
             with scoped_cache(self.spark):
                 self.last_result = run_incremental_etl(
-                    self.spark, self.source_dir, self.state_path, self.target_path
+                    self.spark,
+                    self.source_dir,
+                    self.state_path,
+                    self.target_path,
+                    jdbc_target=self.jdbc_target,
                 )
             return 200, {"status": "triggered", "result": self.last_result}
         finally:

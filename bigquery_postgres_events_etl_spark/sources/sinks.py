@@ -344,7 +344,7 @@ def write_jdbc_merge_append(
     driver: str | None = None,
     staging_table: str | None = None,
     writer_options: dict[str, str] | None = None,
-) -> None:
+) -> int:
     """Conflict-skipping JDBC append through Spark's REAL JDBC writer:
     executor-parallel write of the batch into a staging table, then
     ONE set-based ANSI ``MERGE … WHEN NOT MATCHED THEN INSERT`` on the
@@ -368,7 +368,13 @@ def write_jdbc_merge_append(
     ``writer_options`` pass through to the staging write — in
     particular ``createTableColumnTypes`` to pin string key columns to
     VARCHAR (Derby's default CLOB mapping is not comparable in a MERGE
-    ON clause; PG is unaffected)."""
+    ON clause; PG is unaffected).
+
+    A missing target table is bootstrapped from the staging table's
+    layout (``CREATE TABLE … AS SELECT … WITH NO DATA`` — Derby and PG
+    both speak it), so first load needs no separate DDL step. Returns
+    the number of rows the MERGE actually inserted (the reference's
+    ``records_inserted``; a full replay returns 0)."""
     staging = staging_table or f"{table}_stage"
     w = (
         df.write.format("jdbc")
@@ -397,9 +403,27 @@ def write_jdbc_merge_append(
         jvm.java.lang.Class.forName(driver)
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
+        # bootstrap the target on first load: metadata probe under
+        # both the exact name and the unquoted-identifier fold (the
+        # Spark JDBC writer passes dbtable UNQUOTED, so Derby stores
+        # APP_EVENTS while PG stores app_events), then clone the
+        # staging layout without rows
+        exists = False
+        for probe in {table, table.upper(), table.lower()}:
+            rs = conn.getMetaData().getTables(None, None, probe, None)
+            if rs.next():
+                exists = True
+            rs.close()
+            if exists:
+                break
         st = conn.createStatement()
         try:
-            st.executeUpdate(merge_sql)
+            if not exists:
+                st.executeUpdate(
+                    f"CREATE TABLE {table} AS SELECT * FROM {staging} "
+                    f"WITH NO DATA"
+                )
+            return st.executeUpdate(merge_sql)
         finally:
             st.close()
     finally:

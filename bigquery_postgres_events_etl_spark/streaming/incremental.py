@@ -41,6 +41,7 @@ def run_incremental_etl(
     tracked: list[str] | None = None,
     lookback_hours: int | None = None,
     now_us: int | None = None,
+    jdbc_target: dict | None = None,
 ) -> dict:
     """One incremental run; returns the ST8 progress record.
 
@@ -49,6 +50,16 @@ def run_incremental_etl(
     date-partitioned lake the caller additionally passes
     date_from=date(watermark) so the parquet source skips whole days
     (the Spark twin of `_TABLE_SUFFIX BETWEEN`, SURVEY §7 risk 6).
+
+    ``jdbc_target``: when given ({"url": …, "table": …, optional
+    "driver", "writer_options", "conflict_keys"}), the sink is the
+    real Spark-JDBC staging+MERGE writer instead of the parquet
+    target — the reference's exact deployment (watermarked extract →
+    conflict-skipping insert into a live SQL database). Idempotence
+    comes from the database MERGE rather than the parquet anti-join;
+    everything else (watermark predicate, commit-then-advance,
+    single-flight) is shared. Exercised for real against embedded
+    Derby in tests/test_jdbc_derby.py.
     """
     if not _run_lock.acquire(blocking=False):
         return {"status": "skipped", "reason": "already_running"}  # HTTP 409 twin
@@ -61,7 +72,22 @@ def run_incremental_etl(
             F.count(F.lit(1)).alias("n"), F.max("event_timestamp").alias("max_ts")
         ).first()
         fetched, max_ts = stats["n"], stats["max_ts"]
-        inserted = idempotent_append_parquet(spark, batch, target_path)
+        if jdbc_target is not None:
+            from ..schemas import APPLICATION_EVENTS_DEDUP_KEY
+            from ..sources.sinks import write_jdbc_merge_append
+
+            inserted = write_jdbc_merge_append(
+                batch,
+                jdbc_target["url"],
+                jdbc_target["table"],
+                conflict_keys=jdbc_target.get(
+                    "conflict_keys", list(APPLICATION_EVENTS_DEDUP_KEY)
+                ),
+                driver=jdbc_target.get("driver"),
+                writer_options=jdbc_target.get("writer_options"),
+            )
+        else:
+            inserted = idempotent_append_parquet(spark, batch, target_path)
         advanced = False
         if max_ts is not None and max_ts > wm:
             advanced = write_watermark_us(state_path, max_ts)  # ST4: after commit

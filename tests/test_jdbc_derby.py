@@ -284,3 +284,74 @@ def test_streaming_etl_to_real_jdbc_is_exactly_once(spark, derby_url, sf_dir, tm
         writer_options={"createTableColumnTypes": coltypes},
     )
     assert target_count() == expect
+
+
+def test_control_plane_trigger_into_real_jdbc(
+    spark, derby_url, sf_dir, tmp_path, monkeypatch
+):
+    """The reference's deployment, whole: POST /trigger on the HTTP
+    control plane drives the watermarked incremental run whose sink is
+    the REAL JDBC database (staging + MERGE, auto-bootstrapped target).
+    First trigger loads everything and advances the watermark; a
+    second trigger fetches nothing (watermark) and inserts nothing
+    (MERGE) — the idempotent daily-run contract."""
+    import json as _json
+
+    from bigquery_postgres_events_etl_spark.operators.etl import flagship_pipeline
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.service import EtlService
+
+    # the fixture's events are historic; widen the watermark fallback
+    # so the first run sees them (the reference's ETL_LOOKBACK_HOURS)
+    monkeypatch.setenv("ETL_LOOKBACK_HOURS", str(10**7))
+
+    svc = EtlService(
+        spark,
+        sf_dir,
+        str(tmp_path / "wm.txt"),
+        str(tmp_path / "unused_parquet"),
+        jdbc_target={
+            "url": derby_url,
+            "table": "application_events",
+            "driver": DRIVER,
+            "writer_options": {
+                "createTableColumnTypes": (
+                    "event_name VARCHAR(128), event_name_detail VARCHAR(512)"
+                )
+            },
+        },
+    )
+
+    def post_trigger():
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = status
+
+        body = svc.wsgi_app(
+            {"PATH_INFO": "/trigger", "REQUEST_METHOD": "POST"}, start_response
+        )
+        return captured["status"], _json.loads(b"".join(body))
+
+    status, body = post_trigger()
+    assert status.startswith("200")
+    r1 = body["result"]
+    expect = flagship_pipeline(load_table(spark, sf_dir, "events")).count()
+    assert r1["status"] == "success"
+    assert r1["records_inserted"] == expect
+    assert r1["watermark_advanced"] is True
+
+    target = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "application_events")
+        .option("driver", DRIVER)
+        .load()
+    )
+    assert target.count() == expect
+
+    status, body = post_trigger()
+    r2 = body["result"]
+    assert status.startswith("200") and r2["status"] == "success"
+    assert r2["records_fetched"] == 0 and r2["records_inserted"] == 0
+    assert target.count() == expect
