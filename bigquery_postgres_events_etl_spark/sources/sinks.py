@@ -423,7 +423,12 @@ def write_jdbc_merge_append(
                     f"CREATE TABLE {table} AS SELECT * FROM {staging} "
                     f"WITH NO DATA"
                 )
-            return st.executeUpdate(merge_sql)
+            inserted = st.executeUpdate(merge_sql)
+            # staging is per-batch scratch: drop it after the merge
+            # commits (mode("overwrite") recreates it next run anyway;
+            # leaving it behind doubles the batch's storage on the DB)
+            st.executeUpdate(f"DROP TABLE {staging}")
+            return inserted
         finally:
             st.close()
     finally:
