@@ -346,36 +346,60 @@ def write_jdbc_merge_append(
     writer_options: dict[str, str] | None = None,
 ) -> int:
     """Conflict-skipping JDBC append through Spark's REAL JDBC writer:
-    executor-parallel write of the batch into a staging table, then
-    ONE set-based ANSI ``MERGE … WHEN NOT MATCHED THEN INSERT`` on the
-    database — the reference's ``ON CONFLICT DO NOTHING`` retention
-    contract (extract_bq.py:187-267) expressed in the dialect-portable
-    way (Apache Derby — embedded, ships with Spark, exercised for real
-    in tests/test_jdbc_derby.py — and PostgreSQL 15+ both speak ANSI
-    MERGE; for older PG the DBAPI upsert twin with ON CONFLICT
-    remains).
+    intra-batch key-dedup, executor-parallel write of the batch into a
+    per-call staging table, then ONE set-based ANSI ``MERGE … WHEN NOT
+    MATCHED THEN INSERT`` on the database — the reference's ``ON
+    CONFLICT DO NOTHING`` retention contract (extract_bq.py:187-267)
+    expressed in the dialect-portable way (Apache Derby — embedded,
+    ships with Spark, exercised for real in tests/test_jdbc_derby.py —
+    and PostgreSQL 15+ both speak ANSI MERGE; for older PG the DBAPI
+    upsert twin with ON CONFLICT remains).
 
-    Idempotent by construction: replaying the same batch merges zero
+    Idempotent under replay: rerunning the same batch merges zero
     rows, so crash-and-retry around the watermark commit keeps
-    exactly-once EFFECT (the K4/ST3 contract). Identifiers are quoted
-    to match the Spark JDBC writer's case-exact table layout.
+    exactly-once EFFECT (the K4/ST3 contract) — with the SAME NULL-key
+    caveat as the reference's PostgreSQL unique constraint: NULLs
+    compare distinct in both a MERGE ON and a unique index, so a row
+    with a NULL conflict-key value re-inserts on replay there exactly
+    as it does here (flagship rows cannot carry one: the user filter
+    and the watermark predicate both reject NULLs). Identifiers are
+    quoted to match the Spark JDBC writer's case-exact column layout.
+
+    Concurrency: the staging table is unique PER CALL (pid + a
+    monotonic counter), so concurrent writers never clobber each
+    other's staged batch. The MERGE itself, like any MERGE without a
+    unique constraint, does not serialize concurrent inserts of the
+    same new key — writers to one target must serialize (both repo
+    legs already do: the control plane's single-flight lock, the
+    streaming query's one-at-a-time micro-batches), or the target
+    needs the reference's unique index so a race fails loudly instead
+    of duplicating.
 
     Scale: the batch lands on the DB via Spark's partition-parallel
     JDBC writer (one connection per partition, batched inserts); the
-    driver runs only the single MERGE statement — no per-row work
-    outside the database.
+    driver runs only constant-count DDL/DML statements — no per-row
+    work outside the database.
 
     ``writer_options`` pass through to the staging write — in
     particular ``createTableColumnTypes`` to pin string key columns to
     VARCHAR (Derby's default CLOB mapping is not comparable in a MERGE
-    ON clause; PG is unaffected).
+    ON clause; PG is unaffected) — and ``user``/``password`` entries
+    also authenticate the driver-side MERGE connection (the staging
+    write and the merge must reach the same database as the same
+    principal).
 
     A missing target table is bootstrapped from the staging table's
     layout (``CREATE TABLE … AS SELECT … WITH NO DATA`` — Derby and PG
-    both speak it), so first load needs no separate DDL step. Returns
-    the number of rows the MERGE actually inserted (the reference's
-    ``records_inserted``; a full replay returns 0)."""
-    staging = staging_table or f"{table}_stage"
+    both speak it; the already-exists race/false-negative is handled
+    by swallowing exactly that SQLState, X0Y32/42P07, never by a
+    pattern-wildcarded metadata probe). Returns the number of rows the
+    MERGE actually inserted (the reference's ``records_inserted``; a
+    full replay returns 0)."""
+    # intra-batch dedup — the parquet twin's step 1: MERGE evaluates
+    # source rows against the TARGET snapshot only, so two staged rows
+    # sharing a conflict key would BOTH insert without this
+    df = df.dropDuplicates(conflict_keys)
+    staging = staging_table or _next_staging_name(table)
     w = (
         df.write.format("jdbc")
         .option("url", url)
@@ -401,38 +425,48 @@ def write_jdbc_merge_append(
     jvm = df.sparkSession._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    props = jvm.java.util.Properties()
+    for cred in ("user", "password"):
+        if writer_options and cred in writer_options:
+            props.setProperty(cred, writer_options[cred])
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
-        # bootstrap the target on first load: metadata probe under
-        # both the exact name and the unquoted-identifier fold (the
-        # Spark JDBC writer passes dbtable UNQUOTED, so Derby stores
-        # APP_EVENTS while PG stores app_events), then clone the
-        # staging layout without rows
-        exists = False
-        for probe in {table, table.upper(), table.lower()}:
-            rs = conn.getMetaData().getTables(None, None, probe, None)
-            if rs.next():
-                exists = True
-            rs.close()
-            if exists:
-                break
         st = conn.createStatement()
         try:
-            if not exists:
+            try:
+                # bootstrap the target on first load: clone the staging
+                # layout without rows; tolerate exactly "table already
+                # exists" (Derby X0Y32, PG 42P07) so the check is
+                # race-free and immune to JDBC metadata-pattern quirks
                 st.executeUpdate(
                     f"CREATE TABLE {table} AS SELECT * FROM {staging} "
                     f"WITH NO DATA"
                 )
+            except Exception as e:
+                state = getattr(
+                    getattr(e, "java_exception", None), "getSQLState", lambda: None
+                )()
+                if state not in ("X0Y32", "42P07"):
+                    raise
             inserted = st.executeUpdate(merge_sql)
-            # staging is per-batch scratch: drop it after the merge
-            # commits (mode("overwrite") recreates it next run anyway;
-            # leaving it behind doubles the batch's storage on the DB)
+            # staging is per-call scratch: drop it after the merge
+            # commits (leaving it behind doubles the batch's storage)
             st.executeUpdate(f"DROP TABLE {staging}")
             return inserted
         finally:
             st.close()
     finally:
         conn.close()
+
+
+_STAGING_SEQ = iter(range(1, 1 << 62))
+
+
+def _next_staging_name(table: str) -> str:
+    """Per-call staging name: pid + process-monotonic counter, so
+    concurrent writers (other processes OR other threads/legs of this
+    one) never overwrite each other's staged batch."""
+    return f"{table}_stage_{os.getpid()}_{next(_STAGING_SEQ)}"
 
 
 def write_training_shards(

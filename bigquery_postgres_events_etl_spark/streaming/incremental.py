@@ -72,7 +72,12 @@ def run_incremental_etl(
             F.count(F.lit(1)).alias("n"), F.max("event_timestamp").alias("max_ts")
         ).first()
         fetched, max_ts = stats["n"], stats["max_ts"]
-        if jdbc_target is not None:
+        if jdbc_target is not None and fetched == 0:
+            # idle trigger (the common daily case): skip the sink —
+            # the JDBC path would otherwise run staging DDL + a MERGE
+            # against the live database to insert nothing
+            inserted = 0
+        elif jdbc_target is not None:
             from ..schemas import APPLICATION_EVENTS_DEDUP_KEY
             from ..sources.sinks import write_jdbc_merge_append
 

@@ -186,6 +186,32 @@ def streaming_dedup_events(
     return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
 
 
+def _drain_foreach_batch(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sink,
+) -> dict:
+    """Shared scaffold for every batch-sink streaming leg: unbounded
+    events view → ``foreachBatch(sink)`` → AvailableNow drain →
+    last-progress batch id. The three public legs differ ONLY in the
+    per-batch sink (parquet anti-join / DBAPI upsert / JDBC MERGE), so
+    the checkpointing and termination mechanics live once."""
+    events = read_events_stream(spark, source_dir)
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    return {
+        "status": "success",
+        "batch_id": progress["batchId"] if progress else None,
+    }
+
+
 def run_streaming_etl(
     spark: SparkSession,
     source_dir: str,
@@ -203,25 +229,13 @@ def run_streaming_etl(
     """
     from ..operators.etl import flagship_pipeline
 
-    events = read_events_stream(spark, source_dir)
-
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         out = flagship_pipeline(batch_df, tracked=tracked)
         idempotent_append_parquet(batch_df.sparkSession, out, target_path)
 
-    q = (
-        events.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    progress = q.lastProgress
-    return {
-        "status": "success",
-        "batch_id": progress["batchId"] if progress else None,
-        "rows_in_target": spark.read.parquet(target_path).count(),
-    }
+    res = _drain_foreach_batch(spark, source_dir, checkpoint_dir, sink)
+    res["rows_in_target"] = spark.read.parquet(target_path).count()
+    return res
 
 
 def run_streaming_etl_to_db(
@@ -248,26 +262,13 @@ def run_streaming_etl_to_db(
     from ..operators.etl import flagship_pipeline
     from ..sources.sinks import write_dbapi_upsert
 
-    events = read_events_stream(spark, source_dir)
-
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         out = flagship_pipeline(batch_df, tracked=tracked)
         write_dbapi_upsert(
             out, connect, table, batch_size=batch_size, dialect=dialect
         )
 
-    q = (
-        events.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    progress = q.lastProgress
-    return {
-        "status": "success",
-        "batch_id": progress["batchId"] if progress else None,
-    }
+    return _drain_foreach_batch(spark, source_dir, checkpoint_dir, sink)
 
 
 def run_streaming_etl_to_jdbc(
@@ -295,7 +296,6 @@ def run_streaming_etl_to_jdbc(
     from ..sources.sinks import write_jdbc_merge_append
 
     keys = conflict_keys or list(APPLICATION_EVENTS_DEDUP_KEY)
-    events = read_events_stream(spark, source_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         out = flagship_pipeline(batch_df, tracked=tracked)
@@ -304,18 +304,7 @@ def run_streaming_etl_to_jdbc(
             writer_options=writer_options,
         )
 
-    q = (
-        events.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    progress = q.lastProgress
-    return {
-        "status": "success",
-        "batch_id": progress["batchId"] if progress else None,
-    }
+    return _drain_foreach_batch(spark, source_dir, checkpoint_dir, sink)
 
 
 def streaming_purchase_click_join(

@@ -182,11 +182,17 @@ def test_rows_only_registrations_carry_inline_reason():
         "bigquery_postgres_events_etl_spark",
     )
     offenders = []
+    # whole-file regex so MULTI-LINE registrations can't evade the
+    # lint; the reason must sit after the closing paren of the
+    # registration (same line as the `None)`)
+    pat = re.compile(r"@register\(\s*\"[^\"]+\"\s*,\s*None\s*,?\s*\)", re.DOTALL)
     for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
-        for i, line in enumerate(open(path), 1):
-            m = re.search(r"@register\(\s*\"[^\"]+\",\s*None\s*\)", line)
-            if m and "#" not in line[m.end():]:
-                offenders.append(f"{os.path.relpath(path, root)}:{i}")
+        text = open(path).read()
+        for m in pat.finditer(text):
+            rest_of_line = text[m.end():].split("\n", 1)[0]
+            if "#" not in rest_of_line:
+                line_no = text.count("\n", 0, m.start()) + 1
+                offenders.append(f"{os.path.relpath(path, root)}:{line_no}")
     assert not offenders, (
         f"rows-only registrations without an inline reason: {offenders}"
     )
