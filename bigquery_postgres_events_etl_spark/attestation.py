@@ -52,7 +52,7 @@ import re
 PLAN_CHANGED_REATTEST: dict[str, int] = {
     # name -> first round that must re-attest the new plan
     # decimal-hazard fix: squared-distance terms now scale via
-    # floor(x*1e9+0.5) into DECIMAL(28,0) instead of a direct
+    # floor(x*1e9+0.5) into an integer decimal instead of a direct
     # double->DECIMAL(20,9) CAST (r7 ADVICE, engine-divergent class):
     "similarity_centroid_assign": 8,
     # compared-output change: per-row decimal-rounded ln replaced by
@@ -76,6 +76,8 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     "events_markov_attribution": 8,
     # shared-snapshot tokenization (documents scans 2 -> 1):
     "dedup_entity_resolve": 8,
+    # compared surface gained n_bytes_out (real-WAV kernel addition):
+    "multimodal_audio_resample": 8,
 }
 
 

@@ -373,44 +373,128 @@ def resize_images(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataF
     return media.mapInPandas(_resize, schema=schema)
 
 
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic real-audio fixture: one PCM WAV per document
+    (frames = id%97+20, channels = id%2+1, 16-bit @ 8 kHz; sample
+    (t, c) = ((t·(id%31+3) + 7c + id) mod 65536) − 32768 — integer
+    waveform, no float hazard), encoded with the stdlib ``wave``
+    module. The audio twin of :func:`synthesize_bmp_media`: real
+    container bytes flowing through the binary envelope so the audio
+    kernel is exercisable as a registry entry. Map-side, no shuffle."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames, channels = did % 97 + 20, did % 2 + 1
+                step = did % 31 + 3
+                pcm = bytearray()
+                for t in range(frames):
+                    for c in range(channels):
+                        v = ((t * step + c * 7 + did) % 65536) - 32768
+                        pcm += int(v).to_bytes(2, "little", signed=True)
+                buf = io.BytesIO()
+                w = wave.open(buf, "wb")
+                w.setnchannels(channels)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(bytes(pcm))
+                w.close()
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        synth, schema="media_id BIGINT, payload BINARY"
+    )
+
+
 def resample_audio(media: DataFrame, decimation: int = 4) -> DataFrame:
-    """STUB — audio resampling (libsndfile/ffmpeg in production).
-    Models the universal shape of a resampler: payload in, payload of
-    ``1/decimation`` the samples out, plus in/out sample counts. The
-    deterministic stand-in kernel treats the payload as 8-bit PCM and
-    keeps every ``decimation``-th byte — an Arrow-batched
-    ``mapInPandas`` with the exact batch flow, schema, and
-    memory shape a real resampler needs; only the DSP inside the loop
-    is fake. Downstream operators (duration filters, chunking on the
-    resampled stream) are exercisable end-to-end.
+    """Audio resampling with a REAL stdlib container codec for WAV:
+    payloads that parse as RIFF/PCM WAV (``wave`` module — strict
+    header/format validation, same refuse-don't-guess contract as the
+    BMP codec) are decoded, decimated by keeping every
+    ``decimation``-th FRAME (all channels of it), and re-encoded as a
+    valid WAV at ``framerate // decimation`` — in/out counts are frame
+    counts and the md5 covers the re-encoded container bytes
+    (md5-pinned in tests). Non-WAV payloads keep the deterministic
+    8-bit-PCM byte-decimation stand-in (the pre-r8 behavior the
+    ``multimodal_audio_resample`` oracle pins on text payloads); a
+    production deployment swaps that branch for libsndfile/ffmpeg.
+    Arrow-batched ``mapInPandas`` either way.
     """
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("n_samples_in", T.LongType(), True),
             T.StructField("n_samples_out", T.LongType(), True),
+            T.StructField("n_bytes_out", T.LongType(), True),
             T.StructField("resampled_md5", T.StringType(), True),
         ]
     )
 
     def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io
+        import wave
+
+        def wav_decimate(b: bytes) -> tuple[int, int, bytes] | None:
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            try:
+                r = wave.open(io.BytesIO(b), "rb")
+                n, c, sw, fr = (
+                    r.getnframes(),
+                    r.getnchannels(),
+                    r.getsampwidth(),
+                    r.getframerate(),
+                )
+                raw = r.readframes(n)
+                r.close()
+            except (wave.Error, EOFError):
+                return None  # RIFF magic but not a readable PCM WAV
+            fsz = c * sw
+            kept = b"".join(
+                raw[i * fsz : (i + 1) * fsz] for i in range(0, n, decimation)
+            )
+            buf = io.BytesIO()
+            w = wave.open(buf, "wb")
+            w.setnchannels(c)
+            w.setsampwidth(sw)
+            w.setframerate(max(fr // decimation, 1))
+            w.writeframes(kept)
+            w.close()
+            return n, (n + decimation - 1) // decimation, buf.getvalue()
 
         for pdf in batches:
-            ids, n_in, n_out, digests = [], [], [], []
+            ids, n_in, n_out, n_bytes, digests = [], [], [], [], []
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 ids.append(mid)
                 if b is None:
-                    n_in.append(None), n_out.append(None), digests.append(None)
+                    n_in.append(None), n_out.append(None)
+                    n_bytes.append(None), digests.append(None)
                     continue
-                out = bytes(b[::decimation])
-                n_in.append(len(b)), n_out.append(len(out))
+                b = bytes(b)
+                wav = wav_decimate(b)
+                if wav is not None:
+                    f_in, f_out, out = wav
+                    n_in.append(f_in), n_out.append(f_out)
+                else:
+                    out = bytes(b[::decimation])
+                    n_in.append(len(b)), n_out.append(len(out))
+                n_bytes.append(len(out))
                 digests.append(hashlib.md5(out).hexdigest())
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="int64"),
                     "n_samples_in": pd.array(n_in, dtype="Int64"),
                     "n_samples_out": pd.array(n_out, dtype="Int64"),
+                    "n_bytes_out": pd.array(n_bytes, dtype="Int64"),
                     "resampled_md5": digests,
                 }
             )

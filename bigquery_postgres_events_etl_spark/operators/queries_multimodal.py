@@ -143,6 +143,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id,
            CAST(n_in AS BIGINT) AS n_samples_in,
            CAST(length(decimated) AS BIGINT) AS n_samples_out,
+           CAST(length(decimated) AS BIGINT) AS n_bytes_out,
            md5(decimated) AS resampled_md5
     FROM dec
     """,
@@ -387,4 +388,43 @@ def multimodal_bmp_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_bmp_media(load_table(spark, sf_dir, "documents"))
     return resize_images(media, max_w=16, max_h=16).select(
         "media_id", "out_width", "out_height", "n_bytes_out"
+    )
+
+
+@register(
+    "multimodal_wav_resample_real",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             doc_id % 97 + 20 AS n_in,
+             doc_id % 2 + 1 AS ch
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(n_in AS BIGINT) AS n_frames_in,
+           CAST((n_in + 3) // 4 AS BIGINT) AS n_frames_out,
+           CAST(44 + ((n_in + 3) // 4) * ch * 2 AS BIGINT) AS n_bytes_out
+    FROM m
+    """,
+)
+def multimodal_wav_resample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode → decimate → re-encode as a registry entry —
+    the audio twin of multimodal_bmp_resize_real: a deterministic PCM
+    WAV per document (multimodal.synthesize_wav_media) flows through
+    the stdlib wave codec in resample_audio (every 4th frame kept,
+    valid WAV out at framerate/4). The oracle recomputes the codec's
+    observable contract in closed form — frame counts and the exact
+    output container size (44-byte PCM header + frames × channels ×
+    2 bytes) measured from the REAL re-encoded bytes — so the driver
+    hash-checks that real audio frames went through a real encoder;
+    the container bytes themselves are md5-pinned in pytest (SQL
+    cannot run a codec). Map-side, no shuffle at any scale."""
+    from .multimodal import resample_audio, synthesize_wav_media
+
+    media = synthesize_wav_media(load_table(spark, sf_dir, "documents"))
+    return resample_audio(media, decimation=4).select(
+        "media_id",
+        F.col("n_samples_in").alias("n_frames_in"),
+        F.col("n_samples_out").alias("n_frames_out"),
+        "n_bytes_out",
     )

@@ -442,3 +442,49 @@ def test_bmp_decoder_never_crashes_unstructured(tmp_path):
 
     random_bytes_raise_cleanly()
     mutated_valid_file_is_clean()
+
+
+def test_wav_synthesis_resample_e2e_md5_pinned(spark, sf_dir):
+    """The audio twin of the BMP md5 pin: real PCM WAV bytes through
+    the Arrow-batched resample kernel in the default environment —
+    input container and re-encoded output both md5-pinned for doc 42
+    (62 frames mono → 16 frames, 76-byte container), and the
+    registered geometry entry matched on the same row."""
+    import hashlib
+    import io
+    import wave
+
+    from bigquery_postgres_events_etl_spark.operators.multimodal import (
+        resample_audio,
+        synthesize_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_wav_media(docs)
+    row = media.where(F.col("media_id") == 42).first()
+    if row is None:
+        pytest.skip("fixture lacks doc_id 42")
+    payload = bytes(row.payload)
+    assert hashlib.md5(payload).hexdigest() == (
+        "428af74f344e4bc806a4a20923914160"
+    )
+    r = wave.open(io.BytesIO(payload), "rb")
+    assert (r.getnframes(), r.getnchannels(), r.getsampwidth()) == (62, 1, 2)
+    r.close()
+
+    res = {
+        x.media_id: x
+        for x in resample_audio(media.where(F.col("media_id") == 42)).collect()
+    }[42]
+    assert (res.n_samples_in, res.n_samples_out) == (62, 16)
+    assert res.n_bytes_out == 76 == 44 + 16 * 1 * 2
+    assert res.resampled_md5 == "547eaba740ce9de3a7f02ee0dde3d6ea"
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    g = (
+        all_queries()["multimodal_wav_resample_real"](spark, sf_dir)
+        .where(F.col("media_id") == 42)
+        .first()
+    )
+    assert (g.n_frames_in, g.n_frames_out, g.n_bytes_out) == (62, 16, 76)
