@@ -103,6 +103,12 @@ QUERIES = [
     "q12_shipmode_priority",
     "q19_discounted_revenue",
     "q21_suppliers_kept_waiting",
+    # round-8 additions: the dedup deletion composition (LSH pairs ->
+    # closure -> keep-join) and the two real-codec entries (map-side
+    # mapInPandas -- expected flat-ish wall, zero shuffle)
+    "pipeline_dedup_apply",
+    "multimodal_bmp_resize_real",
+    "multimodal_wav_resample_real",
 ]
 
 
