@@ -509,7 +509,7 @@ def resample_audio(media: DataFrame, decimation: int = 4) -> DataFrame:
 PHASH_SCHEMA = "media_id BIGINT, phash BIGINT"
 
 
-def perceptual_hash(media: DataFrame) -> DataFrame:
+def perceptual_hash(media: DataFrame, codec: str = "auto") -> DataFrame:
     """64-bit perceptual signature per media payload, Arrow-batched.
 
     Payloads the active codec can decode (any format under Pillow;
@@ -530,12 +530,23 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     Scale: embarrassingly parallel, one 8-byte signature out per
     payload — the shuffle-bearing stage is the banding join in
     :func:`phash_near_pairs`, which inherits the SimHash inverted-
-    index cost model (Σ bucket², never |media|²)."""
+    index cost model (Σ bucket², never |media|²).
+
+    ``codec="stdlib"`` pins the BMP shim even where Pillow is
+    installed — required by oracle-checked entries whose DuckDB twin
+    models the stdlib integer kernel exactly (PIL's resize uses a
+    different index rounding, so its dHash is a different — equally
+    valid — fingerprint)."""
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        image_module = _resolve_image_module()
+        if codec == "stdlib":
+            from .bmpcodec import StdlibBmpModule
+
+            image_module = StdlibBmpModule
+        else:
+            image_module = _resolve_image_module()
 
         def one(payload: bytes | None) -> int | None:
             if payload is None:

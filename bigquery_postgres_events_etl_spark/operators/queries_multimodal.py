@@ -428,3 +428,55 @@ def multimodal_wav_resample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_samples_out").alias("n_frames_out"),
         "n_bytes_out",
     )
+
+
+@register(
+    "multimodal_bmp_dhash_real",
+    """
+    WITH g AS (SELECT doc_id AS media_id, doc_id % 37 + 4 AS w,
+                      doc_id % 29 + 4 AS h
+               FROM documents),
+    cells AS (
+      SELECT media_id, w, h, oy, ox
+      FROM g
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS oy) a
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS ox) b
+    ),
+    lums AS (
+      SELECT media_id, oy * 8 + ox AS i,
+        (299 * ((((ox * w) // 9) * 7 + media_id) % 256)
+         + 587 * ((((oy * h) // 8) * 11 + 3 * media_id) % 256)
+         + 114 * ((((oy * h) // 8) * ((ox * w) // 9) + 5 * media_id) % 256))
+          // 1000 AS l0,
+        (299 * (((((ox + 1) * w) // 9) * 7 + media_id) % 256)
+         + 587 * ((((oy * h) // 8) * 11 + 3 * media_id) % 256)
+         + 114 * ((((oy * h) // 8) * (((ox + 1) * w) // 9) + 5 * media_id) % 256))
+          // 1000 AS l1
+      FROM cells
+    )
+    SELECT media_id,
+      CAST(SUM(CASE WHEN l1 > l0 THEN
+          CASE WHEN i = 63 THEN -9223372036854775807 - 1
+               ELSE (1::BIGINT << i) END
+        ELSE 0 END) AS BIGINT) AS phash
+    FROM lums GROUP BY media_id
+    """,
+)
+def multimodal_bmp_dhash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL perceptual dHash, hash-checked at the PIXEL level: a
+    deterministic BMP per document flows through the full codec
+    kernel — decode → integer ITU-R 601 grayscale → 9×8
+    nearest-neighbor resize → horizontal-gradient bits — and the
+    DuckDB oracle recomputes the IDENTICAL 64-bit fingerprint in
+    closed form (every stage is integer arithmetic over the
+    synthesized gradient: resize index = (i·dim)//out, luma =
+    (299R+587G+114B)//1000, bit i = luma(ox+1) > luma(ox), bit 63 as
+    the two's-complement sign). Where multimodal_bmp_resize_real pins
+    the codec's geometry contract, this entry pins its pixel
+    semantics cross-engine — the strongest oracle a codec kernel can
+    carry. Map-side mapInPandas; one 8-byte signature per payload, no
+    shuffle (the pairing stage is the banded phash tier)."""
+    from .multimodal import perceptual_hash, synthesize_bmp_media
+
+    media = synthesize_bmp_media(load_table(spark, sf_dir, "documents"))
+    return perceptual_hash(media, codec="stdlib")
