@@ -109,6 +109,7 @@ QUERIES = [
     "pipeline_dedup_apply",
     "multimodal_bmp_resize_real",
     "multimodal_wav_resample_real",
+    "multimodal_bmp_dhash_real",
 ]
 
 
