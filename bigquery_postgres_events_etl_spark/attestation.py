@@ -47,37 +47,19 @@ import re
 # automatically; anything older keeps the entry on the 0.5 tier.
 #
 # r7 flags (17 entries, shared-shingle / scan-tail campaigns) were all
-# re-attested green in CORRECTNESS_r07 and removed. r8 flags (authored
-# before the r8 driver gate, so r8 itself attests them):
+# re-attested green in CORRECTNESS_r07 and removed; likewise every r8
+# flag (11 entries: oracle conversions, pagerank/markov rewrites,
+# entity-resolve shared snapshot, audio n_bytes_out) attested green in
+# CORRECTNESS_r08. r9 flags (authored before the r9 driver gate):
 PLAN_CHANGED_REATTEST: dict[str, int] = {
     # name -> first round that must re-attest the new plan
-    # decimal-hazard fix: squared-distance terms now scale via
-    # floor(x*1e9+0.5) into an integer decimal instead of a direct
-    # double->DECIMAL(20,9) CAST (r7 ADVICE, engine-divergent class):
-    "similarity_centroid_assign": 8,
-    # compared-output change: per-row decimal-rounded ln replaced by
-    # the all-integer likelihood profile (doc_id, num, den, c_sum);
-    # the entropy fold moved to a pytest-pinned consumer (r7 ADVICE):
-    "text_bigram_lm_score": 8,
-    # predicate change: inclusive between(.. 23:59:59) replaced by the
-    # half-open < '1996-04-01' the oracle always used (r7 ADVICE):
-    "q4_order_priority": 8,
-    # rows-only -> recursive-CTE hash oracle (r7 verdict item #1): the
-    # prior "green" rows were err:no_oracle attestations of a weaker
+    # rows-only -> full hash oracle (r8 verdict item #1): the md5-
+    # derived hyperplanes are inlined into the DuckDB twin as literal
+    # coefficient chains; compared surface gains the long-cast rank.
+    # Prior "green" rows were err:no_oracle attestations of a weaker
     # contract — the hash compare must run at least once:
-    "dedup_dup_clusters": 8,
-    "dedup_cluster_star": 8,
-    "multimodal_phash_clusters": 8,
-    "multimodal_phash_near_dup": 8,
-    # r8 plan rewrites (rows-only entries — re-attest refreshes the
-    # rows/schema signal): pagerank's one-exchange iteration + adaptive
-    # checkpoint cadence; markov's gated driver-side matrix squaring:
-    "graph_pagerank_copurchase": 8,
-    "events_markov_attribution": 8,
-    # shared-snapshot tokenization (documents scans 2 -> 1):
-    "dedup_entity_resolve": 8,
-    # compared surface gained n_bytes_out (real-WAV kernel addition):
-    "multimodal_audio_resample": 8,
+    "similarity_ann_lsh": 9,
+    "similarity_ann_multiprobe": 9,
 }
 
 

@@ -4,9 +4,14 @@ The brute-force tiers hash-match DuckDB oracles: both engines compute
 the dot product as the *same sequential chain of IEEE-754 double
 operations* (Spark's ``aggregate`` folds left-to-right; the oracle
 spells out the left-associative 64-term sum), so results are bit-equal
-with no decimal casting. The ANN tier has no SQL twin — its
-correctness contract is the recall test against brute force in
-tests/test_similarity.py; the driver records a rows-only check.
+with no decimal casting. The hyperplane-LSH ANN tier (r9) hash-matches
+too: the hyperplanes are deterministic md5-derived ±1 vectors
+(similarity._hyperplane), so the oracle inlines them as literal
+coefficient chains — DuckDB recomputes the identical IEEE-754
+projection fold, the same bucket id, and the same fixed-order cosine
+re-rank, giving bit-equal output. Only the trained-quantizer IVF entry
+stays rows-only (k-means is float-iterative; its contract is the
+recall test against brute force in tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -37,6 +42,57 @@ norms AS (
   SELECT vec_id, {_dot_sql('embedding', 'embedding')} AS nsq FROM embeddings
 )
 """
+
+
+def _bucket_sql(emb: str, num_planes: int, dim: int = EMBEDDING_DIM) -> str:
+    """LSH bucket id as literal SQL: for each deterministic md5-derived
+    hyperplane (similarity._hyperplane — the SAME constants Spark's
+    with_lsh_bucket folds into its zip_with literal array), emit the
+    left-associative projection chain CAST(emb[i] AS DOUBLE) * (±1.0)
+    summed in index order — the identical IEEE operation sequence as
+    Spark's aggregate() fold — then set bit p when the projection is
+    strictly positive. Bit-equal chains → identical bucket ids."""
+    from .similarity import _hyperplane
+
+    bits = []
+    for p in range(num_planes):
+        plane = _hyperplane(p, dim)
+        proj = "(" + " + ".join(
+            f"CAST({emb}[{i}] AS DOUBLE) * CAST({plane[i - 1]} AS DOUBLE)"
+            for i in range(1, dim + 1)
+        ) + ")"
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS INTEGER)"
+
+
+def _ann_ranked_sql(bucket_join: str, num_planes: int) -> str:
+    """Shared oracle skeleton for the LSH ANN entries: bucket every
+    vector once, join candidates per ``bucket_join``, exact-cosine
+    re-rank with the house (cosine DESC, neighbor_id ASC) tie-break."""
+    return f"""
+    WITH {_NORMS_CTE},
+    bucketed AS (
+      SELECT e.vec_id, e.embedding, n.nsq,
+             {_bucket_sql('e.embedding', num_planes)} AS bucket
+      FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+    ),
+    q AS (SELECT * FROM bucketed WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_sql('q.embedding', 'c.embedding')}
+               / sqrt(q.nsq * c.nsq) AS cosine
+      FROM q JOIN bucketed c
+        ON {bucket_join} AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """
 
 
 @register(
@@ -93,14 +149,17 @@ def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_pairs(load_table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD)
 
 
-@register("similarity_ann_lsh", None)  # no SQL twin: recall-tested vs brute force
+@register("similarity_ann_lsh", _ann_ranked_sql("c.bucket = q.bucket", num_planes=4))
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-k (bucketed candidates + exact re-rank).
-    Deterministic md5-derived hyperplanes; rows-only driver check,
-    recall contract in tests/test_similarity.py."""
+    Deterministic md5-derived hyperplanes, so the full result is
+    hash-oracle-checked (r9): the oracle inlines the same ±1 planes as
+    literal chains and recomputes bucket + cosine bit-identically.
+    Recall contract vs brute force stays in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return ann_lsh_topk(queries, emb, k=TOP_K, num_planes=4)
+    df = ann_lsh_topk(queries, emb, k=TOP_K, num_planes=4)
+    return df.withColumn("rank", F.col("rank").cast("long"))
 
 
 @register("similarity_ann_ivf", None)  # trained quantizer: recall-tested
@@ -115,16 +174,28 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=TOP_K, n_lists=8, n_probe=2)
 
 
-@register("similarity_ann_multiprobe", None)  # recall-tested vs brute force
+@register(
+    "similarity_ann_multiprobe",
+    _ann_ranked_sql(
+        "c.bucket IN (q.bucket, "
+        + ", ".join(f"xor(q.bucket, {1 << p})" for p in range(5))
+        + ")",
+        num_planes=5,
+    ),
+)
 def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (own bucket + every 1-bit-flip neighbor);
     strictly higher recall than single-probe at the same plane count.
-    Rows-only driver check; recall contract in tests."""
+    Hash-oracle-checked (r9): probe buckets are XORs of the same
+    deterministic bucket id, candidates are disjoint across probes, so
+    the oracle's IN-list join reproduces the exact candidate set and
+    the fixed-order re-rank is bit-equal. Recall contract in tests."""
     from .similarity import ann_lsh_topk_multiprobe
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return ann_lsh_topk_multiprobe(queries, emb, k=TOP_K, num_planes=5)
+    df = ann_lsh_topk_multiprobe(queries, emb, k=TOP_K, num_planes=5)
+    return df.withColumn("rank", F.col("rank").cast("long"))
 
 
 @register(
