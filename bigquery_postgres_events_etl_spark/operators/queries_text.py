@@ -827,3 +827,75 @@ def text_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_curated").cast("long").alias("n_curated"),
         (F.sum("is_curated").cast("double") / F.count(F.lit(1))).alias("curated_rate"),
     )
+
+
+# Deliberately multibyte snippets appended per-doc (doc_id % 5): CJK
+# without spaces, RTL Arabic with combining marks, emoji incl. a ZWJ
+# family sequence, Latin diacritics, symbols/superscripts. Both sides
+# build the SAME derived column, so the hash compare pins cross-engine
+# UTF-8 semantics: codepoint length, byte length, single-space
+# tokenization with empties kept, and md5-over-UTF-8-bytes hashing
+# (the probe for this entry verified each primitive bit-equal on
+# Spark 4.1 and DuckDB, including the ZWJ sequence).
+_UNI_SNIPPETS = [
+    "日本語のテキストにはスペースがない",
+    "مِن اليمين إلى اليسار عربية",
+    "🚀🔥 emoji 👩‍👩‍👧‍👧 familie ✨",
+    "naïve café résumé façade",
+    "Ångström Ω ≈ π × 10⁻¹⁰ m",
+]
+_UNI_ARR_SQL = "[" + ", ".join(f"'{s}'" for s in _UNI_SNIPPETS) + "]"
+_UNI_ARR_SPARK = "array(" + ", ".join(f"'{s}'" for s in _UNI_SNIPPETS) + ")"
+
+
+@register(
+    "text_stats_unicode",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             text || ' ' || ({_UNI_ARR_SQL})[CAST(doc_id % 5 AS INTEGER) + 1]
+               AS utext
+      FROM documents
+    ),
+    t AS (SELECT doc_id, utext, string_split(utext, ' ') AS toks FROM u)
+    SELECT doc_id,
+           length(utext) AS n_chars,
+           strlen(utext) AS n_bytes,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           ('0x' || substr(md5(utext), 1, 15))::BIGINT AS utext_h60,
+           list_min(list_transform(toks,
+             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS min_token_h60
+    FROM t
+    """,
+)
+def q_text_stats_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text stats over a DERIVED multibyte column — the driver-hash
+    twin of tests/test_unicode_text.py (r8 verdict item #2): the
+    ASCII fixture text is concatenated with CJK/RTL/emoji/diacritic
+    literals identically on both engines, then codepoint length, byte
+    length, exact single-space tokenization (empties kept) and 60-bit
+    md5 hashes of the UTF-8 bytes are compared value-for-value.
+    Map-side single pass, no shuffle, no UDF."""
+    u = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' ',"
+            f" element_at({_UNI_ARR_SPARK}, CAST(doc_id % 5 AS INT) + 1))"
+        ).alias("utext"),
+    )
+    t = u.select("doc_id", "utext", F.split("utext", " ", -1).alias("toks"))
+    h60 = "CAST(conv(substring(md5({0}), 1, 15), 16, 10) AS BIGINT)"
+    return t.select(
+        "doc_id",
+        F.length("utext").cast("long").alias("n_chars"),
+        F.octet_length("utext").cast("long").alias("n_bytes"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+        F.expr(h60.format("utext")).alias("utext_h60"),
+        F.expr(
+            "array_min(transform(toks, s -> "
+            + h60.format("s")
+            + "))"
+        ).alias("min_token_h60"),
+    )
