@@ -98,6 +98,40 @@ def _shuffle_metrics(spark, names: list[str]) -> dict[str, dict]:
         return {}
 
 
+def _previous_round(root: str) -> tuple[dict[str, float], dict[str, float]]:
+    """(per-query official medians from the newest BENCH_r*.json,
+    per-query spreads from the committed BENCH_DETAIL.json sidecar) —
+    the reference the re-run trigger compares against. Missing or
+    unparseable files degrade to {} (first round: no re-run pass)."""
+    import glob
+
+    med: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    rounds = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if rounds:
+        try:
+            with open(rounds[-1]) as f:
+                data = json.load(f)
+            parsed = data.get("parsed", data)  # driver wraps under "parsed"
+            if isinstance(parsed, dict):
+                for key in ("queries", "queries2"):
+                    q = parsed.get(key)
+                    if isinstance(q, dict):
+                        med.update({k: float(v) for k, v in q.items()})
+        except Exception:
+            pass
+    try:
+        with open(os.path.join(root, "BENCH_DETAIL.json")) as f:
+            for k, v in json.load(f).get("queries_detail", {}).items():
+                spread[k] = float(v.get("spread", 0.0))
+    except Exception:
+        pass
+    return med, spread
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -119,42 +153,95 @@ def main() -> None:
     # JVM/codegen warmup on the smallest table
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # three timed runs per query in one session: the first run pays
-    # codegen JIT, later runs are steady-state, and single-run noise on
-    # this shared container is ±30% — so the MEDIAN is the headline
-    # number (robust to one noisy run in either direction), with min
-    # and spread (max−min) recorded per query so a "regression" can be
-    # told from a wobble without burning a verdict cycle.
-    timings: dict[str, float] = {}
-    timings2: dict[str, float] = {}
-    detail: dict[str, dict[str, float]] = {}
+    # Protocol (r9, closes the r8 verdict item #3 after the r8 headline
+    # moved +6.2% on zero plan changes): FIVE timed runs per query
+    # (median-of-5 — robust to two noisy runs, vs one for median-of-3),
+    # then any query whose median moved vs the previous official round
+    # by more than its recorded noise gets an INTERLEAVED re-run pass:
+    # all flagged queries re-run round-robin (A/B/C/A/B/C…), so a slow
+    # container phase hits every flagged query equally instead of
+    # whichever one it coincided with, and the final median pools all
+    # nine runs. Per-query min and spread (max−min) land in the
+    # sidecar; the final line carries the summed min alongside the
+    # summed median so the driver record itself shows the noise floor.
+    root = os.path.dirname(os.path.abspath(__file__))
+    prev_med, prev_spread = _previous_round(root)
+
+    all_runs: dict[str, list[float]] = {}
     sc = spark.sparkContext
+
+    def timed_run(name: str, i: int) -> None:
+        sc.setJobGroup(f"{name}#r{i}", name)
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        all_runs[name].append(time.time() - t0)
+
     for name in HEADLINE + TIER2:
-        fn = qs[name]
         # Cache hygiene: several operators persist() intermediate
         # frames (shingle/signature slivers) and intentionally never
         # unpersist (the returned lazy plan references the cache).
-        # Within one query's 3 runs that reuse is the steady-state
+        # Within one query's runs that reuse is the steady-state
         # being measured; ACROSS queries it would accumulate ~18
         # cached frames in this shared session and let the cache
         # manager substitute one query's persisted subtree into a
         # later query's plan — so the slate is wiped per query, same
         # as check_oracle and the driver gate (fresh session there).
         spark.catalog.clearCache()
-        runs: list[float] = []
-        for i in range(3):
-            sc.setJobGroup(f"{name}#r{i}", name)
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        runs.sort()
-        (timings if name in HEADLINE else timings2)[name] = round(runs[1], 3)
-        detail[name] = {
-            "median": round(runs[1], 3),
-            "min": round(runs[0], 3),
-            "spread": round(runs[-1] - runs[0], 3),
-        }
+        all_runs[name] = []
+        for i in range(5):
+            timed_run(name, i)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    # Flag queries whose pass-1 median moved beyond the noise either
+    # round recorded (and beyond a 50 ms absolute floor — sub-0.1 s
+    # queries wobble ±30% without meaning anything).
+    flagged = []
+    for name in HEADLINE + TIER2:
+        if name not in prev_med:
+            continue
+        med = median(all_runs[name])
+        spread = max(all_runs[name]) - min(all_runs[name])
+        noise = max(spread, prev_spread.get(name, 0.0), 0.05)
+        if abs(med - prev_med[name]) > noise:
+            flagged.append((abs(med - prev_med[name]) / noise, name))
+    # Cap the re-run pass at the 8 strongest movers (delta/noise ratio)
+    # so a globally-shifted round (container-wide slowdown, or a bench
+    # run at a different SF than the reference files) stays inside the
+    # driver's bench timeout instead of re-running everything.
+    flagged = [n for _, n in sorted(flagged, reverse=True)[:8]]
+    # Interleaved A/B re-runs: 4 extra rounds, round-robin across the
+    # flagged set, so a slow container phase is shared across queries.
+    # Each unit is clearCache → one UNTIMED warm run → one timed run:
+    # the cache wipe prevents cross-query subtree substitution, and
+    # the warm run repopulates each query's own persisted slivers so
+    # the timed run measures the same steady state as pass-1 runs 1-4
+    # (a bare post-wipe run would be cold and bias the pooled median).
+    for i in range(5, 9):
+        for name in flagged:
+            spark.catalog.clearCache()
+            sc.setJobGroup(f"{name}#warm{i}", name)
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timed_run(name, i)
     sc.setJobGroup("", "")
+
+    timings: dict[str, float] = {}
+    timings2: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    detail: dict[str, dict[str, float]] = {}
+    for name, runs in all_runs.items():
+        med = round(median(runs), 3)
+        (timings if name in HEADLINE else timings2)[name] = med
+        mins[name] = min(runs)
+        detail[name] = {
+            "median": med,
+            "min": round(min(runs), 3),
+            "spread": round(max(runs) - min(runs), 3),
+            "n_runs": len(runs),
+        }
 
     total = round(sum(timings.values()), 3)
     # The driver captures only the LAST ~2,000 bytes of stdout; r5's
@@ -167,7 +254,12 @@ def main() -> None:
         "queries_detail": detail,
         "shuffle": _shuffle_metrics(spark, HEADLINE + TIER2),
         "sf": sf,
-        "protocol": "median-of-3, noop sink, shared warm session",
+        "flagged_rerun": flagged,
+        "protocol": (
+            "median-of-5 + interleaved warm A/B re-runs (4) for queries "
+            "whose median moved past max(own spread, prev spread, 50ms) "
+            "vs the previous official round; noop sink, shared warm session"
+        ),
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
@@ -182,6 +274,8 @@ def main() -> None:
             "queries": timings,
             "value2": round(sum(timings2.values()), 3),
             "queries2": timings2,
+            "value_min": round(sum(mins[n] for n in HEADLINE), 3),
+            "value2_min": round(sum(mins[n] for n in TIER2), 3),
             "sf": sf,
         }
     )
