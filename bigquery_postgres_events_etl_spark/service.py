@@ -207,3 +207,39 @@ class EtlService:
                 httpd.serve_forever()
         finally:
             scheduler.stop()
+
+
+def main(argv: list[str] | None = None) -> int:  # pragma: no cover — manual entry
+    """Console entry point (``bq-pg-etl-service``): the reference's
+    ``python flask_server.py`` twin (flask_server.py:278-296) — build a
+    SparkSession, wire the incremental ETL service over a fixture or
+    production source dir, start the daily scheduler + HTTP API."""
+    import argparse
+
+    from .session import get_spark
+
+    p = argparse.ArgumentParser(
+        prog="bq-pg-etl-service",
+        description="Watermarked incremental ETL service (daily cron + HTTP API)",
+    )
+    p.add_argument("--source", default="/root/testdata/sf0.001", help="events source dir")
+    p.add_argument("--state", default="watermark_state.json", help="watermark file path")
+    p.add_argument("--target", default="etl_target.parquet", help="append target path")
+    p.add_argument("--jdbc-url", help="optional JDBC url → staging+MERGE sink")
+    p.add_argument("--jdbc-table", default="application_events")
+    p.add_argument("--port", type=int, help="HTTP port (default: FLASK_PORT env)")
+    args = p.parse_args(argv)
+    jdbc = {"url": args.jdbc_url, "table": args.jdbc_table} if args.jdbc_url else None
+    svc = EtlService(
+        get_spark(app_name="etl-service"),
+        source_dir=args.source,
+        state_path=args.state,
+        target_path=args.target,
+        jdbc_target=jdbc,
+    )
+    svc.serve(port=args.port)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -400,6 +400,24 @@ def write_jdbc_merge_append(
     # sharing a conflict key would BOTH insert without this
     df = df.dropDuplicates(conflict_keys)
     staging = staging_table or _next_staging_name(table)
+    writer_options = dict(writer_options or {})
+    if "createTableColumnTypes" not in writer_options:
+        # Default the STRING conflict-key columns to VARCHAR(255) — the
+        # reference's own key DDL width (extract_bq.py:195-205) — so
+        # the zero-config path works on Derby, whose default StringType
+        # mapping (CLOB) is not comparable in a MERGE ON clause. Only
+        # key columns are pinned: non-key strings keep the dialect's
+        # unbounded default (CLOB/TEXT), so nothing truncates. Callers
+        # with wider keys override via writer_options (docstring).
+        string_keys = [
+            f.name
+            for f in df.schema.fields
+            if f.name in conflict_keys and f.dataType.typeName() == "string"
+        ]
+        if string_keys:
+            writer_options["createTableColumnTypes"] = ", ".join(
+                f"{k} VARCHAR(255)" for k in string_keys
+            )
     w = (
         df.write.format("jdbc")
         .option("url", url)
@@ -408,7 +426,7 @@ def write_jdbc_merge_append(
     )
     if driver:
         w = w.option("driver", driver)
-    for k, v in (writer_options or {}).items():
+    for k, v in writer_options.items():
         w = w.option(k, v)
     w.save()
 

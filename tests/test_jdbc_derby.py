@@ -355,3 +355,44 @@ def test_control_plane_trigger_into_real_jdbc(
     assert status.startswith("200") and r2["status"] == "success"
     assert r2["records_fetched"] == 0 and r2["records_inserted"] == 0
     assert target.count() == expect
+
+
+def test_merge_append_zero_config_string_keys_autocreate(spark, derby_url):
+    """r9 regression (found by the README quickstart): with NO
+    pre-created target and NO writer_options, string conflict keys
+    must not land as Derby CLOBs — the MERGE ON clause cannot compare
+    CLOB to CLOB (ERROR 42818). The writer now defaults the string
+    KEY columns to VARCHAR(255) (the reference's own key width,
+    extract_bq.py:195-205) while non-key strings keep the dialect
+    default."""
+    from bigquery_postgres_events_etl_spark.sources.sinks import (
+        write_jdbc_merge_append,
+    )
+
+    schema = "user_id string, event_timestamp long, event_name string, payload string"
+    batch = spark.createDataFrame(
+        [("u1", 100, "click", "p" * 300),  # payload > 255: must NOT truncate
+         ("u2", 200, "view", "q")],
+        schema,
+    )
+    n = write_jdbc_merge_append(
+        batch, derby_url, "auto_events",
+        conflict_keys=["user_id", "event_timestamp", "event_name"],
+        driver=DRIVER,
+    )
+    assert n == 2
+    # replay = 0 inserts; a same-key row with different payload is skipped
+    replay = spark.createDataFrame(
+        [("u1", 100, "click", "CHANGED"), ("u3", 300, "click", "r")], schema
+    )
+    assert write_jdbc_merge_append(
+        replay, derby_url, "auto_events",
+        conflict_keys=["user_id", "event_timestamp", "event_name"],
+        driver=DRIVER,
+    ) == 1
+    back = (
+        spark.read.format("jdbc").option("url", derby_url)
+        .option("dbtable", "auto_events").option("driver", DRIVER).load()
+    )
+    rows = {r.user_id: r.payload for r in back.collect()}
+    assert rows == {"u1": "p" * 300, "u2": "q", "u3": "r"}
