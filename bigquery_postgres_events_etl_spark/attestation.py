@@ -60,6 +60,10 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # contract — the hash compare must run at least once:
     "similarity_ann_lsh": 9,
     "similarity_ann_multiprobe": 9,
+    # r9 plan rewrite (values unchanged): per-doc set size folded into
+    # the signature groupBy (with_size) replacing a second aggregation
+    # over the sliver; LSH pair frame persisted (3 consumers):
+    "dedup_minhash_jaccard_est": 9,
 }
 
 

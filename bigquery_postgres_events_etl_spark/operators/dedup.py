@@ -286,7 +286,10 @@ def minhash_signatures(
 
 
 def signatures_from_shingles(
-    sh: DataFrame, num_hashes: int = 16, hash_fn: str = "md5"
+    sh: DataFrame,
+    num_hashes: int = 16,
+    hash_fn: str = "md5",
+    with_size: bool = False,
 ) -> DataFrame:
     """K-min-hash signatures from a prebuilt ``(doc_id, shingle)`` OR
     pre-hashed ``(doc_id, h)`` frame — the shared-scan entry point:
@@ -300,7 +303,13 @@ def signatures_from_shingles(
     the digest entirely — h60 mod P is the same base hash the md5 tier
     computes from the string, so signatures are bit-identical whether
     the input carries strings or hashes. (The xxhash64 production tier
-    needs the string column — its digest is over the raw shingle.)"""
+    needs the string column — its digest is over the raw shingle.)
+
+    ``with_size`` (r9, the jaccard_est shared-aggregation item): also
+    emit ``sz`` = the per-doc row count in the SAME groupBy — on a
+    DISTINCT frame that is the exact shingle-set size the Jaccard
+    verify needs, and folding it here removes a second full
+    aggregation pass (+ exchange) over the sliver."""
     if "h" in sh.columns and "shingle" not in sh.columns:
         if hash_fn != "md5":
             raise ValueError(
@@ -318,6 +327,8 @@ def signatures_from_shingles(
     for k in range(num_hashes):
         a, b = minhash_coeffs(k)
         aggs.append(F.min((F.col("h") * a + b) % MINHASH_P).alias(f"sig_{k}"))
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("sz"))
     return sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(*aggs)
 
 
@@ -749,8 +760,15 @@ def minhash_jaccard_estimate(
     HASHED sliver (distinct_hashed_shingles — ~10× smaller cache,
     60-bit collision bound, oracle hashes identically)."""
     dsh = distinct_hashed_shingles(docs, n, id_col)
-    sig = signatures_from_shingles(dsh, num_hashes).persist()
-    pairs = lsh_pairs_from_signatures(sig, num_hashes, bands)
+    # r9 shared aggregation: the per-doc shingle-set size rides in the
+    # SAME groupBy as the K signature mins (with_size) — previously a
+    # second full count aggregation (+ exchange) over the persisted
+    # sliver; sizes now come from the persisted signature frame free.
+    sig = signatures_from_shingles(dsh, num_hashes, with_size=True).persist()
+    # pairs feeds THREE consumers (the agreement join, the candidate
+    # semi-join, and the exact-tier inner join) — unpersisted, the
+    # band explode + bucket groupBy + distinct re-executes per branch
+    pairs = lsh_pairs_from_signatures(sig, num_hashes, bands).persist()
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"sig_{k}").alias(f"a{k}") for k in range(num_hashes)],
@@ -773,7 +791,7 @@ def minhash_jaccard_estimate(
         .distinct()
     )
     dshc = dsh.join(cand_docs, "doc_id", "semi")
-    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = sig.select("doc_id", "sz")
     common = (
         dshc.withColumnRenamed("doc_id", "doc_a")
         .join(dshc.withColumnRenamed("doc_id", "doc_b"), "h")

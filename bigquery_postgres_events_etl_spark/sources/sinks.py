@@ -344,6 +344,7 @@ def write_jdbc_merge_append(
     driver: str | None = None,
     staging_table: str | None = None,
     writer_options: dict[str, str] | None = None,
+    timings: dict | None = None,
 ) -> int:
     """Conflict-skipping JDBC append through Spark's REAL JDBC writer:
     intra-batch key-dedup, executor-parallel write of the batch into a
@@ -428,7 +429,16 @@ def write_jdbc_merge_append(
         w = w.option("driver", driver)
     for k, v in writer_options.items():
         w = w.option(k, v)
+    import time as _time
+
+    _t0 = _time.time()
     w.save()
+    if timings is not None:
+        # perf-characterization hook (SCALE.md JDBC section): the
+        # staging write is the executor-parallel leg, the MERGE the
+        # single set-based DB statement — the split tells which side
+        # a slow load is on
+        timings["staging_write_s"] = _time.time() - _t0
 
     def q(c: str) -> str:
         return '"' + c.replace('"', '""') + '"'
@@ -466,7 +476,10 @@ def write_jdbc_merge_append(
                 )()
                 if state not in ("X0Y32", "42P07"):
                     raise
+            _t1 = _time.time()
             inserted = st.executeUpdate(merge_sql)
+            if timings is not None:
+                timings["merge_s"] = _time.time() - _t1
             # staging is per-call scratch: drop it after the merge
             # commits (leaving it behind doubles the batch's storage)
             st.executeUpdate(f"DROP TABLE {staging}")
