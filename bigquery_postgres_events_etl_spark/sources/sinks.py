@@ -470,6 +470,21 @@ def write_jdbc_merge_append(
                     f"CREATE TABLE {table} AS SELECT * FROM {staging} "
                     f"WITH NO DATA"
                 )
+                # Index the conflict keys on the freshly-bootstrapped
+                # target — the reference's UNIQUE constraint gives it
+                # this index implicitly (extract_bq.py:204), and
+                # without one the MERGE's anti-probe is a nested-loop
+                # heap scan per staged row: O(|staged|·|target|).
+                # Measured (tools/jdbc_bench.py, jstack-confirmed
+                # NestedLoopLeftOuterJoinResultSet): the 80k×80k
+                # replay MERGE ran 10+ minutes unindexed vs seconds
+                # indexed. Plain (not UNIQUE) index: NULLs compare
+                # distinct in a MERGE ON, so duplicate NULL-key rows
+                # are legal target states the index must not reject.
+                idx_cols = ", ".join(q(k) for k in conflict_keys)
+                st.executeUpdate(
+                    f"CREATE INDEX {table}_ck_idx ON {table} ({idx_cols})"
+                )
             except Exception as e:
                 state = getattr(
                     getattr(e, "java_exception", None), "getSQLState", lambda: None
