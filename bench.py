@@ -98,6 +98,37 @@ def _shuffle_metrics(spark, names: list[str]) -> dict[str, dict]:
         return {}
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _flag_movers(
+    all_runs: dict[str, list[float]],
+    prev_med: dict[str, float],
+    prev_spread: dict[str, float],
+    cap: int = 8,
+) -> list[str]:
+    """Queries whose pass-1 median moved vs the previous official round
+    beyond the noise either round recorded (and beyond a 50 ms absolute
+    floor — sub-0.1 s queries wobble ±30% without meaning anything),
+    strongest movers (delta/noise) first, capped at ``cap`` so a
+    globally-shifted round (container-wide slowdown, or a bench run at
+    a different SF than the reference files) stays inside the driver's
+    bench timeout instead of re-running everything."""
+    flagged = []
+    for name, runs in all_runs.items():
+        if name not in prev_med:
+            continue
+        med = _median(runs)
+        spread = max(runs) - min(runs)
+        noise = max(spread, prev_spread.get(name, 0.0), 0.05)
+        if abs(med - prev_med[name]) > noise:
+            flagged.append((abs(med - prev_med[name]) / noise, name))
+    return [n for _, n in sorted(flagged, reverse=True)[:cap]]
+
+
 def _previous_round(root: str) -> tuple[dict[str, float], dict[str, float]]:
     """(per-query official medians from the newest BENCH_r*.json,
     per-query spreads from the committed BENCH_DETAIL.json sidecar) —
@@ -191,28 +222,8 @@ def main() -> None:
         for i in range(5):
             timed_run(name, i)
 
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        n = len(s)
-        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
-
-    # Flag queries whose pass-1 median moved beyond the noise either
-    # round recorded (and beyond a 50 ms absolute floor — sub-0.1 s
-    # queries wobble ±30% without meaning anything).
-    flagged = []
-    for name in HEADLINE + TIER2:
-        if name not in prev_med:
-            continue
-        med = median(all_runs[name])
-        spread = max(all_runs[name]) - min(all_runs[name])
-        noise = max(spread, prev_spread.get(name, 0.0), 0.05)
-        if abs(med - prev_med[name]) > noise:
-            flagged.append((abs(med - prev_med[name]) / noise, name))
-    # Cap the re-run pass at the 8 strongest movers (delta/noise ratio)
-    # so a globally-shifted round (container-wide slowdown, or a bench
-    # run at a different SF than the reference files) stays inside the
-    # driver's bench timeout instead of re-running everything.
-    flagged = [n for _, n in sorted(flagged, reverse=True)[:8]]
+    median = _median
+    flagged = _flag_movers(all_runs, prev_med, prev_spread)
     # Interleaved A/B re-runs: 4 extra rounds, round-robin across the
     # flagged set, so a slow container phase is shared across queries.
     # Each unit is clearCache → one UNTIMED warm run → one timed run:
