@@ -60,6 +60,9 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # contract — the hash compare must run at least once:
     "similarity_ann_lsh": 9,
     "similarity_ann_multiprobe": 9,
+    # rows-only -> recursive-CTE hash oracle (greedy MMR loop — same
+    # conversion class as the r8 connected-components family):
+    "similarity_mmr_topk": 9,
     # r9 plan rewrite (values unchanged): per-doc set size folded into
     # the signature groupBy (with_size) replacing a second aggregation
     # over the sliver; LSH pair frame persisted (3 consumers):

@@ -9,9 +9,13 @@ too: the hyperplanes are deterministic md5-derived ±1 vectors
 (similarity._hyperplane), so the oracle inlines them as literal
 coefficient chains — DuckDB recomputes the identical IEEE-754
 projection fold, the same bucket id, and the same fixed-order cosine
-re-rank, giving bit-equal output. Only the trained-quantizer IVF entry
-stays rows-only (k-means is float-iterative; its contract is the
-recall test against brute force in tests/test_similarity.py).
+re-rank, giving bit-equal output. The greedy MMR re-rank is
+hash-checked too (r9): a recursive CTE carries each query's selected
+list and replays the argmax rounds bit-exactly (_mmr_oracle_sql).
+Rows-only survivors in this module: the trained-quantizer IVF entry
+(k-means is float-iterative; contract = the recall test vs brute
+force in tests/test_similarity.py) and the recall REPORT entry
+(it aggregates the ANN/IVF tiers' own outputs).
 """
 
 from __future__ import annotations
@@ -482,13 +486,103 @@ def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_mmr_topk", None)  # iterative — rows-only
+def _mmr_oracle_sql(
+    k: int = 5, n_candidates: int = 20, n_queries: int = 4, lam: float = 0.7
+) -> str:
+    """Recursive-CTE twin of the greedy MMR loop (r9 conversion —
+    the same move that converted the connected-components family in
+    r8): the greedy argmax is a fixpoint over a BOUNDED candidate
+    frame, so a recursive CTE that carries each query's selected list
+    and re-ranks the remainder per round recomputes it exactly.
+
+    Bit-parity argument: candidate cosines and candidate-candidate
+    sims are the house left-associative IEEE chains (bit-equal
+    cross-engine, as in the brute-force entries); the MMR score is
+    λ·rel − (1−λ)·max_sel_sim with the λ constants rendered via
+    Python repr so both engines parse the IDENTICAL doubles
+    (1−0.7 = 0.30000000000000004 — writing 0.3 would diverge);
+    identical doubles ⇒ identical argmax, ties broken (score DESC,
+    id ASC) on both sides. The seed round's score subtracts
+    (1−λ)·0.0, which is IEEE-exact x − 0.0 = x, matching Spark's
+    coalesced empty-selection penalty. DuckDB-1.0 shape constraints
+    honored: the recursive reference appears ONCE, argmax runs as a
+    ROW_NUMBER window in a derived subquery, the selected-set max is
+    a LATERAL over the static pair_sim CTE (probed working)."""
+    lam_r, one_minus_lam_r = repr(lam), repr(1.0 - lam)
+    return f"""
+    WITH RECURSIVE {_NORMS_CTE},
+    cands AS (
+      SELECT query_id, cand, cosine FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand,
+               {_dot_sql('q.embedding', 'c.embedding')}
+                 / sqrt(nq.nsq * nc.nsq) AS cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_dot_sql('q.embedding', 'c.embedding')}
+                            / sqrt(nq.nsq * nc.nsq) DESC, c.vec_id) AS rnk
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id != q.vec_id
+        JOIN norms nq ON nq.vec_id = q.vec_id
+        JOIN norms nc ON nc.vec_id = c.vec_id
+        WHERE q.vec_id < {n_queries}
+      ) WHERE rnk <= {n_candidates}
+    ),
+    pair_sim AS (
+      SELECT a.query_id, a.cand AS da, b.cand AS db,
+             {_dot_sql('ea.embedding', 'eb.embedding')}
+               / sqrt(na.nsq * nb.nsq) AS sim
+      FROM cands a
+      JOIN cands b ON a.query_id = b.query_id AND a.cand != b.cand
+      JOIN embeddings ea ON ea.vec_id = a.cand
+      JOIN embeddings eb ON eb.vec_id = b.cand
+      JOIN norms na ON na.vec_id = a.cand
+      JOIN norms nb ON nb.vec_id = b.cand
+    ),
+    picks AS (
+      SELECT it, query_id, sel, pick, score FROM (
+        SELECT 1 AS it, query_id, [cand] AS sel, cand AS pick,
+               {lam_r} * cosine - {one_minus_lam_r} * 0.0 AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY {lam_r} * cosine - {one_minus_lam_r} * 0.0 DESC,
+                          cand) AS rn
+        FROM cands
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT it, query_id, sel, pick, score FROM (
+        SELECT p.it + 1 AS it, c.query_id,
+               list_append(p.sel, c.cand) AS sel, c.cand AS pick,
+               {lam_r} * c.cosine
+                 - {one_minus_lam_r} * coalesce(mx.m, 0.0) AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                 ORDER BY {lam_r} * c.cosine
+                            - {one_minus_lam_r} * coalesce(mx.m, 0.0) DESC,
+                          c.cand) AS rn
+        FROM picks p
+        JOIN cands c ON c.query_id = p.query_id
+                    AND NOT list_contains(p.sel, c.cand)
+        LEFT JOIN LATERAL (
+          SELECT max(ps.sim) AS m FROM pair_sim ps
+          WHERE ps.query_id = c.query_id AND ps.da = c.cand
+            AND list_contains(p.sel, ps.db)
+        ) mx ON true
+        WHERE p.it < {k}
+      ) WHERE rn = 1
+    )
+    SELECT query_id, pick AS neighbor_id, score AS mmr_score,
+           CAST(it AS BIGINT) AS pick_rank
+    FROM picks
+    """
+
+
+@register("similarity_mmr_topk", _mmr_oracle_sql())
 def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-5 for the first 4 query vectors (λ = 0.7,
     20 brute-force candidates): the RAG re-rank stage that stops
-    near-duplicate passages crowding a result list. Rows-only
-    (greedy iteration); tests/test_similarity.py pins per-pick parity
-    with a pure-Python MMR and the diversity property."""
+    near-duplicate passages crowding a result list. Hash-oracle-
+    checked since r9 (recursive-CTE greedy twin — see
+    _mmr_oracle_sql's bit-parity argument); tests/test_similarity.py
+    still pins per-pick parity with a pure-Python MMR and the
+    diversity property."""
     from .similarity import mmr_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
