@@ -63,10 +63,12 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # rows-only -> recursive-CTE hash oracle (greedy MMR loop — same
     # conversion class as the r8 connected-components family):
     "similarity_mmr_topk": 9,
-    # r9 plan rewrite (values unchanged): per-doc set size folded into
+    # r9 plan rewrites (values unchanged): per-doc set size folded into
     # the signature groupBy (with_size) replacing a second aggregation
-    # over the sliver; LSH pair frame persisted (3 consumers):
+    # over the sliver; multi-consumer frames persisted (LSH pairs /
+    # per-side signatures / the A-B candidate frame):
     "dedup_minhash_jaccard_est": 9,
+    "dedup_entity_resolve": 9,
 }
 
 

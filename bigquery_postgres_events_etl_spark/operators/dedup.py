@@ -505,20 +505,31 @@ def entity_resolve(
         if shingles_right is not None
         else distinct_hashed_shingles(right, n, id_col, text_col)
     )
-    sig_l = signatures_from_shingles(sh_l, num_hashes)
-    sig_r = signatures_from_shingles(sh_r, num_hashes)
+    # r9 (same shared-aggregation move as jaccard_est): the per-doc
+    # set sizes ride in the signature groupBy (with_size) instead of
+    # a second count aggregation (+ exchange) per side over the
+    # persisted slivers.
+    # persisted: each side's K+2-column frame now has two consumers
+    # (band explode + the size projection) — one aggregation per side
+    # total, where the pre-r9 plan ran two (signatures + counts)
+    sig_l = signatures_from_shingles(sh_l, num_hashes, with_size=True).persist()
+    sig_r = signatures_from_shingles(sh_r, num_hashes, with_size=True).persist()
     bl = _bands(sig_l, num_hashes, bands).withColumnRenamed("doc_id", "left_id")
     br = _bands(sig_r, num_hashes, bands).withColumnRenamed("doc_id", "right_id")
+    # cand feeds THREE consumers (two semi-join prunes + the final
+    # band-mate filter) — unpersisted, the band join re-executes per
+    # branch (the jaccard_est r9 finding, same shape)
     cand = (
         bl.join(br, ["band_id", "band_key"])
         .select("left_id", "right_id")
         .distinct()
+        .persist()
     )
 
     dsh_l = sh_l.withColumnRenamed("doc_id", "left_id")
     dsh_r = sh_r.withColumnRenamed("doc_id", "right_id")
-    sz_l = dsh_l.groupBy("left_id").agg(F.count(F.lit(1)).alias("size_left"))
-    sz_r = dsh_r.groupBy("right_id").agg(F.count(F.lit(1)).alias("size_right"))
+    sz_l = sig_l.select(F.col("doc_id").alias("left_id"), F.col("sz").alias("size_left"))
+    sz_r = sig_r.select(F.col("doc_id").alias("right_id"), F.col("sz").alias("size_right"))
     # exact verify confined to candidate docs: semi-join prune first
     dsh_lc = dsh_l.join(cand.select("left_id").distinct(), "left_id", "semi")
     dsh_rc = dsh_r.join(cand.select("right_id").distinct(), "right_id", "semi")
