@@ -222,7 +222,6 @@ def main() -> None:
         for i in range(5):
             timed_run(name, i)
 
-    median = _median
     flagged = _flag_movers(all_runs, prev_med, prev_spread)
     # Interleaved A/B re-runs: 4 extra rounds, round-robin across the
     # flagged set, so a slow container phase is shared across queries.
@@ -244,7 +243,7 @@ def main() -> None:
     mins: dict[str, float] = {}
     detail: dict[str, dict[str, float]] = {}
     for name, runs in all_runs.items():
-        med = round(median(runs), 3)
+        med = round(_median(runs), 3)
         (timings if name in HEADLINE else timings2)[name] = med
         mins[name] = min(runs)
         detail[name] = {
