@@ -69,6 +69,9 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # per-side signatures / the A-B candidate frame):
     "dedup_minhash_jaccard_est": 9,
     "dedup_entity_resolve": 9,
+    # r9 plan rewrite (rows-only — re-attest refreshes rows/schema):
+    # edge frame repartition(src)+persist pins join partitioning:
+    "graph_pagerank_copurchase": 9,
 }
 
 

@@ -54,7 +54,15 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.localCheckpoint(eager=True)
+    # localCheckpoint truncates the upstream lineage but DROPS
+    # partitioning (the r6-r8 watch item), so the bare checkpointed
+    # frame re-exchanged the FULL edge list on src in every
+    # iteration's contribution join — n_iter shuffles of the big side.
+    # Repartitioning on the join key once and persisting pins
+    # hashpartitioning(src) in the cached frame's outputPartitioning,
+    # so each iteration only exchanges the small rank side (measured
+    # sf0.1: steady-state 5.6-6.2 s -> see SCALE.md r9 row).
+    e = e.localCheckpoint(eager=True).repartition("src").persist()
     # ONE aggregation pass builds the node set AND out-degrees (a src
     # occurrence weighs 1, a dst occurrence 0 — dst-only nodes appear
     # with outdeg 0): replaces the former distinct + left-join chain
