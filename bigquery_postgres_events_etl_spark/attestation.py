@@ -60,9 +60,11 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # contract — the hash compare must run at least once:
     "similarity_ann_lsh": 9,
     "similarity_ann_multiprobe": 9,
-    # rows-only -> recursive-CTE hash oracle (greedy MMR loop — same
-    # conversion class as the r8 connected-components family):
+    # rows-only -> recursive-CTE hash oracle (greedy MMR loop and the
+    # BPE training loop — same conversion class as the r8
+    # connected-components family):
     "similarity_mmr_topk": 9,
+    "text_bpe_train_merges": 9,
     # r9 plan rewrites (values unchanged): per-doc set size folded into
     # the signature groupBy (with_size) replacing a second aggregation
     # over the sliver; multi-consumer frames persisted (LSH pairs /

@@ -453,12 +453,108 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_train_merges", None)  # iterative — rows-only
+_BPE_TRAIN_ORACLE = """
+WITH RECURSIVE words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  GROUP BY word
+),
+rec AS (
+  SELECT 0 AS step, 0 AS rank, 'pick' AS phase, word, freq,
+         list_transform(range(1, length(word) + 1), i -> word[i]) AS syms,
+         CAST(NULL AS VARCHAR) AS pa, CAST(NULL AS VARCHAR) AS pb,
+         CAST(NULL AS BIGINT) AS pn
+  FROM words
+  UNION ALL
+  SELECT step, rank, phase, word, freq, syms, pa, pb, pn FROM (
+    -- L4: collapse to one row per word, apply the state transition
+    SELECT
+      step, word, freq,
+      CASE WHEN prev_phase = 'apply' AND any_change = 0
+           THEN prev_rank + 1 ELSE prev_rank END AS rank,
+      CASE WHEN prev_phase = 'pick' THEN 'apply'
+           WHEN any_change = 1 THEN 'apply'
+           ELSE 'pick' END AS phase,
+      CASE WHEN prev_phase = 'apply' AND idx > 0
+           THEN list_concat(list_concat(
+                  syms[1:idx - 1], [prev_pa || prev_pb]), syms[idx + 2:])
+           ELSE syms END AS syms,
+      CASE WHEN prev_phase = 'pick' THEN best_a
+           WHEN any_change = 1 THEN prev_pa ELSE NULL END AS pa,
+      CASE WHEN prev_phase = 'pick' THEN best_b
+           WHEN any_change = 1 THEN prev_pb ELSE NULL END AS pb,
+      CASE WHEN prev_phase = 'pick' THEN best_n
+           WHEN any_change = 1 THEN prev_pn ELSE NULL END AS pn,
+      prev_phase, best_n, prev_rank, rn_word
+    FROM (
+      -- L3: global best pair + per-word collapse rank
+      SELECT *,
+        FIRST_VALUE(a) OVER w_best AS best_a,
+        FIRST_VALUE(b) OVER w_best AS best_b,
+        FIRST_VALUE(tot) OVER w_best AS best_n,
+        ROW_NUMBER() OVER (PARTITION BY word ORDER BY a NULLS FIRST, b) AS rn_word
+      FROM (
+        -- L2: global weighted pair totals + any-change flag
+        SELECT *,
+          SUM(wcnt) OVER (PARTITION BY a, b) AS tot,
+          MAX(CASE WHEN idx > 0 THEN 1 ELSE 0 END) OVER () AS any_change
+        FROM (
+          -- L1: one scan of rec; explode pick-phase pairs laterally
+          SELECT
+            r.step + 1 AS step, r.rank AS prev_rank, r.phase AS prev_phase,
+            r.word, r.freq, r.syms,
+            r.pa AS prev_pa, r.pb AS prev_pb, r.pn AS prev_pn,
+            pr.a, pr.b, pr.wcnt,
+            CASE WHEN r.phase = 'apply' THEN
+              coalesce(list_position(
+                list_transform(range(1, len(r.syms)),
+                  i -> r.syms[i] = r.pa AND r.syms[i + 1] = r.pb), true), 0)
+            ELSE 0 END AS idx
+          FROM rec r
+          LEFT JOIN LATERAL (
+            SELECT a, b, CAST(COUNT(*) * r.freq AS BIGINT) AS wcnt FROM (
+              SELECT r.syms[i] AS a, r.syms[i + 1] AS b
+              FROM unnest(range(1, len(r.syms))) AS t(i)
+              WHERE r.phase = 'pick'
+            ) GROUP BY a, b
+          ) pr ON true
+        )
+      )
+      WINDOW w_best AS (ORDER BY tot DESC NULLS LAST, a, b
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)
+    )
+    WHERE rn_word = 1
+      AND NOT (prev_phase = 'pick'
+               AND (best_n IS NULL OR best_n < 2 OR prev_rank >= 10))
+  )
+)
+SELECT DISTINCT CAST(rank AS BIGINT) AS rank, pa AS "left", pb AS "right",
+       pa || pb AS merged, pn AS n_occurrences
+FROM rec WHERE phase = 'apply'
+ORDER BY rank
+"""
+
+
+@register("text_bpe_train_merges", _BPE_TRAIN_ORACLE)
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn 10 BPE merges from the corpus (one corpus pass for word
-    frequencies, then vocab-table iteration). Rows-only; the merge
-    sequence is pinned against a pure-Python reference BPE in
-    tests/test_text_quality.py."""
+    frequencies, then vocab-table iteration). HASH-oracle-checked
+    since r9 — the training loop is replicated in one recursive CTE
+    (a flattened two-phase state machine over the vocab): a PICK step
+    computes global weighted pair counts via a window over the
+    laterally-exploded symbol pairs and argmaxes with the exact Spark
+    tie-break (count DESC, left ASC, right ASC; all-ASCII fixture, so
+    string collation agrees), then APPLY steps replace ONE leftmost
+    occurrence per word per step until a step changes nothing —
+    provably equal to the canonical left-to-right non-overlapping scan
+    because a merged symbol (left‖right) can never equal either half,
+    so replacements never create earlier or new matches (run-overlap
+    cases pinned in the prototype tests); the rank then advances and
+    the next PICK runs, stopping at 10 merges or best-count < 2.
+    Output is all strings + integers — no float hazard anywhere.
+    The pure-Python reference parity pytest in
+    tests/test_text_quality.py stays as the third opinion."""
     from .text import bpe_train
 
     return bpe_train(parallelize(load_table(spark, sf_dir, "documents")))
