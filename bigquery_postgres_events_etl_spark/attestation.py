@@ -65,6 +65,7 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # connected-components family):
     "similarity_mmr_topk": 9,
     "text_bpe_train_merges": 9,
+    "text_bpe_encode_trained": 9,
     # r9 plan rewrites (values unchanged): per-doc set size folded into
     # the signature groupBy (with_size) replacing a second aggregation
     # over the sliver; multi-consumer frames persisted (LSH pairs /

@@ -453,18 +453,22 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_TRAIN_ORACLE = """
-WITH RECURSIVE words AS (
+# Shared recursive-CTE replication of the BPE TRAINING loop (see the
+# text_bpe_train_merges docstring for the state-machine argument):
+# trn_words = corpus word frequencies, trn = the pick/apply recursion.
+# Both BPE oracles are built from this one body.
+_BPE_TRAIN_CTES = """
+trn_words AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
   GROUP BY word
 ),
-rec AS (
+trn AS (
   SELECT 0 AS step, 0 AS rank, 'pick' AS phase, word, freq,
          list_transform(range(1, length(word) + 1), i -> word[i]) AS syms,
          CAST(NULL AS VARCHAR) AS pa, CAST(NULL AS VARCHAR) AS pb,
          CAST(NULL AS BIGINT) AS pn
-  FROM words
+  FROM trn_words
   UNION ALL
   SELECT step, rank, phase, word, freq, syms, pa, pb, pn FROM (
     -- L4: collapse to one row per word, apply the state transition
@@ -510,7 +514,7 @@ rec AS (
                 list_transform(range(1, len(r.syms)),
                   i -> r.syms[i] = r.pa AND r.syms[i + 1] = r.pb), true), 0)
             ELSE 0 END AS idx
-          FROM rec r
+          FROM trn r
           LEFT JOIN LATERAL (
             SELECT a, b, CAST(COUNT(*) * r.freq AS BIGINT) AS wcnt FROM (
               SELECT r.syms[i] AS a, r.syms[i + 1] AS b
@@ -529,11 +533,101 @@ rec AS (
                AND (best_n IS NULL OR best_n < 2 OR prev_rank >= 10))
   )
 )
+"""
+
+_BPE_TRAIN_ORACLE = (
+    "WITH RECURSIVE " + _BPE_TRAIN_CTES + """
 SELECT DISTINCT CAST(rank AS BIGINT) AS rank, pa AS "left", pb AS "right",
        pa || pb AS merged, pn AS n_occurrences
-FROM rec WHERE phase = 'apply'
+FROM trn WHERE phase = 'apply'
 ORDER BY rank
 """
+)
+
+_BPE_ENCODE_ORACLE = (
+    "WITH RECURSIVE " + _BPE_TRAIN_CTES + "," + """
+merges AS (
+  SELECT DISTINCT CAST(rank AS BIGINT) AS rank, pa, pb
+  FROM trn WHERE phase = 'apply'
+),
+corpus_words AS (
+  SELECT DISTINCT word FROM (
+    SELECT unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE text != ''
+  ) t
+),
+enc AS (
+  SELECT 0 AS step, word,
+         list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+  FROM corpus_words
+  UNION ALL
+  SELECT step, word, syms FROM (
+    SELECT e.step, e.word,
+      flatten(list_transform(range(1, len(e.syms) + 1), i ->
+        CASE
+          WHEN i > 1 AND e.starts[i - 1] THEN []
+          WHEN i <= len(e.starts) AND e.starts[i] THEN [e.pa || e.pb]
+          ELSE [e.syms[i]]
+        END)) AS syms
+    FROM (
+      SELECT step, word, syms, pa, pb,
+        list_transform(range(1, len(syms)), i ->
+          syms[i] = pa AND syms[i + 1] = pb
+          AND (pa != pb OR
+               (i - (1 + coalesce(list_max(
+                  list_filter(range(1, i), j -> syms[j] != pa)), 0))) % 2 = 0)
+        ) AS starts
+      FROM (
+        SELECT r.step + 1 AS step, r.word, r.syms, mm.pa, mm.pb
+        FROM enc r
+        JOIN LATERAL (
+          SELECT m.rank, m.pa, m.pb
+          FROM unnest(range(1, len(r.syms))) AS t(i)
+          JOIN merges m ON m.pa = r.syms[i] AND m.pb = r.syms[i + 1]
+          ORDER BY m.rank LIMIT 1
+        ) mm ON true
+      )
+    ) e
+  )
+),
+word_enc AS (
+  SELECT word, syms, CAST(len(syms) AS BIGINT) AS enc_len FROM (
+    SELECT word, syms,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY step DESC) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+doc_words AS (
+  SELECT d.doc_id, t.pos, sp.sp[t.pos] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        FROM documents WHERE text != '') sp
+  JOIN documents d USING (doc_id),
+       unnest(range(1, len(sp.sp) + 1)) AS t(pos)
+),
+doc_enc AS (
+  SELECT doc_id, pos, w.enc_len, w.syms,
+         coalesce(SUM(w.enc_len) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM doc_words dw JOIN word_enc w USING (word)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(coalesce(sum(enc_len), 0) AS BIGINT) AS n_tokens,
+         array_to_string(
+           (flatten(list(syms ORDER BY pos) FILTER (WHERE cum_before < 8)))[1:8],
+           ' ') AS first_tokens
+  FROM doc_enc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.first_tokens, '') AS first_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+
+"""
+)
+
 
 
 @register("text_bpe_train_merges", _BPE_TRAIN_ORACLE)
@@ -755,13 +849,25 @@ def text_token_entropy_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_encode_trained", None)  # trained-merge inference: no SQL twin
+@register("text_bpe_encode_trained", _BPE_ENCODE_ORACLE)
 def text_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the merges bpe_train LEARNS from it —
     train and inference in one plan (the merge table is tiny; the
     corpus pass is embarrassingly parallel mapInPandas with a
-    per-batch word cache). Rows-only; encoder parity vs a pure-Python
-    reference and compression (n_tokens ≤ chars) pinned in pytest."""
+    per-batch word cache). HASH-oracle-checked since r9: the oracle
+    re-derives the merges with the shared training recursion
+    (_BPE_TRAIN_CTES), then a SECOND recursive CTE replays the
+    Sennrich encode per DISTINCT word — each step picks the word's
+    lowest-rank applicable pair (lateral + LIMIT 1) and merges ALL its
+    occurrences in one parity-masked rewrite (merge-start iff the
+    candidate's offset within its same-char run is even — exactly the
+    canonical left-to-right scan; all-occurrences-per-step matters
+    because a later merged symbol can re-enable a lower-rank pair, and
+    the repo encoder finishes the current pair first). Docs reassemble
+    by position with the encoder's exact first-8-tokens accumulation
+    quirk (include a word's full encoding iff the running token count
+    is still < 8, then truncate to 8). All-integer/string output.
+    The pure-Python parity pytest stays as the third opinion."""
     from .text import bpe_encode, bpe_train
 
     docs = parallelize(load_table(spark, sf_dir, "documents"))
