@@ -138,3 +138,42 @@ def test_lang_id_on_real_unicode(udocs):
     assert set(a) == {d for d, _ in UNICODE_DOCS}
     for did in a:
         assert a[did] == b[did], did
+
+
+def test_text_stats_unicode_pinned_against_hashlib(spark, sf_dir):
+    """Third opinion for the r9 driver-hash entry: the registered
+    query's per-doc stats must equal a pure-Python recomputation
+    (str.split, len, UTF-8 byte length, hashlib.md5) of the SAME
+    derived multibyte column — independent of both engines' SQL
+    layers."""
+    import hashlib
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.queries_text import (
+        _UNI_SNIPPETS,
+        q_text_stats_unicode,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .where("doc_id < 25").collect()
+    }
+    got = {
+        r.doc_id: r
+        for r in q_text_stats_unicode(spark, sf_dir).where("doc_id < 25").collect()
+    }
+    assert set(got) == set(texts)
+    for did, text in texts.items():
+        utext = text + " " + _UNI_SNIPPETS[did % 5]
+        toks = utext.split(" ")
+        r = got[did]
+        assert r.n_chars == len(utext), did
+        assert r.n_bytes == len(utext.encode("utf-8")), did
+        assert r.n_tokens == len(toks), did
+        assert r.n_distinct_tokens == len(set(toks)), did
+        assert r.utext_h60 == h60(utext), did
+        assert r.min_token_h60 == min(h60(t) for t in toks), did
