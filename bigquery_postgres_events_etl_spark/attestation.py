@@ -64,6 +64,7 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # BPE training loop — same conversion class as the r8
     # connected-components family):
     "similarity_mmr_topk": 9,
+    "similarity_ann_recall_report": 9,
     "text_bpe_train_merges": 9,
     "text_bpe_encode_trained": 9,
     # r9 plan rewrites (values unchanged): per-doc set size folded into

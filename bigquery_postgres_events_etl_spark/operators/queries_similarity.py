@@ -12,10 +12,10 @@ projection fold, the same bucket id, and the same fixed-order cosine
 re-rank, giving bit-equal output. The greedy MMR re-rank is
 hash-checked too (r9): a recursive CTE carries each query's selected
 list and replays the argmax rounds bit-exactly (_mmr_oracle_sql).
-Rows-only survivors in this module: the trained-quantizer IVF entry
-(k-means is float-iterative; contract = the recall test vs brute
-force in tests/test_similarity.py) and the recall REPORT entry
-(it aggregates the ANN/IVF tiers' own outputs).
+The recall REPORT converted too once both of its arms became
+bit-reproducible. The only rows-only survivor in this module is the
+trained-quantizer IVF entry (k-means is float-iterative; contract =
+the recall test vs brute force in tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -48,7 +48,7 @@ norms AS (
 """
 
 
-def _bucket_sql(emb: str, num_planes: int, dim: int = EMBEDDING_DIM) -> str:
+def _ann_bucket_sql(emb: str, num_planes: int, dim: int = EMBEDDING_DIM) -> str:
     """LSH bucket id as literal SQL: for each deterministic md5-derived
     hyperplane (similarity._hyperplane — the SAME constants Spark's
     with_lsh_bucket folds into its zip_with literal array), emit the
@@ -77,7 +77,7 @@ def _ann_ranked_sql(bucket_join: str, num_planes: int) -> str:
     WITH {_NORMS_CTE},
     bucketed AS (
       SELECT e.vec_id, e.embedding, n.nsq,
-             {_bucket_sql('e.embedding', num_planes)} AS bucket
+             {_ann_bucket_sql('e.embedding', num_planes)} AS bucket
       FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
     ),
     q AS (SELECT * FROM bucketed WHERE vec_id < {N_QUERIES}),
@@ -982,17 +982,60 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fusion(docs, emb, _BM25_TERMS)
 
 
-@register("similarity_ann_recall_report", None)  # ANN side has no SQL twin
+_RECALL_ORACLE = f"""
+    WITH {_NORMS_CTE},
+    bucketed AS (
+      SELECT e.vec_id, e.embedding, n.nsq,
+             {_ann_bucket_sql('e.embedding', 4)} AS bucket
+      FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+    ),
+    q AS (SELECT * FROM bucketed WHERE vec_id < {N_QUERIES}),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_dot_sql('q.embedding', 'c.embedding')}
+                            / sqrt(q.nsq * c.nsq) DESC, c.vec_id) AS rank
+        FROM q JOIN bucketed c ON c.vec_id != q.vec_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_dot_sql('q.embedding', 'c.embedding')}
+                            / sqrt(q.nsq * c.nsq) DESC, c.vec_id) AS rank
+        FROM q JOIN bucketed c
+          ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    perq AS (
+      SELECT b.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hit
+      FROM brute b
+      LEFT JOIN ann a ON a.query_id = b.query_id
+                     AND a.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT query_id, CAST({TOP_K} AS BIGINT) AS k, n_hit,
+           CAST(n_hit AS DOUBLE) / CAST({TOP_K} AS DOUBLE) AS recall_at_k
+    FROM perq
+    """
+
+
+@register("similarity_ann_recall_report", _RECALL_ORACLE)
 def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality observability: per-query recall@k of the
     LSH ANN tier against the exact brute-force answer — the
     continuous-evaluation number a production ANN deployment watches
     (probe parameters are tuned against exactly this curve). All-
     DataFrame: the two top-k frames (both deterministic) left-semi
-    join on (query, neighbor); recall = hits/k. Rows-only — the
-    aggregate recall bound is already pinned in
-    tests/test_similarity.py; this entry turns it into a monitorable
-    per-query surface."""
+    join on (query, neighbor); recall = hits/k. HASH-oracle-checked
+    since r9: both arms are bit-reproducible cross-engine (the brute
+    chain since r3, the LSH buckets since the r9 ANN conversion), so
+    the oracle recomputes both top-5 sets from the same bucketed CTE
+    and counts the intersection — the "no SQL twin" reason died with
+    the ANN conversion. The aggregate recall bound stays pinned in
+    tests/test_similarity.py."""
     from pyspark.sql import functions as F
 
     # persist the vector table: the exact and ANN retrievers each scan
