@@ -287,6 +287,7 @@ def _load_all() -> None:
         # registration order)
         queries_tpch_ps,
         queries_tpch_dates,
+        queries_graph,
     )
 
     _LOADED = True

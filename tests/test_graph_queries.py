@@ -1,0 +1,82 @@
+"""Triangle counting + common-neighbor link prediction: full parity
+with a pure-Python adjacency-set reference on the sf0.001 co-purchase
+graph (belt-and-braces on top of the DuckDB hash oracles — the Python
+reference is a THIRD independent computation of the same surface)."""
+
+from __future__ import annotations
+
+from bigquery_postgres_events_etl_spark.operators.queries_graph import (
+    CN_QUERIES,
+    CN_TOP_K,
+    TRI_TOP_N,
+    _copurchase_edges,
+)
+from bigquery_postgres_events_etl_spark.registry import all_queries
+
+
+def _adjacency(spark, sf_dir):
+    edges = [
+        (r.u, r.v) for r in _copurchase_edges(spark, sf_dir).collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+def test_triangle_count_matches_python_reference(spark, sf_dir):
+    adj = _adjacency(spark, sf_dir)
+    tri = {n: 0 for n in adj}
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            if v > u:
+                both = adj[u] & adj[v]
+                for w in both:
+                    if w > v:  # each triangle once: u < v < w
+                        tri[u] += 1
+                        tri[v] += 1
+                        tri[w] += 1
+    want = sorted(
+        ((n, len(adj[n]), t) for n, t in tri.items() if t > 0),
+        key=lambda x: (-x[2], x[0]),
+    )[:TRI_TOP_N]
+
+    rows = (
+        all_queries()["graph_triangle_count"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.part, r.degree, r.triangles) for r in rows] == want
+    for r in rows:
+        assert r.clustering == 2 * r.triangles / (r.degree * (r.degree - 1))
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_common_neighbors_matches_python_reference(spark, sf_dir):
+    adj = _adjacency(spark, sf_dir)
+    hubs = sorted(adj, key=lambda n: (-len(adj[n]), n))[:CN_QUERIES]
+    want = []
+    for q in hubs:
+        cand: dict[int, int] = {}
+        for mid in adj[q]:
+            for c in adj[mid]:
+                if c != q and c not in adj[q]:
+                    cand[c] = cand.get(c, 0) + 1
+        top = sorted(cand.items(), key=lambda x: (-x[1], x[0]))[:CN_TOP_K]
+        for rank, (c, common) in enumerate(top, 1):
+            want.append((q, c, common, len(adj[q]), len(adj[c]), rank))
+
+    rows = (
+        all_queries()["graph_common_neighbors"](spark, sf_dir)
+        .orderBy("qnode", "rank")
+        .collect()
+    )
+    got = [
+        (r.qnode, r.candidate, r.common_cnt, r.deg_q, r.deg_c, r.rank)
+        for r in rows
+    ]
+    want.sort(key=lambda t: (t[0], t[5]))
+    assert got == want
+    for r in rows:
+        assert r.jaccard == r.common_cnt / (r.deg_q + r.deg_c - r.common_cnt)
