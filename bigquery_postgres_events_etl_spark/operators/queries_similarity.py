@@ -982,6 +982,115 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fusion(docs, emb, _BM25_TERMS)
 
 
+def _pq_values_sql() -> str:
+    """The md5-derived PQ codebook as a VALUES list — the SAME floats
+    Spark folds into its subspace-distance expressions (all k/64 exact
+    binary fractions, so repr() renders them losslessly)."""
+    from .similarity import PQ_K, PQ_M, _pq_centroid
+
+    rows = []
+    for m in range(PQ_M):
+        for c in range(PQ_K):
+            cols = ", ".join(
+                f"CAST({v!r} AS DOUBLE)" for v in _pq_centroid(m, c)
+            )
+            rows.append(f"({m}, {c}, {cols})")
+    return ",\n      ".join(rows)
+
+
+def _pq_dist_sql(emb: str) -> str:
+    """Left-associative Σ_j (CAST(emb[m·8+j] AS DOUBLE) − c_j)² with
+    the subspace index m and centroid components c1..c8 taken from the
+    joined centroids row — the identical IEEE chain as
+    similarity._pq_dist."""
+    from .similarity import PQ_DSUB
+
+    terms = []
+    for j in range(1, PQ_DSUB + 1):
+        x = f"(CAST({emb}[c.m * {PQ_DSUB} + {j}] AS DOUBLE) - c.c{j})"
+        terms.append(f"{x} * {x}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_oracle_sql() -> str:
+    from .similarity import PQ_M
+
+    code_cols = ",\n             ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS code_{m}"
+        for m in range(PQ_M)
+    )
+    adc_joins = "\n      ".join(
+        f"JOIN qd qd{m} ON qd{m}.m = {m} AND qd{m}.cidx = p.code_{m}"
+        + (
+            f" AND qd{m}.vec_id = qd0.vec_id"
+            if m
+            else " AND qd0.vec_id != p.vec_id"
+        )
+        for m in range(PQ_M)
+    )
+    adc_chain = " + ".join(f"qd{m}.dist" for m in range(PQ_M))
+    return f"""
+    WITH centroids (m, cidx, c1, c2, c3, c4, c5, c6, c7, c8) AS (
+      VALUES {_pq_values_sql()}
+    ),
+    enc AS (
+      SELECT e.vec_id, c.m, c.cidx, {_pq_dist_sql('e.embedding')} AS dist
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    codes AS (
+      SELECT vec_id, m, cidx AS code FROM (
+        SELECT vec_id, m, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, cidx) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    codes_p AS (
+      SELECT vec_id, {code_cols}
+      FROM codes GROUP BY vec_id
+    ),
+    qd AS (
+      SELECT q.vec_id, c.m, c.cidx, {_pq_dist_sql('q.embedding')} AS dist
+      FROM embeddings q CROSS JOIN centroids c
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT qd0.vec_id AS query_id, p.vec_id AS neighbor_id,
+             {adc_chain} AS adc
+      FROM codes_p p
+      {adc_joins}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@register("similarity_pq_adc", _pq_oracle_sql())
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    corpus vectors compress map-side to 8×4-bit codes against a
+    deterministic md5-derived codebook; queries keep exact vectors and
+    score candidates by per-subspace distance-table lookups
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search"). Full hash oracle: the codebook floats are exact binary
+    fractions inlined as VALUES, both engines run the identical IEEE
+    chains for subspace distances, argmin codes (ties → lowest index)
+    and the 8-term ADC sum — bit-equal output. The ADC-vs-exact
+    ordering contract is pinned in tests/test_similarity.py."""
+    from .similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    df = pq_adc_topk(queries, emb, k=TOP_K)
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
 _RECALL_ORACLE = f"""
     WITH {_NORMS_CTE},
     bucketed AS (
