@@ -1247,3 +1247,119 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n_users") + 1).cast("double") / F.col("n_users")
         ).alias("gini"),
     )
+
+
+# --- decision-stump training (histogram split search) ----------------
+
+# Shared formula TEXT for the stump entry: Spark parses these via
+# F.expr and DuckDB runs them verbatim, so both engines execute the
+# byte-identical arithmetic — the strongest form of the house
+# bit-exact discipline (no hand-mirrored expression trees to drift).
+# Binning: double division by 1000.0 of an exactly-converted decimal;
+# boundaries land exactly on multiples of 1000 (1000·k / 1000.0 is
+# IEEE-exact) and non-boundary values sit ≥ 1e-2/1000 = 1e-5 away —
+# orders of magnitude beyond double ulp, so FLOOR never straddles.
+_STUMP_BIN = "CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 1000.0) AS BIGINT)"
+_STUMP_Y = "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END"
+
+
+def _stump_wgini_sql() -> str:
+    """Weighted Gini of the (x < threshold) split over columns
+    nl/pl/nr/pr/n_tot — every division an explicit CAST-to-DOUBLE of
+    exact integers, one fixed chain."""
+
+    def gini(p: str, n: str) -> str:
+        fp = f"(CAST({p} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        fq = f"(CAST({n} - {p} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        return f"(1.0 - {fp} * {fp} - {fq} * {fq})"
+
+    return (
+        f"(CAST(nl AS DOUBLE) / CAST(n_tot AS DOUBLE)) * {gini('pl', 'nl')}"
+        f" + (CAST(nr AS DOUBLE) / CAST(n_tot AS DOUBLE)) * {gini('pr', 'nr')}"
+    )
+
+
+@register(
+    "ml_decision_stump_train",
+    f"""
+    WITH binned AS (
+      SELECT {_STUMP_BIN} AS bin, {_STUMP_Y} AS y FROM orders
+    ),
+    bins AS (
+      SELECT bin, COUNT(*) AS n, SUM(y) AS pos FROM binned GROUP BY bin
+    ),
+    cum AS (
+      SELECT (bin + 1) * 1000 AS threshold,
+             SUM(n) OVER (ORDER BY bin) AS nl,
+             SUM(pos) OVER (ORDER BY bin) AS pl,
+             SUM(n) OVER () AS n_tot,
+             SUM(pos) OVER () AS p_tot
+      FROM bins
+    ),
+    cand AS (
+      SELECT threshold, nl, pl, n_tot - nl AS nr, p_tot - pl AS pr, n_tot
+      FROM cum WHERE n_tot - nl > 0
+    ),
+    scored AS (
+      SELECT threshold, nl, pl, nr, pr,
+             {_stump_wgini_sql()} AS wgini
+      FROM cand
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY wgini, threshold) AS rank
+      FROM scored
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, CAST(nl AS BIGINT) AS nl,
+           CAST(pl AS BIGINT) AS pl, CAST(nr AS BIGINT) AS nr,
+           CAST(pr AS BIGINT) AS pr, wgini, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ml_decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 decision tree (stump) trained by exhaustive histogram
+    split search: predict order status = 'F' from o_totalprice. The
+    LightGBM-style scale shape — features pre-bin into a BOUNDED
+    histogram (here $1000 bins), so the split search is one groupBy
+    over |bins| rows + cumulative windows over the tiny histogram, no
+    per-row candidate explosion and no data-sized shuffle regardless
+    of table size. Emits the 10 best (threshold, split counts,
+    weighted Gini) candidates; the Gini arithmetic is the SAME formula
+    text parsed by both engines (F.expr = oracle SQL), so doubles are
+    bit-equal. Pure-Python parity in tests/test_ml.py."""
+    o = load_table(spark, sf_dir, "orders")
+    bins = (
+        o.select(F.expr(_STUMP_BIN).alias("bin"), F.expr(_STUMP_Y).alias("y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    # unpartitioned windows are safe HERE: the frame is the bounded
+    # bin histogram (≤ ~60 rows), not the data
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cand = (
+        bins.select(
+            ((F.col("bin") + 1) * 1000).alias("threshold"),
+            F.sum("n").over(w_cum).alias("nl"),
+            F.sum("pos").over(w_cum).alias("pl"),
+            F.sum("n").over(w_all).alias("n_tot"),
+            F.sum("pos").over(w_all).alias("p_tot"),
+        )
+        .withColumn("nr", F.col("n_tot") - F.col("nl"))
+        .withColumn("pr", F.col("p_tot") - F.col("pl"))
+        .where(F.col("nr") > 0)
+    )
+    ranked = (
+        cand.withColumn("wgini", F.expr(_stump_wgini_sql()))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("wgini").asc(), F.col("threshold").asc()))
+            .cast("long"),
+        )
+        .where(F.col("rank") <= 10)
+    )
+    return ranked.select("threshold", "nl", "pl", "nr", "pr", "wgini", "rank")

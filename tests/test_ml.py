@@ -59,3 +59,59 @@ def test_logreg_separates_separable_data(spark):
     for x, y in rows:
         p = sigmoid(w["bias"] + w["x"] * x)
         assert (p > 0.5) == (y == 1.0), f"x={x}: p={p}"
+
+
+def test_decision_stump_matches_python_reference(spark, sf_dir):
+    """Histogram split-search parity: every candidate's counts and
+    weighted Gini reproduced by a pure-Python scan (third engine next
+    to the DuckDB oracle), and the emitted ranking is the true
+    ascending-Gini order."""
+    import math
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderstatus"
+    )
+    pairs = [
+        (int(math.floor(float(r.o_totalprice) / 1000.0)),
+         1 if r.o_orderstatus == "F" else 0)
+        for r in o.collect()
+    ]
+    hist: dict[int, list[int]] = {}
+    for b, y in pairs:
+        n_pos = hist.setdefault(b, [0, 0])
+        n_pos[0] += 1
+        n_pos[1] += y
+    n_tot = sum(v[0] for v in hist.values())
+    p_tot = sum(v[1] for v in hist.values())
+    cands = []
+    nl = pl = 0
+    for b in sorted(hist):
+        nl += hist[b][0]
+        pl += hist[b][1]
+        nr, pr = n_tot - nl, p_tot - pl
+        if nr == 0:
+            continue
+
+        def gini(p, n):
+            fp, fq = p / n, (n - p) / n
+            return 1.0 - fp * fp - fq * fq
+
+        wg = (nl / n_tot) * gini(pl, nl) + (nr / n_tot) * gini(pr, nr)
+        cands.append(((b + 1) * 1000, nl, pl, nr, pr, wg))
+    cands.sort(key=lambda t: (t[5], t[0]))
+    want = [
+        t + (i + 1,) for i, t in enumerate(cands[:10])
+    ]
+
+    rows = (
+        all_queries()["ml_decision_stump_train"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    )
+    got = [
+        (r.threshold, r.nl, r.pl, r.nr, r.pr, r.wgini, r.rank) for r in rows
+    ]
+    assert got == want
