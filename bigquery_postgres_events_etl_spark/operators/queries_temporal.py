@@ -549,3 +549,129 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    f"""
+    WITH e AS (
+      SELECT user_id, {_TS} AS t, value FROM events WHERE user_id < 20
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', t) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+             count(*) AS n_events
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(t)) AS h0, date_trunc('hour', max(t)) AS h1
+      FROM e
+    ),
+    users AS (SELECT DISTINCT user_id FROM e),
+    grid AS (
+      SELECT u.user_id,
+             unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM users u, bounds b
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour, h.sum_value,
+             coalesce(h.n_events, 0) AS n_events
+      FROM grid g LEFT JOIN hourly h
+        ON h.user_id = g.user_id AND h.hour = g.hour
+    ),
+    win AS (
+      SELECT *,
+             last_value(sum_value IGNORE NULLS) OVER w_b AS pv,
+             last_value(CASE WHEN sum_value IS NOT NULL THEN hour END
+                        IGNORE NULLS) OVER w_b AS pt,
+             first_value(sum_value IGNORE NULLS) OVER w_f AS nv,
+             first_value(CASE WHEN sum_value IS NOT NULL THEN hour END
+                         IGNORE NULLS) OVER w_f AS nt
+      FROM joined
+      WINDOW
+        w_b AS (PARTITION BY user_id ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_f AS (PARTITION BY user_id ORDER BY hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour, n_events,
+           CASE WHEN sum_value IS NOT NULL THEN sum_value
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE pv + (nv - pv)
+                       * (CAST(datediff('hour', pt, hour) AS DOUBLE)
+                          / CAST(datediff('hour', pt, nt) AS DOUBLE))
+           END AS interp_value
+    FROM win
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with LINEAR interpolation (hypertable
+    `time_bucket_gapfill` + `interpolate` semantics) — the sibling of
+    timeseries_resample_ffill: hourly agg → hour grid → left join →
+    bracketing known points via running last/first(ignorenulls)
+    windows → v = pv + (nv − pv) · Δt/ΔT. Leading/trailing gaps stay
+    NULL (no extrapolation). The hour offsets are exact integers on
+    both engines, so the interpolation chain is one deterministic
+    IEEE sequence (division of exact ints, one multiply, one add) and
+    hash-matches. Per-user windows: user-bounded state, grid explode
+    map-side — same scale shape as the ffill entry."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(27,4)")).cast("double").alias("sum_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    users = e.select("user_id").distinct()
+    grid = users.crossJoin(bounds).select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        "sum_value",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+    w_b = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_hour = F.when(F.col("sum_value").isNotNull(), F.col("hour"))
+    win = joined.select(
+        "user_id",
+        "hour",
+        "sum_value",
+        "n_events",
+        F.last("sum_value", ignorenulls=True).over(w_b).alias("pv"),
+        F.last(known_hour, ignorenulls=True).over(w_b).alias("pt"),
+        F.first("sum_value", ignorenulls=True).over(w_f).alias("nv"),
+        F.first(known_hour, ignorenulls=True).over(w_f).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                F.expr("timestampdiff(HOUR, pt, hour)").cast("double")
+                / F.expr("timestampdiff(HOUR, pt, nt)").cast("double")
+            )
+        )
+    )
+    return win.select(
+        "user_id", "hour", "n_events", interp.alias("interp_value")
+    )

@@ -135,3 +135,38 @@ def test_approx_topk_rollup_exact_on_small_keyspace(spark, sf_dir):
         for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert two_level == total_exact
+
+
+def test_interpolate_linear_invariants(spark, sf_dir):
+    """Gap rows sit on the segment between their bracketing knowns
+    (convexity), known hours pass through untouched, and edge gaps
+    (before the first / after the last known point) stay NULL."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    rows = (
+        all_queries()["timeseries_interpolate_linear"](spark, sf_dir)
+        .orderBy("user_id", "hour")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    n_gap_interp = 0
+    for series in by_user.values():
+        knowns = [i for i, r in enumerate(series) if r.n_events > 0]
+        if not knowns:
+            continue
+        first_k, last_k = knowns[0], knowns[-1]
+        for i, r in enumerate(series):
+            if i < first_k or i > last_k:
+                assert r.interp_value is None
+            elif r.n_events == 0 and r.interp_value is not None:
+                n_gap_interp += 1
+                prev_v = next(
+                    series[j].interp_value for j in reversed(knowns) if j < i
+                )
+                next_v = next(series[j].interp_value for j in knowns if j > i)
+                lo, hi = min(prev_v, next_v), max(prev_v, next_v)
+                assert lo - 1e-9 <= r.interp_value <= hi + 1e-9
+    assert n_gap_interp > 0  # the fixture actually has interior gaps
