@@ -73,8 +73,10 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # per-side signatures / the A-B candidate frame):
     "dedup_minhash_jaccard_est": 9,
     "dedup_entity_resolve": 9,
-    # r9 plan rewrite (rows-only — re-attest refreshes rows/schema):
-    # edge frame repartition(src)+persist pins join partitioning:
+    # r9 plan rewrites (rows-only — re-attest refreshes rows/schema):
+    # edge frame repartition+persist pins join partitioning; late r9
+    # adds the |V|-gated rank-share broadcast path (zero big-side
+    # shuffle per iteration, bit-identical-across-paths pytest):
     "graph_pagerank_copurchase": 9,
 }
 

@@ -31,6 +31,14 @@ from ..io import load_table
 from ..registry import register
 
 
+# Rank-state broadcast gate: below this measured node count the
+# per-iteration rank/share table broadcasts into the edge join (zero
+# big-side shuffle per round); above it the hash-join path runs.
+# 2M nodes ≈ 50 MB of (node, share) rows — comfortable on executors
+# sized for 100 TB scans; the web-scale |V| regime takes the fallback.
+RANKS_BROADCAST_MAX_NODES = 2_000_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -55,14 +63,9 @@ def pagerank(
     if not assume_distinct:
         e = e.distinct()
     # localCheckpoint truncates the upstream lineage but DROPS
-    # partitioning (the r6-r8 watch item), so the bare checkpointed
-    # frame re-exchanged the FULL edge list on src in every
-    # iteration's contribution join — n_iter shuffles of the big side.
-    # Repartitioning on the join key once and persisting pins
-    # hashpartitioning(src) in the cached frame's outputPartitioning,
-    # so each iteration only exchanges the small rank side (measured
-    # sf0.1: steady-state 5.6-6.2 s -> see SCALE.md r9 row).
-    e = e.localCheckpoint(eager=True).repartition("src").persist()
+    # partitioning (the r6-r8 watch item); the branch below pins the
+    # join-appropriate partitioning before persisting.
+    e = e.localCheckpoint(eager=True)
     # ONE aggregation pass builds the node set AND out-degrees (a src
     # occurrence weighs 1, a dst occurrence 0 — dst-only nodes appear
     # with outdeg 0): replaces the former distinct + left-join chain
@@ -85,6 +88,21 @@ def pagerank(
         F.count(F.lit(1)).alias("n"), F.min("outdeg").alias("min_outdeg")
     ).first()
     n, has_dangling = head["n"], head["min_outdeg"] == 0
+    broadcast_ranks = n <= RANKS_BROADCAST_MAX_NODES
+    if broadcast_ranks:
+        # rank state fits a broadcast (cardinality-GATED on the
+        # measured |V|, shuffle fallback below — the tfidf df-gate
+        # pattern): pin the edges on dst, broadcast the per-node share
+        # into the contribution join, and the groupBy(dst) aggregation
+        # reuses the pinned partitioning — ZERO big-side shuffle per
+        # iteration (the former path exchanged every contribution row,
+        # |E| per round; measured sf0.1: see SCALE.md late-r9 note).
+        e = e.repartition("dst").persist()
+    else:
+        # ranks too large to broadcast: hash-join path — pinning
+        # hashpartitioning(src) means each iteration only exchanges
+        # the rank side + the contribution groupBy.
+        e = e.repartition("src").persist()
 
     # Lineage-truncation cadence: with dangling nodes each iteration
     # references `ranks` TWICE (contributions + the dangling mass), so
@@ -100,30 +118,60 @@ def pagerank(
     ranks = deg.select("node", "outdeg", F.lit(1.0 / n).alias("rank"))
     zero_c = F.lit(0).cast("decimal(38,18)")
     for it in range(n_iter):
-        # contribution delivery and the rank update in ONE exchange:
-        # instead of groupBy(dst) followed by a deg-join (two stages),
-        # union the per-edge contribution rows with a zero row per
-        # node carrying its outdeg, and aggregate once — max(outdeg)
-        # takes the value from the unique deg row (contribution rows
-        # carry null), and the exact-decimal sum is unchanged by the
-        # added zero, so every node emerges with exactly the old
-        # coalesce(in_mass, 0) value.
-        contrib_rows = e.join(ranks, e.src == ranks.node).select(
-            F.col("dst").alias("node"),
-            F.lit(None).cast("long").alias("deg_row"),
-            (F.col("rank") / F.col("outdeg")).cast("decimal(38,18)").alias("c"),
-        )
-        zero_rows = deg.select(
-            "node", F.col("outdeg").alias("deg_row"), zero_c.alias("c")
-        )
-        stepped = (
-            contrib_rows.union(zero_rows)
-            .groupBy("node")
-            .agg(
-                F.max("deg_row").alias("outdeg"),
-                F.sum("c").cast("double").alias("in_mass"),
+        if broadcast_ranks:
+            # per-node share broadcasts into the edge join (edges are
+            # pinned hashpartitioning(dst), preserved through the
+            # broadcast join and the alias projection, so the
+            # groupBy("node"=dst) aggregates WITHOUT an exchange);
+            # the deg left-join restores outdeg and the zero in-mass
+            # for contribution-less nodes — bit-identical to the
+            # union-fold's sum(c ∪ {0 decimal}) since adding exact
+            # decimal zero is a no-op. outdeg>0 guard: dangling nodes
+            # never match as src, and excluding them up front keeps
+            # rank/0 out of the decimal cast.
+            shares = ranks.where(F.col("outdeg") > 0).select(
+                F.col("node").alias("src_node"),
+                (F.col("rank") / F.col("outdeg"))
+                .cast("decimal(38,18)")
+                .alias("c"),
             )
-        )
+            contrib = (
+                e.join(F.broadcast(shares), e.src == F.col("src_node"))
+                .select(F.col("dst").alias("node"), "c")
+                .groupBy("node")
+                .agg(F.sum("c").cast("double").alias("in_mass"))
+            )
+            stepped = deg.join(contrib, "node", "left").select(
+                "node",
+                "outdeg",
+                F.coalesce(F.col("in_mass"), F.lit(0.0)).alias("in_mass"),
+            )
+        else:
+            # contribution delivery and the rank update in ONE
+            # exchange: instead of groupBy(dst) followed by a deg-join
+            # (two stages), union the per-edge contribution rows with
+            # a zero row per node carrying its outdeg, and aggregate
+            # once — max(outdeg) takes the value from the unique deg
+            # row (contribution rows carry null), and the
+            # exact-decimal sum is unchanged by the added zero, so
+            # every node emerges with exactly the old
+            # coalesce(in_mass, 0) value.
+            contrib_rows = e.join(ranks, e.src == ranks.node).select(
+                F.col("dst").alias("node"),
+                F.lit(None).cast("long").alias("deg_row"),
+                (F.col("rank") / F.col("outdeg")).cast("decimal(38,18)").alias("c"),
+            )
+            zero_rows = deg.select(
+                "node", F.col("outdeg").alias("deg_row"), zero_c.alias("c")
+            )
+            stepped = (
+                contrib_rows.union(zero_rows)
+                .groupBy("node")
+                .agg(
+                    F.max("deg_row").alias("outdeg"),
+                    F.sum("c").cast("double").alias("in_mass"),
+                )
+            )
         if has_dangling:
             # dangling mass stays IN-FRAME: a 1-row aggregate
             # broadcast into the rank update (the house scalar-join

@@ -92,12 +92,23 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "centroid table — |labels| × dim rows, bounded by the label "
         "vocabulary (a small finite set by construction), not by corpus "
         "size",
+    ("queries_graph.py", "graph_common_neighbors"):
+        "hub query set — orderBy().limit(CN_QUERIES=20) rows, a "
+        "parameter-bounded constant, not data-sized",
+    ("similarity.py", "pq_adc_topk"):
+        "query batch with per-subspace distance tables — |queries| × "
+        "(M·K doubles), bounded by the caller's query set (the ANN-"
+        "family contract: queries broadcast, corpus streams)",
     ("stream.py", "psi_between"):
         "1-row histogram-totals scalar over a constant-bounded bin "
         "table — unconditionally safe",
     ("graph.py", "pagerank"):
         "1-row dangling-mass scalar (an aggregate) — unconditionally "
-        "safe; replaces a per-iteration driver .first()",
+        "safe; replaces a per-iteration driver .first(). Also the "
+        "per-iteration rank-share table, cardinality-GATED on the "
+        "measured |V| (RANKS_BROADCAST_MAX_NODES) with the "
+        "hashpartitioned shuffle-join fallback above the gate — the "
+        "tfidf df-gate pattern",
     ("graph.py", "markov_attribution"):
         "scenario frame (|channels|+1 rows, channel cardinality is "
         "constant) and three 1-row scalars (p_conv_full, removal-effect "

@@ -86,3 +86,22 @@ def test_markov_no_conversions_is_empty_on_both_squaring_paths(spark):
         assert markov_attribution(events, n_squarings=2).count() == 0
     finally:
         graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS = old
+
+
+def test_pagerank_shuffle_fallback_matches_broadcast_path(spark):
+    """Above the |V| broadcast gate the hash-join path must produce
+    the same ranks (same decimal sums, same IEEE update chain) as the
+    broadcast path — forced by zeroing the gate, same pattern as the
+    markov squaring-gate test."""
+    from bigquery_postgres_events_etl_spark.operators import graph
+
+    edges = [(2, 1), (3, 1), (4, 1), (1, 4), (3, 2), (5, 1), (5, 2), (2, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got_b = {r.node: r.rank for r in graph.pagerank(df, n_iter=6).collect()}
+    old = graph.RANKS_BROADCAST_MAX_NODES
+    graph.RANKS_BROADCAST_MAX_NODES = 0  # force the shuffle path
+    try:
+        got_s = {r.node: r.rank for r in graph.pagerank(df, n_iter=6).collect()}
+    finally:
+        graph.RANKS_BROADCAST_MAX_NODES = old
+    assert got_b == got_s  # bit-identical, not approximately equal

@@ -110,6 +110,16 @@ QUERIES = [
     "multimodal_bmp_resize_real",
     "multimodal_wav_resample_real",
     "multimodal_bmp_dhash_real",
+    # late-r9 addition: PQ-ADC ANN — corpus encodes map-side (expected
+    # ~0 shuffle at both points: queries broadcast with their distance
+    # tables, candidate top-k window is the only exchange)
+    "similarity_pq_adc",
+    # late-r9 graph tier: the sf1 amplifier keeps the part catalog and
+    # 10×es the baskets, so the co-occurrence graph DENSIFIES (same
+    # nodes, more edges + triangles) — the adversarial direction for
+    # triangle counting, where cost tracks real triangle count
+    "graph_triangle_count",
+    "graph_common_neighbors",
 ]
 
 
