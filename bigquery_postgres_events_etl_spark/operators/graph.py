@@ -486,3 +486,93 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy fundamental-matrix solve in tests/test_stattests.py."""
     e = load_table(spark, sf_dir, "events")
     return markov_attribution(e)
+
+
+LPA_BROADCAST_MAX_NODES = 2_000_000  # same regime as the rank gate
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al.) — the classic
+    community-detection baseline, deterministic variant: every node
+    starts as its own label; each round it adopts the label held by
+    the plurality of its neighbors, ties broken toward the SMALLEST
+    label (no RNG, no async sweep order — the result is a pure
+    function of the graph). Fixed round count: synchronous LPA can
+    2-cycle on bipartite-ish structure, so a fixed budget with a
+    deterministic tie-break is the reproducible contract (the pytest
+    pins exact parity with a pure-Python sweep, not just modularity).
+
+    Scale shape per round: one neighbor-label join + one (node, label)
+    count aggregation + one per-node argmax — all hash-partitioned on
+    node ids, O(|E|) rows; label state is O(|V|) and broadcasts below
+    the same measured-|V| gate as pagerank (hash join above). Single
+    self-reference per round → linear plan growth → checkpoint every 3
+    (the pagerank cadence note)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    # undirected sweep: both directions once, then the frame is fixed
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        und.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    broadcast_labels = n <= LPA_BROADCAST_MAX_NODES
+    und = und.repartition("dst" if broadcast_labels else "src").persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(n_iter):
+        lab = labels.select(
+            F.col("node").alias("src_node"), F.col("label").alias("nbr_label")
+        )
+        joined = (
+            und.join(F.broadcast(lab), und.src == F.col("src_node"))
+            if broadcast_labels
+            else und.join(lab, und.src == F.col("src_node"))
+        )
+        counted = (
+            joined.select(F.col("dst").alias("node"), "nbr_label")
+            .groupBy("node", "nbr_label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # plurality with ties to the smallest label: max of
+        # (cnt, -label) picks the highest count, then the most
+        # NEGATIVE -label = the smallest label
+        labels = counted.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg")))
+            .getField("neg")
+            .alias("neg_label")
+        ).select("node", (-F.col("neg_label")).alias("label"))
+        if (it + 1) % 3 == 0 and it + 1 < n_iter:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+@register("graph_label_propagation", None)  # iterative — rows-only
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-occurrence graph (parts
+    co-bought in one order): 5 synchronous LPA rounds, smallest-label
+    tie-break, emitting (part, community label, community size).
+    Rows-only (iterative — no single-SQL oracle); exact per-node
+    parity with a pure-Python synchronous sweep is pinned in
+    tests/test_graph_queries.py."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    labels = label_propagation(edges, n_iter=5, assume_distinct=True).persist()
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("part"), "label", "community_size"
+    )

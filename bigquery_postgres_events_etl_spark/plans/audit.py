@@ -109,6 +109,10 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "measured |V| (RANKS_BROADCAST_MAX_NODES) with the "
         "hashpartitioned shuffle-join fallback above the gate — the "
         "tfidf df-gate pattern",
+    ("graph.py", "label_propagation"):
+        "per-iteration label table, cardinality-GATED on the measured "
+        "|V| (LPA_BROADCAST_MAX_NODES) with the hash-join fallback "
+        "above the gate — same regime as the pagerank rank gate",
     ("graph.py", "markov_attribution"):
         "scenario frame (|channels|+1 rows, channel cardinality is "
         "constant) and three 1-row scalars (p_conv_full, removal-effect "

@@ -80,3 +80,40 @@ def test_common_neighbors_matches_python_reference(spark, sf_dir):
     assert got == want
     for r in rows:
         assert r.jaccard == r.common_cnt / (r.deg_q + r.deg_c - r.common_cnt)
+
+
+def test_label_propagation_matches_python_reference(spark, sf_dir):
+    """Exact per-node parity with a pure-Python SYNCHRONOUS sweep
+    (plurality label, ties to the smallest) after the same fixed
+    round count, on the sf0.001 co-purchase graph; plus the two-path
+    (broadcast vs hash join) bit-identity under a forced gate."""
+    from collections import Counter
+
+    from bigquery_postgres_events_etl_spark.operators import graph
+
+    adj = _adjacency(spark, sf_dir)
+    labels = {n: n for n in adj}
+    for _ in range(5):
+        new = {}
+        for n in adj:
+            cnt = Counter(labels[m] for m in adj[n])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            new[n] = best
+        labels = new
+    sizes = Counter(labels.values())
+    want = sorted((n, l, sizes[l]) for n, l in labels.items())
+
+    df = all_queries()["graph_label_propagation"](spark, sf_dir)
+    got = sorted((r.part, r.label, r.community_size) for r in df.collect())
+    assert got == want
+    # communities actually form: fewer labels than nodes
+    assert len(sizes) < len(adj)
+
+    old = graph.LPA_BROADCAST_MAX_NODES
+    graph.LPA_BROADCAST_MAX_NODES = 0  # force the hash-join path
+    try:
+        df2 = all_queries()["graph_label_propagation"](spark, sf_dir)
+        got2 = sorted((r.part, r.label, r.community_size) for r in df2.collect())
+    finally:
+        graph.LPA_BROADCAST_MAX_NODES = old
+    assert got2 == got
