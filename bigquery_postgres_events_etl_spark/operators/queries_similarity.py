@@ -1175,3 +1175,85 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+KNN_QUERIES = 50  # vec_id < 50 is the classification eval set
+
+
+@register(
+    "ml_knn_classify",
+    f"""
+    WITH {_NORMS_CTE},
+    ranked AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_dot_sql('q.embedding', 'c.embedding')}
+                            / sqrt(nq.nsq * nc.nsq) DESC, c.vec_id) AS rank
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id != q.vec_id
+        JOIN norms nq ON nq.vec_id = q.vec_id
+        JOIN norms nc ON nc.vec_id = c.vec_id
+        WHERE q.vec_id < {KNN_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    ),
+    votes AS (
+      SELECT r.query_id, e.label AS nbr_label, COUNT(*) AS votes
+      FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+      GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT query_id, nbr_label AS pred_label, votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, nbr_label) AS rn
+      FROM votes
+    )
+    SELECT w.query_id, q.label AS true_label, w.pred_label, w.votes,
+           (w.pred_label = q.label) AS correct
+    FROM win w JOIN embeddings q ON q.vec_id = w.query_id
+    WHERE w.rn = 1
+    """,
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the labeled embeddings: exact-cosine
+    5 nearest neighbors (the bit-exact brute-force chain), majority
+    label with ties to the smallest label, `correct` giving
+    leave-one-out accuracy — the lazy-learner baseline next to the
+    centroid (prototype) classifier. Selection-only floats: cosine
+    ORDERS the neighbor sets, every compared column is an integer,
+    label, or boolean. Query set bounded (broadcasts); corpus never
+    shuffles — votes and argmax aggregate per query id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < KNN_QUERIES)
+    topk = brute_force_topk(queries, emb, k=TOP_K)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nbr_label")
+    )
+    votes = (
+        topk.join(lab, "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    win = (
+        votes.groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(F.col("votes"), (-F.col("nbr_label")).alias("neg"))
+            ).alias("w")
+        )
+        .select(
+            "query_id",
+            F.col("w.votes").alias("votes"),
+            (-F.col("w.neg")).alias("pred_label"),
+        )
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return win.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
