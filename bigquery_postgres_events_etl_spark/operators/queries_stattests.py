@@ -1533,3 +1533,81 @@ def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_resamples", "point_mean", "ci_lo", "ci_hi")
     )
+
+
+@register(
+    "stats_theil_sen",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST({_TS} AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE)
+               / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type AND b.day > a.day
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM slopes
+    )
+    SELECT event_type, CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+           (MIN(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope END)
+            + MIN(CASE WHEN rn = n_pairs // 2 + 1 THEN slope END)) / 2.0
+             AS theil_sen_slope
+    FROM ranked GROUP BY event_type
+    """,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type over the daily count
+    series: the median of all pairwise slopes — the estimator that
+    shrugs off outlier days where OLS (stats_groupwise_ols) gets
+    dragged. Pairs are day-bounded (groups of ~60 days → ~1.8k pairs,
+    a CONSTANT per key regardless of row count, since the daily
+    aggregation collapses the data first — the scale story). Each
+    slope is one IEEE division of exact integers; the median is
+    selection plus (lo+hi)/2, which for odd counts reduces to the
+    exact middle value ((v+v)/2 = v in IEEE), so both engines
+    hash-match bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_pairs"),
+    )
+    lo = F.expr("(n_pairs + 1) DIV 2")
+    hi = F.expr("n_pairs DIV 2 + 1")
+    return ranked.groupBy("event_type").agg(
+        F.max("n_pairs").cast("long").alias("n_pairs"),
+        (
+            (
+                F.min(F.when(F.col("rn") == lo, F.col("slope")))
+                + F.min(F.when(F.col("rn") == hi, F.col("slope")))
+            )
+            / F.lit(2.0)
+        ).alias("theil_sen_slope"),
+    )
