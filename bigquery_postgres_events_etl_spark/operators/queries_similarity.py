@@ -1257,3 +1257,119 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "votes",
         (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
+
+
+def _pq_recall_oracle_sql() -> str:
+    """Both arms bit-reproducible → the PQ recall report hash-checks:
+    brute-force exact top-5 (the r3 chain) ∩ PQ-ADC top-5 (the late-r9
+    chain) per query, recall = hits/k."""
+    from .similarity import PQ_M
+
+    code_cols = ",\n             ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS code_{m}"
+        for m in range(PQ_M)
+    )
+    adc_joins = "\n      ".join(
+        f"JOIN qd qd{m} ON qd{m}.m = {m} AND qd{m}.cidx = p.code_{m}"
+        + (
+            f" AND qd{m}.vec_id = qd0.vec_id"
+            if m
+            else " AND qd0.vec_id != p.vec_id"
+        )
+        for m in range(PQ_M)
+    )
+    adc_chain = " + ".join(f"qd{m}.dist" for m in range(PQ_M))
+    return f"""
+    WITH centroids (m, cidx, c1, c2, c3, c4, c5, c6, c7, c8) AS (
+      VALUES {_pq_values_sql()}
+    ),
+    {_NORMS_CTE},
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_dot_sql('q.embedding', 'c.embedding')}
+                            / sqrt(nq.nsq * nc.nsq) DESC, c.vec_id) AS rank
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id != q.vec_id
+        JOIN norms nq ON nq.vec_id = q.vec_id
+        JOIN norms nc ON nc.vec_id = c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    ),
+    enc AS (
+      SELECT e.vec_id, c.m, c.cidx, {_pq_dist_sql('e.embedding')} AS dist
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    codes AS (
+      SELECT vec_id, m, cidx AS code FROM (
+        SELECT vec_id, m, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, cidx) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    codes_p AS (
+      SELECT vec_id, {code_cols}
+      FROM codes GROUP BY vec_id
+    ),
+    qd AS (
+      SELECT q.vec_id, c.m, c.cidx, {_pq_dist_sql('q.embedding')} AS dist
+      FROM embeddings q CROSS JOIN centroids c
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    pq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qd0.vec_id AS query_id, p.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qd0.vec_id
+                                  ORDER BY {adc_chain}, p.vec_id) AS rank
+        FROM codes_p p
+        {adc_joins}
+      ) WHERE rank <= {TOP_K}
+    ),
+    perq AS (
+      SELECT b.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hit
+      FROM brute b
+      LEFT JOIN pq a ON a.query_id = b.query_id
+                    AND a.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT query_id, CAST({TOP_K} AS BIGINT) AS k, n_hit,
+           CAST(n_hit AS DOUBLE) / CAST({TOP_K} AS DOUBLE) AS recall_at_k
+    FROM perq
+    """
+
+
+@register("similarity_pq_recall_report", _pq_recall_oracle_sql())
+def similarity_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality observability for the PQ tier: per-query
+    recall@k of PQ-ADC against the exact brute-force answer — the
+    number a production deployment watches to size M/K or trigger
+    re-training. Hash-oracle-checked end-to-end: both arms are
+    bit-reproducible (brute chain since r3, PQ chains late r9), so
+    the oracle recomputes both top-5 sets and counts the
+    intersection."""
+    from .similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    brute = brute_force_topk(queries, emb, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    pq = pq_adc_topk(queries, emb, k=TOP_K).select("query_id", "neighbor_id")
+    hits = brute.join(pq, ["query_id", "neighbor_id"], "semi")
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.lit(TOP_K).cast("double")
+            ).alias("recall_at_k"),
+        )
+    )
