@@ -291,6 +291,14 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     "stats_logrank_test": {"gap_days"},
     # two-pass cumsum internals (ECDF mapping table)
     "ml_quantile_transform": {"_gr_pid", "specifiedwindowframe"},
+    # histogram split search: both windows (cumulative counts, final
+    # Gini rank) ride the BOUNDED bin histogram (~60 rows at any table
+    # size — the LightGBM shape is the point of the entry)
+    "ml_decision_stump_train": {"bin", "wgini"},
+    # rank assignment AFTER orderBy().limit(100): the window input is
+    # the constant top-N frame (TakeOrderedAndProject did the
+    # distributed selection), never the |V|-sized node table
+    "graph_triangle_count": {"triangles"},
 }
 
 
