@@ -1611,3 +1611,90 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(2.0)
         ).alias("theil_sen_slope"),
     )
+
+
+@register(
+    "stats_kendall_tau",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST({_TS} AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.day, a.y AS ya, b.y AS yb
+      FROM daily a
+      JOIN daily b ON b.day = a.day AND b.event_type > a.event_type
+    ),
+    conc AS (
+      SELECT p.type_a, p.type_b,
+             COUNT(*) AS n_pairs,
+             SUM(CASE WHEN (q.ya - p.ya) * (q.yb - p.yb) > 0
+                      THEN 1 ELSE 0 END) AS concordant,
+             SUM(CASE WHEN (q.ya - p.ya) * (q.yb - p.yb) < 0
+                      THEN 1 ELSE 0 END) AS discordant
+      FROM paired p
+      JOIN paired q ON q.type_a = p.type_a AND q.type_b = p.type_b
+                   AND q.day > p.day
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           CAST(concordant - discordant AS DOUBLE)
+             / CAST(n_pairs AS DOUBLE) AS tau_a
+    FROM conc
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (tau-a) between every pair of event
+    types' daily count series — the nonparametric dependence measure
+    next to the Pearson entry (agg_correlation_from_sums): count
+    concordant vs discordant day pairs; ties contribute to neither.
+    Everything is integer arithmetic until ONE final division, so the
+    hash oracle is exact. Scale: the daily collapse bounds the
+    day-pair join to a constant per type pair (~days²/2) at any row
+    count — same shape as stats_theil_sen."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    paired = a.join(
+        b,
+        (F.col("b.day") == F.col("a.day"))
+        & (F.col("b.event_type") > F.col("a.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.day").alias("day"),
+        F.col("a.y").alias("ya"),
+        F.col("b.y").alias("yb"),
+    )
+    p, q = paired.alias("p"), paired.alias("q")
+    sign = (F.col("q.ya") - F.col("p.ya")) * (F.col("q.yb") - F.col("p.yb"))
+    conc = (
+        p.join(
+            q,
+            (F.col("q.type_a") == F.col("p.type_a"))
+            & (F.col("q.type_b") == F.col("p.type_b"))
+            & (F.col("q.day") > F.col("p.day")),
+        )
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(sign > 0, 1).otherwise(0)).alias("concordant"),
+            F.sum(F.when(sign < 0, 1).otherwise(0)).alias("discordant"),
+        )
+    )
+    return conc.select(
+        "type_a",
+        "type_b",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        (
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.col("n_pairs").cast("double")
+        ).alias("tau_a"),
+    )
