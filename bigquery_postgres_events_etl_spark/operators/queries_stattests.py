@@ -1698,3 +1698,89 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_pairs").cast("double")
         ).alias("tau_a"),
     )
+
+
+@register(
+    "events_autocorrelation",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST({_TS} AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS q
+      FROM daily GROUP BY event_type
+    ),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag,
+             COUNT(*) AS m,
+             SUM(a.y * b.y) AS p,
+             SUM(a.y) AS ah,
+             SUM(b.y) AS bt
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day + CAST(l.lag AS INTEGER) * INTERVAL 1 DAY
+      GROUP BY 1, 2
+    )
+    SELECT p.event_type, CAST(p.lag AS INTEGER) AS lag,
+           CAST(s.n AS BIGINT) AS n_days, CAST(p.m AS BIGINT) AS n_pairs,
+           CAST(s.n * s.n * p.p - s.n * s.s * (p.ah + p.bt) + p.m * s.s * s.s
+                AS DOUBLE)
+             / CAST(s.n * s.n * s.q - s.n * s.s * s.s AS DOUBLE) AS acf
+    FROM pairs p JOIN stats s ON s.event_type = p.event_type
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of each event type's daily count
+    series — the seasonality detector feeding the decompose/forecast
+    entries (a weekly cycle shows as an acf spike at lag 7). The
+    mean-centered products are expanded algebraically so EVERYTHING is
+    integer sums until one final division (the from-sums discipline of
+    agg_correlation_from_sums): acf = (n²P − nS(A+B) + mS²) /
+    (n²Q − nS²) with P, A, B per lag from a calendar lag join (missing
+    days drop out identically on both engines). Daily collapse first →
+    the lag join is a bounded constant per type at any row count."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    )
+    lags = daily.sparkSession.range(1, 8).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") == F.date_add(F.col("a.day"), F.col("lag"))),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("a.y") * F.col("b.y")).alias("p"),
+            F.sum(F.col("a.y")).alias("ah"),
+            F.sum(F.col("b.y")).alias("bt"),
+        )
+    )
+    j = pairs.join(stats, "event_type")
+    num = (
+        F.col("n") * F.col("n") * F.col("p")
+        - F.col("n") * F.col("s") * (F.col("ah") + F.col("bt"))
+        + F.col("m") * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * F.col("n") * F.col("q") - F.col("n") * F.col("s") * F.col("s")
+    return j.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("m").cast("long").alias("n_pairs"),
+        (num.cast("double") / den.cast("double")).alias("acf"),
+    )
