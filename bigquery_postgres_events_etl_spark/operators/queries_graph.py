@@ -335,3 +335,94 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "qnode", "candidate", "common_cnt", "deg_q", "deg_c", "jaccard", "rank"
     )
+
+
+KCORE_K = 68  # coreness threshold: non-trivial peeling at every fixture SF
+KCORE_ROUNDS = 8  # fixed peel budget; convergence ≤4 rounds at all SFs
+
+
+@register(
+    "graph_kcore",
+    f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+      SELECT u AS a, v AS b FROM pairs
+      UNION ALL
+      SELECT v AS a, u AS b FROM pairs
+    ),
+    alive (r, node) AS (
+      SELECT 0, a FROM und GROUP BY a
+      UNION ALL
+      SELECT al.r + 1, al.node
+      FROM alive al
+      WHERE al.r < {KCORE_ROUNDS}
+        AND (SELECT COUNT(*) FROM und e
+             JOIN alive x ON x.node = e.b AND x.r = al.r
+             WHERE e.a = al.node) >= {KCORE_K}
+    )
+    SELECT e.a AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM und e
+    JOIN alive s ON s.r = {KCORE_ROUNDS} AND s.node = e.a
+    JOIN alive t ON t.r = {KCORE_ROUNDS} AND t.node = e.b
+    GROUP BY e.a
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (fixed k) of the part co-occurrence graph
+    by synchronous peeling: each round removes every node whose degree
+    among the surviving nodes is below k; survivors after the fixed
+    round budget are the k-core, emitted with their within-core
+    degree. The budget (8) exceeds measured convergence (≤4 rounds at
+    every fixture SF — pinned by the pytest's fixpoint assertion), and
+    a FIXED budget is what makes the iterative peel hash-oracle-able:
+    the DuckDB twin replays the identical rounds as a recursive CTE
+    whose working table carries (round, node) — the r8/r9
+    recursive-conversion pattern extended to a REMOVAL-style loop by
+    accumulating survivors per round instead of removals.
+
+    Scale shape per round: two semi-joins of the edge list against the
+    shrinking survivor set + one count aggregation — O(|E|) with the
+    alive set broadcast by AQE once it shrinks; alive is referenced
+    twice per round (both endpoints), so the plan doubles and must
+    checkpoint every round (the pagerank dangling-branch rule)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    und = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+        .repartition("a")
+        .persist()
+    )
+    alive = und.select(F.col("a").alias("node")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            und.join(alive.select(F.col("node").alias("a")), "a", "leftsemi")
+            .join(alive.select(F.col("node").alias("b")), "b", "leftsemi")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = (
+            deg.where(F.col("d") >= KCORE_K)
+            .select(F.col("a").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    core_deg = (
+        und.join(alive.select(F.col("node").alias("a")), "a", "leftsemi")
+        .join(alive.select(F.col("node").alias("b")), "b", "leftsemi")
+        .groupBy(F.col("a").alias("part"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return core_deg

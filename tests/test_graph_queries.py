@@ -117,3 +117,29 @@ def test_label_propagation_matches_python_reference(spark, sf_dir):
     finally:
         graph.LPA_BROADCAST_MAX_NODES = old
     assert got2 == got
+
+
+def test_kcore_matches_python_reference_and_converges(spark, sf_dir):
+    """Exact (part, core_degree) parity with a pure-Python synchronous
+    peel after the same fixed budget, plus the fixpoint assertion the
+    oracle's determinism rests on: the survivor set stops changing
+    BEFORE the budget runs out, so the fixed-round result IS the true
+    k-core (not a budget artifact)."""
+    from bigquery_postgres_events_etl_spark.operators.queries_graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+
+    adj = _adjacency(spark, sf_dir)
+    alive = set(adj)
+    prev = None
+    for _ in range(KCORE_ROUNDS):
+        prev = alive
+        alive = {n for n in alive if len(adj[n] & alive) >= KCORE_K}
+    assert alive == prev  # converged within the budget
+    want = sorted((n, len(adj[n] & alive)) for n in alive)
+
+    rows = all_queries()["graph_kcore"](spark, sf_dir).collect()
+    got = sorted((r.part, r.core_degree) for r in rows)
+    assert got == want
+    assert got  # non-trivial core at the fixture scale
