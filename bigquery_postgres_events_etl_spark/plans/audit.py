@@ -92,6 +92,8 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "centroid table — |labels| × dim rows, bounded by the label "
         "vocabulary (a small finite set by construction), not by corpus "
         "size",
+    ("queries_stattests.py", "events_autocorrelation"):
+        "7-row literal lag spine (lags 1..7) — unconditionally safe",
     ("queries_graph.py", "graph_common_neighbors"):
         "hub query set — orderBy().limit(CN_QUERIES=20) rows, a "
         "parameter-bounded constant, not data-sized",
