@@ -1784,3 +1784,104 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("n_pairs"),
         (num.cast("double") / den.cast("double")).alias("acf"),
     )
+
+
+@register(
+    "stats_spearman_rho",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST({_TS} AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.day, a.y AS ya, b.y AS yb
+      FROM daily a
+      JOIN daily b ON b.day = a.day AND b.event_type > a.event_type
+    ),
+    ranked AS (
+      SELECT type_a, type_b,
+             2 * RANK() OVER (PARTITION BY type_a, type_b ORDER BY ya)
+               + COUNT(*) OVER (PARTITION BY type_a, type_b, ya) - 1 AS rx2,
+             2 * RANK() OVER (PARTITION BY type_a, type_b ORDER BY yb)
+               + COUNT(*) OVER (PARTITION BY type_a, type_b, yb) - 1 AS ry2
+      FROM paired
+    ),
+    sums AS (
+      SELECT type_a, type_b, COUNT(*) AS n,
+             SUM(rx2) AS sx, SUM(ry2) AS sy,
+             SUM(rx2 * rx2) AS sxx, SUM(ry2 * ry2) AS syy,
+             SUM(rx2 * ry2) AS sxy
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+    FROM sums
+    """,
+)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between every event-type pair's daily
+    series — completes the correlation trio (Pearson-from-sums /
+    Kendall / Spearman). Tie-correct average ranks stay INTEGER by
+    carrying 2·avg-rank = 2·rank + |ties| − 1 (Pearson is affine-
+    invariant, so the doubling cancels); everything is integer sums
+    until one final chain whose only non-arithmetic op is sqrt —
+    IEEE-correctly-rounded, hence bit-equal cross-engine. Day-pair
+    frame bounded after the daily collapse, windows partitioned per
+    type pair."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    paired = a.join(
+        b,
+        (F.col("b.day") == F.col("a.day"))
+        & (F.col("b.event_type") > F.col("a.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.y").alias("ya"),
+        F.col("b.y").alias("yb"),
+    )
+    pw = Window.partitionBy("type_a", "type_b")
+    ranked = paired.select(
+        "type_a",
+        "type_b",
+        (
+            F.lit(2) * F.rank().over(pw.orderBy("ya"))
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("type_a", "type_b", "ya")
+            )
+            - F.lit(1)
+        ).alias("rx2"),
+        (
+            F.lit(2) * F.rank().over(pw.orderBy("yb"))
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("type_a", "type_b", "yb")
+            )
+            - F.lit(1)
+        ).alias("ry2"),
+    )
+    sums = ranked.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_a = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_b = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n_days"),
+        (
+            num.cast("double")
+            / F.sqrt(den_a.cast("double") * den_b.cast("double"))
+        ).alias("spearman_rho"),
+    )
