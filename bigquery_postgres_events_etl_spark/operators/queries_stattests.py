@@ -1885,3 +1885,94 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(den_a.cast("double") * den_b.cast("double"))
         ).alias("spearman_rho"),
     )
+
+
+# Shared formula TEXT for the power entry (Spark F.expr ≡ oracle SQL —
+# both engines parse the byte-identical chain, the stump discipline).
+# z constants are the repr() of Phi^-1(0.975) and Phi^-1(0.80): float
+# LITERALS both engines parse to the same double — no erf() is ever
+# evaluated in-engine.
+_PWR_ZA = repr(1.959963984540054)
+_PWR_ZB = repr(0.8416212335729143)
+_PWR_PA = "(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+_PWR_PB = "(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+_PWR_POOL = "(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+_PWR_NUM = (
+    f"({_PWR_ZA} * sqrt(2.0 * {_PWR_POOL} * (1.0 - {_PWR_POOL}))"
+    f" + {_PWR_ZB} * sqrt({_PWR_PA} * (1.0 - {_PWR_PA})"
+    f" + {_PWR_PB} * (1.0 - {_PWR_PB})))"
+)
+_PWR_DELTA = f"({_PWR_PA} - {_PWR_PB})"
+_PWR_REQ = (
+    f"CASE WHEN {_PWR_DELTA} = 0.0 THEN CAST(NULL AS BIGINT) "
+    f"ELSE CAST(CEIL({_PWR_NUM} * {_PWR_NUM}"
+    f" / ({_PWR_DELTA} * {_PWR_DELTA})) AS BIGINT) END"
+)
+
+
+@register(
+    "events_power_analysis",
+    f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converted
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    wide AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS x_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS x_b
+      FROM per_user
+    )
+    SELECT n_a, n_b, x_a, x_b,
+           {_PWR_PA} AS p_a, {_PWR_PB} AS p_b,
+           {_PWR_DELTA} AS observed_delta,
+           {_PWR_REQ} AS required_n_per_arm,
+           CASE WHEN {_PWR_REQ} IS NULL THEN CAST(NULL AS BOOLEAN)
+                ELSE LEAST(n_a, n_b) >= {_PWR_REQ} END AS adequately_powered
+    FROM wide
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size adequacy for the running experiment (the planning
+    sibling of events_ab_proportion_ztest, SAME per-user arms): the
+    per-arm n required to detect the OBSERVED rate delta at two-sided
+    α=0.05 with 80% power (classic two-proportion formula), and
+    whether the current arms already meet it. The normal quantiles
+    enter as float LITERALS (repr-rendered — no in-engine erf), and
+    the entire post-count float chain is ONE shared formula string
+    parsed by both engines, so the hash oracle is exact. Zero-delta
+    degenerates to NULL instead of dividing by zero."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_user = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14,
+            F.lit(1).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("converted")
+    )
+    wide = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).cast("long").alias("x_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).cast("long").alias("x_b"),
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        F.expr(_PWR_PA).alias("p_a"),
+        F.expr(_PWR_PB).alias("p_b"),
+        F.expr(_PWR_DELTA).alias("observed_delta"),
+        F.expr(_PWR_REQ).alias("required_n_per_arm"),
+        F.expr(
+            f"CASE WHEN {_PWR_REQ} IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE LEAST(n_a, n_b) >= {_PWR_REQ} END"
+        ).alias("adequately_powered"),
+    )
