@@ -1363,3 +1363,211 @@ def ml_decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
     )
     return ranked.select("threshold", "nl", "pl", "nr", "pr", "wgini", "rank")
+
+
+# --- window-constrained funnel -----------------------------------------
+
+FUNNEL_WINDOW_HOURS = 24  # max gap allowed between consecutive steps
+
+
+@register(
+    "funnel_window_constrained",
+    f"""
+    WITH base AS (
+      SELECT user_id, {_TS} AS tsx, event_type
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    w1 AS (
+      SELECT *, min(CASE WHEN event_type = 'signup' THEN tsx END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM base
+    ),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND tsx > t1
+                          AND tsx <= t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+                     THEN tsx END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND tsx > t2
+                          AND tsx <= t2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+                     THEN tsx END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ),
+    per_user AS (
+      SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+      FROM w3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t1) AS BIGINT) AS n_signup,
+           CAST(COUNT(t2) AS BIGINT) AS n_click_in_window,
+           CAST(COUNT(t3) AS BIGINT) AS n_purchase_in_window,
+           CAST(COUNT(t2) AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE)
+             AS step2_rate,
+           CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(t2) AS DOUBLE)
+             AS step3_rate,
+           CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE)
+             AS full_rate
+    FROM per_user
+    """,
+)
+def funnel_window_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSION-WINDOW funnel: signup → click within 24 h → purchase
+    within 24 h of the click — the product-analytics semantics the
+    strict-order entry cannot express (a purchase a month later is
+    retention, not funnel conversion). Same physical shape as
+    funnel_ordered_steps: chained window minimums on ONE user_id
+    exchange, each step's predicate adding the upper window bound;
+    the final report is a 1-row fold of integer counts with three
+    single divisions. Window arithmetic (t + INTERVAL) is exact µs
+    both engines."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id")
+    gap = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOUR")
+    staged = e.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+    staged = staged.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + gap),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    staged = staged.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + gap),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_click_in_window"),
+        F.count("t3").alias("n_purchase_in_window"),
+        (F.count("t2").cast("double") / F.count("t1").cast("double")).alias(
+            "step2_rate"
+        ),
+        (F.count("t3").cast("double") / F.count("t2").cast("double")).alias(
+            "step3_rate"
+        ),
+        (F.count("t3").cast("double") / F.count("t1").cast("double")).alias(
+            "full_rate"
+        ),
+    )
+
+
+@register(
+    "rfm_migration",
+    f"""
+    WITH p AS (
+      SELECT user_id, {_TS} AS tsx, CAST(value AS DECIMAL(27,4)) AS v
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    bounds AS (
+      SELECT (CAST(epoch_us(min(tsx)) AS BIGINT)
+              + CAST(epoch_us(max(tsx)) AS BIGINT)) // 2 AS mid_us
+      FROM p
+    ),
+    per AS (
+      SELECT user_id,
+             CASE WHEN CAST(epoch_us(tsx) AS BIGINT) <= b.mid_us
+                  THEN 0 ELSE 1 END AS period,
+             CAST(SUM(v) AS DOUBLE) AS monetary
+      FROM p, bounds b
+      GROUP BY 1, 2
+    ),
+    tiers AS (
+      SELECT user_id, period,
+             CAST(ntile(4) OVER (PARTITION BY period
+                                 ORDER BY monetary DESC, user_id)
+                  AS BIGINT) AS tier
+      FROM per
+    )
+    SELECT COALESCE(e.tier, 0) AS early_tier,
+           COALESCE(l.tier, 0) AS late_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id, tier FROM tiers WHERE period = 0) e
+    FULL OUTER JOIN (SELECT user_id, tier FROM tiers WHERE period = 1) l
+      ON l.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier MIGRATION matrix: spend quartile in the
+    early half of the purchase horizon vs the late half (midpoint =
+    integer mean of the min/max purchase µs — one 1-row scalar), with
+    tier 0 meaning absent from that period — so the (0, t) row is
+    acquisition and (t, 0) is churn, the lifecycle view the static
+    rfm_segmentation snapshot cannot express. Quartiles per period via
+    the TWO-PASS global ranking + integer ntile (no single-reducer
+    window; same discipline and tie-break as rfm_segmentation), run
+    once per period exactly like rfm's per-metric scores; the final
+    matrix is a full outer join of two |users|-sized tier frames
+    folded to ≤ 24 integer cells."""
+    from .ranking import ntile_from_rn, with_global_ranks
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", F.col("value").cast("decimal(27,4)").alias("v"))
+    bounds = p.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("mid_us")
+    )
+    # 1-row scalar broadcast (house pattern; allowlisted)
+    per = (
+        p.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            F.when(F.unix_micros("ts") <= F.col("mid_us"), 0)
+            .otherwise(1)
+            .alias("period"),
+        )
+        .agg(F.sum("v").cast("double").alias("monetary"))
+        .persist()
+    )
+
+    def tiers_for(period: int) -> DataFrame:
+        f = per.where(F.col("period") == period).select("user_id", "monetary")
+        ranked = with_global_ranks(
+            f,
+            key_order=[("monetary", "desc")],
+            tie_order=[("user_id", "asc")],
+        )
+        return ranked.select(
+            "user_id",
+            ntile_from_rn(F.col("rn"), F.col("n_total"), 4).alias("tier"),
+        )
+
+    early = tiers_for(0).select(
+        F.col("user_id"), F.col("tier").alias("early_tier")
+    )
+    late = tiers_for(1).select(
+        F.col("user_id"), F.col("tier").alias("late_tier")
+    )
+    return (
+        early.join(late, "user_id", "full_outer")
+        .groupBy(
+            F.coalesce("early_tier", F.lit(0)).cast("long").alias("early_tier"),
+            F.coalesce("late_tier", F.lit(0)).cast("long").alias("late_tier"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

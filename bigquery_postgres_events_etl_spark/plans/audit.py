@@ -92,6 +92,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "centroid table — |labels| × dim rows, bounded by the label "
         "vocabulary (a small finite set by construction), not by corpus "
         "size",
+    ("queries_analytics.py", "rfm_migration"):
+        "1-row horizon-midpoint scalar (an aggregate) — unconditionally "
+        "safe",
     ("queries_stattests.py", "events_autocorrelation"):
         "7-row literal lag spine (lags 1..7) — unconditionally safe",
     ("queries_graph.py", "graph_common_neighbors"):
