@@ -291,6 +291,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     "stats_logrank_test": {"gap_days"},
     # two-pass cumsum internals (ECDF mapping table)
     "ml_quantile_transform": {"_gr_pid", "specifiedwindowframe"},
+    # two-pass ranking internals (per-period quartile passes — the
+    # same exemption class as rfm_segmentation's three scores)
+    "rfm_migration": {"_gr_pid", "specifiedwindowframe"},
     # histogram split search: both windows (cumulative counts, final
     # Gini rank) ride the BOUNDED bin histogram (~60 rows at any table
     # size — the LightGBM shape is the point of the entry)
