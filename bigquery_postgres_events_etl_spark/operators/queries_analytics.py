@@ -1571,3 +1571,87 @@ def rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "lineitem_abc_analysis",
+    """
+    WITH per AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(rev) AS trev FROM per),
+    c AS (
+      SELECT l_partkey, rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS BIGINT) AS rn,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crev
+      FROM per
+    ),
+    cls AS (
+      SELECT c.*, t.trev,
+             CASE WHEN c.crev * 5 <= t.trev * 4 THEN 'A'
+                  WHEN c.crev * 20 <= t.trev * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM c, tot t
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(rn) AS BIGINT) AS min_rank,
+           CAST(MAX(rn) AS BIGINT) AS max_rank,
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS class_revenue,
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(MAX(trev) AS VARCHAR) AS DOUBLE) AS revenue_share
+    FROM cls GROUP BY abc_class
+    """,
+)
+def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by exact decimal
+    revenue, class A = the head carrying ≤80% of cumulative revenue,
+    B to 95%, C the tail — the Pareto entry's actionable sibling
+    (inventory policy assigns count frequency per class). The class
+    boundaries are EXACT-DECIMAL comparisons (crev·5 ≤ trev·4,
+    crev·20 ≤ trev·19 — no float share ever decides a class), so the
+    classification is engine-exact by construction; doubles appear
+    only in the reported per-class revenue/share via the digit-string
+    conversion. Cumulative revenue from the TWO-PASS distributed
+    cumsum (no single-reducer window over |parts|)."""
+    from .ranking import with_global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(27,4)")).alias("rev")
+    )
+    c = with_global_cumsum(
+        per,
+        key_order=[("rev", "desc")],
+        tie_order=[("l_partkey", "asc")],
+        sum_col="rev",
+    )
+    five = F.lit(5).cast("decimal(2,0)")
+    four = F.lit(4).cast("decimal(2,0)")
+    twenty = F.lit(20).cast("decimal(2,0)")
+    nineteen = F.lit(19).cast("decimal(2,0)")
+    abc = (
+        F.when(F.col("cum_sum") * five <= F.col("total_sum") * four, "A")
+        .when(F.col("cum_sum") * twenty <= F.col("total_sum") * nineteen, "B")
+        .otherwise("C")
+    )
+    grouped = c.groupBy(abc.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("rn").cast("long").alias("min_rank"),
+        F.max("rn").cast("long").alias("max_rank"),
+        F.sum("rev").alias("class_rev_dec"),
+        F.max("total_sum").alias("trev_dec"),
+    )
+    return grouped.select(
+        "abc_class",
+        "n_parts",
+        "min_rank",
+        "max_rank",
+        F.col("class_rev_dec").cast("string").cast("double").alias("class_revenue"),
+        (
+            F.col("class_rev_dec").cast("string").cast("double")
+            / F.col("trev_dec").cast("string").cast("double")
+        ).alias("revenue_share"),
+    )

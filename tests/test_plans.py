@@ -294,6 +294,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     # two-pass ranking internals (per-period quartile passes — the
     # same exemption class as rfm_segmentation's three scores)
     "rfm_migration": {"_gr_pid", "specifiedwindowframe"},
+    # two-pass cumsum internals (ABC revenue running total — same
+    # class as orders_pareto_customers)
+    "lineitem_abc_analysis": {"_gr_pid", "specifiedwindowframe"},
     # histogram split search: both windows (cumulative counts, final
     # Gini rank) ride the BOUNDED bin histogram (~60 rows at any table
     # size — the LightGBM shape is the point of the entry)
