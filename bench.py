@@ -138,10 +138,15 @@ def _previous_round(root: str) -> tuple[dict[str, float], dict[str, float]]:
 
     med: dict[str, float] = {}
     spread: dict[str, float] = {}
-    rounds = sorted(
-        glob.glob(os.path.join(root, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
+    # filter non-numbered stragglers (e.g. a stray BENCH_rerun.json)
+    # BEFORE sorting: a non-match would raise on .group(1) outside the
+    # degrade-to-{} try below (r9 ADVICE)
+    numbered = []
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)\.json$", os.path.basename(p))
+        if m:
+            numbered.append((int(m.group(1)), p))
+    rounds = [p for _, p in sorted(numbered)]
     if rounds:
         try:
             with open(rounds[-1]) as f:

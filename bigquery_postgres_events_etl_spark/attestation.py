@@ -48,36 +48,23 @@ import re
 #
 # r7 flags (17 entries, shared-shingle / scan-tail campaigns) were all
 # re-attested green in CORRECTNESS_r07 and removed; likewise every r8
-# flag (11 entries: oracle conversions, pagerank/markov rewrites,
-# entity-resolve shared snapshot, audio n_bytes_out) attested green in
-# CORRECTNESS_r08. r9 flags (authored before the r9 driver gate):
+# flag (11 entries) attested green in CORRECTNESS_r08, and every r9
+# flag (9 entries: LSH/MMR/recall/BPE oracle conversions, jaccard-est
+# + entity-resolve shared-frame rewrites, pagerank broadcast path) in
+# CORRECTNESS_r09. r10 flags (authored before the r10 driver gate):
 PLAN_CHANGED_REATTEST: dict[str, int] = {
     # name -> first round that must re-attest the new plan
-    # rows-only -> full hash oracle (r8 verdict item #1): the md5-
-    # derived hyperplanes are inlined into the DuckDB twin as literal
-    # coefficient chains; compared surface gains the long-cast rank.
-    # Prior "green" rows were err:no_oracle attestations of a weaker
-    # contract — the hash compare must run at least once:
-    "similarity_ann_lsh": 9,
-    "similarity_ann_multiprobe": 9,
-    # rows-only -> recursive-CTE hash oracle (greedy MMR loop and the
-    # BPE training loop — same conversion class as the r8
-    # connected-components family):
-    "similarity_mmr_topk": 9,
-    "similarity_ann_recall_report": 9,
-    "text_bpe_train_merges": 9,
-    "text_bpe_encode_trained": 9,
-    # r9 plan rewrites (values unchanged): per-doc set size folded into
-    # the signature groupBy (with_size) replacing a second aggregation
-    # over the sliver; multi-consumer frames persisted (LSH pairs /
-    # per-side signatures / the A-B candidate frame):
-    "dedup_minhash_jaccard_est": 9,
-    "dedup_entity_resolve": 9,
-    # r9 plan rewrites (rows-only — re-attest refreshes rows/schema):
-    # edge frame repartition+persist pins join partitioning; late r9
-    # adds the |V|-gated rank-share broadcast path (zero big-side
-    # shuffle per iteration, bit-identical-across-paths pytest):
-    "graph_pagerank_copurchase": 9,
+    # rows-only -> recursive-CTE hash oracle (r9 verdict item #1: the
+    # kcore survivor-state pattern extended to replacement-style
+    # (node, label) state; plurality + smallest-label tie-break as a
+    # correlated ORDER BY/LIMIT in the working table). Prior "green"
+    # rows were err:no_oracle — the hash compare must run once:
+    "graph_label_propagation": 10,
+    # pagerank rewrite (r9 verdict item #3): per-iteration edge join
+    # replaced by a pre-aggregated out-neighbor adjacency explode
+    # (values bit-identical, forced-path pytest) — rows-only, but the
+    # re-attest refreshes rows/schema under the new plan:
+    "graph_pagerank_copurchase": 10,
 }
 
 

@@ -36,7 +36,25 @@ from ..registry import register
 # big-side shuffle per round); above it the hash-join path runs.
 # 2M nodes ≈ 50 MB of (node, share) rows — comfortable on executors
 # sized for 100 TB scans; the web-scale |V| regime takes the fallback.
+# Deployments with smaller executors override per-session via
+# ``spark.conf.set("spark.graph.stateBroadcastMaxNodes", n)`` (r9
+# ADVICE: an explicit F.broadcast bypasses autoBroadcastJoinThreshold,
+# so the gate must be tunable without editing the module constant —
+# which remains the default and the tests' forced-path toggle).
 RANKS_BROADCAST_MAX_NODES = 2_000_000
+
+STATE_BROADCAST_CONF = "spark.graph.stateBroadcastMaxNodes"
+
+
+def _state_broadcast_gate(df: DataFrame, default: int) -> int:
+    """Resolve the iteration-state broadcast gate: the session conf
+    key above when set (runtime-tunable per deployment), else the
+    module default (monkeypatched by the forced-path parity tests)."""
+    try:
+        v = df.sparkSession.conf.get(STATE_BROADCAST_CONF, None)
+    except Exception:
+        v = None
+    return int(v) if v is not None else default
 
 
 def pagerank(
@@ -88,7 +106,7 @@ def pagerank(
         F.count(F.lit(1)).alias("n"), F.min("outdeg").alias("min_outdeg")
     ).first()
     n, has_dangling = head["n"], head["min_outdeg"] == 0
-    broadcast_ranks = n <= RANKS_BROADCAST_MAX_NODES
+    broadcast_ranks = n <= _state_broadcast_gate(edges, RANKS_BROADCAST_MAX_NODES)
     if broadcast_ranks:
         # rank state fits a broadcast (cardinality-GATED on the
         # measured |V|, shuffle fallback below — the tfidf df-gate
@@ -525,7 +543,7 @@ def label_propagation(
         und.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     )
     n = nodes.count()
-    broadcast_labels = n <= LPA_BROADCAST_MAX_NODES
+    broadcast_labels = n <= _state_broadcast_gate(edges, LPA_BROADCAST_MAX_NODES)
     und = und.repartition("dst" if broadcast_labels else "src").persist()
     labels = nodes.select("node", F.col("node").alias("label"))
     for it in range(n_iter):
@@ -555,14 +573,58 @@ def label_propagation(
     return labels
 
 
-@register("graph_label_propagation", None)  # iterative — rows-only
+LPA_ROUNDS = 5  # fixed synchronous budget — what makes the loop oracle-able
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+      SELECT u AS a, v AS b FROM pairs
+      UNION ALL
+      SELECT v AS a, u AS b FROM pairs
+    ),
+    lab (r, node, label) AS (
+      SELECT 0, a, a FROM und GROUP BY a
+      UNION ALL
+      SELECT l.r + 1, l.node,
+        (SELECT nl.nbr_label
+         FROM (SELECT x.label AS nbr_label, COUNT(*) AS cnt
+               FROM und e JOIN lab x ON x.node = e.b AND x.r = l.r
+               WHERE e.a = l.node
+               GROUP BY x.label) nl
+         ORDER BY nl.cnt DESC, nl.nbr_label ASC
+         LIMIT 1)
+      FROM lab l
+      WHERE l.r < {LPA_ROUNDS}
+    )
+    SELECT f.node AS part, f.label AS label,
+           CAST(s.cnt AS BIGINT) AS community_size
+    FROM (SELECT node, label FROM lab WHERE r = {LPA_ROUNDS}) f
+    JOIN (SELECT label, COUNT(*) AS cnt
+          FROM lab WHERE r = {LPA_ROUNDS} GROUP BY label) s USING (label)
+    """,
+)
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the part co-occurrence graph (parts
     co-bought in one order): 5 synchronous LPA rounds, smallest-label
     tie-break, emitting (part, community label, community size).
-    Rows-only (iterative — no single-SQL oracle); exact per-node
-    parity with a pure-Python synchronous sweep is pinned in
-    tests/test_graph_queries.py."""
+
+    Full hash oracle (the r9 kcore conversion pattern extended to
+    REPLACEMENT-style state): per-round state is integer (node,
+    label); the plurality-with-smallest-label argmax is a correlated
+    ORDER BY cnt DESC, label ASC LIMIT 1 in the DuckDB recursive
+    CTE's working table — the same deterministic tie-break as the
+    Spark side's max(struct(cnt, -label)). A fixed round budget is
+    what makes the sweep replayable on both engines; exact per-node
+    parity with a pure-Python synchronous sweep is additionally
+    pinned in tests/test_graph_queries.py."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     edges = (
@@ -571,7 +633,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
     )
-    labels = label_propagation(edges, n_iter=5, assume_distinct=True).persist()
+    labels = label_propagation(edges, n_iter=LPA_ROUNDS, assume_distinct=True).persist()
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("part"), "label", "community_size"

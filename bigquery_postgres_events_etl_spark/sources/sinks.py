@@ -402,14 +402,19 @@ def write_jdbc_merge_append(
     df = df.dropDuplicates(conflict_keys)
     staging = staging_table or _next_staging_name(table)
     writer_options = dict(writer_options or {})
-    if "createTableColumnTypes" not in writer_options:
+    if "createTableColumnTypes" not in writer_options and url.startswith(
+        "jdbc:derby"
+    ):
         # Default the STRING conflict-key columns to VARCHAR(255) — the
         # reference's own key DDL width (extract_bq.py:195-205) — so
         # the zero-config path works on Derby, whose default StringType
         # mapping (CLOB) is not comparable in a MERGE ON clause. Only
-        # key columns are pinned: non-key strings keep the dialect's
-        # unbounded default (CLOB/TEXT), so nothing truncates. Callers
-        # with wider keys override via writer_options (docstring).
+        # key columns are pinned, and only for Derby: other dialects
+        # (PG TEXT) compare unbounded strings fine, and pinning there
+        # would break >255-char keys that previously worked (r9 ADVICE).
+        # Non-key strings keep the dialect's unbounded default
+        # (CLOB/TEXT), so nothing truncates. Callers with wider keys
+        # override via writer_options (docstring).
         string_keys = [
             f.name
             for f in df.schema.fields
@@ -470,17 +475,29 @@ def write_jdbc_merge_append(
                     f"CREATE TABLE {table} AS SELECT * FROM {staging} "
                     f"WITH NO DATA"
                 )
-                # Index the conflict keys on the freshly-bootstrapped
-                # target — the reference's UNIQUE constraint gives it
-                # this index implicitly (extract_bq.py:204), and
-                # without one the MERGE's anti-probe is a nested-loop
-                # heap scan per staged row: O(|staged|·|target|).
-                # Measured (tools/jdbc_bench.py, jstack-confirmed
+            except Exception as e:
+                state = getattr(
+                    getattr(e, "java_exception", None), "getSQLState", lambda: None
+                )()
+                if state not in ("X0Y32", "42P07"):
+                    raise
+            try:
+                # Index the conflict keys on the target — the
+                # reference's UNIQUE constraint gives it this index
+                # implicitly (extract_bq.py:204), and without one the
+                # MERGE's anti-probe is a nested-loop heap scan per
+                # staged row: O(|staged|·|target|). Measured
+                # (tools/jdbc_bench.py, jstack-confirmed
                 # NestedLoopLeftOuterJoinResultSet): the 80k×80k
                 # replay MERGE ran 10+ minutes unindexed vs seconds
                 # indexed. Plain (not UNIQUE) index: NULLs compare
                 # distinct in a MERGE ON, so duplicate NULL-key rows
                 # are legal target states the index must not reject.
+                # Attempted UNCONDITIONALLY (its own try, not nested
+                # in the bootstrap's) so pre-existing targets created
+                # by older code or externally get indexed too (r9
+                # ADVICE); the duplicate-name SQLState on replay is
+                # the swallowed no-op.
                 idx_cols = ", ".join(q(k) for k in conflict_keys)
                 st.executeUpdate(
                     f"CREATE INDEX {table}_ck_idx ON {table} ({idx_cols})"
