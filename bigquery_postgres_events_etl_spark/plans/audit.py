@@ -259,6 +259,64 @@ def has_pushed_filter(df: DataFrame, column: str) -> bool:
     return any(column in p for p in plan_summary(df)["pushed_filters"])
 
 
+# ---------------------------------------------------------------------
+# Lineage-aware checkpointing. ``localCheckpoint`` truncates the
+# logical plan, so any scan that happens BEFORE the checkpoint is
+# invisible to scan_read_schemas on the final frame — the r9 verdict's
+# lineage blind spot: the two-pass-ranking entries (ranking.py), the
+# kcore peel, and the connected-components family all reported
+# "(no parquet scan)" and silently escaped the pruning contract.
+# Audit tooling wraps entry construction in capture_checkpoints(),
+# which intercepts DataFrame.localCheckpoint itself for the duration —
+# every pre-checkpoint frame is recorded regardless of which operator
+# module performed the checkpoint, present or future.
+
+
+class capture_checkpoints:
+    """Context manager: while active, every ``df.localCheckpoint()``
+    records the pre-checkpoint ``df`` into the yielded list before
+    checkpointing as usual (audit-time only — nothing is patched
+    outside the with-block). Usage:
+
+        with capture_checkpoints() as pre_frames:
+            df = fn(spark, sf_dir)
+        scans = scan_read_schemas(df, extra_frames=pre_frames)
+    """
+
+    @staticmethod
+    def _classes() -> list[type]:
+        # both the abstract pyspark.sql.DataFrame AND the concrete
+        # classic.dataframe.DataFrame define localCheckpoint; instances
+        # dispatch to the concrete override, so patching only the base
+        # captures nothing (PySpark 4 classic/Connect split)
+        classes: list[type] = [DataFrame]
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame as _Classic
+
+            classes.append(_Classic)
+        except Exception:
+            pass
+        return [c for c in classes if "localCheckpoint" in vars(c)]
+
+    def __enter__(self) -> list[DataFrame]:
+        captured: list[DataFrame] = []
+        self._origs: list[tuple[type, object]] = []
+        for cls in self._classes():
+            orig = cls.localCheckpoint
+            self._origs.append((cls, orig))
+
+            def _capturing(df, eager: bool = True, _orig=orig):
+                captured.append(df)
+                return _orig(df, eager=eager)
+
+            cls.localCheckpoint = _capturing  # type: ignore[method-assign]
+        return captured
+
+    def __exit__(self, *exc) -> None:
+        for cls, orig in self._origs:
+            cls.localCheckpoint = orig  # type: ignore[method-assign]
+
+
 def scan_is_pruned(df: DataFrame, max_columns: int) -> bool:
     """True if every parquet scan reads at most ``max_columns`` columns
     (column pruning reached the source)."""
@@ -277,11 +335,23 @@ def table_scan_counts(df: DataFrame) -> dict[str, int]:
     return dict(Counter(t for t, _ in scan_read_schemas(df)))
 
 
-def scan_read_schemas(df: DataFrame) -> list[tuple[str, list[str]]]:
+def scan_read_schemas(
+    df: DataFrame, extra_frames: list[DataFrame] | None = None
+) -> list[tuple[str, list[str]]]:
     """(table, [columns]) per parquet scan in the optimized plan — the
     column-pruning evidence: which physical columns each source
     actually pays for. Table name is derived from the scan Location's
-    last path component."""
+    last path component. ``extra_frames``: pre-checkpoint frames from
+    capture_checkpoints() — their scans are appended so checkpointed
+    plans don't hide the real reads."""
+    out: list[tuple[str, list[str]]] = []
+    for extra in extra_frames or []:
+        out.extend(scan_read_schemas(extra))
+    out.extend(_scan_read_schemas_one(df))
+    return out
+
+
+def _scan_read_schemas_one(df: DataFrame) -> list[tuple[str, list[str]]]:
     fp = formatted_plan(df)
     out: list[tuple[str, list[str]]] = []
     # detail blocks: "(N) Scan parquet \n Output ... Location: X ... ReadSchema: struct<...>"
