@@ -331,3 +331,28 @@ def test_hashed_shingle_sliver_matches_string_semantics(spark, sf_dir):
             f"({r.doc_a}, {r.doc_b})"
         )
     spark.catalog.clearCache()
+
+
+def test_edit_distance_banded_recall_vs_exact(spark, sf_dir):
+    """The composed scale path (SimHash-band candidates → length
+    filter → banded Levenshtein) must keep ≥ 0.8 of the exact
+    length-blocked entry's pairs on the fixture, and every pair it
+    emits must appear in the exact answer with the same distance
+    (the blocker can only LOSE pairs, never invent or corrupt one)."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in qs["dedup_edit_distance_pairs"](spark, sf_dir).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in qs["dedup_edit_distance_banded"](spark, sf_dir).collect()
+    }
+    assert exact, "fixture has no ≤-K pairs — recall check is vacuous"
+    for pair, d in banded.items():
+        assert exact.get(pair) == d, f"banded invented/corrupted {pair}"
+    recall = len(banded) / len(exact)
+    assert recall >= 0.8, f"banded recall {recall:.2f} < 0.8 ({len(banded)}/{len(exact)})"
+    spark.catalog.clearCache()

@@ -844,6 +844,9 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     # narrow columns beats caching corpus text / full vectors)
     "text_bigram_lm_score": {"documents": 1},
     "dedup_edit_distance_pairs": {"documents": 2},
+    # r10 composed scale path: candidates + verify off ONE persisted
+    # documents scan
+    "dedup_edit_distance_banded": {"documents": 1},
     "similarity_mutual_knn": {"embeddings": 2},
     # resample pass + the 1-row point-estimate scalar
     "stats_bootstrap_mean_ci": {"orders": 2},

@@ -120,6 +120,22 @@ QUERIES = [
     # triangle counting, where cost tracks real triangle count
     "graph_triangle_count",
     "graph_common_neighbors",
+    # round-10: the composed edit-distance scale path (SimHash-band
+    # candidates → banded verify — expected sub-quadratic, unlike the
+    # 19.6×@10× unblocked sibling above), plus measured slopes for the
+    # late-r9 wave the r9 verdict flagged as missing SCALE rows
+    "dedup_edit_distance_banded",
+    "stats_kendall_tau",
+    "stats_spearman_rho",
+    "stats_theil_sen",
+    "events_autocorrelation",
+    "ml_knn_classify",
+    "ml_decision_stump_train",
+    "timeseries_interpolate_linear",
+    "funnel_window_constrained",
+    "rfm_migration",
+    "lineitem_abc_analysis",
+    "events_power_analysis",
 ]
 
 
