@@ -61,10 +61,15 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # rows were err:no_oracle — the hash compare must run once:
     "graph_label_propagation": 10,
     # pagerank rewrite (r9 verdict item #3): per-iteration edge join
-    # replaced by a pre-aggregated out-neighbor adjacency explode
+    # replaced by a pre-aggregated in-neighbor adjacency explode
     # (values bit-identical, forced-path pytest) — rows-only, but the
     # re-attest refreshes rows/schema under the new plan:
     "graph_pagerank_copurchase": 10,
+    # markov tail folded driver-side under the channel gate (r9
+    # verdict item #7): one bounded probs collect + numpy replaces the
+    # scenario frames and credit-frame joins; cross-path parity pytest
+    # added — rows-only, re-attest refreshes rows/schema:
+    "events_markov_attribution": 10,
 }
 
 

@@ -5,10 +5,14 @@ per-iteration body is one join + one aggregation, both distributed
 truncating lineage each round (same discipline as
 ``cluster.connected_components``).
 
-Scale shape per iteration: the edge table shuffles once on ``dst``
-(contribution delivery) after a broadcast-free join with the current
-rank table on ``src`` — both sides hash-partitioned on the node id, so
-Catalyst reuses the partitioning across iterations. Cost is
+Scale shape per iteration, below the measured-|V| broadcast gate: a
+map-side explode of the persisted in-neighbor adjacency (one array
+row per node) + a broadcast share lookup + an exchange-free
+aggregation on the pinned node partitioning. Above the gate: the edge
+table shuffles once on ``dst`` (contribution delivery) after a
+broadcast-free join with the current rank table on ``src`` — both
+sides hash-partitioned on the node id, so Catalyst reuses the
+partitioning across iterations. Cost is
 O(|E|) per round; rank state is O(|V|). Dangling-node mass (nodes
 with no out-edges) is redistributed uniformly — computed as a 1-row
 aggregate broadcast into the rank update, never collected — so total
@@ -42,6 +46,15 @@ from ..registry import register
 # so the gate must be tunable without editing the module constant —
 # which remains the default and the tests' forced-path toggle).
 RANKS_BROADCAST_MAX_NODES = 2_000_000
+
+# No-dangling lineage-truncation cadence (see the in-loop comment);
+# module-level so perf experiments can tune it without editing code.
+# r10 re-measured under the adjacency-broadcast path (shallower
+# per-iteration plans than the r8 edge-join that set every-3): sf0.1
+# min-of-2 — every-2 6.24 s, every-3 3.23 s, every-4 3.00 s,
+# no-checkpoint 2.97 s. Every-4 takes the no-checkpoint wall while
+# still bounding plan depth for larger n_iter.
+PAGERANK_CHECKPOINT_EVERY = 4
 
 STATE_BROADCAST_CONF = "spark.graph.stateBroadcastMaxNodes"
 
@@ -110,12 +123,52 @@ def pagerank(
     if broadcast_ranks:
         # rank state fits a broadcast (cardinality-GATED on the
         # measured |V|, shuffle fallback below — the tfidf df-gate
-        # pattern): pin the edges on dst, broadcast the per-node share
-        # into the contribution join, and the groupBy(dst) aggregation
-        # reuses the pinned partitioning — ZERO big-side shuffle per
-        # iteration (the former path exchanged every contribution row,
-        # |E| per round; measured sf0.1: see SCALE.md late-r9 note).
-        e = e.repartition("dst").persist()
+        # pattern). r10 (the r9 verdict's #3): the per-iteration input
+        # is a pre-aggregated IN-NEIGHBOR adjacency — one (node,
+        # outdeg, in_nbrs[]) row per node, built ONCE below, instead
+        # of re-reading |E| edge rows from cache every round. Each
+        # iteration is then a map-side
+        # explode over the |V|-row cache + a broadcast share lookup +
+        # a groupBy that reuses the pinned hashpartitioning(node)
+        # (Generate and the broadcast join both preserve it, and
+        # partitioning on node satisfies the (node, outdeg) grouping)
+        # — ZERO exchange per iteration, same as late-r9, minus the
+        # per-iteration deg left-join and the |E|-row cache scan.
+        # sort_array: deterministic array order (the decimal sum is
+        # order-independent; determinism helps plan-diff debugging).
+        # Built the same weighted-union way as deg, ONE exchange, no
+        # join, no extra repartition: a src occurrence carries w=1 and
+        # a null nbr (collect_list skips nulls), a dst occurrence w=0
+        # and its in-neighbor — so outdeg and the in-array emerge from
+        # one aggregation whose output is already hashpartitioned on
+        # node (persist preserves it; plan verified: zero Exchange
+        # above the InMemoryTableScan in the iteration subtree).
+        # src-only nodes get an EMPTY array → explode_outer emits one
+        # null row, summed as exact zero below. Array rows are only
+        # built in THIS branch: above the gate a skewed web-scale dst
+        # (100M in-edges in one row) would be an OOM, so the fallback
+        # keeps the flat edge form.
+        nbr_t = e.schema["src"].dataType
+        in_adj = (
+            e.select(
+                F.col("src").alias("node"),
+                F.lit(1).alias("w"),
+                F.lit(None).cast(nbr_t).alias("nbr"),
+            )
+            .union(
+                e.select(
+                    F.col("dst").alias("node"),
+                    F.lit(0).alias("w"),
+                    F.col("src").alias("nbr"),
+                )
+            )
+            .groupBy("node")
+            .agg(
+                F.sum("w").cast("long").alias("outdeg"),
+                F.sort_array(F.collect_list("nbr")).alias("in_nbrs"),
+            )
+            .persist()
+        )
     else:
         # ranks too large to broadcast: hash-join path — pinning
         # hashpartitioning(src) means each iteration only exchanges
@@ -131,38 +184,44 @@ def pagerank(
     # 3), with no-checkpoint slower again (Catalyst/AQE overhead on
     # the 8-deep tree). Every 3 balances job-launch overhead against
     # plan depth.
-    checkpoint_every = 1 if has_dangling else 3
+    checkpoint_every = 1 if has_dangling else PAGERANK_CHECKPOINT_EVERY
 
     ranks = deg.select("node", "outdeg", F.lit(1.0 / n).alias("rank"))
     zero_c = F.lit(0).cast("decimal(38,18)")
     for it in range(n_iter):
         if broadcast_ranks:
-            # per-node share broadcasts into the edge join (edges are
-            # pinned hashpartitioning(dst), preserved through the
-            # broadcast join and the alias projection, so the
-            # groupBy("node"=dst) aggregates WITHOUT an exchange);
-            # the deg left-join restores outdeg and the zero in-mass
-            # for contribution-less nodes — bit-identical to the
-            # union-fold's sum(c ∪ {0 decimal}) since adding exact
-            # decimal zero is a no-op. outdeg>0 guard: dangling nodes
-            # never match as src, and excluding them up front keeps
-            # rank/0 out of the decimal cast.
+            # per-node share broadcasts into the adjacency lookup:
+            # explode the in-neighbor arrays map-side (Generate
+            # preserves the pinned hashpartitioning(node)), left-join
+            # the broadcast share per in-neighbor, and aggregate with
+            # NO exchange. Null contributions (empty-adjacency rows
+            # from explode_outer; in-neighbors that are themselves
+            # dangling never exist — an edge src has outdeg ≥ 1) fold
+            # in as exact decimal zero, bit-identical to the former
+            # deg-left-join's coalesce(in_mass, 0.0). outdeg rides the
+            # groupBy key (node-determined, so partitioning on node
+            # alone still satisfies the grouping) — no restore join.
             shares = ranks.where(F.col("outdeg") > 0).select(
                 F.col("node").alias("src_node"),
                 (F.col("rank") / F.col("outdeg"))
                 .cast("decimal(38,18)")
                 .alias("c"),
             )
-            contrib = (
-                e.join(F.broadcast(shares), e.src == F.col("src_node"))
-                .select(F.col("dst").alias("node"), "c")
-                .groupBy("node")
-                .agg(F.sum("c").cast("double").alias("in_mass"))
+            ex = in_adj.select(
+                "node", "outdeg", F.explode_outer("in_nbrs").alias("src_nbr")
             )
-            stepped = deg.join(contrib, "node", "left").select(
-                "node",
-                "outdeg",
-                F.coalesce(F.col("in_mass"), F.lit(0.0)).alias("in_mass"),
+            stepped = (
+                ex.join(
+                    F.broadcast(shares),
+                    ex.src_nbr == F.col("src_node"),
+                    "left",
+                )
+                .groupBy("node", "outdeg")
+                .agg(
+                    F.sum(F.coalesce(F.col("c"), zero_c))
+                    .cast("double")
+                    .alias("in_mass")
+                )
             )
         else:
             # contribution delivery and the rank update in ONE
@@ -263,6 +322,14 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c+1)(c+3)^2 doubles; 64 keeps it under ~300k entries / few MB).
 MARKOV_DRIVER_SQUARING_MAX_CHANNELS = 64
 
+# output schema shared by the driver-side and distributed tails —
+# column names, order, and types must stay identical across the gate
+_MARKOV_OUT_SCHEMA = (
+    "channel string, touches long, p_conv_full double, "
+    "p_conv_removed double, removal_effect double, "
+    "credit_share double, attributed_conversions double"
+)
+
 
 def markov_attribution(
     events: DataFrame,
@@ -299,10 +366,16 @@ def markov_attribution(
         F.col("event_id"),
     )
     order_key = F.struct(F.col("ts"), F.col("event_id"))
+    # persisted: fp has FOUR consumers (the touches join, terminals,
+    # direct, and the final n_conv scalar) — unpersisted, each one
+    # re-ran the events scan + first-purchase aggregation (r10 profile:
+    # ~0.5 s of the 3.0 s solo wall was repeated fp subtrees). One row
+    # per converted user — a bounded sliver.
     fp = (
         evs.where(F.col("etype") == conv_type)
         .groupBy("user")
         .agg(F.min(order_key).alias("fp_key"))
+        .persist()
     )
     j = evs.join(fp, "user", "left")
     touches = j.where(
@@ -345,6 +418,96 @@ def markov_attribution(
     channels = [
         r.src for r in probs.select("src").distinct().collect() if r.src != "START"
     ]  # channel-cardinality-bounded metadata fetch (|event types|)
+
+    if len(channels) <= MARKOV_DRIVER_SQUARING_MAX_CHANNELS:
+        # EVERYTHING downstream of ``probs`` is constant-size — the
+        # chain has |channels|+3 states, the per-channel credit table
+        # |channels| rows — so under the gate the whole tail runs
+        # driver-side off ONE bounded collect of probs (≤ (c+2)(c+3)
+        # rows) + the per-channel touch counts (≤ c rows) + the
+        # 1-row fp count. r8 measured the distributed squaring at
+        # ~2.5 s of pure scheduling for microseconds of matmul; r10
+        # extends the same argument to the scenario build and the
+        # credit frame: 4 channels at sf0.1 spent ~1 s of job launches
+        # assembling ≤10-row frames. The distributed loop below
+        # remains the path for super-gate channel vocabularies.
+        import numpy as np
+
+        rows = probs.collect()
+        states = sorted(
+            {r.src for r in rows} | {r.dst for r in rows} | {"CONV", "NULL"}
+        )
+        idx = {s: i for i, s in enumerate(states)}
+        base = np.zeros((len(states), len(states)))
+        for r in rows:
+            base[idx[r.src], idx[r.dst]] += r.p
+        i_start, i_conv, i_null = idx.get("START"), idx["CONV"], idx["NULL"]
+
+        def absorb(q: Any) -> float:
+            for _ in range(n_squarings):
+                q = q @ q
+            return float(q[i_start, i_conv]) if i_start is not None else 0.0
+
+        # removal per scenario: re-route the channel's in-edges to
+        # NULL, drop its out-edges, add the absorbing CONV/NULL loops
+        # (mass into a removed channel is lost to NULL — no
+        # renormalization, per the standard removal-effect
+        # definition). Same value chain as the former scenario-keyed
+        # groupBy-sum: the re-route adds the same two doubles, and
+        # zeroing the dropped row/column mirrors the row filter.
+        p_conv: dict[str, float] = {}
+        full_m = base.copy()
+        full_m[i_conv, i_conv] += 1.0
+        full_m[i_null, i_null] += 1.0
+        v = absorb(full_m)
+        if v != 0.0:  # sparse semantics — see the no-conversion note
+            p_conv["full"] = v
+        for c in channels:
+            q = base.copy()
+            ic = idx[c]
+            q[:, i_null] += q[:, ic]
+            q[:, ic] = 0.0
+            q[ic, :] = 0.0
+            q[i_conv, i_conv] += 1.0
+            q[i_null, i_null] += 1.0
+            v = absorb(q)
+            if v != 0.0:
+                p_conv[c] = v
+        if "full" not in p_conv:
+            # zero-conversion chain: the distributed tail crossJoins
+            # an EMPTY `full` frame and returns no rows — mirror it
+            # (an explicit 0.0 would feed 1 - x/0.0 = NaN everywhere)
+            return spark.createDataFrame([], _MARKOV_OUT_SCHEMA)
+        p_full = p_conv["full"]
+        touch_counts = {
+            r.channel: r.touches
+            for r in touches.groupBy(F.col("etype").alias("channel"))
+            .agg(F.count(F.lit(1)).alias("touches"))
+            .collect()
+        }  # ≤ |channels| rows — gate-bounded
+        n_conversions = fp.count()
+        effects = {
+            c: max(0.0, 1.0 - p_conv.get(c, 0.0) / p_full) for c in channels
+        }
+        re_sum = sum(effects.values())
+        out_rows = []
+        for c in channels:
+            share = (
+                effects[c] / re_sum if re_sum != 0.0 else float("nan")
+            )  # Spark doubles give NaN on 0/0 — keep the same contract
+            out_rows.append(
+                (
+                    c,
+                    int(touch_counts.get(c, 0)),
+                    p_full,
+                    p_conv.get(c, 0.0),
+                    effects[c],
+                    share,
+                    share * float(n_conversions),
+                )
+            )
+        return spark.createDataFrame(out_rows, _MARKOV_OUT_SCHEMA)
+
     scenarios = spark.createDataFrame(
         [("full",)] + [(c,) for c in channels], "scenario string"
     )
@@ -382,74 +545,29 @@ def markov_attribution(
         ],
         "scenario string, src string, dst string, p double",
     )
-    m = redirected.unionByName(loops)
-
-    if len(channels) <= MARKOV_DRIVER_SQUARING_MAX_CHANNELS:
-        # The chain is CONSTANT-bounded — (|channels|+1 scenarios) ×
-        # (|channels|+3 states)² entries, a few KB here and ≤ ~300k
-        # doubles even at the 64-channel gate — so this collect is a
-        # bounded metadata fetch (same class as the channel list
-        # above), and the squaring is microseconds of numpy matmul.
-        # Running it as 8 Spark self-join jobs costs ~2.5 s of pure
-        # scheduling on local[32] (measured r8) for matrix math whose
-        # size does not grow with the data: the distributed loop below
-        # remains the path for super-gate channel vocabularies.
-        import numpy as np
-
-        rows = m.collect()
-        states = sorted({r.src for r in rows} | {r.dst for r in rows})
-        idx = {s: i for i, s in enumerate(states)}
-        mats: dict[str, Any] = {}
-        for r in rows:
-            mats.setdefault(
-                r.scenario, np.zeros((len(states), len(states)))
-            )[idx[r.src], idx[r.dst]] += r.p
-        i_start, i_conv = idx.get("START"), idx.get("CONV")
-        out = []
-        for s, q in mats.items():
-            for _ in range(n_squarings):
-                q = q @ q
-            v = (
-                float(q[i_start, i_conv])
-                if i_start is not None and i_conv is not None
-                else 0.0
+    m = redirected.unionByName(loops).localCheckpoint(eager=True)
+    for _ in range(n_squarings):
+        a, b = m.alias("a"), m.alias("b")
+        m = (
+            a.join(
+                b,
+                (F.col("a.scenario") == F.col("b.scenario"))
+                & (F.col("a.dst") == F.col("b.src")),
             )
-            # mirror the distributed branch's SPARSE semantics: the
-            # join-groupBy squaring only materializes reachable (i.e.
-            # nonzero — probabilities are non-negative) entries, so a
-            # zero-conversion chain yields NO (START, CONV) row and the
-            # downstream full-crossJoin returns an EMPTY frame. An
-            # explicit 0.0 row here would instead feed 1 - x/0.0 = NaN
-            # into every removal effect.
-            if v != 0.0:
-                out.append((s, v))
-        p_conv = spark.createDataFrame(
-            out, "scenario string, p_conv double"
+            .groupBy(
+                F.col("a.scenario").alias("scenario"),
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+            )
+            .agg(F.sum(F.col("a.p") * F.col("b.p")).alias("p"))
+            # double self-reference: the plan doubles per round, so
+            # lineage must truncate every iteration (cf. pagerank's
+            # adaptive cadence note)
+            .localCheckpoint(eager=True)
         )
-    else:
-        m = m.localCheckpoint(eager=True)
-        for _ in range(n_squarings):
-            a, b = m.alias("a"), m.alias("b")
-            m = (
-                a.join(
-                    b,
-                    (F.col("a.scenario") == F.col("b.scenario"))
-                    & (F.col("a.dst") == F.col("b.src")),
-                )
-                .groupBy(
-                    F.col("a.scenario").alias("scenario"),
-                    F.col("a.src").alias("src"),
-                    F.col("b.dst").alias("dst"),
-                )
-                .agg(F.sum(F.col("a.p") * F.col("b.p")).alias("p"))
-                # double self-reference: the plan doubles per round, so
-                # lineage must truncate every iteration (cf. pagerank's
-                # adaptive cadence note)
-                .localCheckpoint(eager=True)
-            )
-        p_conv = m.where(
-            (F.col("src") == "START") & (F.col("dst") == "CONV")
-        ).select("scenario", F.col("p").alias("p_conv"))
+    p_conv = m.where(
+        (F.col("src") == "START") & (F.col("dst") == "CONV")
+    ).select("scenario", F.col("p").alias("p_conv"))
     full = p_conv.where(F.col("scenario") == "full").select(
         F.col("p_conv").alias("p_conv_full")
     )

@@ -105,3 +105,53 @@ def test_pagerank_shuffle_fallback_matches_broadcast_path(spark):
     finally:
         graph.RANKS_BROADCAST_MAX_NODES = old
     assert got_b == got_s  # bit-identical, not approximately equal
+
+
+def test_markov_driver_tail_matches_distributed_tail(spark):
+    """r10 moved the ENTIRE under-gate markov tail driver-side (one
+    bounded probs collect + numpy, replacing the scenario frames and
+    the credit-frame joins). Both tails must agree on every output
+    column for a converting corpus — approx because the distributed
+    squaring sums k-products in shuffle order while numpy matmul is
+    sequential (same doubles, different association)."""
+    from bigquery_postgres_events_etl_spark.operators import graph
+    from bigquery_postgres_events_etl_spark.operators.graph import (
+        markov_attribution,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(1, 30):
+        for i in range(u % 4 + 1):
+            rows.append((eid, u, f"ch{(u + i) % 3}", f"2024-01-01 00:{i:02d}:00"))
+            eid += 1
+        if u % 3 != 0:  # two thirds convert
+            rows.append((eid, u, "purchase", "2024-01-01 01:00:00"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    drv = {r.channel: r for r in markov_attribution(events).collect()}
+    old = graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS
+    graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS = 0  # force distributed
+    try:
+        dist = {r.channel: r for r in markov_attribution(events).collect()}
+    finally:
+        graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS = old
+    assert set(drv) == set(dist) and drv, "paths disagree on channels"
+    import pytest as _pytest
+
+    for c in drv:
+        a, b = drv[c], dist[c]
+        assert a.touches == b.touches
+        for col in (
+            "p_conv_full",
+            "p_conv_removed",
+            "removal_effect",
+            "credit_share",
+            "attributed_conversions",
+        ):
+            assert getattr(a, col) == _pytest.approx(
+                getattr(b, col), rel=1e-9, abs=1e-12
+            ), (c, col)
