@@ -170,12 +170,99 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (k-means inverted lists + exact re-rank within
     probed lists). Rows-only driver check; recall contract vs brute
-    force in tests/test_similarity.py."""
+    force in tests/test_similarity.py. The frozen-codebook sibling
+    below (`similarity_ivf_fixed_topk`) is the hash-checked tier."""
     from .similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return ivf_topk(queries, emb, k=TOP_K, n_lists=8, n_probe=2)
+
+
+def _l2_sql(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
+    """Squared-L2 as the same left-associative term chain as
+    similarity._L2_TMPL's fold — bit-equal across engines."""
+    return "(" + " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)
+    ) + ")"
+
+
+IVF_FIXED_LISTS = 8
+IVF_FIXED_PROBE = 2
+
+
+@register(
+    "similarity_ivf_fixed_topk",
+    f"""
+    WITH {_NORMS_CTE},
+    seeds AS (
+      SELECT vec_id AS list_id, embedding AS center
+      FROM embeddings WHERE vec_id < {IVF_FIXED_LISTS}
+    ),
+    dists AS (
+      SELECT c.vec_id, s.list_id,
+             {_l2_sql('c.embedding', 's.center')} AS d
+      FROM embeddings c, seeds s
+    ),
+    lists AS (
+      SELECT vec_id AS neighbor_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, list_id ASC) AS rn
+        FROM dists) t WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, list_id FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, list_id ASC) AS rn
+        FROM dists WHERE vec_id < {N_QUERIES}) t
+      WHERE rn <= {IVF_FIXED_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, l.neighbor_id, l.list_id,
+             {_dot_sql('q.embedding', 'c.embedding')}
+               / sqrt(nq.nsq * nc.nsq) AS cosine
+      FROM probes p
+      JOIN lists l ON l.list_id = p.list_id
+                  AND l.neighbor_id != p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings c ON c.vec_id = l.neighbor_id
+      JOIN norms nq ON nq.vec_id = p.query_id
+      JOIN norms nc ON nc.vec_id = l.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, list_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(list_id AS BIGINT) AS list_id,
+           cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a FROZEN codebook (the first 8 corpus vectors as
+    centroids — the ship-the-quantizer production pattern): corpus
+    assigns to its nearest centroid, each query probes its 2 nearest
+    lists, exact cosine re-ranks the candidates. The deterministic
+    codebook makes the whole pipeline a pure expression, so the IVF
+    family gains a full hash-oracle tier beside the recall-tested
+    trained-k-means entry; the L2 assignment distances replay in the
+    oracle as the identical left-associative term chain, and ties
+    break (d, list_id) on both engines. Recall vs brute force is
+    additionally pytest-pinned."""
+    from .similarity import ivf_fixed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    df = ivf_fixed_topk(
+        queries, emb, k=TOP_K, n_lists=IVF_FIXED_LISTS, n_probe=IVF_FIXED_PROBE
+    )
+    return df.withColumn("rank", F.col("rank").cast("long"))
 
 
 @register(

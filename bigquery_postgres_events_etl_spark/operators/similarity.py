@@ -518,6 +518,98 @@ def ivf_topk(
     )
 
 
+_L2_TMPL = (
+    "aggregate(zip_with({a}, {b},"
+    " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def l2_sq(a: str, b: str) -> Column:
+    """Squared L2 distance as the same left-associative sequential
+    fold as :func:`dot` — replayable term-by-term in a SQL oracle."""
+    return F.expr(_L2_TMPL.format(a=a, b=b))
+
+
+def ivf_fixed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a FROZEN codebook: the first ``n_lists`` corpus
+    vectors (``id < n_lists``) are the centroids — the production
+    pattern where the quantizer is trained offline (or on a sample)
+    and SHIPPED, so cluster assignment is a pure expression over the
+    frozen codebook rather than an in-pipeline k-means fit. The
+    deterministic codebook is what makes this tier hash-oracle-able,
+    giving the IVF family a hard driver check next to the
+    recall-tested trained tier (:func:`ivf_topk`).
+
+    Plan: centroids broadcast (n_lists rows — constant); corpus
+    assignment is one map-side crossJoin + min(struct(d, list_id))
+    aggregation (ties to the smallest list — engine-portable); probes
+    are the query's ``n_probe`` nearest centroids; candidates = the
+    probed inverted lists, exact-cosine re-ranked. Candidate volume
+    per query ≈ |corpus| · n_probe / n_lists, never all-pairs.
+    """
+    seeds = corpus.where(F.col(id_col) < n_lists).select(
+        F.col(id_col).cast("long").alias("list_id"),
+        F.col(emb_col).alias("center"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(seeds))
+        .select(
+            "neighbor_id",
+            "c_emb",
+            "list_id",
+            l2_sq("c_emb", "center").alias("d"),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.min(F.struct("d", "list_id")).getField("list_id").alias("list_id"),
+            # value-constant per key (the embedding rides the groupBy
+            # so the re-rank needs no second corpus join/shuffle)
+            F.first("c_emb").alias("c_emb"),
+        )
+        .withColumn("c_norm", norm_sq("c_emb"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    ).withColumn("q_norm", norm_sq("q_emb"))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .withColumn("d", l2_sq("q_emb", "center"))
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= n_probe)
+        .select(
+            "query_id", "q_emb", "q_norm", F.col("list_id").alias("p_list")
+        )
+    )
+    pairs = assigned.join(
+        F.broadcast(probes),
+        (F.col("list_id") == F.col("p_list"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).drop("p_list")
+    scored = pairs.withColumn(
+        "cosine", cosine(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "list_id", "cosine", "rank")
+    )
+
+
 def ann_lsh_topk_multiprobe(
     queries: DataFrame,
     corpus: DataFrame,

@@ -155,6 +155,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "query-term list, unconditionally safe at any corpus size",
     ("similarity.py", "ann_lsh_topk"): "query set bounded by n_queries param",
     ("similarity.py", "ivf_topk"): "k-means centroids (n_lists) + query set — parameter-bounded",
+    ("similarity.py", "ivf_fixed_topk"):
+        "frozen codebook (n_lists rows) + probe set "
+        "(n_queries × n_probe rows) — parameter-bounded",
     ("similarity.py", "ann_lsh_topk_multiprobe"): "probe buckets: n_queries × (1+n_planes) rows",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
     ("queries_pipeline.py", "pipeline_corpus_prep_end2end"):

