@@ -1655,3 +1655,97 @@ def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("trev_dec").cast("string").cast("double")
         ).alias("revenue_share"),
     )
+
+
+PATH_PREFIX_LEN = 5  # journey prefix length (first K events per user)
+PATH_TOP_N = 20  # emitted paths, by population
+
+
+@register(
+    "events_top_paths",
+    f"""
+    WITH r AS (
+      SELECT user_id, event_type, {_TS} AS tss, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY {_TS}, event_id) AS rn
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    journeys AS (
+      SELECT user_id,
+             string_agg(CASE WHEN rn <= {PATH_PREFIX_LEN}
+                             THEN event_type END, '>'
+                        ORDER BY tss, event_id) AS path,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM r GROUP BY user_id
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(conv) AS BIGINT) AS n_converted,
+           CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS conv_rate
+    FROM journeys
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT {PATH_TOP_N}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey prefixes: each user's first {K} events (by ts,
+    event_id — the same µs-truncated order on both engines) joined
+    into a '>'-delimited path string, rolled up to the {N} most
+    common paths with their populations and eventual-purchase
+    conversion rate — the full-path sibling of the pairwise
+    transition matrices (event_transition_matrix,
+    event_second_order_transitions).
+
+    Plan: ONE user_id exchange serves both the prefix window and the
+    per-user aggregation (the sessionization discipline); the path
+    rollup is a hash-agg on the path string; top-N is
+    TakeOrderedAndProject (no global sort). Strings + integer counts
+    + one final IEEE division — no float hazard. The prefix filter
+    rides collect_list's null-skipping (same trick as the pagerank
+    adjacency build), so one pass computes the prefix path AND the
+    whole-history conversion flag."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w))
+    journeys = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= PATH_PREFIX_LEN,
+                            F.struct("ts", "event_id", "event_type"),
+                        )
+                    )
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    agg = journeys.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_converted"),
+    )
+    return (
+        agg.select(
+            "path",
+            "n_users",
+            "n_converted",
+            (
+                F.col("n_converted").cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("conv_rate"),
+        )
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(PATH_TOP_N)
+    )

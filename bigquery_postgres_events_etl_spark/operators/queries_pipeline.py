@@ -1183,3 +1183,117 @@ def pipeline_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import epoch_repeat
 
     return epoch_repeat(docs, EPOCH_WEIGHTS)
+
+
+# Waterfill budget as a fraction of total corpus tokens, in EXACT
+# integer arithmetic (19/20 = 95% — high enough that the fixture's
+# largest sources saturate the level and the fixpoint is non-trivial)
+WATERFILL_BUDGET_NUM = 19
+WATERFILL_BUDGET_DEN = 20
+
+
+@register(
+    "pipeline_token_waterfill",
+    f"""
+    WITH caps AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS cap
+      FROM documents GROUP BY source
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST((SUM(cap) * {WATERFILL_BUDGET_NUM})
+                  // {WATERFILL_BUDGET_DEN} AS BIGINT) AS b
+      FROM caps
+    ),
+    rk AS (
+      SELECT source, cap,
+             CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS k,
+             CAST(SUM(cap) OVER (ORDER BY cap, source
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pk
+      FROM caps
+    ),
+    j AS (SELECT rk.*, st.n, st.b FROM rk, st),
+    ag AS (
+      SELECT COALESCE(MAX(CASE WHEN pk + (n - k) * cap <= b
+                               THEN k END), 0) AS kstar,
+             COALESCE(MAX(CASE WHEN pk + (n - k) * cap <= b
+                               THEN pk END), 0) AS p_kstar
+      FROM j
+    )
+    SELECT source, cap AS capacity,
+           CAST(CASE WHEN k <= kstar THEN cap
+                ELSE (b - p_kstar) // (n - kstar)
+                     + CASE WHEN k - kstar <=
+                              (b - p_kstar) % (n - kstar)
+                            THEN 1 ELSE 0 END
+                END AS BIGINT) AS allocated,
+           k <= kstar AS saturated
+    FROM j, ag
+    """,
+)
+def pipeline_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfilling across sources — the mixture-design
+    allocator for "fit this corpus into B training tokens without
+    over-draining any source": sources smaller than the water level
+    contribute everything they have (saturated); the rest are
+    levelled, so the budget spreads as evenly as the caps allow. The
+    closed form needs only a sort + prefix sums — k* is the largest
+    saturated count with P_k + (n−k)·t_k ≤ B — and the level is dealt
+    out in EXACT integer arithmetic: base = (B−P_k*) div (n−k*), the
+    (B−P_k*) mod (n−k*) remainder tokens go one each to the smallest
+    unsaturated sources. Σ allocated == B exactly, no float anywhere
+    (the temperature/proportional siblings are
+    pipeline_temperature_mixture / pipeline_mixture_sample).
+
+    Plan: per-source capacity aggregation (one exchange over the
+    sliver); the ordering window rides the SOURCE VOCABULARY — a
+    small finite set by construction, never corpus-sized — and the
+    fixpoint scalars broadcast back. At 100 TB the only corpus-scale
+    work is the first groupBy."""
+    caps = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("cap"))
+    )
+    w = Window.orderBy("cap", "source")
+    ranked = caps.select(
+        "source",
+        "cap",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("cap")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("pk"),
+    )
+    st = caps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            f"CAST((SUM(cap) * {WATERFILL_BUDGET_NUM})"
+            f" div {WATERFILL_BUDGET_DEN} AS BIGINT)"
+        ).alias("b"),
+    )
+    j = ranked.crossJoin(F.broadcast(st))
+    sat = (F.col("pk") + (F.col("n") - F.col("k")) * F.col("cap")) <= F.col("b")
+    ag = j.agg(
+        F.coalesce(F.max(F.when(sat, F.col("k"))), F.lit(0).cast("long")).alias(
+            "kstar"
+        ),
+        F.coalesce(F.max(F.when(sat, F.col("pk"))), F.lit(0).cast("long")).alias(
+            "p_kstar"
+        ),
+    )
+    out = j.crossJoin(F.broadcast(ag))
+    base = F.expr("(b - p_kstar) div (n - kstar)")
+    extra = F.when(
+        (F.col("k") - F.col("kstar")) <= ((F.col("b") - F.col("p_kstar")) % (F.col("n") - F.col("kstar"))),
+        F.lit(1).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select(
+        "source",
+        F.col("cap").alias("capacity"),
+        F.when(F.col("k") <= F.col("kstar"), F.col("cap"))
+        .otherwise(base + extra)
+        .cast("long")
+        .alias("allocated"),
+        (F.col("k") <= F.col("kstar")).alias("saturated"),
+    )

@@ -377,3 +377,32 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     )
     again = weighted_sample(docs.repartition(7), k=k).collect()
     assert {r.doc_id for r in picked} == {r.doc_id for r in again}
+
+
+def test_token_waterfill_invariants(spark, sf_dir):
+    """Waterfilling contract, pinned independently of the oracle:
+    the allocation exhausts the budget EXACTLY (integer arithmetic,
+    no float level), never over-drains a source, marks saturation
+    consistently, and levels the unsaturated sources to within one
+    token of each other."""
+    from bigquery_postgres_events_etl_spark.operators.queries_pipeline import (
+        WATERFILL_BUDGET_DEN,
+        WATERFILL_BUDGET_NUM,
+    )
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    rows = all_queries()["pipeline_token_waterfill"](spark, sf_dir).collect()
+    total = sum(r.capacity for r in rows)
+    budget = (total * WATERFILL_BUDGET_NUM) // WATERFILL_BUDGET_DEN
+    assert sum(r.allocated for r in rows) == budget
+    for r in rows:
+        assert 0 <= r.allocated <= r.capacity
+        assert r.saturated == (r.allocated == r.capacity)
+    unsat = [r.allocated for r in rows if not r.saturated]
+    assert unsat, "degenerate: everything saturated"
+    assert any(r.saturated for r in rows), "degenerate: nothing saturated"
+    assert max(unsat) - min(unsat) <= 1, "unsaturated sources not level"
+    # every saturated capacity sits at or below the unsaturated level
+    # (the waterline property)
+    sat_caps = [r.capacity for r in rows if r.saturated]
+    assert max(sat_caps) <= min(unsat) + 1

@@ -270,6 +270,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     "events_wow_growth": {"week"},
     # 5-row market-segment aggregate — constant cardinality
     "sql_window_over_derived": {"n_orders"},
+    # waterfill ordering window rides the SOURCE VOCABULARY (a small
+    # finite set by construction) — never corpus-sized
+    "pipeline_token_waterfill": {"cap"},
     # rank over the BM25 top-20 list — frame bounded by the constant
     # k_each limit, not the corpus (corpus-sized work stays inside
     # the retrievers)
