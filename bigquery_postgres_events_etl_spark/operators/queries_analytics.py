@@ -1749,3 +1749,180 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(PATH_TOP_N)
     )
+
+
+# Shapley is exponential in the channel vocabulary BY DEFINITION
+# (2^n coalitions); above this the sampled-permutation estimator is
+# the documented alternative. 12 also bounds the exact integer
+# numerator: max |phi_num| <= 12! * conversions — overflow-safe below
+# ~1.9e10 conversions, beyond any real corpus.
+SHAPLEY_MAX_CHANNELS = 12
+
+_FACTS = [1, 1, 2, 6, 24, 120, 720, 5040, 40320, 362880, 3628800, 39916800, 479001600]
+
+
+@register(
+    "events_shapley_attribution",
+    """
+    WITH RECURSIVE chans AS (
+      SELECT event_type AS channel,
+             CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT)
+               AS bit
+      FROM (SELECT DISTINCT event_type FROM events
+            WHERE user_id IS NOT NULL AND event_type != 'purchase') t
+    ),
+    nch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM chans),
+    user_masks AS (
+      SELECT e.user_id,
+             CAST(COALESCE(SUM(DISTINCT (1::BIGINT << c.bit)), 0)
+                  AS BIGINT) AS mask,
+             MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events e LEFT JOIN chans c ON c.channel = e.event_type
+      WHERE e.user_id IS NOT NULL
+      GROUP BY e.user_id
+    ),
+    convs AS (
+      SELECT mask, CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM user_masks GROUP BY mask
+    ),
+    spine(cmask) AS (
+      SELECT CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT cmask + 1 FROM spine
+      WHERE cmask + 1 < (SELECT (1::BIGINT << n) FROM nch)
+    ),
+    v AS (
+      SELECT s.cmask, COALESCE(SUM(c.n_conv), 0) AS val
+      FROM spine s LEFT JOIN convs c ON (c.mask & s.cmask) = c.mask
+      GROUP BY s.cmask
+    ),
+    fact(k, f) AS (
+      VALUES (0,1),(1,1),(2,2),(3,6),(4,24),(5,120),(6,720),(7,5040),
+             (8,40320),(9,362880),(10,3628800),(11,39916800),
+             (12,479001600)
+    ),
+    marginals AS (
+      SELECT ch.channel, bit_count(s.cmask) AS ssize,
+             vs.val AS v_s, vsc.val AS v_sc
+      FROM chans ch
+      JOIN spine s ON (s.cmask & (1::BIGINT << ch.bit)) = 0
+      JOIN v vs ON vs.cmask = s.cmask
+      JOIN v vsc ON vsc.cmask = (s.cmask | (1::BIGINT << ch.bit))
+    )
+    SELECT m.channel,
+           CAST(SUM(fs.f * fns.f * (m.v_sc - m.v_s)) AS BIGINT)
+             AS shapley_num,
+           (SELECT n FROM nch) AS n_channels,
+           CAST(SUM(fs.f * fns.f * (m.v_sc - m.v_s)) AS DOUBLE)
+             / (SELECT f FROM fact WHERE k = (SELECT n FROM nch))
+             AS shapley
+    FROM marginals m
+    JOIN fact fs ON fs.k = m.ssize
+    JOIN fact fns ON fns.k = (SELECT n FROM nch) - 1 - m.ssize
+    GROUP BY m.channel
+    """,
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value multi-touch attribution — the third member of the
+    attribution triple (position rules: attribution_position_credit;
+    chain removal: events_markov_attribution): each channel's credit
+    is its average marginal contribution over every coalition of the
+    other channels, with coalition worth v(S) = conversions by users
+    whose touched-channel set fits inside S (monotone; the zero-touch
+    coalition rides mask 0 and cancels in every marginal).
+
+    EXACT arithmetic end-to-end: the Shapley weight |S|!·(n−1−|S|)!/n!
+    keeps its integer numerator — φ_num = Σ |S|!(n−1−|S|)!·Δv is a
+    BIGINT on both engines — and the single final division by n! is
+    one IEEE op, so the entry is fully hash-oracle-able (the DuckDB
+    twin re-derives the channel bits, the 2^n coalition spine — a
+    recursive counter, generate_series rejects subquery bounds — and
+    the same integer sums). Efficiency (Σφ = conversions of
+    channel-touching users) is pytest-pinned.
+
+    Plan: one events pass builds per-user masks (channel dim
+    broadcast); everything after is coalition-sized — 2^n·n rows for
+    n ≤ 12 channels (vocabulary-bounded, the markov channel-gate
+    class), never corpus-sized."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    channels = sorted(
+        r.event_type
+        for r in e.select("event_type").distinct().collect()
+        if r.event_type != "purchase"
+    )  # channel-vocabulary-bounded metadata fetch (the markov pattern)
+    n = len(channels)
+    if n > SHAPLEY_MAX_CHANNELS:
+        raise ValueError(
+            f"exact Shapley is 2^n in the channel vocabulary: n={n} > "
+            f"{SHAPLEY_MAX_CHANNELS}; use a sampled-permutation estimator"
+        )
+    chans = spark.createDataFrame(
+        [(c, b) for b, c in enumerate(channels)], "channel string, bit long"
+    )
+    user_masks = (
+        e.join(F.broadcast(chans), e.event_type == chans.channel, "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum_distinct(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")),
+                F.lit(0).cast("long"),
+            ).alias("mask"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    convs = user_masks.groupBy("mask").agg(
+        F.sum("conv").cast("long").alias("n_conv")
+    )
+    spine = spark.range(1 << n).select(F.col("id").alias("cmask"))
+    v = (
+        spine.join(
+            convs,
+            (F.col("mask").bitwiseAND(F.col("cmask"))) == F.col("mask"),
+            "left",
+        )
+        .groupBy("cmask")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0).cast("long")).alias("val"))
+        .persist()  # two consumers below: v(S) and v(S ∪ {c})
+    )
+    marg = (
+        chans.crossJoin(v.select(F.col("cmask").alias("smask"), F.col("val").alias("v_s")))
+        .where(
+            F.col("smask").bitwiseAND(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            )
+            == 0
+        )
+        .withColumn(
+            "scmask",
+            F.col("smask").bitwiseOR(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ),
+        )
+        .join(
+            v.select(F.col("cmask").alias("scmask"), F.col("val").alias("v_sc")),
+            "scmask",
+        )
+        .withColumn("ssize", F.bit_count("smask").cast("int"))
+    )
+    w_s = F.element_at(F.lit(_FACTS), F.col("ssize") + 1).cast("long")
+    w_ns = F.element_at(F.lit(_FACTS), F.lit(n) - F.col("ssize")).cast("long")
+    return (
+        marg.groupBy("channel")
+        .agg(
+            F.sum(w_s * w_ns * (F.col("v_sc") - F.col("v_s")))
+            .cast("long")
+            .alias("shapley_num")
+        )
+        .select(
+            "channel",
+            "shapley_num",
+            F.lit(n).cast("long").alias("n_channels"),
+            (
+                F.col("shapley_num").cast("double")
+                / F.lit(float(_FACTS[n]))
+            ).alias("shapley"),
+        )
+    )

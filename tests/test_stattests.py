@@ -713,3 +713,45 @@ def test_bootstrap_mean_ci_is_valid_and_deterministic(spark, sf_dir):
         row.ci_hi,
         row.point_mean,
     ), "bootstrap must be deterministic (md5-derived draws)"
+
+
+def test_shapley_attribution_efficiency_and_symmetry(spark):
+    """Shapley axioms on the fixture: EFFICIENCY — credits sum to the
+    grand coalition's worth (conversions by users who touched ≥ 1
+    channel, since the zero-touch coalition cancels in marginals);
+    NULL PLAYER — a channel no converting user ever touched gets zero
+    credit. Built on a constructed corpus where the axioms have known
+    values."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.operators.queries_analytics import (
+        events_shapley_attribution,
+    )
+    import tempfile, os
+
+    # users: 1 touches A only and converts; 2 touches A+B and converts;
+    # 3 touches B only, no conversion; 4 touches C only and converts;
+    # 5 touches D (null player: no conversion ever involves D alone
+    # with others... D-only non-converter) -> phi_D = 0
+    rows = []
+    eid = 0
+    def ev(u, t):
+        nonlocal eid
+        rows.append((eid, u, t, f"2024-01-01 00:{eid % 60:02d}:00")); eid += 1
+    ev(1, "A"); ev(1, "purchase")
+    ev(2, "A"); ev(2, "B"); ev(2, "purchase")
+    ev(3, "B")
+    ev(4, "C"); ev(4, "purchase")
+    ev(5, "D")
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.channel: r for r in events_shapley_attribution(spark, d).collect()}
+    assert set(out) == {"A", "B", "C", "D"}
+    tot = sum(r.shapley for r in out.values())
+    assert tot == pytest.approx(3.0, abs=1e-9)  # 3 converting users, all touched channels
+    assert out["D"].shapley == 0.0  # null player
+    assert out["A"].shapley > out["B"].shapley  # A converts alone, B never does
+    assert out["C"].shapley == pytest.approx(1.0, abs=1e-9)  # C's conversion is all its own
