@@ -412,3 +412,51 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("n_a") * F.col("n_b")).cast("bigint").alias("hottest_key_rows"),
         )
     )
+
+
+@register(
+    "part_skyline",
+    """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of the part catalog — the classic
+    multi-objective OLAP operator (Börzsönyi et al., ICDE'01): parts
+    not DOMINATED on (price ↓ better, size ↑ better); a dominator is
+    ≤ on price, ≥ on size, strict on at least one. Equal (price,
+    size) twins dominate neither and both survive.
+
+    The oracle is the quadratic NOT-EXISTS ground truth; the Spark
+    side is the O(n log n) sort-based plan that scales: collapse to
+    one row per price (per-price max size — same-price smaller rows
+    are dominated), take the EXCLUSIVE global running max of size in
+    price order via the two-pass ranking module (no unpartitioned
+    window ever sees the data; ranking.with_global_running_max), and
+    a price group survives iff its max size strictly exceeds every
+    strictly-cheaper size seen (NULL at the cheapest price = survive).
+    Joining survivors back to the catalog keeps exactly the
+    size == per-price-max rows. One groupBy exchange + the bounded
+    two-pass stats table — never the n² pair set."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    from .ranking import with_global_running_max
+
+    groups = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    cm = with_global_running_max(
+        groups, [("p_retailprice", "asc")], "gmax"
+    )
+    survivors = cm.where(
+        F.col("run_max").isNull() | (F.col("gmax") > F.col("run_max"))
+    ).select("p_retailprice", "gmax")
+    return p.join(survivors, "p_retailprice").where(
+        F.col("p_size") == F.col("gmax")
+    ).select("p_partkey", "p_retailprice", "p_size")

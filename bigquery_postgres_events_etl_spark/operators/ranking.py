@@ -202,3 +202,51 @@ def with_global_cumsum(
         .withColumn("cum_sum", F.col("_sum_off") + F.col("_cum_loc"))
         .drop(_PID, "_rn_loc", "_cum_loc", "_row_off", "_sum_off")
     )
+
+
+def with_global_running_max(
+    df: DataFrame,
+    key_order: list[tuple[str, str]],
+    val_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adds ``run_max`` — the EXCLUSIVE global running maximum of
+    ``val_col`` in key order (max over strictly-preceding rows; NULL
+    on the first row) — the two-pass sibling of
+    :func:`with_global_cumsum`, so no unpartitioned window sees the
+    data: range-partition on the key order, partition-local exclusive
+    window max, then broadcast per-partition maxima combined with a
+    prefix-max over the bounded stats table. ``F.greatest`` skips
+    NULLs, so the local exclusive max (NULL at each partition head)
+    and the prior-partition offset merge without special cases.
+
+    Rows-based exclusive frame: callers needing "strictly smaller
+    KEY" semantics (e.g. the skyline operator) must pre-aggregate to
+    one row per key so preceding-rows ≡ smaller-keys."""
+
+    def _sort(cols: list[tuple[str, str]]) -> list[Column]:
+        return [
+            F.desc(c) if d.lower().startswith("d") else F.asc(c) for c, d in cols
+        ]
+
+    key_sort = _sort(key_order)
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n_part, *key_sort)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_loc = (
+        Window.partitionBy(_PID)
+        .orderBy(*key_sort)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn("_rm_loc", F.max(val_col).over(w_loc))
+    stats = part.groupBy(_PID).agg(F.max(val_col).alias("_p_max"))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(_PID, F.max("_p_max").over(w_off).alias("_max_off"))
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn("run_max", F.greatest("_rm_loc", "_max_off"))
+        .drop(_PID, "_rm_loc", "_max_off")
+    )

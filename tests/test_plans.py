@@ -282,6 +282,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     "orders_pareto_customers": {"_gr_pid", "specifiedwindowframe"},
     # two-pass ranking internals (Gini rank pass)
     "events_user_gini": {"_gr_pid"},
+    # two-pass running-max internals (skyline prefix pass): window
+    # rides the bounded per-partition stats table
+    "part_skyline": {"_gr_pid"},
     # two-pass cumulative-sum internals (KS / Mann-Whitney ECDF walks
     # ride the bounded per-partition stats table)
     "events_ks_test": {"_gr_pid", "specifiedwindowframe"},

@@ -50,3 +50,33 @@ def test_ntile_from_rn_agrees_with_spark_ntile(spark):
     )
     mismatches = derived.where(F.col("native_tile") != F.col("derived_tile")).count()
     assert mismatches == 0
+
+
+def test_global_running_max_matches_single_partition_reference(spark):
+    """with_global_running_max (r10): the exclusive running max over a
+    range-partitioned frame must equal the single-window definition on
+    any input, including duplicate values at partition boundaries."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.operators.ranking import (
+        with_global_running_max,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 40)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.run_max
+        for r in with_global_running_max(
+            df, [("k", "asc")], "v", num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.k: r.ref
+        for r in df.withColumn("ref", F.max("v").over(w)).collect()
+    }
+    assert got == want
