@@ -136,6 +136,15 @@ QUERIES = [
     "rfm_migration",
     "lineitem_abc_analysis",
     "events_power_analysis",
+    # round-10 new entries: journey-path rollup (one user exchange),
+    # waterfill (source-vocabulary window), exact Shapley (coalition
+    # spine bounded by channel vocabulary), skyline (per-price
+    # collapse + two-pass running max), frozen-codebook IVF
+    "events_top_paths",
+    "pipeline_token_waterfill",
+    "events_shapley_attribution",
+    "part_skyline",
+    "similarity_ivf_fixed_topk",
 ]
 
 
