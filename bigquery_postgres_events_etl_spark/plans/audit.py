@@ -190,6 +190,15 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("ranking.py", "with_global_cumsum"):
         "per-range-partition sum offsets — same partition-count bound "
         "as with_global_ranks",
+    ("ranking.py", "with_global_running_max"):
+        "per-range-partition max offsets — same partition-count bound "
+        "as with_global_ranks",
+    ("queries_pipeline.py", "pipeline_token_waterfill"):
+        "two 1-row scalar frames (n/budget aggregate; k*/P_k* "
+        "fixpoint aggregate) — unconditionally safe",
+    ("queries_analytics.py", "events_shapley_attribution"):
+        "channel-bit dim — bounded by the channel vocabulary "
+        "(≤ SHAPLEY_MAX_CHANNELS = 12 by the gate)",
     ("queries_window.py", "window_distribution"):
         "two 1-row scalar frames (first/last/nth full-frame values from "
         "distributed min_by/max_by + top-2 TakeOrderedAndProject)",
