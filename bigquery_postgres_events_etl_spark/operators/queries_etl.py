@@ -654,3 +654,67 @@ def ivm_join_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+K_ANONYMITY_K = 5  # the conventional minimum cohort size
+K_ANON_LEN_BUCKET = 256  # chars per length bucket (a quasi-identifier)
+
+
+@register(
+    "dq_k_anonymity",
+    f"""
+    WITH g AS (
+      SELECT lang, source,
+             CAST(n_chars // {K_ANON_LEN_BUCKET} AS BIGINT) AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(SUM(group_size) AS BIGINT) AS n_docs FROM g)
+    SELECT g.lang, g.source, g.len_bucket, g.group_size,
+           g.group_size < {K_ANONYMITY_K} AS violates_k,
+           CASE WHEN g.group_size < {K_ANONYMITY_K}
+                THEN g.group_size ELSE 0 END AS docs_to_suppress,
+           CAST(g.group_size AS DOUBLE) / t.n_docs AS population_share
+    FROM g, tot t
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the corpus's quasi-identifiers — the
+    privacy-governance gate a pipeline runs before releasing
+    per-document metadata: every (lang, source, length-bucket) cohort
+    with fewer than k members re-identifies its documents, so the
+    audit emits each cohort's size, whether it violates k, and how
+    many documents generalization/suppression must touch (the
+    Sweeney k-anonymity model; companions: text_pii_scan for content,
+    pipeline_pseudonymize for identifiers, lakehouse.purge_keys for
+    erasure).
+
+    Plan: one hash aggregation over a three-column sliver (the
+    quasi-identifier cardinality, bounded by vocabulary × buckets,
+    never by documents) + a 1-row total broadcast back — integers,
+    one final IEEE share division; fully hash-oracle-able."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.expr(f"CAST(n_chars div {K_ANON_LEN_BUCKET} AS BIGINT)").alias(
+                "len_bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    )
+    tot = g.agg(F.sum("group_size").cast("long").alias("n_docs"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "len_bucket",
+        "group_size",
+        (F.col("group_size") < K_ANONYMITY_K).alias("violates_k"),
+        F.when(F.col("group_size") < K_ANONYMITY_K, F.col("group_size"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("docs_to_suppress"),
+        (F.col("group_size").cast("double") / F.col("n_docs").cast("double")).alias(
+            "population_share"
+        ),
+    )

@@ -199,6 +199,8 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("queries_analytics.py", "events_shapley_attribution"):
         "channel-bit dim — bounded by the channel vocabulary "
         "(≤ SHAPLEY_MAX_CHANNELS = 12 by the gate)",
+    ("queries_etl.py", "dq_k_anonymity"):
+        "1-row corpus-total scalar — unconditionally safe",
     ("queries_window.py", "window_distribution"):
         "two 1-row scalar frames (first/last/nth full-frame values from "
         "distributed min_by/max_by + top-2 TakeOrderedAndProject)",
