@@ -1255,6 +1255,17 @@ def pipeline_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("n_chars").cast("long").alias("cap"))
     )
+    return token_waterfill(caps)
+
+
+def token_waterfill(
+    caps: DataFrame,
+    budget_num: int = WATERFILL_BUDGET_NUM,
+    budget_den: int = WATERFILL_BUDGET_DEN,
+) -> DataFrame:
+    """The waterfill core over a (source, cap) frame — factored out of
+    the registered entry so property tests can drive it with arbitrary
+    capacity tables (see test_pipeline_ops hypothesis case)."""
     w = Window.orderBy("cap", "source")
     ranked = caps.select(
         "source",
@@ -1268,8 +1279,8 @@ def pipeline_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = caps.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.expr(
-            f"CAST((SUM(cap) * {WATERFILL_BUDGET_NUM})"
-            f" div {WATERFILL_BUDGET_DEN} AS BIGINT)"
+            f"CAST((SUM(cap) * {budget_num})"
+            f" div {budget_den} AS BIGINT)"
         ).alias("b"),
     )
     j = ranked.crossJoin(F.broadcast(st))

@@ -406,3 +406,59 @@ def test_token_waterfill_invariants(spark, sf_dir):
     # (the waterline property)
     sat_caps = [r.capacity for r in rows if r.saturated]
     assert max(sat_caps) <= min(unsat) + 1
+
+
+def test_token_waterfill_property_vs_python_reference(spark):
+    """Property: for ANY capacity table, the distributed waterfill
+    equals a direct pure-Python waterfill — budget exhausted exactly,
+    per-source allocations identical (including the deterministic
+    remainder deal-out to the smallest unsaturated sources)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigquery_postgres_events_etl_spark.operators.queries_pipeline import (
+        token_waterfill,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(st.integers(min_value=1, max_value=1000), min_size=1, max_size=12),
+        st.integers(min_value=0, max_value=10),  # budget numerator (den 10)
+    )
+    def run(caps, num):
+        names = [f"s{i}" for i in range(len(caps))]
+        df = spark.createDataFrame(
+            list(zip(names, caps)), "source string, cap long"
+        )
+        got = {
+            r.source: (r.allocated, r.saturated)
+            for r in token_waterfill(df, budget_num=num, budget_den=10).collect()
+        }
+        # pure-Python reference: saturate in (cap, name) order while
+        # P_k + (n-k)*t_k <= B, then deal base + remainder
+        total = sum(caps)
+        budget = (total * num) // 10
+        order = sorted(zip(caps, names))
+        n = len(order)
+        pk, kstar, p_kstar = 0, 0, 0
+        for i, (t, _) in enumerate(order, start=1):
+            pk += t
+            if pk + (n - i) * t <= budget:
+                kstar, p_kstar = i, pk
+        want = {}
+        if n > kstar:
+            base = (budget - p_kstar) // (n - kstar)
+            rem = (budget - p_kstar) % (n - kstar)
+        for i, (t, name) in enumerate(order, start=1):
+            if i <= kstar:
+                want[name] = (t, True)
+            else:
+                want[name] = (base + (1 if i - kstar <= rem else 0), False)
+        assert got == want
+        assert sum(a for a, _ in got.values()) == budget
+
+    run()
