@@ -193,7 +193,7 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("ranking.py", "with_global_running_max"):
         "per-range-partition max offsets — same partition-count bound "
         "as with_global_ranks",
-    ("queries_pipeline.py", "pipeline_token_waterfill"):
+    ("queries_pipeline.py", "token_waterfill"):
         "two 1-row scalar frames (n/budget aggregate; k*/P_k* "
         "fixpoint aggregate) — unconditionally safe",
     ("queries_analytics.py", "events_shapley_attribution"):
