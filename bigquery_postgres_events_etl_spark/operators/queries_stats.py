@@ -953,3 +953,108 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("value"))
         ).alias("weighted_p90"),
     )
+
+
+@register(
+    "events_did_estimator",
+    """
+    WITH e AS (
+      SELECT user_id % 2 AS treated,
+             CASE WHEN CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                       <= (SELECT (CAST(epoch_us(min(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                                   + CAST(epoch_us(max(CAST(ts AS TIMESTAMP))) AS BIGINT)) // 2
+                           FROM events WHERE user_id IS NOT NULL)
+                  THEN 0 ELSE 1 END AS period,
+             value
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    cells AS (
+      SELECT treated, period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS VARCHAR)
+                  AS DOUBLE) AS s
+      FROM e GROUP BY treated, period
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 0 AND period = 0 THEN n END) AS n_c_pre,
+        MAX(CASE WHEN treated = 0 AND period = 1 THEN n END) AS n_c_post,
+        MAX(CASE WHEN treated = 1 AND period = 0 THEN n END) AS n_t_pre,
+        MAX(CASE WHEN treated = 1 AND period = 1 THEN n END) AS n_t_post,
+        MAX(CASE WHEN treated = 0 AND period = 0 THEN s END) AS s_c_pre,
+        MAX(CASE WHEN treated = 0 AND period = 1 THEN s END) AS s_c_post,
+        MAX(CASE WHEN treated = 1 AND period = 0 THEN s END) AS s_t_pre,
+        MAX(CASE WHEN treated = 1 AND period = 1 THEN s END) AS s_t_post
+      FROM cells
+    )
+    SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+           s_c_pre / n_c_pre AS mean_c_pre,
+           s_c_post / n_c_post AS mean_c_post,
+           s_t_pre / n_t_pre AS mean_t_pre,
+           s_t_post / n_t_post AS mean_t_post,
+           s_c_post / n_c_post - s_c_pre / n_c_pre AS delta_control,
+           s_t_post / n_t_post - s_t_pre / n_t_pre AS delta_treated,
+           (s_t_post / n_t_post - s_t_pre / n_t_pre)
+             - (s_c_post / n_c_post - s_c_pre / n_c_pre) AS did
+    FROM wide
+    """,
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse causal estimator the
+    experimentation suite lacked (ab_ttest / proportion-ztest test
+    LEVELS; DiD removes arm-constant and time-constant confounding by
+    differencing both): arms by ``user_id % 2`` (the house assignment
+    key), pre/post split at the data horizon's µs midpoint (the
+    rfm_migration idiom, one 1-row scalar), cell means from exact
+    DECIMAL sums via the string-round-trip double (the _dsum
+    discipline), and DiD = (post−pre)_treated − (post−pre)_control as
+    one fixed IEEE chain over identical inputs on both engines.
+
+    Scale: one partial-aggregatable pass to 4 cells + a 4-row pivot —
+    no window, no join; the midpoint scalar broadcasts."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    bounds = e.agg(
+        F.expr(
+            "CAST((CAST(min(unix_micros(ts)) AS BIGINT)"
+            " + CAST(max(unix_micros(ts)) AS BIGINT)) div 2 AS BIGINT)"
+        ).alias("mid_us")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            (F.col("user_id") % 2).alias("treated"),
+            F.when(F.unix_micros("ts") <= F.col("mid_us"), 0)
+            .otherwise(1)
+            .alias("period"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _dsum("value").alias("s"),
+        )
+    )
+
+    def pick(col: str, t: int, p: int):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("period") == p), F.col(col))
+        )
+
+    wide = cells.agg(
+        pick("n", 0, 0).alias("n_c_pre"), pick("n", 0, 1).alias("n_c_post"),
+        pick("n", 1, 0).alias("n_t_pre"), pick("n", 1, 1).alias("n_t_post"),
+        pick("s", 0, 0).alias("s_c_pre"), pick("s", 0, 1).alias("s_c_post"),
+        pick("s", 1, 0).alias("s_t_pre"), pick("s", 1, 1).alias("s_t_post"),
+    )
+    m_c_pre = F.col("s_c_pre") / F.col("n_c_pre")
+    m_c_post = F.col("s_c_post") / F.col("n_c_post")
+    m_t_pre = F.col("s_t_pre") / F.col("n_t_pre")
+    m_t_post = F.col("s_t_post") / F.col("n_t_post")
+    return wide.select(
+        "n_c_pre", "n_c_post", "n_t_pre", "n_t_post",
+        m_c_pre.alias("mean_c_pre"),
+        m_c_post.alias("mean_c_post"),
+        m_t_pre.alias("mean_t_pre"),
+        m_t_post.alias("mean_t_post"),
+        (m_c_post - m_c_pre).alias("delta_control"),
+        (m_t_post - m_t_pre).alias("delta_treated"),
+        ((m_t_post - m_t_pre) - (m_c_post - m_c_pre)).alias("did"),
+    )

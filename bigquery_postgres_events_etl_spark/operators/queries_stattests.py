@@ -1976,3 +1976,144 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE LEAST(n_a, n_b) >= {_PWR_REQ} END"
         ).alias("adequately_powered"),
     )
+
+
+PERM_N = 200  # deterministic pseudo-permutations (md5-derived arms)
+
+
+@register(
+    "stats_randomization_test",
+    f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS VARCHAR)
+                  AS DOUBLE) AS metric
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CAST(CAST(SUM(CASE WHEN arm = 0
+                    THEN CAST(metric AS DECIMAL(27,4)) END) AS VARCHAR)
+                  AS DOUBLE)
+               / SUM(CASE WHEN arm = 0 THEN 1 END)
+             - CAST(CAST(SUM(CASE WHEN arm = 1
+                    THEN CAST(metric AS DECIMAL(27,4)) END) AS VARCHAR)
+                  AS DOUBLE)
+               / SUM(CASE WHEN arm = 1 THEN 1 END) AS obs_diff
+      FROM per_user
+    ),
+    perms AS (
+      SELECT b,
+             CAST(CAST(SUM(CASE WHEN parm = 0
+                    THEN CAST(metric AS DECIMAL(27,4)) END) AS VARCHAR)
+                  AS DOUBLE)
+               / SUM(CASE WHEN parm = 0 THEN 1 END)
+             - CAST(CAST(SUM(CASE WHEN parm = 1
+                    THEN CAST(metric AS DECIMAL(27,4)) END) AS VARCHAR)
+                  AS DOUBLE)
+               / SUM(CASE WHEN parm = 1 THEN 1 END) AS diff
+      FROM (
+        SELECT u.metric, t.b,
+               ('0x' || substr(md5(u.user_id || '~' || t.b), 1, 1))::BIGINT
+                 % 2 AS parm
+        FROM per_user u, generate_series(0, {PERM_N - 1}) t(b)
+      ) x
+      GROUP BY b
+    )
+    SELECT o.obs_diff,
+           CAST(SUM(CASE WHEN abs(p.diff) >= abs(o.obs_diff)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           CAST({PERM_N} AS BIGINT) AS n_perms,
+           CAST(1 + SUM(CASE WHEN abs(p.diff) >= abs(o.obs_diff)
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+             / (1 + {PERM_N}) AS p_value
+    FROM perms p, obs o
+    GROUP BY o.obs_diff
+    """,
+)
+def stats_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (Fisher-style permutation) test for the arm mean
+    difference — the distribution-free sibling of events_ab_ttest:
+    the null distribution comes from 200 deterministic
+    pseudo-reassignments (arm = md5(user ~ b) first-hex-digit parity —
+    the house derandomization, same family as the LSH hyperplanes and
+    weighted-sample keys), and the add-one p-value counts
+    re-assignments at least as extreme as the observed |Δmean|. Every
+    per-b mean rides the exact-DECIMAL string-round-trip double, so
+    both engines compute bit-identical diffs and the ≥ comparisons
+    agree exactly; a degenerate one-arm reassignment yields a NULL
+    diff and counts as not-extreme on both engines.
+
+    Scale: the B-fold expansion happens on the per-USER sliver (not
+    the event table) and partial-aggregates map-side to ≤ B rows per
+    partition — one events pass + one |users|·B sliver shuffle."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(27,4)"))
+            .cast("string")
+            .cast("double")
+            .alias("metric")
+        )
+        .select("user_id", (F.col("user_id") % 2).alias("arm"), "metric")
+        .persist()  # two consumers: the observed diff and the B-fold expansion
+    )
+    mdec = F.col("metric").cast("decimal(27,4)")
+
+    def arm_diff(arm_col: str) -> Column:
+        s0 = (
+            F.sum(F.when(F.col(arm_col) == 0, mdec))
+            .cast("string")
+            .cast("double")
+        )
+        s1 = (
+            F.sum(F.when(F.col(arm_col) == 1, mdec))
+            .cast("string")
+            .cast("double")
+        )
+        n0 = F.sum(F.when(F.col(arm_col) == 0, 1))
+        n1 = F.sum(F.when(F.col(arm_col) == 1, 1))
+        return s0 / n0 - s1 / n1
+
+    obs = per_user.agg(arm_diff("arm").alias("obs_diff"))
+    perms = (
+        per_user.select(
+            "user_id",
+            "metric",
+            F.explode(F.sequence(F.lit(0), F.lit(PERM_N - 1))).alias("b"),
+        )
+        .withColumn(
+            "parm",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("~", F.col("user_id"), F.col("b"))), 1, 1
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+        .groupBy("b")
+        .agg(arm_diff("parm").alias("diff"))
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .groupBy("obs_diff")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("diff")) >= F.abs(F.col("obs_diff")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme"),
+        )
+        .select(
+            "obs_diff",
+            "n_extreme",
+            F.lit(PERM_N).cast("long").alias("n_perms"),
+            (
+                (F.lit(1) + F.col("n_extreme")).cast("double")
+                / F.lit(1 + PERM_N)
+            ).alias("p_value"),
+        )
+    )

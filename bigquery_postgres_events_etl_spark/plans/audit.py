@@ -201,6 +201,10 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "(≤ SHAPLEY_MAX_CHANNELS = 12 by the gate)",
     ("queries_etl.py", "dq_k_anonymity"):
         "1-row corpus-total scalar — unconditionally safe",
+    ("queries_stats.py", "events_did_estimator"):
+        "1-row horizon-midpoint scalar — unconditionally safe",
+    ("queries_stattests.py", "stats_randomization_test"):
+        "1-row observed-diff scalar — unconditionally safe",
     ("queries_window.py", "window_distribution"):
         "two 1-row scalar frames (first/last/nth full-frame values from "
         "distributed min_by/max_by + top-2 TakeOrderedAndProject)",

@@ -755,3 +755,72 @@ def test_shapley_attribution_efficiency_and_symmetry(spark):
     assert out["D"].shapley == 0.0  # null player
     assert out["A"].shapley > out["B"].shapley  # A converts alone, B never does
     assert out["C"].shapley == pytest.approx(1.0, abs=1e-9)  # C's conversion is all its own
+
+
+def test_did_estimator_matches_pandas_reference(spark):
+    """DiD decomposition against a direct pandas computation: cell
+    counts exact, means within float tolerance, and the estimator is
+    exactly (post−pre)_treated − (post−pre)_control."""
+    e = _events()
+    e = e[e.user_id.notna()].copy()
+    us = e.ts.astype("int64") // 1000  # ns -> us
+    mid = (int(us.min()) + int(us.max())) // 2
+    e["treated"] = (e.user_id % 2).astype(int)
+    e["period"] = (us > mid).astype(int)
+    cells = e.groupby(["treated", "period"]).value.agg(["count", "sum"])
+    (row,) = _run(spark, "events_did_estimator")
+    for (t, p), name in [
+        ((0, 0), "c_pre"), ((0, 1), "c_post"),
+        ((1, 0), "t_pre"), ((1, 1), "t_post"),
+    ]:
+        assert getattr(row, f"n_{name}") == cells.loc[(t, p), "count"]
+        want_mean = cells.loc[(t, p), "sum"] / cells.loc[(t, p), "count"]
+        assert getattr(row, f"mean_{name}") == pytest.approx(want_mean, rel=1e-9)
+    assert row.delta_control == pytest.approx(
+        row.mean_c_post - row.mean_c_pre, abs=1e-12
+    )
+    assert row.delta_treated == pytest.approx(
+        row.mean_t_post - row.mean_t_pre, abs=1e-12
+    )
+    assert row.did == pytest.approx(
+        row.delta_treated - row.delta_control, abs=1e-12
+    )
+
+
+def test_randomization_test_matches_python_reference(spark):
+    """The deterministic randomization test replayed in pure Python
+    (hashlib md5 parities, exact per-arm means): observed diff,
+    extreme count, and add-one p-value must match."""
+    import hashlib
+
+    from bigquery_postgres_events_etl_spark.operators.queries_stattests import (
+        PERM_N,
+    )
+
+    e = _events()
+    e = e[e.user_id.notna()].copy()
+    per = e.groupby("user_id").value.sum().round(4)  # decimal(27,4) sums
+    users = sorted(per.index.astype(int))
+    metric = {u: float(per.loc[u]) for u in users}
+
+    def diff(arm_of):
+        a = [metric[u] for u in users if arm_of(u) == 0]
+        b = [metric[u] for u in users if arm_of(u) == 1]
+        if not a or not b:
+            return None
+        return sum(a) / len(a) - sum(b) / len(b)
+
+    obs = diff(lambda u: u % 2)
+    n_extreme = 0
+    for b in range(PERM_N):
+        def parm(u, b=b):
+            h = hashlib.md5(f"{u}~{b}".encode()).hexdigest()
+            return int(h[0], 16) % 2
+        d = diff(parm)
+        if d is not None and abs(d) >= abs(obs):
+            n_extreme += 1
+    (row,) = _run(spark, "stats_randomization_test")
+    assert row.n_perms == PERM_N
+    assert row.obs_diff == pytest.approx(obs, rel=1e-9)
+    assert row.n_extreme == n_extreme
+    assert row.p_value == pytest.approx((1 + n_extreme) / (1 + PERM_N), rel=1e-12)
