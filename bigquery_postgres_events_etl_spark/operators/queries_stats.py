@@ -1058,3 +1058,155 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m_t_post - m_t_pre).alias("delta_treated"),
         ((m_t_post - m_t_pre) - (m_c_post - m_c_pre)).alias("did"),
     )
+
+
+@register(
+    "events_cuped_adjustment",
+    """
+    WITH mid AS (
+      SELECT (CAST(epoch_us(min(CAST(ts AS TIMESTAMP))) AS BIGINT)
+              + CAST(epoch_us(max(CAST(ts AS TIMESTAMP))) AS BIGINT)) // 2
+               AS mid_us
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(CAST(COALESCE(SUM(CASE
+                    WHEN CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                         <= m.mid_us
+                    THEN CAST(value AS DECIMAL(27,4)) END), 0) AS VARCHAR)
+                  AS DOUBLE) AS x,
+             CAST(CAST(COALESCE(SUM(CASE
+                    WHEN CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                         > m.mid_us
+                    THEN CAST(value AS DECIMAL(27,4)) END), 0) AS VARCHAR)
+                  AS DOUBLE) AS y
+      FROM events, mid m WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS syy
+      FROM per_user GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN arm = 0 THEN sx END) AS sx_a,
+        MAX(CASE WHEN arm = 1 THEN sx END) AS sx_b,
+        MAX(CASE WHEN arm = 0 THEN sy END) AS sy_a,
+        MAX(CASE WHEN arm = 1 THEN sy END) AS sy_b,
+        MAX(CASE WHEN arm = 0 THEN sxx END) + MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx,
+        MAX(CASE WHEN arm = 0 THEN sxy END) + MAX(CASE WHEN arm = 1 THEN sxy END) AS sxy,
+        MAX(CASE WHEN arm = 0 THEN syy END) + MAX(CASE WHEN arm = 1 THEN syy END) AS syy
+      FROM arms
+    ),
+    calc AS (
+      SELECT n_a, n_b, sx_a, sx_b, sy_a, sy_b, sxx, sxy, syy,
+             n_a + n_b AS n,
+             sx_a + sx_b AS sx,
+             sy_a + sy_b AS sy
+      FROM wide
+    )
+    SELECT n_a, n_b,
+           (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+           (sxy - sx * sy / n) * (sxy - sx * sy / n)
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rho_sq,
+           sy_a / n_a - sy_b / n_b AS raw_diff,
+           (sy_a / n_a - sy_b / n_b)
+             - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+               * (sx_a / n_a - sx_b / n_b) AS adjusted_diff
+    FROM calc
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13) — the modern
+    experimentation workhorse the A/B suite was missing: the
+    pre-period covariate X (per-user revenue before the horizon
+    midpoint) absorbs between-user variance from the post-period
+    metric Y; θ = cov(X,Y)/var(X) pooled over arms, the adjusted
+    treatment effect is (Ȳ_a − Ȳ_b) − θ(X̄_a − X̄_b), and ρ² reports
+    the variance fraction removed. Every moment comes from exact
+    DECIMAL sums via the string-round-trip double (the
+    agg_correlation_from_sums discipline), so θ/ρ²/diffs are single
+    fixed IEEE chains over identical inputs on both engines.
+
+    Scale: one events pass to per-user (x, y) + one 2-group moment
+    rollup — no window, no join beyond the 1-row midpoint scalar."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    bounds = e.agg(
+        F.expr(
+            "CAST((CAST(min(unix_micros(ts)) AS BIGINT)"
+            " + CAST(max(unix_micros(ts)) AS BIGINT)) div 2 AS BIGINT)"
+        ).alias("mid_us")
+    )
+    dec = F.col("value").cast("decimal(27,4)")
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.unix_micros("ts") <= F.col("mid_us"), dec)),
+                F.lit(0).cast("decimal(27,4)"),
+            )
+            .cast("string")
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.unix_micros("ts") > F.col("mid_us"), dec)),
+                F.lit(0).cast("decimal(27,4)"),
+            )
+            .cast("string")
+            .cast("double")
+            .alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _dsum("x").alias("sx"),
+        _dsum("y").alias("sy"),
+        _dsum_sq("x").alias("sxx"),
+        F.sum(
+            (F.col("x").cast("decimal(19,4)") * F.col("y").cast("decimal(19,4)"))
+            .cast("decimal(38,8)")
+        )
+        .cast("string")
+        .cast("double")
+        .alias("sxy"),
+        _dsum_sq("y").alias("syy"),
+    )
+
+    def pick(col: str, a: int):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    wide = arms.agg(
+        pick("n", 0).alias("n_a"), pick("n", 1).alias("n_b"),
+        pick("sx", 0).alias("sx_a"), pick("sx", 1).alias("sx_b"),
+        pick("sy", 0).alias("sy_a"), pick("sy", 1).alias("sy_b"),
+        (pick("sxx", 0) + pick("sxx", 1)).alias("sxx"),
+        (pick("sxy", 0) + pick("sxy", 1)).alias("sxy"),
+        (pick("syy", 0) + pick("syy", 1)).alias("syy"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    sx = F.col("sx_a") + F.col("sx_b")
+    sy = F.col("sy_a") + F.col("sy_b")
+    cov = F.col("sxy") - sx * sy / n
+    varx = F.col("sxx") - sx * sx / n
+    vary = F.col("syy") - sy * sy / n
+    theta = cov / varx
+    mean_dx = F.col("sx_a") / F.col("n_a") - F.col("sx_b") / F.col("n_b")
+    raw = F.col("sy_a") / F.col("n_a") - F.col("sy_b") / F.col("n_b")
+    return wide.select(
+        "n_a",
+        "n_b",
+        theta.alias("theta"),
+        (cov * cov / (varx * vary)).alias("rho_sq"),
+        raw.alias("raw_diff"),
+        (raw - theta * mean_dx).alias("adjusted_diff"),
+    )

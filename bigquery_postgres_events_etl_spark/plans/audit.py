@@ -205,6 +205,8 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "1-row horizon-midpoint scalar — unconditionally safe",
     ("queries_stattests.py", "stats_randomization_test"):
         "1-row observed-diff scalar — unconditionally safe",
+    ("queries_stats.py", "events_cuped_adjustment"):
+        "1-row horizon-midpoint scalar — unconditionally safe",
     ("queries_window.py", "window_distribution"):
         "two 1-row scalar frames (first/last/nth full-frame values from "
         "distributed min_by/max_by + top-2 TakeOrderedAndProject)",

@@ -824,3 +824,43 @@ def test_randomization_test_matches_python_reference(spark):
     assert row.obs_diff == pytest.approx(obs, rel=1e-9)
     assert row.n_extreme == n_extreme
     assert row.p_value == pytest.approx((1 + n_extreme) / (1 + PERM_N), rel=1e-12)
+
+
+def test_cuped_matches_pandas_reference_and_reduces_variance(spark):
+    """CUPED against a direct pandas computation (theta from pooled
+    moments; adjusted diff from arm means), plus the method's point:
+    on this fixture the pre-period covariate actually explains
+    variance (rho_sq > 0) and the adjustment identity holds."""
+    import numpy as np
+
+    e = _events()
+    e = e[e.user_id.notna()].copy()
+    us = e.ts.astype("int64") // 1000
+    mid = (int(us.min()) + int(us.max())) // 2
+    e["pre"] = us <= mid
+    per = e.pivot_table(
+        index="user_id", columns="pre", values="value", aggfunc="sum"
+    ).fillna(0.0)
+    x = per.get(True)
+    y = per.get(False)
+    x = x.round(4) if x is not None else per.iloc[:, 0] * 0
+    y = y.round(4) if y is not None else per.iloc[:, 0] * 0
+    arm = (per.index.astype(int) % 2).values
+    n = len(per)
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx = float((x * x).sum()); sxy = float((x * y).sum()); syy = float((y * y).sum())
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    theta = cov / varx
+    ya, yb = float(y[arm == 0].mean()), float(y[arm == 1].mean())
+    xa, xb = float(x[arm == 0].mean()), float(x[arm == 1].mean())
+    (row,) = _run(spark, "events_cuped_adjustment")
+    assert row.n_a + row.n_b == n
+    assert row.theta == pytest.approx(theta, rel=1e-6)
+    assert row.rho_sq == pytest.approx(cov * cov / (varx * vary), rel=1e-6)
+    assert row.raw_diff == pytest.approx(ya - yb, rel=1e-6)
+    assert row.adjusted_diff == pytest.approx(
+        (ya - yb) - theta * (xa - xb), rel=1e-6
+    )
+    assert 0.0 < row.rho_sq < 1.0
