@@ -145,6 +145,11 @@ QUERIES = [
     "events_shapley_attribution",
     "part_skyline",
     "similarity_ivf_fixed_topk",
+    # round-10 third wave: governance + experimentation entries
+    "dq_k_anonymity",
+    "events_did_estimator",
+    "stats_randomization_test",
+    "events_cuped_adjustment",
 ]
 
 
