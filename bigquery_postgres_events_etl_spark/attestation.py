@@ -54,22 +54,15 @@ import re
 # CORRECTNESS_r09. r10 flags (authored before the r10 driver gate):
 PLAN_CHANGED_REATTEST: dict[str, int] = {
     # name -> first round that must re-attest the new plan
-    # rows-only -> recursive-CTE hash oracle (r9 verdict item #1: the
-    # kcore survivor-state pattern extended to replacement-style
-    # (node, label) state; plurality + smallest-label tie-break as a
-    # correlated ORDER BY/LIMIT in the working table). Prior "green"
-    # rows were err:no_oracle — the hash compare must run once:
-    "graph_label_propagation": 10,
-    # pagerank rewrite (r9 verdict item #3): per-iteration edge join
-    # replaced by a pre-aggregated in-neighbor adjacency explode
-    # (values bit-identical, forced-path pytest) — rows-only, but the
-    # re-attest refreshes rows/schema under the new plan:
-    "graph_pagerank_copurchase": 10,
-    # markov tail folded driver-side under the channel gate (r9
-    # verdict item #7): one bounded probs collect + numpy replaces the
-    # scenario frames and credit-frame joins; cross-path parity pytest
-    # added — rows-only, re-attest refreshes rows/schema:
-    "events_markov_attribution": 10,
+    # (r10 flags — LPA oracle conversion, pagerank adjacency rewrite,
+    # markov driver tail — all attested in CORRECTNESS_r10 and were
+    # removed.)
+    # r11: rows-only -> recursive-CTE hash oracle (r10 verdict item
+    # #2: the LPA pattern extended to numeric state via fixed-point
+    # integer arithmetic). Prior "green" rows were err:no_oracle —
+    # the hash compare must run once; output column renamed rank ->
+    # rank_fp (BIGINT):
+    "graph_pagerank_copurchase": 11,
 }
 
 

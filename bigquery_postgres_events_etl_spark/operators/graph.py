@@ -26,6 +26,7 @@ reference and checks conservation + ordering properties.
 
 from __future__ import annotations
 
+from fractions import Fraction
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -65,9 +66,13 @@ def _state_broadcast_gate(df: DataFrame, default: int) -> int:
     module default (monkeypatched by the forced-path parity tests)."""
     try:
         v = df.sparkSession.conf.get(STATE_BROADCAST_CONF, None)
+        return int(v) if v is not None else default
+    except (ValueError, TypeError) as exc:
+        raise ValueError(
+            f"session conf {STATE_BROADCAST_CONF}={v!r} must be an integer"
+        ) from exc
     except Exception:
-        v = None
-    return int(v) if v is not None else default
+        return default
 
 
 def pagerank(
@@ -77,19 +82,36 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     assume_distinct: bool = False,
+    fixed_scale: int | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` power iterations.
 
-    Ranks are doubles; per-node contribution sums run through exact
-    DECIMAL(38,18) so each iteration's result is independent of
-    aggregation order (the property that makes reruns and the test
-    reference reproducible bit-for-bit).
+    Default (float) mode: ranks are doubles; per-node contribution
+    sums run through exact DECIMAL(38,18) so each iteration's result
+    is independent of aggregation order (the property that makes
+    reruns and the test reference reproducible bit-for-bit).
+
+    ``fixed_scale`` switches to FIXED-POINT integer arithmetic: rank
+    is a BIGINT count of 1/fixed_scale units, shares are integer
+    ``div``, and damping is applied as an exact rational (derived
+    from ``damping`` via Fraction, e.g. 0.85 → 17/20). Every value in
+    the loop is then an integer pure function of the graph — no IEEE
+    rounding anywhere — which is what makes the result replayable on
+    a second SQL engine (the recursive-CTE hash oracle on
+    ``graph_pagerank_copurchase``; the LPA/kcore conversion pattern).
+    Floor division leaks < 1 unit per node per iteration, so with
+    scale 10^12 the total mass stays within n·n_iter/10^12 of 1 —
+    the ranking/analysis semantics are unchanged.
 
     ``assume_distinct``: skip the defensive edge DISTINCT — a full
     edge-list exchange — when the caller's plan already guarantees
     uniqueness (e.g. projections of a distinct frame into disjoint id
     spaces). Duplicate edges would double-count contributions, so only
     set this when the guarantee is structural."""
+    fixed = fixed_scale is not None
+    if fixed:
+        frac = Fraction(str(damping))
+        dnum, dden = frac.numerator, frac.denominator
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
@@ -186,8 +208,21 @@ def pagerank(
     # plan depth.
     checkpoint_every = 1 if has_dangling else PAGERANK_CHECKPOINT_EVERY
 
-    ranks = deg.select("node", "outdeg", F.lit(1.0 / n).alias("rank"))
-    zero_c = F.lit(0).cast("decimal(38,18)")
+    # mode-dependent expressions (see the fixed_scale docstring): the
+    # loop below is arithmetic-agnostic — share/zero/mass-type/base
+    # are the ONLY four points where float and fixed-point differ
+    if fixed:
+        init_rank = F.lit(fixed_scale // n).cast("long")
+        zero_c = F.lit(0).cast("long")
+        share = F.expr("rank div outdeg").cast("long")
+        mass_t = "long"
+        base_const = ((dden - dnum) * fixed_scale) // (dden * n)
+    else:
+        init_rank = F.lit(1.0 / n)
+        zero_c = F.lit(0).cast("decimal(38,18)")
+        share = (F.col("rank") / F.col("outdeg")).cast("decimal(38,18)")
+        mass_t = "double"
+    ranks = deg.select("node", "outdeg", init_rank.alias("rank"))
     for it in range(n_iter):
         if broadcast_ranks:
             # per-node share broadcasts into the adjacency lookup:
@@ -202,10 +237,7 @@ def pagerank(
             # groupBy key (node-determined, so partitioning on node
             # alone still satisfies the grouping) — no restore join.
             shares = ranks.where(F.col("outdeg") > 0).select(
-                F.col("node").alias("src_node"),
-                (F.col("rank") / F.col("outdeg"))
-                .cast("decimal(38,18)")
-                .alias("c"),
+                F.col("node").alias("src_node"), share.alias("c")
             )
             ex = in_adj.select(
                 "node", "outdeg", F.explode_outer("in_nbrs").alias("src_nbr")
@@ -219,7 +251,7 @@ def pagerank(
                 .groupBy("node", "outdeg")
                 .agg(
                     F.sum(F.coalesce(F.col("c"), zero_c))
-                    .cast("double")
+                    .cast(mass_t)
                     .alias("in_mass")
                 )
             )
@@ -236,7 +268,7 @@ def pagerank(
             contrib_rows = e.join(ranks, e.src == ranks.node).select(
                 F.col("dst").alias("node"),
                 F.lit(None).cast("long").alias("deg_row"),
-                (F.col("rank") / F.col("outdeg")).cast("decimal(38,18)").alias("c"),
+                share.alias("c"),
             )
             zero_rows = deg.select(
                 "node", F.col("outdeg").alias("deg_row"), zero_c.alias("c")
@@ -246,7 +278,7 @@ def pagerank(
                 .groupBy("node")
                 .agg(
                     F.max("deg_row").alias("outdeg"),
-                    F.sum("c").cast("double").alias("in_mass"),
+                    F.sum("c").cast(mass_t).alias("in_mass"),
                 )
             )
         if has_dangling:
@@ -255,40 +287,106 @@ def pagerank(
             # pattern) instead of a per-iteration .first() — the r7
             # verdict's "only loop control lives on the driver"
             # inconsistency; n_iter driver round-trips saved per run
-            dangling = ranks.where(F.col("outdeg") == 0).agg(
-                F.coalesce(
-                    F.sum(F.col("rank").cast("decimal(38,18)")).cast("double"),
-                    F.lit(0.0),
-                ).alias("dangling_mass")
-            )
-            # same IEEE association as the pure-Python reference:
-            # (1-d)/n + (d*dangling)/n + d*in_mass
+            if fixed:
+                # integer dangling mass: exact sum of fixed-point ranks
+                dangling = ranks.where(F.col("outdeg") == 0).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0))
+                    .cast("long")
+                    .alias("dangling_mass")
+                )
+            else:
+                dangling = ranks.where(F.col("outdeg") == 0).agg(
+                    F.coalesce(
+                        F.sum(F.col("rank").cast("decimal(38,18)")).cast("double"),
+                        F.lit(0.0),
+                    ).alias("dangling_mass")
+                )
             stepped = stepped.crossJoin(F.broadcast(dangling))
-            base = F.lit((1.0 - damping) / n) + F.lit(damping) * F.col(
-                "dangling_mass"
-            ) / F.lit(float(n))
+        if fixed:
+            # all-integer update: base is a driver-constant, the
+            # damped terms are exact-rational `div`s — no IEEE op
+            # anywhere, so a second engine replays this bit-for-bit
+            upd = F.lit(base_const).cast("long") + F.expr(
+                f"({dnum} * in_mass) div {dden}"
+            )
+            if has_dangling:
+                upd = upd + F.expr(f"({dnum} * dangling_mass) div {dden * n}")
+            rank_col = upd.cast("long")
         else:
-            # zero dangling mass: base reduces to the same float the
-            # reference computes ((1-d)/n + d*0.0/n ≡ (1-d)/n in IEEE)
+            # same IEEE association as the pure-Python reference:
+            # (1-d)/n + (d*dangling)/n + d*in_mass; with no dangling
+            # nodes base reduces to the same float the reference
+            # computes ((1-d)/n + d*0.0/n ≡ (1-d)/n in IEEE)
             base = F.lit((1.0 - damping) / n)
-        ranks = stepped.select(
-            "node",
-            "outdeg",
-            (base + F.lit(damping) * F.col("in_mass")).alias("rank"),
-        )
+            if has_dangling:
+                base = base + F.lit(damping) * F.col("dangling_mass") / F.lit(
+                    float(n)
+                )
+            rank_col = base + F.lit(damping) * F.col("in_mass")
+        ranks = stepped.select("node", "outdeg", rank_col.alias("rank"))
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 
-@register("graph_pagerank_copurchase", None)  # iterative — rows-only
+PAGERANK_FIXED_SCALE = 10**12  # fixed-point units per 1.0 of rank
+PAGERANK_COPURCHASE_ITERS = 8
+
+
+@register(
+    "graph_pagerank_copurchase",
+    f"""
+    WITH RECURSIVE
+    bought AS (
+      SELECT DISTINCT o.o_custkey AS cust,
+                      l.l_partkey + 10000000 AS part
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT cust AS src, part AS dst FROM bought
+      UNION ALL
+      SELECT part AS src, cust AS dst FROM bought
+    ),
+    -- symmetric edge set: every node appears as src, so one GROUP BY
+    -- yields both the node set and out-degrees (no dangling nodes)
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    consts AS (SELECT COUNT(*) AS n FROM deg),
+    pr (r, node, outdeg, rank_fp) AS (
+      SELECT 0, d.node, d.outdeg,
+             {PAGERANK_FIXED_SCALE} // c.n
+      FROM deg d, consts c
+      UNION ALL
+      SELECT p.r + 1, p.node, p.outdeg,
+             (3 * {PAGERANK_FIXED_SCALE}) // (20 * (SELECT n FROM consts))
+             + (17 * COALESCE(
+                  (SELECT SUM(x.rank_fp // x.outdeg)
+                   FROM edges e JOIN pr x
+                     ON x.node = e.src AND x.r = p.r
+                   WHERE e.dst = p.node), 0)) // 20
+      FROM pr p
+      WHERE p.r < {PAGERANK_COPURCHASE_ITERS}
+    )
+    SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp
+    FROM pr WHERE r = {PAGERANK_COPURCHASE_ITERS}
+    """,
+)
 def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank on the bipartite customer↔part co-purchase graph
     (edges from lineitem⨝orders, both directions, so the stationary
     mass flows between popular parts and heavy buyers). Parts live at
-    id 10_000_000 + partkey to share one node-id space. Rows-only
-    (iteration has no single-SQL oracle); per-node parity with a
-    pure-Python reference is pinned in tests/test_graph.py."""
+    id 10_000_000 + partkey to share one node-id space.
+
+    FULL HASH ORACLE (r10 verdict item 2, the LPA/kcore recursive-CTE
+    pattern extended to numeric state): the entry runs ``pagerank`` in
+    fixed-point mode — rank is a BIGINT count of 10^-12 units, shares
+    are integer ``div``, damping 0.85 is the exact rational 17/20 —
+    so each of the 8 iterations is pure integer arithmetic that the
+    DuckDB recursive CTE above replays bit-for-bit ((3·S)//(20·n) ==
+    ((20-17)·S)//(20·n) is the same (1-d)/n base the Spark side
+    builds from Fraction("0.85")). Floor loss is < 1 unit per node
+    per round, so ranking semantics match the float tier to ~1e-12;
+    exact per-node parity of BOTH tiers with pure-Python references
+    is additionally pinned in tests/test_graph.py."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     bought = (
@@ -314,7 +412,13 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part), and the two directions cannot collide because part ids
     # live at +10M — skipping pagerank's defensive DISTINCT saves a
     # full edge-list exchange (~1.2M rows at sf0.1)
-    return pagerank(edges, n_iter=8, assume_distinct=True)
+    ranks = pagerank(
+        edges,
+        n_iter=PAGERANK_COPURCHASE_ITERS,
+        assume_distinct=True,
+        fixed_scale=PAGERANK_FIXED_SCALE,
+    )
+    return ranks.select("node", F.col("rank").alias("rank_fp"))
 
 
 # Driver-side squaring gate: above this channel cardinality the
@@ -331,32 +435,19 @@ _MARKOV_OUT_SCHEMA = (
 )
 
 
-def markov_attribution(
+def _journey_frames(
     events: DataFrame,
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-    conv_type: str = "purchase",
-    n_squarings: int = 8,
-) -> DataFrame:
-    """Markov-chain multi-touch attribution by removal effect — the
-    data-driven alternative to position rules (attribution_position_
-    credit): model journeys as a first-order chain over channels with
-    absorbing CONV/NULL states; a channel's credit is how much total
-    conversion probability disappears when that channel's node is
-    removed (its inbound transitions re-routed to NULL, its outbound
-    dropped — the standard removal-effect construction).
-
-    Physical strategy: journeys/transition counts are ordinary
-    partitioned window + hash-agg work; the chain itself is
-    CONSTANT-SIZED (|channels|+3 states), so absorption probabilities
-    for ALL scenarios (full + one per removed channel) come from
-    repeated SQUARING of one scenario-keyed transition matrix —
-    P^(2^k) after k tiny self-joins, transient mass decays to ~0 at
-    machine precision with k=8 (vs ~2^8 linear power iterations).
-    Everything stays in DataFrames; the driver holds only loop
-    control, same discipline as :func:`pagerank`.
-    """
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conv_type: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``(counts, touches, fp)`` — the journey decomposition shared by
+    :func:`markov_attribution` and :func:`markov_removal_p4`:
+    ``counts`` is the (src, dst, cnt) transition table over channels +
+    START/CONV/NULL, ``touches`` the pre-first-purchase touch rows
+    (checkpointed — multiple consumers), ``fp`` each converted user's
+    first-purchase key (persisted — four consumers downstream)."""
     evs = events.where(
         F.col(user_col).isNotNull() & F.col(type_col).isNotNull()
     ).select(
@@ -366,11 +457,6 @@ def markov_attribution(
         F.col("event_id"),
     )
     order_key = F.struct(F.col("ts"), F.col("event_id"))
-    # persisted: fp has FOUR consumers (the touches join, terminals,
-    # direct, and the final n_conv scalar) — unpersisted, each one
-    # re-ran the events scan + first-purchase aggregation (r10 profile:
-    # ~0.5 s of the 3.0 s solo wall was repeated fp subtrees). One row
-    # per converted user — a bounded sliver.
     fp = (
         evs.where(F.col("etype") == conv_type)
         .groupBy("user")
@@ -408,6 +494,38 @@ def markov_attribution(
         .unionByName(direct)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts, touches, fp
+
+
+def markov_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    conv_type: str = "purchase",
+    n_squarings: int = 8,
+) -> DataFrame:
+    """Markov-chain multi-touch attribution by removal effect — the
+    data-driven alternative to position rules (attribution_position_
+    credit): model journeys as a first-order chain over channels with
+    absorbing CONV/NULL states; a channel's credit is how much total
+    conversion probability disappears when that channel's node is
+    removed (its inbound transitions re-routed to NULL, its outbound
+    dropped — the standard removal-effect construction).
+
+    Physical strategy: journeys/transition counts are ordinary
+    partitioned window + hash-agg work; the chain itself is
+    CONSTANT-SIZED (|channels|+3 states), so absorption probabilities
+    for ALL scenarios (full + one per removed channel) come from
+    repeated SQUARING of one scenario-keyed transition matrix —
+    P^(2^k) after k tiny self-joins, transient mass decays to ~0 at
+    machine precision with k=8 (vs ~2^8 linear power iterations).
+    Everything stays in DataFrames; the driver holds only loop
+    control, same discipline as :func:`pagerank`.
+    """
+    counts, touches, fp = _journey_frames(
+        events, user_col, ts_col, type_col, conv_type
     )
     totals = counts.groupBy("src").agg(F.sum("cnt").alias("tot"))
     probs = counts.join(totals, "src").select(
@@ -622,6 +740,283 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy fundamental-matrix solve in tests/test_stattests.py."""
     e = load_table(spark, sf_dir, "events")
     return markov_attribution(e)
+
+
+MARKOV_P4_SCALE = 10**6  # fixed-point units per 1.0 of probability
+
+
+def markov_removal_p4(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    conv_type: str = "purchase",
+    scale: int = MARKOV_P4_SCALE,
+) -> DataFrame:
+    """Bounded-power fixed-point twin of :func:`markov_attribution` —
+    the hash tier (the ``similarity_ivf_fixed_topk`` precedent: frozen
+    variant = oracle-checkable entry). Same journey decomposition,
+    same scenario-keyed removal construction (in-edges re-routed to
+    NULL, out-edges dropped, absorbing CONV/NULL self-loops), but the
+    transition matrix is FIXED-POINT BIGINT (units of 1/scale) and the
+    horizon is exactly P^4 via two integer squarings — every value is
+    an integer pure function of the events table, so a second SQL
+    engine replays it bit-for-bit. P^4 covers journeys of up to four
+    transitions (START→a→b→c→CONV and shorter), which at the fixture
+    journey-length distribution carries the bulk of conversion mass;
+    the float tier owns the asymptotic (P^256) absorption numbers.
+
+    Scale shape: journeys/counts are the shared window + hash-agg
+    pass; everything after ``p`` is constant-sized ((c+3)^2 rows per
+    scenario, c+1 scenarios) — the squaring self-joins shuffle only
+    matrix slivers, never data-sized frames."""
+    counts, touches, _fp = _journey_frames(
+        events, user_col, ts_col, type_col, conv_type
+    )
+    totals = counts.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    p = (
+        counts.join(totals, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"(cnt * {scale}) div tot").cast("long").alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    channels = (
+        p.where(F.col("src") != "START")
+        .select(F.col("src").alias("scenario"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = events.sparkSession
+    scen = channels.unionByName(
+        spark.range(1).select(F.lit("full").alias("scenario"))
+    )
+    # scenario-keyed removal matrices: for scenario c, drop c's rows
+    # and re-route …→c into …→NULL; 'full' keeps p verbatim; absorbing
+    # self-loops enter as explicit +scale rows folded by the groupBy
+    base = (
+        p.crossJoin(F.broadcast(scen))
+        .where(
+            (F.col("scenario") == "full") | (F.col("src") != F.col("scenario"))
+        )
+        .select(
+            "scenario",
+            F.col("src").alias("i"),
+            F.when(
+                (F.col("scenario") != "full")
+                & (F.col("dst") == F.col("scenario")),
+                F.lit("NULL"),
+            )
+            .otherwise(F.col("dst"))
+            .alias("j"),
+            "v",
+        )
+    )
+    loops = scen.select(
+        "scenario",
+        F.explode(F.array(F.lit("CONV"), F.lit("NULL"))).alias("i"),
+    ).select("scenario", "i", F.col("i").alias("j"), F.lit(scale).cast("long").alias("v"))
+    m = (
+        base.unionByName(loops)
+        .groupBy("scenario", "i", "j")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+
+    def square(a: DataFrame) -> DataFrame:
+        # (A²)[i,j] = (Σ_k A[i,k]·A[k,j]) div scale — integer matmul
+        # over the scenario-keyed sliver; BIGINT-safe: entries ≤ scale
+        # (row mass only shrinks under floors), so each product ≤
+        # scale² = 10^12 and the ≤(c+3)-term sum stays ≪ 2^63
+        x, y = a.alias("x"), a.alias("y")
+        return (
+            x.join(
+                y,
+                (F.col("x.scenario") == F.col("y.scenario"))
+                & (F.col("x.j") == F.col("y.i")),
+            )
+            .groupBy(
+                F.col("x.scenario").alias("scenario"),
+                F.col("x.i").alias("i"),
+                F.col("y.j").alias("j"),
+            )
+            .agg(F.expr(f"sum(x.v * y.v) div {scale}").cast("long").alias("v"))
+        )
+
+    q4 = square(square(m))
+    p4 = q4.where((F.col("i") == "START") & (F.col("j") == "CONV")).select(
+        "scenario", "v"
+    )
+    # 1-row aggregate (NULL when no 'full' mass) so the zero-conversion
+    # case emits channel rows with NULL effects on BOTH engines
+    fullv = p4.where(F.col("scenario") == "full").agg(
+        F.max("v").alias("p4_full_fp")
+    )
+    eff = (
+        channels.join(p4, "scenario", "left")
+        .crossJoin(F.broadcast(fullv))
+        .select(
+            F.col("scenario").alias("channel"),
+            F.coalesce("v", F.lit(0)).cast("long").alias("p4_removed_fp"),
+            "p4_full_fp",
+        )
+        .withColumn(
+            "removal_effect_fp",
+            F.when(
+                F.col("p4_full_fp") > 0,
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    (
+                        F.lit(scale)
+                        - F.expr(f"(p4_removed_fp * {scale}) div p4_full_fp")
+                    ).cast("long"),
+                ),
+            ),
+        )
+    )
+    tot_eff = eff.agg(F.sum("removal_effect_fp").cast("long").alias("eff_sum"))
+    tc = touches.groupBy(F.col("etype").alias("channel")).agg(
+        F.count(F.lit(1)).alias("touches")
+    )
+    return (
+        eff.crossJoin(F.broadcast(tot_eff))
+        .join(tc, "channel", "left")
+        .select(
+            "channel",
+            F.coalesce("touches", F.lit(0).cast("long")).alias("touches"),
+            "p4_full_fp",
+            "p4_removed_fp",
+            "removal_effect_fp",
+            F.expr(f"(removal_effect_fp * {scale}) div nullif(eff_sum, 0)")
+            .cast("long")
+            .alias("credit_share_fp"),
+        )
+    )
+
+
+@register(
+    "events_markov_removal_p4",
+    f"""
+    WITH
+    evs AS (
+      SELECT user_id AS u, ts, event_id, event_type AS et
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    fp AS (
+      SELECT u, ts AS fp_ts, event_id AS fp_eid
+      FROM (SELECT u, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, event_id)
+                     AS rn
+            FROM evs WHERE et = 'purchase')
+      WHERE rn = 1
+    ),
+    touches AS (
+      SELECT e.u, e.ts, e.event_id, e.et
+      FROM evs e LEFT JOIN fp ON e.u = fp.u
+      WHERE e.et <> 'purchase'
+        AND (fp.u IS NULL OR e.ts < fp.fp_ts
+             OR (e.ts = fp.fp_ts AND e.event_id < fp.fp_eid))
+    ),
+    trans_mid AS (
+      SELECT COALESCE(LAG(et) OVER (PARTITION BY u ORDER BY ts, event_id),
+                      'START') AS src,
+             et AS dst
+      FROM touches
+    ),
+    last_touch AS (
+      SELECT u, et AS last_type
+      FROM (SELECT u, et,
+                   ROW_NUMBER() OVER (PARTITION BY u
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM touches)
+      WHERE rn = 1
+    ),
+    terminals AS (
+      SELECT lt.last_type AS src,
+             CASE WHEN fp.u IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS dst
+      FROM last_touch lt LEFT JOIN fp ON lt.u = fp.u
+    ),
+    direct AS (
+      SELECT 'START' AS src, 'CONV' AS dst
+      FROM fp WHERE u NOT IN (SELECT u FROM last_touch)
+    ),
+    counts AS (
+      SELECT src, dst, COUNT(*) AS cnt
+      FROM (SELECT * FROM trans_mid
+            UNION ALL SELECT * FROM terminals
+            UNION ALL SELECT * FROM direct)
+      GROUP BY src, dst
+    ),
+    p AS (
+      SELECT c.src, c.dst, (c.cnt * {MARKOV_P4_SCALE}) // t.tot AS v
+      FROM counts c
+      JOIN (SELECT src, SUM(cnt) AS tot FROM counts GROUP BY src) t
+        USING (src)
+    ),
+    channels AS (SELECT DISTINCT src AS scenario FROM p WHERE src <> 'START'),
+    scen AS (SELECT scenario FROM channels UNION ALL SELECT 'full'),
+    m AS (
+      SELECT scenario, i, j, SUM(v) AS v FROM (
+        SELECT s.scenario, p.src AS i,
+               CASE WHEN s.scenario <> 'full' AND p.dst = s.scenario
+                    THEN 'NULL' ELSE p.dst END AS j,
+               p.v
+        FROM p CROSS JOIN scen s
+        WHERE s.scenario = 'full' OR p.src <> s.scenario
+        UNION ALL
+        SELECT scenario, 'CONV', 'CONV', {MARKOV_P4_SCALE} FROM scen
+        UNION ALL
+        SELECT scenario, 'NULL', 'NULL', {MARKOV_P4_SCALE} FROM scen
+      ) GROUP BY scenario, i, j
+    ),
+    q2 AS (
+      SELECT a.scenario, a.i, b.j, SUM(a.v * b.v) // {MARKOV_P4_SCALE} AS v
+      FROM m a JOIN m b ON a.scenario = b.scenario AND a.j = b.i
+      GROUP BY a.scenario, a.i, b.j
+    ),
+    q4 AS (
+      SELECT a.scenario, a.i, b.j, SUM(a.v * b.v) // {MARKOV_P4_SCALE} AS v
+      FROM q2 a JOIN q2 b ON a.scenario = b.scenario AND a.j = b.i
+      GROUP BY a.scenario, a.i, b.j
+    ),
+    p4 AS (SELECT scenario, v FROM q4 WHERE i = 'START' AND j = 'CONV'),
+    fullv AS (SELECT MAX(v) AS p4_full_fp FROM p4 WHERE scenario = 'full'),
+    eff AS (
+      SELECT c.scenario AS channel,
+             COALESCE(p4.v, 0) AS p4_removed_fp,
+             f.p4_full_fp,
+             CASE WHEN f.p4_full_fp > 0
+                  THEN GREATEST(0, {MARKOV_P4_SCALE}
+                       - (COALESCE(p4.v, 0) * {MARKOV_P4_SCALE})
+                         // f.p4_full_fp)
+             END AS removal_effect_fp
+      FROM channels c
+      LEFT JOIN p4 ON p4.scenario = c.scenario
+      CROSS JOIN fullv f
+    ),
+    tc AS (SELECT et AS channel, COUNT(*) AS touches FROM touches GROUP BY et)
+    SELECT e.channel,
+           CAST(COALESCE(tc.touches, 0) AS BIGINT) AS touches,
+           CAST(e.p4_full_fp AS BIGINT) AS p4_full_fp,
+           CAST(e.p4_removed_fp AS BIGINT) AS p4_removed_fp,
+           CAST(e.removal_effect_fp AS BIGINT) AS removal_effect_fp,
+           CAST((e.removal_effect_fp * {MARKOV_P4_SCALE})
+                // NULLIF((SELECT SUM(removal_effect_fp) FROM eff), 0)
+                AS BIGINT) AS credit_share_fp
+    FROM eff e LEFT JOIN tc USING (channel)
+    """,
+)
+def events_markov_removal_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point bounded-power Markov removal effect over the events
+    journeys — the HASH-ORACLE tier of ``events_markov_attribution``
+    (r10 verdict item 3): the scenario build (re-route inbound to
+    NULL, drop outbound, absorbing self-loops) and two integer matrix
+    squarings replayed as plain CTEs on both engines. Covers the
+    removal-effect semantics the float entry's numpy parity pytest
+    previously owned alone."""
+    e = load_table(spark, sf_dir, "events")
+    return markov_removal_p4(e)
 
 
 LPA_BROADCAST_MAX_NODES = 2_000_000  # same regime as the rank gate

@@ -1222,9 +1222,9 @@ WATERFILL_BUDGET_DEN = 20
     )
     SELECT source, cap AS capacity,
            CAST(CASE WHEN k <= kstar THEN cap
-                ELSE (b - p_kstar) // (n - kstar)
+                ELSE (b - p_kstar) // NULLIF(n - kstar, 0)
                      + CASE WHEN k - kstar <=
-                              (b - p_kstar) % (n - kstar)
+                              (b - p_kstar) % NULLIF(n - kstar, 0)
                             THEN 1 ELSE 0 END
                 END AS BIGINT) AS allocated,
            k <= kstar AS saturated
@@ -1294,9 +1294,14 @@ def token_waterfill(
         ),
     )
     out = j.crossJoin(F.broadcast(ag))
-    base = F.expr("(b - p_kstar) div (n - kstar)")
+    # nullif guards the all-saturated case (kstar == n, reachable when
+    # budget >= total capacity): every row then takes the k <= kstar
+    # branch so base/extra are unused, but ANSI mode (and the DuckDB
+    # oracle) would still error on the eager 0-divisor without it
+    base = F.expr("(b - p_kstar) div nullif(n - kstar, 0)")
     extra = F.when(
-        (F.col("k") - F.col("kstar")) <= ((F.col("b") - F.col("p_kstar")) % (F.col("n") - F.col("kstar"))),
+        (F.col("k") - F.col("kstar"))
+        <= F.expr("(b - p_kstar) % nullif(n - kstar, 0)"),
         F.lit(1).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
     return out.select(

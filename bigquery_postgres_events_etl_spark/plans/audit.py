@@ -325,9 +325,12 @@ class capture_checkpoints:
             orig = cls.localCheckpoint
             self._origs.append((cls, orig))
 
-            def _capturing(df, eager: bool = True, _orig=orig):
+            # forward everything: PySpark versions add parameters to
+            # localCheckpoint (e.g. storageLevel) and callers may pass
+            # positionally — a pinned signature would TypeError mid-audit
+            def _capturing(df, *args, _orig=orig, **kwargs):
                 captured.append(df)
-                return _orig(df, eager=eager)
+                return _orig(df, *args, **kwargs)
 
             cls.localCheckpoint = _capturing  # type: ignore[method-assign]
         return captured

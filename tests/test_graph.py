@@ -45,16 +45,97 @@ def test_pagerank_matches_reference_and_conserves_mass(spark):
     assert got[3] == min(got.values())
 
 
+def _reference_pagerank_fixed(edge_list, scale, dnum=17, dden=20, n_iter=10):
+    """Pure-Python FIXED-POINT power iteration mirroring
+    pagerank(fixed_scale=...): all-integer arithmetic, floor division
+    everywhere, dangling mass redistributed as (dnum*mass)//(dden*n)."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    out = {}
+    for u, v in set(edge_list):
+        out.setdefault(u, set()).add(v)
+    n = len(nodes)
+    base = ((dden - dnum) * scale) // (dden * n)
+    rank = {x: scale // n for x in nodes}
+    for _ in range(n_iter):
+        dangling = sum(rank[x] for x in nodes if x not in out)
+        mass = {x: 0 for x in nodes}
+        for u, vs in out.items():
+            share = rank[u] // len(vs)
+            for v in vs:
+                mass[v] += share
+        rank = {
+            x: base + (dnum * mass[x]) // dden + (dnum * dangling) // (dden * n)
+            for x in nodes
+        }
+    return rank
+
+
+def test_pagerank_fixed_point_matches_integer_reference(spark):
+    """The fixed-point tier (the hash-oracle arithmetic) must equal a
+    pure-Python integer power iteration EXACTLY — including the
+    dangling-mass div path (node 4 dangles)."""
+    edges = [(2, 1), (3, 1), (4, 1), (1, 4), (3, 2), (5, 1), (5, 2), (2, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    scale = 10**12
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, n_iter=10, fixed_scale=scale).collect()
+    }
+    want = _reference_pagerank_fixed(edges, scale, n_iter=10)
+    assert got == want  # exact integer equality, no tolerance
+    # floor leaks < 1 unit/node/round: total within n*n_iter of scale
+    assert scale - 5 * 10 * 2 <= sum(got.values()) <= scale
+    # same ordering semantics as the float tier
+    assert got[4] == max(got.values())
+    assert got[3] == min(got.values())
+
+
 def test_pagerank_copurchase_entry(spark, sf_dir):
+    from bigquery_postgres_events_etl_spark.operators.graph import (
+        PAGERANK_FIXED_SCALE,
+    )
+
     df = all_queries()["graph_pagerank_copurchase"](spark, sf_dir)
     rows = df.collect()
     assert len(rows) > 0
-    total = sum(r.rank for r in rows)
-    assert abs(total - 1.0) <= 1e-6
+    total = sum(r.rank_fp for r in rows)
+    # fixed-point mass conservation up to floor loss: each share/base
+    # div leaks < 1 unit, so per iteration the leak is bounded by
+    # |V| + |E| units out of 10^12 — relative loss is ~1e-7 at any
+    # fixture scale; 0.1% is a generous ceiling
+    assert 0.999 * PAGERANK_FIXED_SCALE <= total <= PAGERANK_FIXED_SCALE
     # bipartite both-directions graph has no dangling nodes and both
     # node families present
     assert any(r.node >= 10_000_000 for r in rows)
     assert any(r.node < 10_000_000 for r in rows)
+
+
+def test_markov_removal_p4_invariants(spark, sf_dir):
+    """Fixed-point P^4 removal tier: effects live in [0, scale],
+    removal never beats the full chain, credit shares sum to ~scale
+    (floor loss < 1 unit per channel), and channels match the float
+    tier's channel set."""
+    from bigquery_postgres_events_etl_spark.operators.graph import (
+        MARKOV_P4_SCALE,
+    )
+
+    rows = all_queries()["events_markov_removal_p4"](spark, sf_dir).collect()
+    assert rows
+    full = rows[0].p4_full_fp
+    assert full is not None and full > 0
+    for r in rows:
+        assert r.p4_full_fp == full  # broadcast scalar, same everywhere
+        assert 0 <= r.p4_removed_fp <= full  # removal can't add mass
+        assert 0 <= r.removal_effect_fp <= MARKOV_P4_SCALE
+        assert r.touches > 0  # every channel was an observed touch
+    shares = [r.credit_share_fp for r in rows]
+    if any(s is not None for s in shares):
+        total = sum(s for s in shares if s is not None)
+        assert MARKOV_P4_SCALE - len(rows) <= total <= MARKOV_P4_SCALE
+    float_tier = all_queries()["events_markov_attribution"](spark, sf_dir)
+    assert {r.channel for r in rows} == {
+        r.channel for r in float_tier.select("channel").collect()
+    }
 
 
 def test_markov_no_conversions_is_empty_on_both_squaring_paths(spark):
@@ -98,13 +179,22 @@ def test_pagerank_shuffle_fallback_matches_broadcast_path(spark):
     edges = [(2, 1), (3, 1), (4, 1), (1, 4), (3, 2), (5, 1), (5, 2), (2, 4)]
     df = spark.createDataFrame(edges, ["src", "dst"])
     got_b = {r.node: r.rank for r in graph.pagerank(df, n_iter=6).collect()}
+    got_fb = {
+        r.node: r.rank
+        for r in graph.pagerank(df, n_iter=6, fixed_scale=10**12).collect()
+    }
     old = graph.RANKS_BROADCAST_MAX_NODES
     graph.RANKS_BROADCAST_MAX_NODES = 0  # force the shuffle path
     try:
         got_s = {r.node: r.rank for r in graph.pagerank(df, n_iter=6).collect()}
+        got_fs = {
+            r.node: r.rank
+            for r in graph.pagerank(df, n_iter=6, fixed_scale=10**12).collect()
+        }
     finally:
         graph.RANKS_BROADCAST_MAX_NODES = old
     assert got_b == got_s  # bit-identical, not approximately equal
+    assert got_fb == got_fs  # fixed-point tier: same integers on both paths
 
 
 def test_markov_driver_tail_matches_distributed_tail(spark):
