@@ -905,3 +905,137 @@ def edit_distance_pairs(
         )
         .where((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_distance))
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    min_len: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal repeated-substring spans of length ≥ ``min_len`` per
+    document — the exact-substring dedup of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better",
+    suffix-array semantics) re-expressed as shingle inverted index +
+    span union: a character belongs to a shared substring of length
+    ≥ L iff some L-window covering it occurs ≥ 2 times in the corpus
+    (any L-window of a shared ≥L substring is itself shared, and a
+    shared L-window IS a shared substring), so the union of repeated
+    L-windows, island-merged per doc, is EXACTLY the suffix-array
+    span set — no approximation.
+
+    Returns (doc_id, span_start [1-based], span_end [exclusive],
+    span_len). Scale shape: one explode (L× char amplification — at
+    100 TB swap the group key for the window's 128-bit digest, same
+    note as dedup_common_spans), one count-≥2 aggregation + one
+    co-partitioned semi-join on the gram key, then per-doc windows
+    over hit positions only (bounded by doc length / spans present).
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # CASE, not greatest(len-L+1, 0): Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0], so short docs must take the empty-array arm
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN length(text) >= {min_len} THEN "
+                f"transform(sequence(1, length(text) - {min_len} + 1), "
+                f"i -> substring(text, i, {min_len})) "
+                f"ELSE array() END"
+            )
+        ).alias("off", "gram"),
+    ).select("doc_id", (F.col("off") + 1).alias("pos"), "gram")
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(shared, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + min_len).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        "doc_id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    return (
+        flagged.withColumn(
+            "island",
+            F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(min_len)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+
+
+def exact_substring_removal(
+    docs: DataFrame,
+    min_len: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REMOVAL rewrite over :func:`exact_substring_spans`: every
+    character inside a repeated ≥min_len span is cut (all occurrences
+    — the strictest Lee-et-al. variant; keep-one policies compose on
+    top by exempting the earliest doc per span). Returns one row per
+    input doc: (doc_id, n_spans, chars_removed, clean_text); docs
+    with no repeated spans pass through verbatim. The rewrite is pure
+    span arithmetic: kept segments assembled with an ordered
+    array_join of substring slices — no UDF, no driver loop."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    spans = exact_substring_spans(docs, min_len, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    segs = spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.coalesce(F.lag("span_end").over(w), F.lit(1)).alias("keep_from"),
+    )
+    per_doc = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("chars_removed"),
+        F.max("span_end").alias("last_end"),
+        # array_sort on (span_start, keep_from) structs: deterministic
+        # segment order regardless of collect_list arrival order
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "keep_from"))
+        ).alias("keeps"),
+    )
+    return (
+        d.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("chars_removed", F.lit(0))
+            .cast("long")
+            .alias("chars_removed"),
+            F.when(F.col("n_spans").isNull(), F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.expr(
+                        "array_join(transform(keeps, s -> substring(text, "
+                        "s.keep_from, s.span_start - s.keep_from)), '')"
+                    ),
+                    F.expr(
+                        "substring(text, last_end, "
+                        "greatest(length(text) - last_end + 1, 0))"
+                    ),
+                )
+            )
+            .alias("clean_text"),
+        )
+    )

@@ -356,3 +356,83 @@ def test_edit_distance_banded_recall_vs_exact(spark, sf_dir):
     recall = len(banded) / len(exact)
     assert recall >= 0.8, f"banded recall {recall:.2f} < 0.8 ({len(banded)}/{len(exact)})"
     spark.catalog.clearCache()
+
+
+def test_exact_substring_removal_planted_and_tiling(spark):
+    """Planted 45-char shared substring: spans cover EXACTLY it in
+    both docs, the rewrite cuts it, and untouched docs pass through
+    verbatim. Tiling properties: spans ≥ min_len, disjoint with gaps
+    (merged), and chars_removed == len(text) - len(clean_text)."""
+    from bigquery_postgres_events_etl_spark.operators.dedup import (
+        exact_substring_removal,
+        exact_substring_spans,
+    )
+
+    shared = "S" * 20 + "HARED-REPEATED-SPAN-OF-45" # 45 chars
+    assert len(shared) == 45
+    # distinct flanking chars on each side in each doc, so the maximal
+    # shared substring is exactly the 45 planted chars
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa-prefix-oneX" + shared + "Y-suffix-one-aaaa"),
+            (2, "bbbbbb-other-twoP" + shared + "Q-tail-bbbbbb"),
+            (3, "unique document with no repeats at all, left alone"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in exact_substring_spans(docs, min_len=30).collect()
+    }
+    # one span per planted doc, covering exactly the 45 shared chars
+    a0 = docs.collect()
+    texts = {r.doc_id: r.text for r in a0}
+    for did in (1, 2):
+        s, e = spans[did]
+        assert texts[did][s - 1 : e - 1] == shared
+    assert 3 not in spans
+    out = {r.doc_id: r for r in exact_substring_removal(docs, min_len=30).collect()}
+    assert out[3].clean_text == texts[3] and out[3].n_spans == 0
+    for did in (1, 2):
+        assert out[did].n_spans == 1
+        assert out[did].chars_removed == 45
+        assert out[did].clean_text == texts[did].replace(shared, "")
+
+
+def test_exact_substring_spans_tile_fixture(spark, sf_dir):
+    """Fixture-scale tiling invariants: every span ≥ min_len, spans
+    per doc strictly separated (island merge leaves gaps), every
+    span's leading window really does repeat in the corpus, and the
+    removal complement identity holds for every doc."""
+    from bigquery_postgres_events_etl_spark.operators.dedup import (
+        exact_substring_removal,
+        exact_substring_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = exact_substring_spans(docs, min_len=30).collect()
+    assert spans, "fixture should contain repeated >=30-char substrings"
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans:
+        assert r.span_len >= 30
+        assert r.span_end - r.span_start == r.span_len
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for _, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, _e2) in zip(ss, ss[1:]):
+            assert s2 > e1, "merged spans must be separated by a gap"
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    # each span's leading 30-char window occurs >= 2 times corpus-wide
+    from collections import Counter
+
+    win = Counter()
+    for t in texts.values():
+        for i in range(len(t) - 29):
+            win[t[i : i + 30]] += 1
+    for r in spans[:200]:
+        lead = texts[r.doc_id][r.span_start - 1 : r.span_start + 29]
+        assert win[lead] >= 2
+    out = exact_substring_removal(docs, min_len=30).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        assert r.chars_removed == len(texts[r.doc_id]) - len(r.clean_text)
