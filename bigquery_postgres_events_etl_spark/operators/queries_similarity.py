@@ -166,6 +166,140 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _sign_sig_sql(emb: str, base: int, half: int = EMBEDDING_DIM // 2) -> str:
+    """Packed sign-bit signature half as literal SQL: bit p set when
+    dimension (base+p) is strictly positive — the identical predicate
+    and bit weights as similarity.with_sign_signature's fold (32 bits
+    per BIGINT half; bit 63 deliberately unused: 1<<63 overflow
+    behavior differs across engines, 1<<31 in a BIGINT does not)."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {emb}[{base + p}] > 0 THEN (CAST(1 AS BIGINT) << {p})"
+        f" ELSE 0 END)"
+        for p in range(half)
+    ) + ")"
+
+
+BQ_SHORTLIST = 50
+
+
+@register(
+    "similarity_binary_quantized_topk",
+    f"""
+    WITH {_NORMS_CTE},
+    sigs AS (
+      SELECT e.vec_id, e.embedding, n.nsq,
+             {_sign_sig_sql('e.embedding', 1)} AS sig_lo,
+             {_sign_sig_sql('e.embedding', 1 + EMBEDDING_DIM // 2)} AS sig_hi
+      FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+    ),
+    q AS (SELECT * FROM sigs WHERE vec_id < {N_QUERIES}),
+    hammed AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS q_emb, c.embedding AS c_emb,
+             q.nsq AS q_nsq, c.nsq AS c_nsq,
+             CAST(bit_count(xor(q.sig_lo, c.sig_lo))
+                  + bit_count(xor(q.sig_hi, c.sig_hi)) AS BIGINT) AS hamming
+      FROM q JOIN sigs c ON c.vec_id != q.vec_id
+    ),
+    short AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS h_rank
+      FROM hammed
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, hamming,
+             {_dot_sql('q_emb', 'c_emb')} / sqrt(q_nsq * c_nsq) AS cosine
+      FROM short WHERE h_rank <= {BQ_SHORTLIST}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, hamming, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, hamming, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_binary_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (the modern sign-bit tier, RaBitQ-style
+    pipeline shape): 64 floats pack into two 32-bit signature words
+    map-side, the Hamming stage broadcasts only 16-byte query
+    signatures against the corpus scan (bit_count(xor) is codegen'd),
+    and float vectors surface solely for the 50-candidate shortlist's
+    exact cosine re-rank. Fully deterministic (sign predicate +
+    integer Hamming + house tie-breaks) → hash oracle; recall vs
+    brute force pinned in tests/test_similarity.py."""
+    from .similarity import binary_quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return binary_quantized_topk(
+        queries, emb, k=TOP_K, shortlist=BQ_SHORTLIST, dim=EMBEDDING_DIM
+    )
+
+
+MRL_PREFIX_DIM = 8
+MRL_SHORTLIST = 50
+
+
+@register(
+    "similarity_matryoshka_topk",
+    f"""
+    WITH {_NORMS_CTE},
+    pre AS (
+      SELECT e.vec_id, e.embedding, n.nsq,
+             {_dot_sql('e.embedding', 'e.embedding', dim=MRL_PREFIX_DIM)}
+               AS pre_nsq
+      FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id
+    ),
+    q AS (SELECT * FROM pre WHERE vec_id < {N_QUERIES}),
+    coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS q_emb, c.embedding AS c_emb,
+             q.nsq AS q_nsq, c.nsq AS c_nsq,
+             {_dot_sql('q.embedding', 'c.embedding', dim=MRL_PREFIX_DIM)}
+               / sqrt(q.pre_nsq * c.pre_nsq) AS pre_cosine
+      FROM q JOIN pre c ON c.vec_id != q.vec_id
+    ),
+    short AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY pre_cosine DESC, neighbor_id)
+                  AS p_rank
+      FROM coarse
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, pre_cosine,
+             {_dot_sql('q_emb', 'c_emb')} / sqrt(q_nsq * c_nsq) AS cosine
+      FROM short WHERE p_rank <= {MRL_SHORTLIST}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, pre_cosine, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, pre_cosine, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) two-stage ANN: coarse cosine over the FIRST 8
+    dimensions only (trained-prefix sub-embedding semantics, Kusupati
+    et al. 2022), 50-candidate shortlist, exact 64-dim re-rank. The
+    coarse stage moves 1/8 of the embedding bytes; the full vectors
+    surface only for shortlist rows. Deterministic prefix/full chains
+    + house tie-breaks → hash oracle."""
+    from .similarity import matryoshka_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return matryoshka_topk(
+        queries, emb, k=TOP_K, prefix_dim=MRL_PREFIX_DIM, shortlist=MRL_SHORTLIST
+    )
+
+
 @register("similarity_ann_ivf", None)  # trained quantizer: recall-tested
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (k-means inverted lists + exact re-rank within

@@ -1084,3 +1084,152 @@ def rrf_fusion(
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def with_sign_signature(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Binary (sign-bit) quantization: dimension p contributes bit p of
+    a packed signature when x_p > 0 — 64 floats become 2×32-bit words
+    (32 bits per BIGINT half, deliberately avoiding bit 63: a 1<<63
+    differs across engines' overflow behavior, 1<<31 in a BIGINT does
+    not). Hamming distance between signatures approximates angular
+    distance (Charikar's SimHash bound applied to the identity
+    "hyperplanes" = coordinate axes); the modern binary-quantization
+    ANN tier (e.g. RaBitQ-style pipelines) shortlists by Hamming and
+    re-ranks exact. Map-side expression, no shuffle, 32× smaller than
+    the float vectors in the shortlist exchange."""
+    half = dim // 2
+
+    def _pack(lo: int) -> str:
+        return (
+            "aggregate(transform(sequence(0, {n}), p -> IF("
+            "element_at({e}, p + {base}) > 0, shiftleft(CAST(1 AS BIGINT), p),"
+            " CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).format(n=half - 1, e=emb_col, base=lo)
+
+    # keep the caller's columns (norm_sq etc.) — signatures append
+    return df.select(
+        "*",
+        F.expr(_pack(1)).alias("sig_lo"),
+        F.expr(_pack(half + 1)).alias("sig_hi"),
+    )
+
+
+def binary_quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-bit ANN: Hamming shortlist over packed signatures, exact
+    cosine re-rank on the survivors (house tie-breaks: hamming ASC /
+    neighbor_id ASC for the shortlist, cosine DESC / neighbor_id ASC
+    for the final rank — fully deterministic, hash-oracle-able).
+
+    Scale shape: signatures are 16 bytes/vector — the Hamming stage
+    broadcasts the QUERY signatures and scans the corpus map-side
+    (bit_count(xor) is codegen'd); only ``shortlist`` candidates per
+    query carry their float vectors into the re-rank."""
+    q = with_sign_signature(
+        with_norm_sq(queries, emb_col), id_col, emb_col, dim
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.expr("norm_sq").alias("q_norm"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    c = with_sign_signature(
+        with_norm_sq(corpus, emb_col), id_col, emb_col, dim
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.expr("norm_sq").alias("c_norm"),
+        "sig_lo",
+        "sig_hi",
+    )
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    hammed = pairs.withColumn(
+        "hamming",
+        (
+            F.bit_count(F.expr("sig_lo ^ q_lo"))
+            + F.bit_count(F.expr("sig_hi ^ q_hi"))
+        ).cast("long"),
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = hammed.withColumn("h_rank", F.row_number().over(w_short)).where(
+        F.col("h_rank") <= shortlist
+    )
+    scored = short.withColumn(
+        "cosine", cosine(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
+    )
+
+
+def matryoshka_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    prefix_dim: int = 8,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style two-stage ANN (Kusupati et al. 2022, MRL):
+    coarse-score with the FIRST ``prefix_dim`` dimensions only (MRL
+    embeddings are trained so prefixes are usable sub-embeddings),
+    shortlist per query, exact full-dimension re-rank. Deterministic
+    tie-breaks throughout (prefix cosine DESC / neighbor_id ASC, then
+    full cosine DESC / neighbor_id ASC) — hash-oracle-able.
+
+    Scale shape: the coarse stage moves prefix_dim/dim of the bytes
+    (8/64 here); the full vectors surface only for shortlist rows."""
+    pre = f"slice({emb_col}, 1, {prefix_dim})"
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm_sq(emb_col).alias("q_norm"),
+        F.expr(pre).alias("q_pre"),
+        norm_sq(pre).alias("q_pre_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm_sq(emb_col).alias("c_norm"),
+        F.expr(pre).alias("c_pre"),
+        norm_sq(pre).alias("c_pre_norm"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    coarse = pairs.withColumn(
+        "pre_cosine",
+        cosine(dot("q_pre", "c_pre"), F.col("q_pre_norm"), F.col("c_pre_norm")),
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.desc("pre_cosine"), F.asc("neighbor_id")
+    )
+    short = coarse.withColumn("p_rank", F.row_number().over(w_short)).where(
+        F.col("p_rank") <= shortlist
+    )
+    scored = short.withColumn(
+        "cosine", cosine(dot("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pre_cosine", "cosine", "rank")
+    )

@@ -254,3 +254,57 @@ def test_ivf_fixed_codebook_recall_and_list_partition(spark, sf_dir):
     got = {(r.query_id, r.neighbor_id) for r in out}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.3, f"fixed-codebook IVF recall {recall}"
+
+
+def test_binary_quantized_recall_and_shortlist_contract(spark, sf_dir):
+    """Sign-bit Hamming shortlist (50 of ~2000) must recover a solid
+    share of the true cosine top-5, and every returned neighbor must
+    genuinely be in the query's Hamming-top-50 (the shortlist is a
+    hard gate, not a hint)."""
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        binary_quantized_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    out = binary_quantized_topk(queries, emb, k=5, shortlist=50).collect()
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"binary-quant recall {recall}"
+    assert all(0 <= r.hamming <= 64 for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 5 for v in per_q.values())
+
+
+def test_matryoshka_prefix_stage_recall(spark, sf_dir):
+    """8-of-64-dim coarse stage + 50-candidate shortlist must recover
+    a solid share of the exact top-5, and widening the shortlist can
+    only help (superset property of the re-rank candidate set)."""
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        matryoshka_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    narrow = {
+        (r.query_id, r.neighbor_id)
+        for r in matryoshka_topk(queries, emb, k=5, shortlist=50).collect()
+    }
+    wide = {
+        (r.query_id, r.neighbor_id)
+        for r in matryoshka_topk(queries, emb, k=5, shortlist=200).collect()
+    }
+    r_narrow = len(truth & narrow) / len(truth)
+    r_wide = len(truth & wide) / len(truth)
+    assert r_narrow >= 0.3, f"matryoshka recall {r_narrow}"
+    assert r_wide >= r_narrow  # more candidates, never worse
