@@ -912,6 +912,7 @@ def exact_substring_spans(
     min_len: int = 30,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Maximal repeated-substring spans of length ≥ ``min_len`` per
     document — the exact-substring dedup of Lee et al. 2021
@@ -945,13 +946,29 @@ def exact_substring_spans(
             )
         ).alias("off", "gram"),
     ).select("doc_id", (F.col("off") + 1).alias("pos"), "gram")
-    shared = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= 2)
-        .select("gram")
-    )
-    hits = grams.join(shared, "gram").select("doc_id", "pos")
+    if keep_first:
+        # keep-one policy: per repeated window, the EARLIEST occurrence
+        # ((doc_id, pos) order) is exempt — only later occurrences are
+        # removable. One shuffle on the gram key (both window specs
+        # share the partitioning) instead of the groupBy+join pair.
+        wg = Window.partitionBy("gram")
+        ranked = grams.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(wg).alias("cnt"),
+            F.row_number().over(wg.orderBy("doc_id", "pos")).alias("rn"),
+        )
+        hits = ranked.where((F.col("cnt") >= 2) & (F.col("rn") > 1)).select(
+            "doc_id", "pos"
+        )
+    else:
+        shared = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= 2)
+            .select("gram")
+        )
+        hits = grams.join(shared, "gram").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + min_len).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -987,6 +1004,7 @@ def exact_substring_removal(
     min_len: int = 30,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_first: bool = False,
 ) -> DataFrame:
     """The REMOVAL rewrite over :func:`exact_substring_spans`: every
     character inside a repeated ≥min_len span is cut (all occurrences
@@ -997,7 +1015,7 @@ def exact_substring_removal(
     span arithmetic: kept segments assembled with an ordered
     array_join of substring slices — no UDF, no driver loop."""
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    spans = exact_substring_spans(docs, min_len, text_col, id_col)
+    spans = exact_substring_spans(docs, min_len, text_col, id_col, keep_first)
     w = Window.partitionBy("doc_id").orderBy("span_start")
     segs = spans.select(
         "doc_id",

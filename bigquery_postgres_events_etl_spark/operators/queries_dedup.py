@@ -419,6 +419,95 @@ def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "dedup_substring_keep_first",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    pos_ AS (
+      SELECT doc_id, text,
+             unnest(CASE WHEN length(text) >= {SUBSTR_MIN_LEN}
+                    THEN generate_series(1, length(text) - {SUBSTR_MIN_LEN} + 1)
+                    ELSE [] END) AS pos
+      FROM d
+    ),
+    g AS (SELECT doc_id, pos,
+                 substring(text, pos, {SUBSTR_MIN_LEN}) AS gram FROM pos_),
+    hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY gram) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn
+        FROM g)
+      WHERE cnt >= 2 AND rn > 1
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(
+                    max(pos + {SUBSTR_MIN_LEN}) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS span_start,
+             MAX(pos) + {SUBSTR_MIN_LEN} AS span_end
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    segs AS (
+      SELECT doc_id, span_start, span_end,
+             COALESCE(LAG(span_end) OVER (PARTITION BY doc_id
+                                          ORDER BY span_start), 1) AS keep_from
+      FROM spans
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_spans,
+             SUM(s.span_end - s.span_start) AS chars_removed,
+             MAX(s.span_end) AS last_end,
+             string_agg(substring(d.text, s.keep_from,
+                                  s.span_start - s.keep_from), ''
+                        ORDER BY s.span_start) AS kept_head
+      FROM segs s JOIN d USING (doc_id)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.chars_removed, 0) AS BIGINT) AS chars_removed,
+           CASE WHEN p.doc_id IS NULL THEN d.text
+                ELSE COALESCE(p.kept_head, '')
+                     || substring(d.text, p.last_end,
+                          GREATEST(length(d.text) - p.last_end + 1, 0))
+           END AS clean_text
+    FROM d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP-ONE exact-substring dedup — the production Lee-et-al.
+    policy (one copy of duplicated content survives): per repeated
+    ≥30-char window, the earliest occurrence ((doc_id, pos) order)
+    is exempt; only later occurrences island-merge into removal
+    spans. Same output contract as dedup_exact_substring_removal;
+    the removable-hit set is a strict subset (removal monotonicity
+    pinned in tests/test_dedup.py). Plan swaps the inverted-index
+    groupBy+join for one gram-partitioned window pair (count +
+    row_number share the exchange)."""
+    from .dedup import exact_substring_removal
+
+    return exact_substring_removal(
+        parallelize(load_table(spark, sf_dir, "documents")),
+        SUBSTR_MIN_LEN,
+        keep_first=True,
+    )
+
+
 @register("dedup_simhash_fast", None)  # xxhash64 — no DuckDB twin
 def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash production hash tier: identical single-shuffle

@@ -436,3 +436,43 @@ def test_exact_substring_spans_tile_fixture(spark, sf_dir):
     assert len(out) == len(texts)
     for r in out:
         assert r.chars_removed == len(texts[r.doc_id]) - len(r.clean_text)
+
+
+def test_substring_keep_first_exempts_earliest_and_is_monotone(spark, sf_dir):
+    """Keep-one policy: the earliest doc keeps its copy verbatim, the
+    later doc loses it; and corpus-wide the keep-first removable set
+    is a subset of remove-all's (chars_removed never larger)."""
+    from bigquery_postgres_events_etl_spark.operators.dedup import (
+        exact_substring_removal,
+    )
+
+    shared = "S" * 20 + "HARED-REPEATED-SPAN-OF-45"
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa-prefix-oneX" + shared + "Y-suffix-one-aaaa"),
+            (2, "bbbbbb-other-twoP" + shared + "Q-tail-bbbbbb"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in exact_substring_removal(docs, min_len=30, keep_first=True).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert out[1].clean_text == texts[1] and out[1].n_spans == 0  # owner keeps
+    assert out[2].n_spans == 1 and out[2].clean_text == texts[2].replace(shared, "")
+
+    fixture = load_table(spark, sf_dir, "documents")
+    ka = {
+        r.doc_id: r.chars_removed
+        for r in exact_substring_removal(fixture, min_len=30).collect()
+    }
+    kf = {
+        r.doc_id: r.chars_removed
+        for r in exact_substring_removal(
+            fixture, min_len=30, keep_first=True
+        ).collect()
+    }
+    assert set(ka) == set(kf)
+    assert all(kf[d] <= ka[d] for d in ka)
+    assert sum(kf.values()) < sum(ka.values())  # something was exempted
