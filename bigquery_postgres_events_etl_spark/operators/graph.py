@@ -421,6 +421,428 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("rank").alias("rank_fp"))
 
 
+def personalized_pagerank_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    scale: int = PAGERANK_FIXED_SCALE,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Personalized PageRank (teleport confined to a seed set) in the
+    fixed-point integer arithmetic of :func:`pagerank` — the random
+    surfer restarts at a SEED node instead of anywhere, so rank mass
+    measures proximity to the seeds (the standard recommendation /
+    trust-propagation primitive). All-integer update:
+
+        rank' = [seed] · ((dden-dnum)·scale) div (dden·|S|)
+                + (dnum · Σ_in shares) div dden
+                + [seed] · (dnum · dangling) div (dden·|S|)
+
+    so a second engine replays it bit-for-bit (the recursive-CTE
+    oracle on ``graph_ppr_seeded``). Same physical shape as pagerank:
+    below the measured-|V| broadcast gate the per-iteration body is a
+    map-side explode of the persisted in-neighbor adjacency + a
+    broadcast share lookup + an exchange-free aggregation; above it
+    the hash-join path. The seed flag is node-determined and is folded
+    into the adjacency/degree frames ONCE at build (one broadcast
+    join) — zero per-iteration seed cost."""
+    fr = Fraction(str(damping))
+    dnum, dden = fr.numerator, fr.denominator
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
+    seed_flags = seeds.select(
+        F.col(seeds.columns[0]).alias("node"), F.lit(1).alias("is_seed")
+    ).distinct()
+    n_seeds = seed_flags.count()  # loop-control scalar (bounded seed set)
+    deg = (
+        e.select(F.col("src").alias("node"), F.lit(1).alias("w"))
+        .union(e.select(F.col("dst").alias("node"), F.lit(0).alias("w")))
+        .groupBy("node")
+        .agg(F.sum("w").cast("long").alias("outdeg"))
+        .join(F.broadcast(seed_flags), "node", "left")
+        .select(
+            "node", "outdeg", F.coalesce("is_seed", F.lit(0)).alias("is_seed")
+        )
+        .localCheckpoint(eager=True)
+    )
+    head = deg.agg(
+        F.count(F.lit(1)).alias("n"), F.min("outdeg").alias("min_outdeg")
+    ).first()
+    n, has_dangling = head["n"], head["min_outdeg"] == 0
+    broadcast_ranks = n <= _state_broadcast_gate(edges, RANKS_BROADCAST_MAX_NODES)
+    if broadcast_ranks:
+        nbr_t = e.schema["src"].dataType
+        in_adj = (
+            e.select(
+                F.col("src").alias("node"),
+                F.lit(1).alias("w"),
+                F.lit(None).cast(nbr_t).alias("nbr"),
+            )
+            .union(
+                e.select(
+                    F.col("dst").alias("node"),
+                    F.lit(0).alias("w"),
+                    F.col("src").alias("nbr"),
+                )
+            )
+            .groupBy("node")
+            .agg(
+                F.sum("w").cast("long").alias("outdeg"),
+                F.sort_array(F.collect_list("nbr")).alias("in_nbrs"),
+            )
+            .join(F.broadcast(seed_flags), "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                F.coalesce("is_seed", F.lit(0)).alias("is_seed"),
+                "in_nbrs",
+            )
+            .persist()
+        )
+    else:
+        e = e.repartition("src").persist()
+
+    checkpoint_every = 1 if has_dangling else PAGERANK_CHECKPOINT_EVERY
+    base_const = ((dden - dnum) * scale) // (dden * n_seeds)
+    ranks = deg.select(
+        "node",
+        "outdeg",
+        "is_seed",
+        F.when(F.col("is_seed") == 1, F.lit(scale // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for it in range(n_iter):
+        if broadcast_ranks:
+            shares = ranks.where(F.col("outdeg") > 0).select(
+                F.col("node").alias("src_node"),
+                F.expr("rank div outdeg").cast("long").alias("c"),
+            )
+            ex = in_adj.select(
+                "node",
+                "outdeg",
+                "is_seed",
+                F.explode_outer("in_nbrs").alias("src_nbr"),
+            )
+            stepped = (
+                ex.join(
+                    F.broadcast(shares),
+                    ex.src_nbr == F.col("src_node"),
+                    "left",
+                )
+                .groupBy("node", "outdeg", "is_seed")
+                .agg(
+                    F.sum(F.coalesce(F.col("c"), F.lit(0).cast("long")))
+                    .cast("long")
+                    .alias("in_mass")
+                )
+            )
+        else:
+            contrib_rows = e.join(ranks, e.src == ranks.node).select(
+                F.col("dst").alias("node"),
+                F.lit(None).cast("long").alias("deg_row"),
+                F.lit(None).cast("long").alias("seed_row"),
+                F.expr("rank div outdeg").cast("long").alias("c"),
+            )
+            zero_rows = deg.select(
+                "node",
+                F.col("outdeg").alias("deg_row"),
+                F.col("is_seed").cast("long").alias("seed_row"),
+                F.lit(0).cast("long").alias("c"),
+            )
+            stepped = (
+                contrib_rows.union(zero_rows)
+                .groupBy("node")
+                .agg(
+                    F.max("deg_row").alias("outdeg"),
+                    F.max("seed_row").alias("is_seed"),
+                    F.sum("c").cast("long").alias("in_mass"),
+                )
+            )
+        if has_dangling:
+            dangling = ranks.where(F.col("outdeg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0))
+                .cast("long")
+                .alias("dangling_mass")
+            )
+            stepped = stepped.crossJoin(F.broadcast(dangling))
+        upd = F.when(
+            F.col("is_seed") == 1, F.lit(base_const).cast("long")
+        ).otherwise(F.lit(0).cast("long")) + F.expr(
+            f"({dnum} * in_mass) div {dden}"
+        )
+        if has_dangling:
+            upd = upd + F.when(
+                F.col("is_seed") == 1,
+                F.expr(f"({dnum} * dangling_mass) div {dden * n_seeds}"),
+            ).otherwise(F.lit(0).cast("long"))
+        ranks = stepped.select(
+            "node", "outdeg", "is_seed", upd.cast("long").alias("rank")
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
+
+
+PPR_N_SEEDS = 10
+PPR_ITERS = 8
+
+
+@register(
+    "graph_ppr_seeded",
+    f"""
+    WITH RECURSIVE
+    bought AS (
+      SELECT DISTINCT o.o_custkey AS cust,
+                      l.l_partkey + 10000000 AS part
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT cust AS src, part AS dst FROM bought
+      UNION ALL
+      SELECT part AS src, cust AS dst FROM bought
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    seeds AS (
+      SELECT o_custkey AS node FROM orders GROUP BY o_custkey
+      ORDER BY COUNT(*) DESC, o_custkey LIMIT {PPR_N_SEEDS}
+    ),
+    ns AS (SELECT COUNT(*) AS s FROM seeds),
+    pr (r, node, outdeg, rank_fp) AS (
+      SELECT 0, d.node, d.outdeg,
+             CASE WHEN d.node IN (SELECT node FROM seeds)
+                  THEN {PAGERANK_FIXED_SCALE} // (SELECT s FROM ns)
+                  ELSE 0 END
+      FROM deg d
+      UNION ALL
+      SELECT p.r + 1, p.node, p.outdeg,
+             CASE WHEN p.node IN (SELECT node FROM seeds)
+                  THEN (3 * {PAGERANK_FIXED_SCALE})
+                       // (20 * (SELECT s FROM ns))
+                  ELSE 0 END
+             + (17 * COALESCE(
+                  (SELECT SUM(x.rank_fp // x.outdeg)
+                   FROM edges e JOIN pr x
+                     ON x.node = e.src AND x.r = p.r
+                   WHERE e.dst = p.node), 0)) // 20
+      FROM pr p
+      WHERE p.r < {PPR_ITERS}
+    )
+    SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp
+    FROM pr WHERE r = {PPR_ITERS}
+    """,
+)
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the co-purchase graph, seeded at the
+    10 heaviest customers (order count DESC, custkey ASC — a
+    deterministic 'power-buyer cohort'): rank mass measures proximity
+    to the cohort, the recommendation primitive ('parts bought near
+    the customers who matter'). Fixed-point integer arithmetic
+    throughout (the graph_pagerank_copurchase pattern with a
+    seed-confined teleport), replayed bit-for-bit by the recursive
+    CTE; the seed flag rides the adjacency build — zero
+    per-iteration seed cost."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bought = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_partkey") + F.lit(10_000_000)).alias("part"),
+        )
+        .distinct()
+    )
+    edges = bought.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("cust").alias("src"), F.col("part").alias("dst")),
+                F.struct(F.col("part").alias("src"), F.col("cust").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # orderBy+limit plans as TakeOrderedAndProject (no global window)
+    seeds = (
+        o.groupBy(F.col("o_custkey").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("node"))
+        .limit(PPR_N_SEEDS)
+        .select("node")
+    )
+    ranks = personalized_pagerank_fixed(
+        edges, seeds, n_iter=PPR_ITERS, assume_distinct=True
+    )
+    return ranks.select("node", F.col("rank").alias("rank_fp"))
+
+
+HITS_SCALE = 10**6  # fixed-point units per 1.0 of hub/authority mass
+HITS_ITERS = 4  # full rounds: each = auth half-step + hub half-step
+
+
+def hits_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = HITS_ITERS,
+    scale: int = HITS_SCALE,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) in fixed-point integer
+    arithmetic with L1 normalization — the oracle-able formulation:
+
+        auth'(j) = (Σ_{i→j} hub(i) · scale) div Σ_edges hub(src)
+        hub'(i)  = (Σ_{i→j} auth'(j) · scale) div Σ_edges auth'(dst)
+
+    L1 (sum) normalization replaces the classical L2 because integer
+    division by an exact integer total is engine-replayable while
+    sqrt is not needed anywhere; the ranking order is identical (both
+    are positive rescalings of the same linear maps — power iteration
+    on AᵀA/AAᵀ up to per-round scalar factors). Each half-step is one
+    (state ⨝ edges) join + one node aggregation + a 1-row total
+    broadcast, all hash-partitioned on node ids; the normalization
+    total is the |V|-row sum of the raw frame (Σ_j raw(j) ==
+    Σ_edges hub(src) — the identity the DuckDB CTE uses on the edge
+    side). Overflow-safe by construction: values ≤ scale=10^6 after
+    each normalization, raw ≤ max_deg·scale ≤ 10^10 for degrees to
+    10^4, raw·scale ≤ 10^16 < 2^63."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    broadcast_state = n <= _state_broadcast_gate(edges, RANKS_BROADCAST_MAX_NODES)
+    state = nodes.select(
+        "node",
+        F.lit(scale // n).cast("long").alias("hub"),
+        F.lit(0).cast("long").alias("auth"),
+    )
+
+    def _half(state: DataFrame, from_col: str, join_on: str, to_col: str) -> DataFrame:
+        """One normalized half-step: propagate ``from_col`` across
+        edges joined on ``join_on`` ('src' propagates hub→auth,
+        'dst' propagates auth→hub), write ``to_col``."""
+        side = state.select(F.col("node").alias("jn"), F.col(from_col).alias("v"))
+        side = F.broadcast(side) if broadcast_state else side
+        out_key = "dst" if join_on == "src" else "src"
+        raw = (
+            e.join(side, F.col(join_on) == F.col("jn"))
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum("v").cast("long").alias("raw"))
+        )
+        tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
+        keep = "auth" if to_col == "hub" else "hub"
+        return (
+            state.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.col(keep),
+                F.expr(f"(coalesce(raw, 0) * {scale}) div nullif(tot, 0)")
+                .cast("long")
+                .alias(to_col),
+            )
+            .select("node", "hub", "auth")
+        )
+
+    for it in range(n_iter):
+        state = _half(state, "hub", "src", "auth")
+        state = _half(state, "auth", "dst", "hub")
+        if (it + 1) % 2 == 0 and it + 1 < n_iter:
+            state = state.localCheckpoint(eager=True)
+    return state.select(
+        "node", F.col("hub").alias("hub_fp"), F.col("auth").alias("auth_fp")
+    )
+
+
+@register(
+    "graph_hits_copurchase",
+    f"""
+    WITH RECURSIVE
+    bought AS (
+      SELECT DISTINCT o.o_custkey AS cust,
+                      l.l_partkey + 10000000 AS part
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT cust AS src, part AS dst FROM bought),
+    -- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE
+    -- DuckDB gives UNION recursive-union semantics even in a
+    -- non-self-referencing CTE and skips the dedup
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    consts AS (SELECT COUNT(*) AS n FROM nodes),
+    hits (r, node, hub, auth) AS (
+      SELECT 0, node, {HITS_SCALE} // (SELECT n FROM consts),
+             CAST(0 AS BIGINT)
+      FROM nodes
+      UNION ALL
+      SELECT p.r + 1, p.node,
+             CASE WHEN p.r % 2 = 0 THEN p.hub
+                  ELSE CAST((COALESCE(
+                         (SELECT SUM(x.auth)
+                          FROM edges e JOIN hits x
+                            ON x.node = e.dst AND x.r = p.r
+                          WHERE e.src = p.node), 0) * {HITS_SCALE})
+                       // NULLIF(
+                         (SELECT SUM(x2.auth)
+                          FROM edges e2 JOIN hits x2
+                            ON x2.node = e2.dst AND x2.r = p.r), 0)
+                       AS BIGINT) END,
+             CASE WHEN p.r % 2 = 0
+                  THEN CAST((COALESCE(
+                         (SELECT SUM(x.hub)
+                          FROM edges e JOIN hits x
+                            ON x.node = e.src AND x.r = p.r
+                          WHERE e.dst = p.node), 0) * {HITS_SCALE})
+                       // NULLIF(
+                         (SELECT SUM(x2.hub)
+                          FROM edges e2 JOIN hits x2
+                            ON x2.node = e2.src AND x2.r = p.r), 0)
+                       AS BIGINT)
+                  ELSE p.auth END
+      FROM hits p
+      WHERE p.r < {2 * HITS_ITERS}
+    )
+    SELECT node, hub AS hub_fp, auth AS auth_fp
+    FROM hits WHERE r = {2 * HITS_ITERS}
+    """,
+)
+def graph_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the DIRECTED customer→part purchase graph: heavy
+    diversified buyers surface as hubs, parts bought by strong hubs as
+    authorities — the bipartite ranking that degree counts miss
+    (a part bought by many weak buyers scores below one bought by a
+    few strong hubs). Fixed-point integer half-steps with L1
+    normalization, replayed bit-for-bit by the half-step recursive
+    CTE (even r updates auth from hub, odd r updates hub from auth;
+    the normalization total on the CTE side is the edge-sum identity
+    Σ_j raw(j) = Σ_edges hub(src)). Monotone-alignment and mass
+    invariants pinned in tests/test_graph.py."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_fixed(edges, assume_distinct=True)
+
+
 # Driver-side squaring gate: above this channel cardinality the
 # scenario-keyed matrix stays distributed (collect size grows as
 # (c+1)(c+3)^2 doubles; 64 keeps it under ~300k entries / few MB).

@@ -178,10 +178,15 @@ def test_pagerank_shuffle_fallback_matches_broadcast_path(spark):
 
     edges = [(2, 1), (3, 1), (4, 1), (1, 4), (3, 2), (5, 1), (5, 2), (2, 4)]
     df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (5,)], ["node"])
     got_b = {r.node: r.rank for r in graph.pagerank(df, n_iter=6).collect()}
     got_fb = {
         r.node: r.rank
         for r in graph.pagerank(df, n_iter=6, fixed_scale=10**12).collect()
+    }
+    got_pb = {
+        r.node: r.rank
+        for r in graph.personalized_pagerank_fixed(df, seeds, n_iter=6).collect()
     }
     old = graph.RANKS_BROADCAST_MAX_NODES
     graph.RANKS_BROADCAST_MAX_NODES = 0  # force the shuffle path
@@ -191,10 +196,17 @@ def test_pagerank_shuffle_fallback_matches_broadcast_path(spark):
             r.node: r.rank
             for r in graph.pagerank(df, n_iter=6, fixed_scale=10**12).collect()
         }
+        got_ps = {
+            r.node: r.rank
+            for r in graph.personalized_pagerank_fixed(
+                df, seeds, n_iter=6
+            ).collect()
+        }
     finally:
         graph.RANKS_BROADCAST_MAX_NODES = old
     assert got_b == got_s  # bit-identical, not approximately equal
     assert got_fb == got_fs  # fixed-point tier: same integers on both paths
+    assert got_pb == got_ps  # PPR: seed flag survives the hash-join path
 
 
 def test_markov_driver_tail_matches_distributed_tail(spark):
@@ -245,3 +257,119 @@ def test_markov_driver_tail_matches_distributed_tail(spark):
             assert getattr(a, col) == _pytest.approx(
                 getattr(b, col), rel=1e-9, abs=1e-12
             ), (c, col)
+
+
+def _reference_ppr_fixed(edge_list, seeds, scale, dnum=17, dden=20, n_iter=8):
+    """Pure-Python integer personalized PageRank mirroring
+    personalized_pagerank_fixed (teleport confined to seeds)."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    out = {}
+    for u, v in set(edge_list):
+        out.setdefault(u, set()).add(v)
+    s = len(seeds)
+    base = ((dden - dnum) * scale) // (dden * s)
+    rank = {x: (scale // s if x in seeds else 0) for x in nodes}
+    for _ in range(n_iter):
+        dangling = sum(rank[x] for x in nodes if x not in out)
+        mass = {x: 0 for x in nodes}
+        for u, vs in out.items():
+            share = rank[u] // len(vs)
+            for v in vs:
+                mass[v] += share
+        rank = {
+            x: (base if x in seeds else 0)
+            + (dnum * mass[x]) // dden
+            + ((dnum * dangling) // (dden * s) if x in seeds else 0)
+            for x in nodes
+        }
+    return rank
+
+
+def test_personalized_pagerank_fixed_matches_integer_reference(spark):
+    from bigquery_postgres_events_etl_spark.operators.graph import (
+        personalized_pagerank_fixed,
+    )
+
+    edges = [(2, 1), (3, 1), (4, 1), (1, 4), (3, 2), (5, 1), (5, 2), (2, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (5,)], ["node"])
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank_fixed(df, seeds, n_iter=8).collect()
+    }
+    want = _reference_ppr_fixed(edges, {1, 5}, 10**12, n_iter=8)
+    assert got == want  # exact integers, dangling node 4 covered
+    # teleport locality: the seed-adjacent hub (1) outranks the
+    # seed-remote source (3, no in-edges, not a seed -> exactly 0)
+    assert got[3] == 0
+    assert got[1] > got[4] > 0
+
+
+def test_ppr_seeded_entry_invariants(spark, sf_dir):
+    from bigquery_postgres_events_etl_spark.operators.graph import (
+        PAGERANK_FIXED_SCALE,
+    )
+
+    rows = all_queries()["graph_ppr_seeded"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.rank_fp for r in rows)
+    assert 0.999 * PAGERANK_FIXED_SCALE <= total <= PAGERANK_FIXED_SCALE
+    assert all(r.rank_fp >= 0 for r in rows)
+    # mass concentrates near the 10 seed customers: the top-ranked
+    # node is a customer (seeds hold the teleport), parts rank too
+    top = max(rows, key=lambda r: (r.rank_fp, -r.node))
+    assert top.node < 10_000_000
+    assert any(r.node >= 10_000_000 and r.rank_fp > 0 for r in rows)
+
+
+def _reference_hits_fixed(edge_list, scale, n_iter=4):
+    """Pure-Python integer HITS with L1 normalization mirroring
+    hits_fixed's half-steps."""
+    edge_set = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in edge_set} | {v for _, v in edge_set})
+    n = len(nodes)
+    hub = {x: scale // n for x in nodes}
+    auth = {x: 0 for x in nodes}
+    for _ in range(n_iter):
+        raw = {x: 0 for x in nodes}
+        for u, v in edge_set:
+            raw[v] += hub[u]
+        tot = sum(raw.values())
+        auth = {x: (raw[x] * scale) // tot if tot else 0 for x in nodes}
+        raw = {x: 0 for x in nodes}
+        for u, v in edge_set:
+            raw[u] += auth[v]
+        tot = sum(raw.values())
+        hub = {x: (raw[x] * scale) // tot if tot else 0 for x in nodes}
+    return hub, auth
+
+
+def test_hits_fixed_matches_integer_reference(spark):
+    from bigquery_postgres_events_etl_spark.operators.graph import hits_fixed
+
+    edges = [(1, 10), (1, 11), (2, 10), (3, 12), (2, 11), (3, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: (r.hub_fp, r.auth_fp) for r in hits_fixed(df).collect()}
+    hub, auth = _reference_hits_fixed(edges, 10**6)
+    assert got == {x: (hub[x], auth[x]) for x in hub}
+    # structure: 10 is the strongest authority (3 in-edges from all
+    # hubs); pure sinks have hub 0, pure sources auth 0
+    assert got[10][1] == max(v[1] for v in got.values())
+    assert all(got[x][0] == 0 for x in (10, 11, 12))
+    assert all(got[x][1] == 0 for x in (1, 2, 3))
+
+
+def test_hits_copurchase_entry_invariants(spark, sf_dir):
+    from bigquery_postgres_events_etl_spark.operators.graph import HITS_SCALE
+
+    rows = all_queries()["graph_hits_copurchase"](spark, sf_dir).collect()
+    assert rows
+    hub_tot = sum(r.hub_fp for r in rows)
+    auth_tot = sum(r.auth_fp for r in rows)
+    # L1-normalized masses conserve up to floor loss
+    assert 0.999 * HITS_SCALE <= hub_tot <= HITS_SCALE
+    assert 0.999 * HITS_SCALE <= auth_tot <= HITS_SCALE
+    # bipartite direction: customers (src side) never gain authority,
+    # parts (dst side) never gain hubness
+    assert all(r.auth_fp == 0 for r in rows if r.node < 10_000_000)
+    assert all(r.hub_fp == 0 for r in rows if r.node >= 10_000_000)
