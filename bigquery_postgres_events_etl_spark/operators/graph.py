@@ -714,16 +714,31 @@ def hits_fixed(
     if not assume_distinct:
         e = e.distinct()
     e = e.localCheckpoint(eager=True)
+    # node set WITH degrees in one weighted-union aggregation (the
+    # pagerank deg pattern): the normalization totals then come from
+    # the STATE frame via the edge-sum identity Σ_j raw(j) =
+    # Σ_edges hub(src) = Σ_i hub(i)·outdeg(i) — a 1-row agg over |V|
+    # rows instead of a second pass over the |E|-row raw subtree
+    # (which would otherwise re-run per half-step or need an eager
+    # checkpoint; r11 profile: 6.9 → ~4 s solo at sf0.1)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        e.select(F.col("src").alias("node"), F.lit(1).alias("wo"), F.lit(0).alias("wi"))
+        .union(
+            e.select(F.col("dst").alias("node"), F.lit(0).alias("wo"), F.lit(1).alias("wi"))
+        )
+        .groupBy("node")
+        .agg(
+            F.sum("wo").cast("long").alias("outdeg"),
+            F.sum("wi").cast("long").alias("indeg"),
+        )
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
     broadcast_state = n <= _state_broadcast_gate(edges, RANKS_BROADCAST_MAX_NODES)
     state = nodes.select(
         "node",
+        "outdeg",
+        "indeg",
         F.lit(scale // n).cast("long").alias("hub"),
         F.lit(0).cast("long").alias("auth"),
     )
@@ -735,31 +750,43 @@ def hits_fixed(
         side = state.select(F.col("node").alias("jn"), F.col(from_col).alias("v"))
         side = F.broadcast(side) if broadcast_state else side
         out_key = "dst" if join_on == "src" else "src"
+        deg = "outdeg" if join_on == "src" else "indeg"
         raw = (
             e.join(side, F.col(join_on) == F.col("jn"))
             .groupBy(F.col(out_key).alias("node"))
             .agg(F.sum("v").cast("long").alias("raw"))
         )
-        tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
+        tot = state.agg(
+            F.sum(F.col(from_col) * F.col(deg)).cast("long").alias("tot")
+        )
         keep = "auth" if to_col == "hub" else "hub"
         return (
             state.join(raw, "node", "left")
             .crossJoin(F.broadcast(tot))
             .select(
                 "node",
+                "outdeg",
+                "indeg",
                 F.col(keep),
                 F.expr(f"(coalesce(raw, 0) * {scale}) div nullif(tot, 0)")
                 .cast("long")
                 .alias(to_col),
             )
-            .select("node", "hub", "auth")
+            .select("node", "outdeg", "indeg", "hub", "auth")
         )
 
     for it in range(n_iter):
-        state = _half(state, "hub", "src", "auth")
-        state = _half(state, "auth", "dst", "hub")
-        if (it + 1) % 2 == 0 and it + 1 < n_iter:
-            state = state.localCheckpoint(eager=True)
+        # checkpoint EVERY half-step: the next half's normalization
+        # total aggregates the state frame, so an unmaterialized state
+        # would replay its whole |E|-join subtree once per consumer —
+        # progressively deeper each round (quadratic replay). Each
+        # checkpoint pins a |V|-row sliver and runs the half's single
+        # |E| join exactly once.
+        state = _half(state, "hub", "src", "auth").localCheckpoint(eager=True)
+        hub_half = _half(state, "auth", "dst", "hub")
+        if it + 1 < n_iter:
+            hub_half = hub_half.localCheckpoint(eager=True)
+        state = hub_half
     return state.select(
         "node", F.col("hub").alias("hub_fp"), F.col("auth").alias("auth_fp")
     )

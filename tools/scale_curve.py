@@ -150,6 +150,19 @@ QUERIES = [
     "events_did_estimator",
     "stats_randomization_test",
     "events_cuped_adjustment",
+    # round-11 new entries: exact-substring removal (L-gram inverted
+    # index + island merge — bytes track the gram explode), keep-one
+    # policy sibling (single gram-window exchange), fixed-point P^4
+    # Markov twin, seeded PPR + HITS (iteration-count-bounded walls,
+    # edge-exchange bytes), sign-bit + prefix-dim ANN (signature/
+    # prefix slivers; full vectors only for shortlists)
+    "dedup_exact_substring_removal",
+    "dedup_substring_keep_first",
+    "events_markov_removal_p4",
+    "graph_ppr_seeded",
+    "graph_hits_copurchase",
+    "similarity_binary_quantized_topk",
+    "similarity_matryoshka_topk",
 ]
 
 
