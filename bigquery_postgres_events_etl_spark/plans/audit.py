@@ -122,6 +122,29 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "scenario frame (|channels|+1 rows, channel cardinality is "
         "constant) and three 1-row scalars (p_conv_full, removal-effect "
         "sum, conversion count) — unconditionally safe",
+    ("graph.py", "markov_removal_p4"):
+        "scenario frame (|channels|+1 rows), the 1-row p4_full/eff_sum "
+        "scalars — channel-vocabulary-bounded constants, same regime as "
+        "markov_attribution",
+    ("graph.py", "personalized_pagerank_fixed"):
+        "seed-flag table (caller-bounded seed set, 10 rows in the "
+        "registered entry), 1-row dangling-mass scalar, and the "
+        "per-iteration share table cardinality-GATED on measured |V| "
+        "(RANKS_BROADCAST_MAX_NODES) with the hash-join fallback — the "
+        "pagerank regime",
+    ("graph.py", "_half"):
+        "hits_fixed's half-step closure: 1-row normalization-total "
+        "scalar (an aggregate) — unconditionally safe; the per-half-"
+        "step hub/auth side table is cardinality-GATED on measured |V| "
+        "(RANKS_BROADCAST_MAX_NODES) with the shuffle-join fallback "
+        "above the gate",
+    ("similarity.py", "binary_quantized_topk"):
+        "query set with 16-byte signatures — bounded by the caller's "
+        "query set (the ANN-family contract: queries broadcast, corpus "
+        "streams)",
+    ("similarity.py", "matryoshka_topk"):
+        "query set with prefix slices — bounded by the caller's query "
+        "set (the ANN-family contract)",
     ("queries_tpch.py", "q7_volume_shipping"): "nation dim ×2 — constant 25 rows",
     ("queries_tpch.py", "q8_market_share"): "nation ×2 + region — constant",
     ("queries_tpch.py", "q10_returned_items"): "nation dim — constant 25 rows",
