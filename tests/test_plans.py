@@ -785,6 +785,28 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     },
     "pipeline_length_buckets": {"documents": {"lang", "source", "quality"}},
     "multimodal_phash_clusters": {"documents": {"lang", "source", "n_chars"}},
+    # r11 entries: substring dedup reads (doc_id, text) only; the graph
+    # family reads the two join keys per fact; markov P4 reads the
+    # journey columns; the ANN tiers never touch labels
+    "dedup_exact_substring_removal": {
+        "documents": {"lang", "source", "n_chars"}
+    },
+    "dedup_substring_keep_first": {"documents": {"lang", "source", "n_chars"}},
+    "graph_pagerank_copurchase": {
+        "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"},
+        "orders": {"o_totalprice", "o_orderdate", "o_orderpriority"},
+    },
+    "graph_ppr_seeded": {
+        "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"},
+        "orders": {"o_totalprice", "o_orderdate", "o_orderpriority"},
+    },
+    "graph_hits_copurchase": {
+        "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"},
+        "orders": {"o_totalprice", "o_orderdate", "o_orderpriority"},
+    },
+    "events_markov_removal_p4": {"events": {"props", "value"}},
+    "similarity_binary_quantized_topk": {"embeddings": {"label"}},
+    "similarity_matryoshka_topk": {"embeddings": {"label"}},
 }
 
 
