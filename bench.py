@@ -54,6 +54,13 @@ TIER2 = [
     "pipeline_paragraph_dedup",
     "pipeline_corpus_prep_full",
     "text_nb_quality_score",
+    # r11 heavy newcomers (NOTE: tier-2 totals are not comparable to
+    # r10 and earlier after this composition change — compare
+    # per-query medians in BENCH_DETAIL.json instead)
+    "dedup_exact_substring_removal",
+    "events_markov_removal_p4",
+    "graph_ppr_seeded",
+    "graph_hits_copurchase",
 ]
 
 
