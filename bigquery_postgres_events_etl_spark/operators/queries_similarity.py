@@ -559,6 +559,65 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMANTIC_FROZEN_LISTS = 8
+
+
+@register(
+    "dedup_semantic_frozen",
+    f"""
+    WITH seeds AS (
+      SELECT vec_id AS list_id, embedding AS center
+      FROM embeddings WHERE vec_id < {SEMANTIC_FROZEN_LISTS}
+    ),
+    dists AS (
+      SELECT c.vec_id, s.list_id,
+             {_l2_sql('c.embedding', 's.center')} AS d
+      FROM embeddings c, seeds s
+    ),
+    assigned AS (
+      SELECT e.vec_id, t.list_id AS cluster_id, e.embedding,
+             {_dot_sql('e.embedding', 'e.embedding')} AS nsq
+      FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, list_id ASC) AS rn
+        FROM dists
+      ) t
+      JOIN embeddings e ON e.vec_id = t.vec_id
+      WHERE t.rn = 1
+    ),
+    dups AS (
+      SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_near_dups
+      FROM assigned a JOIN assigned b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_dot_sql('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
+              >= {SEMANTIC_THRESHOLD}
+      GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, CAST(s.cluster_id AS BIGINT) AS cluster_id,
+           coalesce(d.n_near_dups, 0) AS n_near_dups,
+           (coalesce(d.n_near_dups, 0) = 0) AS kept
+    FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
+    """,
+)
+def dedup_semantic_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the FROZEN-codebook quantizer (first 8 corpus
+    vectors as shipped centroids) — the hash-oracle tier beside the
+    recall-tested k-means entry, completing for the dedup family what
+    `similarity_ivf_fixed_topk` did for ANN. The L2 assignment
+    distances replay in the oracle as the identical left-associative
+    term chains, ties break (d, list_id) on both engines, and the
+    in-cluster cosine-threshold drop policy is then hash-checked
+    end-to-end (the trained tier keeps owning recall)."""
+    from .similarity import semantic_dedup_frozen
+
+    return semantic_dedup_frozen(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=SEMANTIC_THRESHOLD,
+        n_lists=SEMANTIC_FROZEN_LISTS,
+    )
+
+
 RP_DIMS = 8
 
 

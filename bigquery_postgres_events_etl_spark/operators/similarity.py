@@ -802,6 +802,104 @@ def semantic_dedup_kmeans(
     )
 
 
+def semantic_dedup_frozen(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup over the FROZEN-codebook quantizer — the hash-oracle
+    sibling of :func:`semantic_dedup_kmeans`, completing the pattern
+    :func:`ivf_fixed_topk` set for ANN: the trained tier keeps its
+    recall contract, the frozen tier (first ``n_lists`` corpus vectors
+    as shipped centroids) makes cluster assignment a pure expression,
+    so the *dedup policy* — drop every vector with a lower-id
+    same-cluster neighbor at cosine ≥ threshold — gets a hard driver
+    hash check end-to-end.
+
+    Assignment is nearest-center by squared-L2 with ties to the
+    smallest list id (``min(struct(d, list_id))`` — the identical
+    engine-portable tie-break the IVF tier uses); the in-cluster pair
+    join then mirrors the other two variants, so all three SemDeDup
+    tiers share pair semantics and differ only in the quantizer.
+
+    Scale: centroids broadcast (n_lists rows); assignment is one
+    map-side crossJoin + partial-aggregated min — the corpus never
+    shuffles for it. The pair join costs Σ cluster²; in production the
+    codebook is sized by the √N rule (re-train offline, re-ship), so
+    cluster populations stay ~√N and the join stays sub-quadratic —
+    here n_lists is frozen small so the oracle can replay it.
+
+    Output matches the other tiers: (vec_id, cluster_id, n_near_dups,
+    kept).
+    """
+    seeds = vectors.where(F.col(id_col) < n_lists).select(
+        F.col(id_col).cast("long").alias("list_id"),
+        F.col(emb_col).alias("center"),
+    )
+    # Persisted shared sliver (the semantic_dedup contract): assigned
+    # feeds both pair-join arms AND the final keep/drop left-join —
+    # unpersisted, each consumer would re-run the n_lists-way
+    # assignment crossJoin per row. Persist-no-unpersist is the
+    # documented operator contract (harnesses clearCache per entry).
+    assigned = (
+        vectors.select(F.col(id_col), F.col(emb_col))
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            id_col,
+            emb_col,
+            "list_id",
+            l2_sq(emb_col, "center").alias("d"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct("d", "list_id")).getField("list_id").alias("cluster_id"),
+            # value-constant per key: embedding rides the groupBy so the
+            # pair join needs no second corpus join/shuffle
+            F.first(emb_col).alias(emb_col),
+        )
+        .withColumn("norm_sq", norm_sq(emb_col))
+        .persist()
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("ea"),
+        F.col("norm_sq").alias("na"),
+        F.col("cluster_id").alias("cluster_a"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("eb"),
+        F.col("norm_sq").alias("nb"),
+        F.col("cluster_id").alias("cluster_b"),
+    )
+    dup_counts = (
+        a.join(
+            b,
+            (F.col("cluster_a") == F.col("cluster_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cosine", cosine(dot("ea", "eb"), F.col("na"), F.col("nb")))
+        .where(F.col("cosine") >= threshold)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+    return (
+        assigned.select(
+            F.col(id_col).alias("vec_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        )
+        .join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("n_near_dups"), F.lit(0)).cast("long").alias("n_near_dups"),
+            (F.coalesce(F.col("n_near_dups"), F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
 def random_projection(
     df: DataFrame,
     out_dims: int = 16,

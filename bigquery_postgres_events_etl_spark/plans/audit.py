@@ -182,6 +182,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "frozen codebook (n_lists rows) + probe set "
         "(n_queries × n_probe rows) — parameter-bounded",
     ("similarity.py", "ann_lsh_topk_multiprobe"): "probe buckets: n_queries × (1+n_planes) rows",
+    ("similarity.py", "semantic_dedup_frozen"):
+        "frozen codebook (n_lists rows) — parameter-bounded, same "
+        "contract as ivf_fixed_topk",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
     ("queries_pipeline.py", "pipeline_corpus_prep_end2end"):
         "1-row quality-threshold scalar — unconditionally safe",

@@ -807,6 +807,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "events_markov_removal_p4": {"events": {"props", "value"}},
     "similarity_binary_quantized_topk": {"embeddings": {"label"}},
     "similarity_matryoshka_topk": {"embeddings": {"label"}},
+    "dedup_semantic_frozen": {"embeddings": {"label"}},
 }
 
 
@@ -866,6 +867,9 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     "text_nb_quality_train": {"documents": 1},
     "similarity_hybrid_topk": {"documents": 1, "embeddings": 1},
     "dedup_semantic": {"embeddings": 1},
+    # frozen tier: the persisted assignment sliver scans the corpus
+    # once plus the n_lists-row seeds scan (filter-pruned, vec_id < 8)
+    "dedup_semantic_frozen": {"embeddings": 2},
     # r7 additions: the bigram LM derives everything from one
     # persisted (doc, prev, cur, c) sliver; the edit-distance and
     # mutual-kNN self-joins scan each arm from parquet (re-scanning

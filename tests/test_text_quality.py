@@ -150,6 +150,47 @@ def test_semantic_dedup_kmeans_drops_planted_duplicate(spark):
     assert rows[3].kept
 
 
+def test_semantic_dedup_frozen_planted_and_no_false_drops(spark, sf_dir):
+    """The frozen-codebook SemDeDup tier: (a) a planted scaled copy is
+    dropped in favor of its lower-id original; (b) on the fixture
+    corpus every drop is a true brute-force near-dup (the in-cluster
+    threshold policy can only under-drop, never over-drop)."""
+    import math
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        cosine_near_pairs,
+        semantic_dedup_frozen,
+    )
+
+    base = [math.sin(i * 0.7) for i in range(64)]
+    near = [v * 1.01 for v in base]
+    ortho = [math.cos(i * 1.3) for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "vec_id long, embedding array<float>"
+    )
+    rows = {
+        r.vec_id: r
+        for r in semantic_dedup_frozen(emb, threshold=0.95, n_lists=2).collect()
+    }
+    assert rows[1].kept
+    assert not rows[2].kept and rows[2].n_near_dups >= 1
+    assert rows[1].cluster_id == rows[2].cluster_id
+    assert rows[3].kept
+
+    threshold = 0.35
+    corpus = load_table(spark, sf_dir, "embeddings")
+    truth_dropped = {
+        r.id_b
+        for r in cosine_near_pairs(corpus, threshold)
+        .select("id_b").distinct().collect()
+    }
+    frozen = semantic_dedup_frozen(corpus, threshold=threshold, n_lists=8)
+    frozen_dropped = {r.vec_id for r in frozen.where(~F.col("kept")).collect()}
+    assert frozen_dropped  # the tier must actually fire on the fixture
+    assert frozen_dropped <= truth_dropped
+
+
 def test_pii_scan_planted_values(spark):
     from bigquery_postgres_events_etl_spark.operators.text import pii_scan
 
