@@ -73,6 +73,98 @@ def logreg_train(
     )
 
 
+PERCEPTRON_EPOCHS = 8
+
+
+def perceptron_train(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_epochs: int = PERCEPTRON_EPOCHS,
+) -> DataFrame:
+    """Batch perceptron (Rosenblatt's rule, full-batch variant) with
+    EXACT INTEGER arithmetic — the hash-oracle member of the in-engine
+    training tier beside the float-iterative :func:`logreg_train`:
+
+    - weights start at 0 and update w += Σ_{y·(w·x) ≤ 0} y·x with unit
+      learning rate, so every weight is an exact BIGINT at every epoch
+      — bit-replayable cross-engine (the fixed-point-pagerank pattern
+      applied to model training);
+    - each epoch is ONE partial-aggregated scan with the current
+      weights compiled in as literals: the misclassified-sum per
+      feature and the error count reduce map-side, the shuffle carries
+      one row per partition, and only a (k+2)-value scalar row reaches
+      the driver (the bounded-collect contract);
+    - the returned frame is the full trajectory — one row per epoch
+      (epoch, weights, n_mis under those weights) — so the oracle
+      hash-checks every update, not just the final model.
+
+    ``label_col`` must be ±1. Scale: iteration cost is O(scan), no
+    join, no window, no data-sized shuffle; the integer feature frame
+    is cached once. Exact pure-Python parity is pytest-pinned
+    (tests/test_ml.py).
+    """
+    cols = ["__bias"] + list(feature_cols)
+    feats = features.select(
+        F.lit(1).cast("long").alias("__bias"),
+        *[F.col(c).cast("long").alias(c) for c in feature_cols],
+        F.col(label_col).cast("long").alias("__y"),
+    ).persist()
+    w = dict.fromkeys(cols, 0)
+    out_rows = []
+    for epoch in range(n_epochs + 1):
+        margin = None
+        for c in cols:
+            term = F.col(c) * F.lit(w[c])
+            margin = term if margin is None else margin + term
+        mis = (F.col("__y") * margin) <= 0
+        agg = feats.agg(
+            F.count_if(mis).alias("__n_mis"),
+            *[
+                F.sum(F.when(mis, F.col("__y") * F.col(c)).otherwise(F.lit(0))).alias(c)
+                for c in cols
+            ],
+        ).first()
+        out_rows.append((epoch, *[w[c] for c in cols], agg["__n_mis"]))
+        if epoch < n_epochs:
+            for c in cols:
+                w[c] = w[c] + (agg[c] or 0)
+    feats.unpersist()
+    spark = features.sparkSession
+    w_names = ["w_bias"] + [f"w_{c}" for c in feature_cols]
+    schema = (
+        "epoch BIGINT, "
+        + ", ".join(f"{n} BIGINT" for n in w_names)
+        + ", n_mis BIGINT"
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
+def perceptron_train_reference(
+    rows: list[tuple],
+    n_features: int,
+    n_epochs: int = PERCEPTRON_EPOCHS,
+) -> list[tuple]:
+    """Pure-Python integer twin for exact-parity tests: same update
+    rule, same epoch count, plain ints throughout. ``rows`` are
+    (x1..xk, y) with y ∈ {−1, +1}."""
+    w = [0] * (n_features + 1)
+    out = []
+    for epoch in range(n_epochs + 1):
+        mis = [
+            (1, *r[:n_features], r[n_features])
+            for r in rows
+            if r[n_features]
+            * (w[0] + sum(wi * xi for wi, xi in zip(w[1:], r[:n_features])))
+            <= 0
+        ]
+        out.append((epoch, *w, len(mis)))
+        if epoch < n_epochs:
+            for j in range(n_features + 1):
+                w[j] += sum(m[n_features + 1] * m[j] for m in mis)
+    return out
+
+
 def logreg_train_reference(
     rows: list[tuple],
     n_features: int,

@@ -824,6 +824,73 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_train(feats, ["n_click", "n_view", "n_error"], "purchased")
 
 
+PERCEPTRON_EPOCHS = 8
+_PERC_FEATS = """
+    feats AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x1,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x2,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x3,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+                  THEN 1 ELSE -1 END AS y
+      FROM events GROUP BY user_id
+    )
+"""
+_PERC_MARGIN = "(w.w_bias + w.w_n_click*x1 + w.w_n_view*x2 + w.w_n_error*x3)"
+
+
+@register(
+    "ml_perceptron_train",
+    f"""
+    WITH RECURSIVE {_PERC_FEATS},
+    w (epoch, w_bias, w_n_click, w_n_view, w_n_error) AS (
+      SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT w.epoch + 1,
+             w.w_bias + coalesce((SELECT SUM(y) FROM feats
+                                  WHERE y * {_PERC_MARGIN} <= 0), 0),
+             w.w_n_click + coalesce((SELECT SUM(y * x1) FROM feats
+                                     WHERE y * {_PERC_MARGIN} <= 0), 0),
+             w.w_n_view + coalesce((SELECT SUM(y * x2) FROM feats
+                                    WHERE y * {_PERC_MARGIN} <= 0), 0),
+             w.w_n_error + coalesce((SELECT SUM(y * x3) FROM feats
+                                     WHERE y * {_PERC_MARGIN} <= 0), 0)
+      FROM w WHERE w.epoch < {PERCEPTRON_EPOCHS}
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, w_bias, w_n_click, w_n_view, w_n_error,
+           (SELECT COUNT(*) FROM feats
+            WHERE y * {_PERC_MARGIN} <= 0) AS n_mis
+    FROM w
+    """,
+)
+def ml_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-perceptron training over the same per-user activity
+    features as ml_logreg_train, but with EXACT INTEGER arithmetic —
+    the in-engine training tier's hash-oracle member (the fixed-point
+    pagerank/HITS pattern applied to model fitting). The output is the
+    full per-epoch trajectory (weights + error count), and the DuckDB
+    twin replays all 8 updates bit-for-bit as a recursive CTE whose
+    working table carries the weight vector, with the misclassified
+    sums as correlated aggregates (the graph_kcore oracle shape).
+    Exact pure-Python parity additionally pytest-pinned."""
+    from .ml import perceptron_train
+
+    e = load_table(spark, sf_dir, "events")
+    feats = e.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").cast("long").alias("n_click"),
+        F.count_if(F.col("event_type") == "view").cast("long").alias("n_view"),
+        F.count_if(F.col("event_type") == "error").cast("long").alias("n_error"),
+        F.when(F.count_if(F.col("event_type") == "purchase") > 0, 1)
+        .otherwise(-1)
+        .cast("long")
+        .alias("label"),
+    )
+    return perceptron_train(
+        feats, ["n_click", "n_view", "n_error"], "label", n_epochs=PERCEPTRON_EPOCHS
+    )
+
+
 @register(
     "events_trend_seasonal_decompose",
     f"""

@@ -115,3 +115,49 @@ def test_decision_stump_matches_python_reference(spark, sf_dir):
         (r.threshold, r.nl, r.pl, r.nr, r.pr, r.wgini, r.rank) for r in rows
     ]
     assert got == want
+
+
+def test_perceptron_matches_python_reference_exactly(spark, sf_dir):
+    """The integer batch perceptron must be BIT-IDENTICAL to the
+    pure-Python twin — no tolerance: every weight and error count at
+    every epoch is an exact integer."""
+    from bigquery_postgres_events_etl_spark.operators.ml import (
+        perceptron_train,
+        perceptron_train_reference,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    feats = e.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").cast("long").alias("n_click"),
+        F.count_if(F.col("event_type") == "view").cast("long").alias("n_view"),
+        F.count_if(F.col("event_type") == "error").cast("long").alias("n_error"),
+        F.when(F.count_if(F.col("event_type") == "purchase") > 0, 1)
+        .otherwise(-1)
+        .cast("long")
+        .alias("label"),
+    )
+    got = [
+        (r.epoch, r.w_bias, r.w_n_click, r.w_n_view, r.w_n_error, r.n_mis)
+        for r in perceptron_train(
+            feats, ["n_click", "n_view", "n_error"], "label"
+        ).orderBy("epoch").collect()
+    ]
+    rows = [
+        (r.n_click, r.n_view, r.n_error, r.label) for r in feats.collect()
+    ]
+    want = perceptron_train_reference(rows, n_features=3)
+    assert got == want
+
+
+def test_perceptron_converges_on_separable_data(spark):
+    """On linearly separable integer data the batch perceptron reaches
+    zero training errors within the epoch budget (the Novikoff bound
+    guarantees convergence; this pins that the update rule actually
+    optimizes, not just any fixed point)."""
+    from bigquery_postgres_events_etl_spark.operators.ml import perceptron_train
+
+    rows = [(x, 1 if x > 5 else -1) for x in range(11) if x != 5]
+    df = spark.createDataFrame(rows, "x LONG, y LONG")
+    traj = perceptron_train(df, ["x"], "y", n_epochs=20).orderBy("epoch").collect()
+    assert traj[-1].n_mis == 0
+    assert traj[0].n_mis == len(rows)  # zero weights misclassify everything
