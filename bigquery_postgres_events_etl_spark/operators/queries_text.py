@@ -1101,3 +1101,82 @@ def q_text_stats_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
             + "))"
         ).alias("min_token_h60"),
     )
+
+
+NOVELTY_N = 3
+NOVELTY_REF_MOD = 3  # doc_id % 3 == 0 is the "already-seen" reference slice
+
+
+@register(
+    "text_ngram_novelty",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= {NOVELTY_N}
+                         THEN list_transform(
+                             generate_series(1, len(t) - {NOVELTY_N - 1}),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                         ELSE [] END) AS shingle
+      FROM toks
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    ref AS (SELECT DISTINCT shingle FROM sh
+            WHERE doc_id % {NOVELTY_REF_MOD} = 0),
+    cand AS (SELECT doc_id, shingle FROM sh
+             WHERE doc_id % {NOVELTY_REF_MOD} != 0)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE r.shingle IS NULL) AS BIGINT) AS n_novel,
+           CAST(count(*) FILTER (WHERE r.shingle IS NULL) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novelty
+    FROM cand c LEFT JOIN ref r ON r.shingle = c.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring (the WIMBD-style corpus-analysis metric,
+    and the additive side of exact-substring dedup): per candidate
+    document, the fraction of its DISTINCT word trigrams that appear
+    nowhere in the reference slice of the corpus (doc_id % 3 == 0 —
+    the already-trained-on stand-in). High novelty → new content worth
+    keeping; near-zero novelty → the document restates what the
+    reference already covers.
+
+    Exact arithmetic: both counts are integers and ``novelty`` is one
+    IEEE division of them — hash-exact across engines.
+
+    Scale: the shingle frame builds once (persisted sliver) and feeds
+    both sides; the reference gram set is CORPUS-sized — unlike
+    decontaminate's parameter-bounded benchmark it must NOT broadcast,
+    so the membership probe is a shuffle LEFT join on the gram key,
+    partial-aggregated per doc. O(|grams|) end to end, no all-pairs."""
+    from .dedup import exploded_shingles
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    # persisted shared sliver: ref and cand both read it (the
+    # semantic_dedup persist contract — harnesses clearCache per entry)
+    sh = exploded_shingles(docs, NOVELTY_N).distinct().persist()
+    ref = (
+        sh.where(F.col("doc_id") % NOVELTY_REF_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    cand = sh.where(F.col("doc_id") % NOVELTY_REF_MOD != 0)
+    return (
+        cand.join(ref, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count_if(F.col("__seen").isNull()).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )

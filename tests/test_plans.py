@@ -808,6 +808,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "similarity_binary_quantized_topk": {"embeddings": {"label"}},
     "similarity_matryoshka_topk": {"embeddings": {"label"}},
     "dedup_semantic_frozen": {"embeddings": {"label"}},
+    "text_ngram_novelty": {"documents": {"lang", "source", "n_chars"}},
 }
 
 
@@ -870,6 +871,9 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     # frozen tier: the persisted assignment sliver scans the corpus
     # once plus the n_lists-row seeds scan (filter-pruned, vec_id < 8)
     "dedup_semantic_frozen": {"embeddings": 2},
+    # one persisted shingle sliver feeds both the reference gram set
+    # and the candidate side
+    "text_ngram_novelty": {"documents": 1},
     # r7 additions: the bigram LM derives everything from one
     # persisted (doc, prev, cur, c) sliver; the edit-distance and
     # mutual-kNN self-joins scan each arm from parquet (re-scanning

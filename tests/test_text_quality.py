@@ -547,3 +547,49 @@ def test_bigram_lm_profile_and_score_match_pure_python(spark, sf_dir):
         assert r["n_bigrams"] == n
         assert abs(r["cross_entropy"] - ref) <= 5e-10 + 1e-12
         assert r["cross_entropy"] > 0
+
+
+def test_ngram_novelty_planted_extremes(spark):
+    """A candidate that copies a reference doc verbatim scores novelty
+    0; a candidate sharing no trigram with any reference doc scores 1;
+    a half-copied candidate lands strictly between."""
+    from bigquery_postgres_events_etl_spark.operators.queries_text import (
+        NOVELTY_REF_MOD,
+    )
+
+    assert NOVELTY_REF_MOD == 3  # doc_ids below are chosen for % 3
+    ref_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, ref_text),                                   # reference slice
+        (1, ref_text),                                   # verbatim copy
+        (2, "one two three four five six"),              # fully novel
+        (4, "alpha beta gamma one two three"),           # half copied
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import bigquery_postgres_events_etl_spark.operators.queries_text as qt
+
+    # drive the entry's core directly: same code path as the registry
+    # entry but over the planted frame instead of the parquet fixture
+    from bigquery_postgres_events_etl_spark.operators.dedup import (
+        exploded_shingles,
+    )
+
+    sh = exploded_shingles(docs, qt.NOVELTY_N).distinct()
+    ref = (
+        sh.where(F.col("doc_id") % qt.NOVELTY_REF_MOD == 0)
+        .select("shingle").distinct().withColumn("__seen", F.lit(1))
+    )
+    cand = sh.where(F.col("doc_id") % qt.NOVELTY_REF_MOD != 0)
+    out = {
+        r.doc_id: r
+        for r in cand.join(ref, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("__seen").isNull()).alias("n_novel"),
+        )
+        .collect()
+    }
+    assert out[1].n_novel == 0
+    assert out[2].n_novel == out[2].n_grams
+    assert 0 < out[4].n_novel < out[4].n_grams
