@@ -1653,3 +1653,68 @@ def similarity_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+KCENTER_K = 8
+_KC_NEW_CENTER = """(
+      SELECT min(x.vec_id) FROM km x
+      WHERE x.r = p.r AND x.sel_round IS NULL
+        AND x.dmin = (SELECT max(y.dmin) FROM km y
+                      WHERE y.r = p.r AND y.sel_round IS NULL))"""
+
+
+def _kcenter_oracle() -> str:
+    """Recursive-CTE replay of the greedy farthest-point traversal:
+    the working table re-emits every point's min-distance-to-selected
+    each round (the HITS state-re-emission shape); the new center is
+    the max-dmin unselected point with min-id tie-break — the same
+    (dmin, −id) struct-max Spark computes."""
+    d_seed = _l2_sql("e.embedding", "s.embedding")
+    d_new = _l2_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH RECURSIVE
+    km (r, vec_id, dmin, sel_round, sel_dist) AS (
+      SELECT 0, e.vec_id, {d_seed},
+             CASE WHEN e.vec_id = (SELECT min(vec_id) FROM embeddings)
+                  THEN 0 ELSE NULL END,
+             CAST(NULL AS DOUBLE)
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) s
+      UNION ALL
+      SELECT p.r + 1, p.vec_id,
+             least(p.dmin,
+                   (SELECT {d_new}
+                    FROM embeddings a, embeddings b
+                    WHERE a.vec_id = p.vec_id
+                      AND b.vec_id = {_KC_NEW_CENTER})),
+             CASE WHEN p.sel_round IS NOT NULL THEN p.sel_round
+                  WHEN p.vec_id = {_KC_NEW_CENTER} THEN p.r + 1
+                  ELSE NULL END,
+             CASE WHEN p.sel_round IS NOT NULL THEN p.sel_dist
+                  WHEN p.vec_id = {_KC_NEW_CENTER} THEN p.dmin
+                  ELSE NULL END
+      FROM km p
+      WHERE p.r < {KCENTER_K - 1}
+    )
+    SELECT CAST(sel_round AS BIGINT) AS sel_round,
+           CAST(vec_id AS BIGINT) AS vec_id, sel_dist
+    FROM km WHERE r = {KCENTER_K - 1} AND sel_round IS NOT NULL
+    """
+
+
+@register("pipeline_kcenter_coreset", _kcenter_oracle())
+def pipeline_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset data selection (farthest-point
+    traversal, Gonzalez 1985 / Sener & Savarese 2018) over the corpus
+    embeddings — picks the 8 most mutually spread examples, the
+    diversity-maximizing selection pass of a training-data pipeline.
+    Fully deterministic (min-id seed, exact IEEE distance chains,
+    (dmin, −id) argmax tie-break), so the whole greedy trajectory
+    hash-checks against a recursive-CTE oracle. The radius sequence
+    is additionally pytest-pinned monotone non-increasing."""
+    from .similarity import kcenter_coreset
+
+    return kcenter_coreset(
+        load_table(spark, sf_dir, "embeddings"), k=KCENTER_K
+    )

@@ -900,6 +900,90 @@ def semantic_dedup_frozen(
     )
 
 
+KCENTER_K = 8
+
+
+def kcenter_coreset(
+    vectors: DataFrame,
+    k: int = KCENTER_K,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal —
+    Gonzalez 1985; the coreset-for-active-learning selection of Sener
+    & Savarese 2018): start from the smallest-id vector, then k−1
+    times pick the point farthest (squared-L2) from the selected set,
+    ties to the smallest id. The classic 2-approximation to the
+    k-center cover, used as a diversity-maximizing data-selection pass
+    (pick the k most mutually spread examples).
+
+    Fully deterministic — seed is min(id), distances are the exact
+    left-associative IEEE chains, the argmax tie-break is
+    ``max(struct(dmin, −id))`` — so the whole greedy trajectory is
+    hash-oracle-able (a recursive CTE re-emits each point's
+    min-distance per round, the HITS state-re-emission shape).
+
+    Scale: per round ONE argmax aggregation over the corpus (partial
+    map-side, a 2-value scalar row to the driver) + ONE narrow map
+    updating dmin against the single new center (1-row broadcast).
+    Driver state is k (id, dist) pairs; the corpus never shuffles.
+    State checkpoints per round (the HITS quadratic-replay lesson).
+
+    Output: one row per selected center — (sel_round, vec_id,
+    sel_dist) where sel_dist is the covering radius of the set BEFORE
+    this pick (monotone non-increasing; NULL for the seed).
+    """
+    spark = vectors.sparkSession
+    v = vectors.select(F.col(id_col), F.col(emb_col))
+    seed_id = v.agg(F.min(id_col)).first()[0]
+    seed = v.where(F.col(id_col) == seed_id).select(
+        F.col(emb_col).alias("__center")
+    )
+    state = (
+        v.crossJoin(F.broadcast(seed))
+        .select(
+            id_col,
+            emb_col,
+            l2_sq(emb_col, "__center").alias("dmin"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected: list[tuple] = [(0, seed_id, None)]
+    chosen_ids = [seed_id]
+    for r in range(1, k):
+        top = (
+            state.where(~F.col(id_col).isin(chosen_ids))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("dmin"), (-F.col(id_col)).alias("neg_id")
+                    )
+                ).alias("t")
+            )
+            .first()["t"]
+        )
+        new_id, sel_dist = -top["neg_id"], top["dmin"]
+        center = state.where(F.col(id_col) == new_id).select(
+            F.col(emb_col).alias("__center")
+        )
+        state = (
+            state.crossJoin(F.broadcast(center))
+            .select(
+                id_col,
+                emb_col,
+                F.least(
+                    F.col("dmin"), l2_sq(emb_col, "__center")
+                ).alias("dmin"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        selected.append((r, new_id, float(sel_dist)))
+        chosen_ids.append(new_id)
+    return spark.createDataFrame(
+        selected, "sel_round BIGINT, vec_id BIGINT, sel_dist DOUBLE"
+    )
+
+
 def random_projection(
     df: DataFrame,
     out_dims: int = 16,

@@ -185,6 +185,8 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("similarity.py", "semantic_dedup_frozen"):
         "frozen codebook (n_lists rows) — parameter-bounded, same "
         "contract as ivf_fixed_topk",
+    ("similarity.py", "kcenter_coreset"):
+        "seed / new-center frames — exactly 1 row each by construction",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
     ("queries_pipeline.py", "pipeline_corpus_prep_end2end"):
         "1-row quality-threshold scalar — unconditionally safe",

@@ -809,6 +809,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "similarity_matryoshka_topk": {"embeddings": {"label"}},
     "dedup_semantic_frozen": {"embeddings": {"label"}},
     "text_ngram_novelty": {"documents": {"lang", "source", "n_chars"}},
+    "pipeline_kcenter_coreset": {"embeddings": {"label"}},
 }
 
 

@@ -308,3 +308,35 @@ def test_matryoshka_prefix_stage_recall(spark, sf_dir):
     r_wide = len(truth & wide) / len(truth)
     assert r_narrow >= 0.3, f"matryoshka recall {r_narrow}"
     assert r_wide >= r_narrow  # more candidates, never worse
+
+
+def test_kcenter_radius_monotone_and_covers_clusters(spark):
+    """Greedy farthest-point: (a) the selection-radius sequence is
+    monotone non-increasing (each pick can only shrink the farthest
+    gap); (b) on three well-separated planted clusters the first
+    three picks land in three DIFFERENT clusters — the diversity
+    property that random sampling lacks."""
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    def vec(base, jitter):
+        v = [0.0] * 64
+        v[base] = 100.0
+        v[base + 1] = jitter
+        return v
+
+    # clusters at axes 0 / 20 / 40, four points each (ids encode cluster)
+    rows = [
+        (cid * 10 + j, vec(cid * 20, float(j)))
+        for cid in range(3)
+        for j in range(4)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kcenter_coreset(emb, k=6).orderBy("sel_round").collect()
+    assert [r.sel_round for r in out] == list(range(6))
+    assert out[0].vec_id == 0 and out[0].sel_dist is None
+    radii = [r.sel_dist for r in out[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    first_three_clusters = {r.vec_id // 10 for r in out[:3]}
+    assert first_three_clusters == {0, 1, 2}
