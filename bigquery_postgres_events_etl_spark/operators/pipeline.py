@@ -47,6 +47,68 @@ def train_test_split(
     )
 
 
+def split_leakage(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+) -> DataFrame:
+    """Train/test split-leakage audit: near-duplicate pairs that CROSS
+    the hash-bucket split boundary — the contamination check a
+    training pipeline must run before trusting held-out metrics (a
+    test doc with a train-side near-dup inflates eval scores; the
+    same failure mode benchmark decontamination guards against,
+    applied to the pipeline's own split).
+
+    Composition of two existing tiers: LSH candidate pairs with the
+    exact shingle-Jaccard verify (:func:`dedup.minhash_jaccard_estimate`
+    — bucketed, never all-pairs) filtered to ``jaccard ≥ threshold``,
+    joined twice against the deterministic split labels
+    (:func:`train_test_split` — a map-side expression, no shuffle),
+    kept only where the sides differ, oriented (train, test).
+
+    Scale: the candidate-pair frame is the dominant cost and is the
+    same sub-quadratic LSH shape as the dedup tier; the split join
+    adds two narrow hash-key joins on the pair sliver. Output: one
+    row per leaked pair (train_doc_id, test_doc_id, n_common,
+    jaccard).
+    """
+    from .dedup import minhash_jaccard_estimate
+
+    pairs = minhash_jaccard_estimate(docs, num_hashes, bands, n, id_col)
+    spl = train_test_split(docs, id_col, train_pct).select(id_col, "split")
+    labeled = (
+        pairs.where(F.col("jaccard") >= threshold)
+        .join(
+            spl.select(
+                F.col(id_col).alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            spl.select(
+                F.col(id_col).alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    train_first = F.col("split_a") == "train"
+    return labeled.select(
+        F.when(train_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "train_doc_id"
+        ),
+        F.when(train_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "test_doc_id"
+        ),
+        F.col("n_common").cast("long").alias("n_common"),
+        "jaccard",
+    )
+
+
 # fixture sources are src0..srcN; weights mirror a typical corpus mix
 MIXTURE_FRACTIONS: dict[str, float] = {"src0": 0.5, "src1": 0.25}
 MIXTURE_DEFAULT_FRACTION = 0.1

@@ -876,3 +876,68 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_jaccard_estimate(
         parallelize(load_table(spark, sf_dir, "documents")), NUM_HASHES, BANDS
     )
+
+
+LEAKAGE_THRESHOLD = 0.3
+
+
+@register(
+    "pipeline_split_leakage",
+    f"""
+    WITH {_BANDS_CTE},
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, {_h60('shingle')} AS hh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      FROM dsh x JOIN dsh y ON x.hh = y.hh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+             CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+               / CAST(sa.sz + sb.sz - COALESCE(c.n_common, 0) AS DOUBLE)
+               AS jaccard
+      FROM pairs p
+      LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    ),
+    spl AS (
+      SELECT doc_id,
+             CASE WHEN {_h60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT CASE WHEN sa.split = 'train' THEN j.doc_a ELSE j.doc_b END
+             AS train_doc_id,
+           CASE WHEN sa.split = 'train' THEN j.doc_b ELSE j.doc_a END
+             AS test_doc_id,
+           j.n_common, j.jaccard
+    FROM jac j
+    JOIN spl sa ON sa.doc_id = j.doc_a
+    JOIN spl sb ON sb.doc_id = j.doc_b
+    WHERE j.jaccard >= {LEAKAGE_THRESHOLD} AND sa.split != sb.split
+    """,
+)
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit — near-dup pairs (exact shingle
+    Jaccard ≥ 0.3 over LSH candidates, never all-pairs) whose members
+    fall on OPPOSITE sides of the deterministic 90/10 hash split,
+    oriented (train, test). The held-out-metric contamination check;
+    composes the dedup verify tier with the split expression, so the
+    oracle is the composed SQL of both proven pieces."""
+    from .pipeline import split_leakage
+
+    return split_leakage(
+        parallelize(load_table(spark, sf_dir, "documents")),
+        threshold=LEAKAGE_THRESHOLD,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+    )

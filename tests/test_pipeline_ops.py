@@ -462,3 +462,34 @@ def test_token_waterfill_property_vs_python_reference(spark):
         assert sum(a for a, _ in got.values()) == budget
 
     run()
+
+
+def test_split_leakage_planted_cross_boundary_pair(spark):
+    """A verbatim duplicate planted across the split boundary is
+    reported oriented (train, test); the same duplicate within one
+    side is NOT reported; an unrelated doc never appears.
+    doc_ids chosen by the split hash: md5-h60(id) % 100 < 90 → train
+    (1 is train, 0 is test)."""
+    from bigquery_postgres_events_etl_spark.operators.pipeline import (
+        split_leakage,
+        train_test_split,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, dup),          # test side
+            (1, dup),          # train side — leaks against 0
+            (2, dup),          # train side — pairs with 1 SAME side
+            (3, "totally different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spl = {r.doc_id: r.split for r in train_test_split(docs).collect()}
+    assert spl[0] == "test" and spl[1] == "train" and spl[2] == "train"
+
+    got = {
+        (r.train_doc_id, r.test_doc_id)
+        for r in split_leakage(docs, threshold=0.9).collect()
+    }
+    assert got == {(1, 0), (2, 0)}  # both train copies leak against 0

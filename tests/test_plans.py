@@ -810,6 +810,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "dedup_semantic_frozen": {"embeddings": {"label"}},
     "text_ngram_novelty": {"documents": {"lang", "source", "n_chars"}},
     "pipeline_kcenter_coreset": {"embeddings": {"label"}},
+    "pipeline_split_leakage": {"documents": {"lang", "source", "n_chars"}},
 }
 
 
@@ -875,6 +876,10 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     # one persisted shingle sliver feeds both the reference gram set
     # and the candidate side
     "text_ngram_novelty": {"documents": 1},
+    # one text tokenization (the persisted jaccard-verify sliver) +
+    # two doc_id-ONLY scans for the split-label joins (narrow by the
+    # pruning contract; re-scanning one column beats caching)
+    "pipeline_split_leakage": {"documents": 3},
     # r7 additions: the bigram LM derives everything from one
     # persisted (doc, prev, cur, c) sliver; the edit-distance and
     # mutual-kNN self-joins scan each arm from parquet (re-scanning
