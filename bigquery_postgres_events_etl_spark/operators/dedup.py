@@ -946,6 +946,19 @@ def exact_substring_spans(
             )
         ).alias("off", "gram"),
     ).select("doc_id", (F.col("off") + 1).alias("pos"), "gram")
+    # Gram-key representation, two r11 experiments (scale_curve, 10×
+    # point, interleaved runs) — both REJECTED in favor of the raw
+    # string key below:
+    # 1. agg+join for keep_first (min(struct)+count then join): near-
+    #    unique grams defeat map-side combine and the occurrence frame
+    #    shuffles twice — 446 → 535 MB shuffle, wall 4.7 → 10.0 s.
+    # 2. 60-bit md5 digest key on both engines: shuffle −23% only
+    #    (lz4 compresses English-like grams well but digests not at
+    #    all) while the per-gram md5+conv CPU adds ~40% wall at
+    #    fixture scale. The documented 128-bit-digest swap remains the
+    #    right call only where NETWORK dominates the exchange; with
+    #    compressed shuffles the raw key is competitive on bytes and
+    #    wins on CPU.
     if keep_first:
         # keep-one policy: per repeated window, the EARLIEST occurrence
         # ((doc_id, pos) order) is exempt — only later occurrences are
