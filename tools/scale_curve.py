@@ -163,6 +163,17 @@ QUERIES = [
     "graph_hits_copurchase",
     "similarity_binary_quantized_topk",
     "similarity_matryoshka_topk",
+    # round-11 second wave: frozen-codebook SemDeDup (broadcast
+    # codebook + in-cluster pair join — Σ cluster² is the scale term),
+    # integer perceptron (one partial-agg scan per epoch — expected
+    # linear, iteration-bounded), trigram novelty (shuffle left join
+    # on the gram key), k-center (k argmax scans — linear × k),
+    # split-leakage (the jaccard-est LSH shape + two narrow joins)
+    "dedup_semantic_frozen",
+    "ml_perceptron_train",
+    "text_ngram_novelty",
+    "pipeline_kcenter_coreset",
+    "pipeline_split_leakage",
 ]
 
 
