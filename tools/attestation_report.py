@@ -49,9 +49,15 @@ def main() -> None:
     if by_round.get(0):
         print(f"  never-attested: {by_round[0]}")
 
-    # suggested next 50: never-attested first, then oldest rounds
-    plan = [n for rnd in sorted(by_round) for n in by_round[rnd]][:50]
-    print("\nsuggested next-round 50-prefix (oldest-first):")
+    # suggested next 50: the REAL rotation — driver_priority is what
+    # all_queries() actually fronts (never-attested, then plan-changed
+    # re-attests, then oldest). A local re-derivation here silently
+    # omitted the plan-changed tier (r11: the flagged pagerank was
+    # missing from this report while driver_priority had it at #13).
+    from bigquery_postgres_events_etl_spark.attestation import driver_priority
+
+    plan = driver_priority(names)[:50]
+    print("\nsuggested next-round 50-prefix (driver_priority order):")
     for n in plan:
         rnd = freshest.get(n, 0)
         print(f"  {n}  (freshest: {'never' if rnd == 0 else f'r{rnd}'})")
