@@ -1718,3 +1718,69 @@ def pipeline_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_coreset(
         load_table(spark, sf_dir, "embeddings"), k=KCENTER_K
     )
+
+
+POWER_ITERS = 8
+POWER_SCALE = 10**6
+_PI_W = """(SELECT SUM(g.g * x.v) FROM gram g
+            JOIN pi x ON x.dim = g.j AND x.r = p.r
+            WHERE g.i = p.dim)"""
+_PI_M = """(SELECT MAX(abs(
+             (SELECT SUM(g2.g * x2.v) FROM gram g2
+              JOIN pi x2 ON x2.dim = g2.j AND x2.r = p.r
+              WHERE g2.i = y.dim)))
+            FROM pi y WHERE y.r = p.r)"""
+
+
+@register(
+    "embedding_power_iteration",
+    f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT vec_id, embedding,
+             CAST(127.0 AS DOUBLE)
+               / nullif(list_max(list_transform(embedding,
+                                                x -> abs(CAST(x AS DOUBLE)))),
+                        0) AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT s.vec_id, CAST(g.i - 1 AS BIGINT) AS dim,
+             coalesce(CAST(floor(CAST(s.embedding[g.i] AS DOUBLE) * s.scale)
+                           AS BIGINT), 0) AS qv
+      FROM s, UNNEST(generate_series(1, len(s.embedding))) AS g(i)
+    ),
+    gram AS (
+      SELECT a.dim AS i, b.dim AS j, SUM(a.qv * b.qv) AS g
+      FROM q a JOIN q b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    pi (r, dim, v) AS (
+      SELECT 0, d.i, CAST({POWER_SCALE} AS BIGINT)
+      FROM (SELECT DISTINCT i FROM gram) d(i)
+      UNION ALL
+      SELECT p.r + 1, p.dim,
+             CASE WHEN {_PI_W} >= 0
+                  THEN {_PI_W} // greatest({_PI_M} // {POWER_SCALE}, 1)
+                  ELSE -((-{_PI_W}) // greatest({_PI_M} // {POWER_SCALE}, 1))
+             END
+      FROM pi p WHERE p.r < {POWER_ITERS}
+    )
+    SELECT dim, v AS v_fp FROM pi WHERE r = {POWER_ITERS}
+    """,
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the int8-quantized corpus —
+    exact-integer power iteration (the fixed-point family's spectral
+    member). The d×d Gram reduces distributedly (partial-aggregated
+    explode, shuffle bounded by partitions × d² longs); the 8
+    renormalized matrix-vector rounds replay in the oracle as a
+    recursive CTE with sign-explicit truncating division. Known-
+    direction and normalization-bound properties pytest-pinned."""
+    from .similarity import power_iteration_int8
+
+    return power_iteration_int8(
+        load_table(spark, sf_dir, "embeddings"),
+        n_iter=POWER_ITERS,
+        scale=POWER_SCALE,
+    )

@@ -900,6 +900,74 @@ def semantic_dedup_frozen(
     )
 
 
+POWER_ITERS = 8
+POWER_SCALE = 10**6
+
+
+def power_iteration_int8(
+    vectors: DataFrame,
+    n_iter: int = POWER_ITERS,
+    scale: int = POWER_SCALE,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Dominant principal direction of the int8-quantized corpus by
+    EXACT-INTEGER power iteration — the spectral member of the
+    fixed-point family (pagerank/HITS/perceptron): PCA's first
+    component drives embedding whitening/centering decisions in a
+    training-data pipeline, and quantizing first (the floor-exact
+    int8 scheme of :func:`quantize_embeddings_int8`) makes the whole
+    Gram + iteration chain integer, hence bit-replayable cross-engine.
+
+    Plan: the d×d Gram matrix reduces distributedly — the (vec, i, j)
+    explode is d² rows per vector but partial aggregation collapses
+    every partition to ≤ d² rows before the exchange, so the shuffle
+    carries (partitions × d²) longs regardless of corpus size. The
+    iteration then runs on the driver over the collected Gram —
+    bounded by the SCHEMA constant d² (64² = 4096 entries), the same
+    constant-bounded-collect contract as the Markov channel gate.
+    Per round: w = G·v (exact), then L∞ fixed-point renormalization
+    v' = trunc_div(w, max(max|w| // scale, 1)) — truncation spelled
+    sign-explicitly so Spark-side Python and the oracle's floor
+    division agree on negatives.
+
+    Overflow bound (shared with the DuckDB BIGINT twin): |w_i| ≤
+    d · N · 127² · scale must stay below 2⁶³ → safe for N up to
+    ~8.9e9 vectors at d=64, scale=1e6.
+
+    Output: (dim, v_fp) — the fixed-point eigenvector after
+    ``n_iter`` rounds.
+    """
+    q = quantize_embeddings_int8(vectors, id_col, emb_col)
+    cells = q.select(id_col, F.posexplode("q8").alias("dim", "qv"))
+    a = cells.select(
+        F.col(id_col), F.col("dim").alias("i"), F.col("qv").alias("qi")
+    )
+    b = cells.select(
+        F.col(id_col), F.col("dim").alias("j"), F.col("qv").alias("qj")
+    )
+    gram_rows = (
+        a.join(b, id_col)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qi").cast("long") * F.col("qj")).alias("g"))
+        .collect()  # ≤ d² rows — schema-constant bound, never data-sized
+    )
+    d = 1 + max((r.i for r in gram_rows), default=0)
+    gram: dict[tuple[int, int], int] = {(r.i, r.j): r.g for r in gram_rows}
+    v = [scale] * d
+    for _ in range(n_iter):
+        w = [
+            sum(gram.get((i, j), 0) * v[j] for j in range(d)) for i in range(d)
+        ]
+        m = max(abs(x) for x in w) if w else 0
+        dvr = max(m // scale, 1)
+        v = [x // dvr if x >= 0 else -((-x) // dvr) for x in w]
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(d)], "dim BIGINT, v_fp BIGINT"
+    )
+
+
 KCENTER_K = 8
 
 

@@ -340,3 +340,27 @@ def test_kcenter_radius_monotone_and_covers_clusters(spark):
     assert all(a >= b for a, b in zip(radii, radii[1:]))
     first_three_clusters = {r.vec_id // 10 for r in out[:3]}
     assert first_three_clusters == {0, 1, 2}
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    """On a corpus whose variance is overwhelmingly along one axis,
+    the fixed-point power iteration's dominant component is that axis
+    and every component obeys the L-inf normalization bound."""
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        POWER_SCALE,
+        power_iteration_int8,
+    )
+
+    rows = []
+    for k in range(20):
+        v = [0.01 * ((k * 7 + i) % 5 - 2) for i in range(16)]
+        v[5] = 10.0 if k % 2 == 0 else -10.0  # dominant +/- axis-5 mass
+        rows.append((k, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.dim: r.v_fp for r in power_iteration_int8(emb).collect()}
+    assert len(out) == 16
+    top = max(out, key=lambda d: abs(out[d]))
+    assert top == 5
+    assert all(abs(x) <= POWER_SCALE for x in out.values())
+    # the dominant component saturates the fixed-point scale
+    assert abs(out[5]) == POWER_SCALE
