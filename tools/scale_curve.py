@@ -174,6 +174,9 @@ QUERIES = [
     "text_ngram_novelty",
     "pipeline_kcenter_coreset",
     "pipeline_split_leakage",
+    # r11 third wave: distributed d×d Gram reduction + driver-side
+    # integer rounds — expected near-flat (shuffle ≤ partitions·d²)
+    "embedding_power_iteration",
 ]
 
 
