@@ -718,3 +718,55 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "population_share"
         ),
     )
+
+
+L_DIVERSITY_L = 3  # distinct sensitive values a cohort must contain
+
+
+@register(
+    "dq_l_diversity",
+    f"""
+    WITH sv AS (
+      SELECT lang,
+             CAST(n_chars // {K_ANON_LEN_BUCKET} AS BIGINT) AS len_bucket,
+             source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang, len_bucket,
+           CAST(SUM(n) AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive,
+           COUNT(*) < {L_DIVERSITY_L} AS violates_l,
+           CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dominant_share
+    FROM sv GROUP BY 1, 2
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's companion (Machanavajjhala
+    et al. 2007): a cohort can satisfy k yet still leak when every
+    member shares one SENSITIVE value, so each quasi-identifier
+    cohort (lang × length-bucket) must contain ≥ l distinct sensitive
+    values (``source`` plays the sensitive attribute). Emits cohort
+    size, distinct-sensitive count, the violation flag, and the
+    dominant single-value share (the log-free skew signal entropy-
+    l-diversity would monitor — exact integers, one IEEE division).
+
+    Plan: two stacked hash aggregations over a three-column sliver —
+    the first collapses to (cohort × sensitive) cardinality, the
+    second to cohort cardinality; both partial-aggregated, bounded by
+    vocabulary products, never by document count."""
+    docs = load_table(spark, sf_dir, "documents")
+    sv = docs.groupBy(
+        "lang",
+        F.expr(f"CAST(n_chars div {K_ANON_LEN_BUCKET} AS BIGINT)").alias(
+            "len_bucket"
+        ),
+        "source",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return sv.groupBy("lang", "len_bucket").agg(
+        F.sum("n").cast("long").alias("group_size"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_sensitive"),
+        (F.count(F.lit(1)) < L_DIVERSITY_L).alias("violates_l"),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias(
+            "dominant_share"
+        ),
+    )

@@ -135,3 +135,32 @@ def test_flagship_source_format_agnostic(spark, sf_dir, tmp_path):
     events.write.mode("overwrite").orc(orc_dir)
     from_orc = spark.read.orc(orc_dir)
     assert {tuple(r) for r in flagship_pipeline(from_orc).collect()} == want
+
+
+def test_l_diversity_planted_cohorts(spark):
+    """A cohort whose members all share one sensitive value violates
+    l=3 with dominant_share 1.0; a cohort spread over 3 sources
+    passes with share 1/3."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+    import tempfile
+
+    rows = (
+        # cohort (en, bucket 0): 3 docs, all src0 -> violates
+        [(i, "x", "en", "src0", 10) for i in range(3)]
+        # cohort (de, bucket 0): 3 docs, three sources -> passes
+        + [(10 + j, "x", "de", f"src{j}", 10) for j in range(3)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+        out = {
+            (r.lang, r.len_bucket): r
+            for r in all_queries()["dq_l_diversity"](spark, d).collect()
+        }
+    en, de = out[("en", 0)], out[("de", 0)]
+    assert en.violates_l and en.n_distinct_sensitive == 1
+    assert en.dominant_share == 1.0
+    assert not de.violates_l and de.n_distinct_sensitive == 3
+    assert abs(de.dominant_share - 1 / 3) < 1e-12

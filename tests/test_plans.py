@@ -811,6 +811,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "text_ngram_novelty": {"documents": {"lang", "source", "n_chars"}},
     "pipeline_kcenter_coreset": {"embeddings": {"label"}},
     "pipeline_split_leakage": {"documents": {"lang", "source", "n_chars"}},
+    "dq_l_diversity": {"documents": {"text"}},
 }
 
 
