@@ -426,3 +426,121 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
     return core_deg
+
+
+RA_SCALE = 10**12  # fixed-point units for the 1/deg resource shares
+
+
+@register(
+    "graph_resource_allocation",
+    f"""
+    WITH {_EDGES_CTE},
+    und AS (
+      SELECT u AS a, v AS b FROM pairs
+      UNION ALL
+      SELECT v AS a, u AS b FROM pairs
+    ),
+    qset AS (
+      SELECT node AS qnode, d AS deg_q
+      FROM (
+        SELECT node, d, ROW_NUMBER() OVER (ORDER BY d DESC, node) AS rn
+        FROM deg
+      ) WHERE rn <= {CN_QUERIES}
+    ),
+    wedge AS (
+      SELECT q.qnode, w2.b AS candidate,
+             SUM({RA_SCALE} // gm.d) AS ra_fp,
+             COUNT(*) AS common_cnt
+      FROM qset q
+      JOIN und w1 ON w1.a = q.qnode
+      JOIN und w2 ON w2.a = w1.b AND w2.b != q.qnode
+      JOIN deg gm ON gm.node = w1.b
+      GROUP BY 1, 2
+    ),
+    nonadj AS (
+      SELECT w.* FROM wedge w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und e WHERE e.a = w.qnode AND e.b = w.candidate
+      )
+    ),
+    scored AS (
+      SELECT qnode, candidate,
+             CAST(ra_fp AS BIGINT) AS ra_fp,
+             CAST(common_cnt AS BIGINT) AS common_cnt,
+             ROW_NUMBER() OVER (PARTITION BY qnode
+                                ORDER BY ra_fp DESC, candidate) AS rank
+      FROM nonadj
+    )
+    SELECT qnode, candidate, ra_fp, common_cnt, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= {CN_TOP_K}
+    """,
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) —
+    the degree-weighted upgrade of graph_common_neighbors: each shared
+    neighbor z contributes 1/deg(z), so hub intermediaries (shared
+    with everyone) stop dominating the score. The share is computed in
+    EXACT fixed point — ``RA_SCALE div deg(z)`` summed as BIGINT, the
+    integer-division trick the Adamic-Adar log weight cannot offer —
+    keeping the whole ranking hash-oracle-able (floor division is
+    deterministic on both engines; a double Σ 1/deg would sum in
+    nondeterministic order).
+
+    Plan shape inherits the CN entry: wedges fan out from the bounded
+    broadcast hub query set only (never Σ deg²), one extra narrow
+    join against the degree sliver on the wedge midpoint, per-query
+    top-k window over ≤ |2-hop| candidates."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .persist()
+    )
+    deg = (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    qset = (
+        deg.orderBy(F.col("d").desc(), F.col("node"))
+        .limit(CN_QUERIES)
+        .select(F.col("node").alias("qnode"))
+    )
+    w1 = und.select(F.col("a").alias("qnode"), F.col("b").alias("mid"))
+    w2 = und.select(F.col("a").alias("mid"), F.col("b").alias("candidate"))
+    wedge = (
+        F.broadcast(qset)
+        .join(w1, "qnode")
+        .join(w2, "mid")
+        .where(F.col("candidate") != F.col("qnode"))
+        .join(deg.select(F.col("node").alias("mid"), "d"), "mid")
+        .groupBy("qnode", "candidate")
+        .agg(
+            F.sum(F.expr(f"{RA_SCALE} div d")).alias("ra_fp"),
+            F.count(F.lit(1)).alias("common_cnt"),
+        )
+    )
+    nonadj = wedge.join(
+        und.select(F.col("a").alias("qnode"), F.col("b").alias("candidate")),
+        ["qnode", "candidate"],
+        "left_anti",
+    )
+    return (
+        nonadj.select(
+            "qnode",
+            "candidate",
+            F.col("ra_fp").cast("long").alias("ra_fp"),
+            F.col("common_cnt").cast("long").alias("common_cnt"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("qnode").orderBy(
+                    F.col("ra_fp").desc(), F.col("candidate")
+                )
+            )
+            .cast("long"),
+        )
+        .where(F.col("rank") <= CN_TOP_K)
+    )

@@ -187,6 +187,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "contract as ivf_fixed_topk",
     ("similarity.py", "kcenter_coreset"):
         "seed / new-center frames — exactly 1 row each by construction",
+    ("queries_graph.py", "graph_resource_allocation"):
+        "hub query set — bounded by CN_QUERIES (20), same contract as "
+        "graph_common_neighbors",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
     ("queries_pipeline.py", "pipeline_corpus_prep_end2end"):
         "1-row quality-threshold scalar — unconditionally safe",

@@ -143,3 +143,44 @@ def test_kcore_matches_python_reference_and_converges(spark, sf_dir):
     got = sorted((r.part, r.core_degree) for r in rows)
     assert got == want
     assert got  # non-trivial core at the fixture scale
+
+
+def test_resource_allocation_matches_python_reference(spark, sf_dir):
+    """Exact parity with a pure-Python integer reference (Σ of
+    RA_SCALE // deg(z) over common neighbors, non-adjacent candidates,
+    (ra_fp desc, candidate) top-k), and the defining RA property:
+    scores weight LOW-degree intermediaries above hubs — verified by
+    at least one query where the RA order differs from the raw
+    common-count order."""
+    from bigquery_postgres_events_etl_spark.operators.queries_graph import (
+        RA_SCALE,
+    )
+
+    adj = _adjacency(spark, sf_dir)
+    hubs = sorted(adj, key=lambda n: (-len(adj[n]), n))[:CN_QUERIES]
+    want = []
+    any_reordered = False
+    for q in hubs:
+        cand: dict[int, list[int]] = {}
+        for mid in adj[q]:
+            for c in adj[mid]:
+                if c != q and c not in adj[q]:
+                    acc = cand.setdefault(c, [0, 0])
+                    acc[0] += RA_SCALE // len(adj[mid])
+                    acc[1] += 1
+        top = sorted(cand.items(), key=lambda x: (-x[1][0], x[0]))[:CN_TOP_K]
+        by_cnt = sorted(cand.items(), key=lambda x: (-x[1][1], x[0]))[:CN_TOP_K]
+        if [c for c, _ in top] != [c for c, _ in by_cnt]:
+            any_reordered = True
+        for rank, (c, (ra, cnt)) in enumerate(top, 1):
+            want.append((q, c, ra, cnt, rank))
+
+    rows = (
+        all_queries()["graph_resource_allocation"](spark, sf_dir)
+        .orderBy("qnode", "rank")
+        .collect()
+    )
+    got = [(r.qnode, r.candidate, r.ra_fp, r.common_cnt, r.rank) for r in rows]
+    want.sort(key=lambda t: (t[0], t[4]))
+    assert got == want
+    assert any_reordered  # degree weighting must actually change a ranking

@@ -812,6 +812,9 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "pipeline_kcenter_coreset": {"embeddings": {"label"}},
     "pipeline_split_leakage": {"documents": {"lang", "source", "n_chars"}},
     "dq_l_diversity": {"documents": {"text"}},
+    "graph_resource_allocation": {
+        "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"}
+    },
 }
 
 
