@@ -2117,3 +2117,93 @@ def stats_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+HOLT_SCALE = 10**6  # fixed-point units for level/trend state
+
+
+def _holt_tdiv(expr: str, d: int = 4) -> str:
+    """Sign-explicit TRUNCATING integer division — Spark's `div` and
+    Python's mirrored trunc vs DuckDB's floor `//` disagree on
+    negatives (the power-iteration note), so the oracle spells out
+    trunc."""
+    return (f"(CASE WHEN ({expr}) >= 0 THEN ({expr}) // {d} "
+            f"ELSE -((-({expr})) // {d}) END)")
+
+
+_HOLT_L = _holt_tdiv(f"x.n * {HOLT_SCALE} + 3 * (h.l + h.b)")
+_HOLT_B = _holt_tdiv(f"{_HOLT_L} - h.l + 3 * h.b")
+
+
+@register(
+    "events_holt_smoothing",
+    f"""
+    WITH RECURSIVE
+    daily AS (
+      SELECT event_type, CAST({_TS} AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    holt (event_type, i, day, n, l, b) AS (
+      SELECT event_type, i, day, n, n * {HOLT_SCALE}, CAST(0 AS BIGINT)
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT x.event_type, x.i, x.day, x.n, {_HOLT_L}, {_HOLT_B}
+      FROM holt h JOIN idx x
+        ON x.event_type = h.event_type AND x.i = h.i + 1
+    )
+    SELECT event_type, day, n,
+           l AS level_fp, b AS trend_fp,
+           l + b AS forecast_next_fp
+    FROM holt
+    """,
+)
+def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (the EWMA entry's
+    trend-aware upgrade) over per-type daily counts, in EXACT fixed
+    point: α = β = 1/4 as truncating division by 4 of BIGINT state,
+    so the full (level, trend, one-step forecast) trajectory is
+    bit-replayable — the DuckDB twin advances one day per recursion
+    with the identical sign-explicit trunc-division chain.
+
+    Plan: one partial-aggregated daily rollup; the smoothing recursion
+    runs driver-side over the collected rollup — bounded by calendar ×
+    event-type vocabulary (30 × 5 here; the distinct-day-list collect
+    precedent), never by event count. Convergence properties pinned in
+    tests/test_temporal_stats_ops.py (exact next-value forecast on a
+    linear series; trend → 0 on a constant series)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()  # calendar × vocabulary bounded — never event-sized
+    )
+    by_type: dict[str, list] = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, []).append((r.day, r.n))
+
+    def tdiv(v: int, d: int = 4) -> int:
+        return v // d if v >= 0 else -((-v) // d)
+
+    rows = []
+    for et, series in by_type.items():
+        series.sort()
+        l = series[0][1] * HOLT_SCALE
+        b = 0
+        rows.append((et, series[0][0], series[0][1], l, b, l + b))
+        for day, n in series[1:]:
+            l_new = tdiv(n * HOLT_SCALE + 3 * (l + b))
+            b = tdiv(l_new - l + 3 * b)
+            l = l_new
+            rows.append((et, day, n, l, b, l + b))
+    spark2 = spark
+    return spark2.createDataFrame(
+        rows,
+        "event_type STRING, day DATE, n BIGINT, level_fp BIGINT, "
+        "trend_fp BIGINT, forecast_next_fp BIGINT",
+    )

@@ -170,3 +170,44 @@ def test_interpolate_linear_invariants(spark, sf_dir):
                 lo, hi = min(prev_v, next_v), max(prev_v, next_v)
                 assert lo - 1e-9 <= r.interp_value <= hi + 1e-9
     assert n_gap_interp > 0  # the fixture actually has interior gaps
+
+
+def test_holt_smoothing_linear_and_constant_series(spark):
+    """Fixed-point Holt: on an exactly linear series the one-step
+    forecast converges to the exact next value (trend locks to the
+    slope); on a constant series the trend stays 0 and the level
+    stays pinned to the constant."""
+    import datetime
+    import tempfile
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+    from bigquery_postgres_events_etl_spark.operators.queries_stattests import (
+        HOLT_SCALE,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(25):
+        # 'lin': count 10 + 2*d per day; 'const': 7 per day
+        for _ in range(10 + 2 * d):
+            rows.append((eid, base + datetime.timedelta(days=d), 1, "lin")); eid += 1
+        for _ in range(7):
+            rows.append((eid, base + datetime.timedelta(days=d), 1, "const")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(tmp + "/events.parquet")
+        out = all_queries()["events_holt_smoothing"](spark, tmp).collect()
+    lin = sorted((r for r in out if r.event_type == "lin"), key=lambda r: r.day)
+    const = sorted((r for r in out if r.event_type == "const"), key=lambda r: r.day)
+    # constant series: level == 7*S and trend == 0 from day one
+    assert all(r.trend_fp == 0 for r in const)
+    assert all(r.level_fp == 7 * HOLT_SCALE for r in const)
+    # linear series: α=β=1/4 converges geometrically — after 25 days
+    # the one-step forecast is within a fraction of one count unit of
+    # the true next value and the trend has locked near the slope (2)
+    true_next = (10 + 2 * 25) * HOLT_SCALE
+    assert abs(lin[-1].forecast_next_fp - true_next) < HOLT_SCALE
+    assert abs(lin[-1].trend_fp - 2 * HOLT_SCALE) < HOLT_SCALE // 2
