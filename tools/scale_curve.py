@@ -177,6 +177,12 @@ QUERIES = [
     # r11 third wave: distributed d×d Gram reduction + driver-side
     # integer rounds — expected near-flat (shuffle ≤ partitions·d²)
     "embedding_power_iteration",
+    # r11 fourth wave: vocabulary-bounded privacy agg, hub-confined
+    # RA wedges (the CN shape + one degree join), calendar-bounded
+    # Holt rollup
+    "dq_l_diversity",
+    "graph_resource_allocation",
+    "events_holt_smoothing",
 ]
 
 
