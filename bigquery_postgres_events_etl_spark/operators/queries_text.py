@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table, parallelize
@@ -1178,5 +1178,140 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
                 "novelty"
             ),
+        )
+    )
+
+
+RAKE_SCALE = 10**6
+RAKE_TOP_K = 3
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@register(
+    "text_rake_keywords",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, g.i AS pos, t[g.i] AS token,
+             t[g.i] IN ({_RAKE_STOP_SQL}) AS stop
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS g(i)
+    ),
+    isl AS (
+      SELECT doc_id, pos, token, island FROM (
+        SELECT doc_id, pos, token, stop,
+               SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM tok
+      ) WHERE NOT stop
+    ),
+    phrase_agg AS (
+      SELECT doc_id, island,
+             string_agg(token, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM isl GROUP BY doc_id, island
+    ),
+    word_occ AS (
+      SELECT i.token, p.n_words
+      FROM isl i JOIN phrase_agg p
+        ON p.doc_id = i.doc_id AND p.island = i.island
+    ),
+    word_score AS (
+      SELECT token,
+             (SUM(n_words) * {RAKE_SCALE}) // COUNT(*) AS score_fp
+      FROM word_occ GROUP BY token
+    ),
+    phrase_score AS (
+      SELECT i.doc_id, i.island,
+             CAST(SUM(w.score_fp) AS BIGINT) AS score_fp
+      FROM isl i JOIN word_score w ON w.token = i.token
+      GROUP BY i.doc_id, i.island
+    ),
+    doc_phrases AS (
+      SELECT p.doc_id, p.phrase, p.n_words, s.score_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM phrase_agg p
+      JOIN phrase_score s ON s.doc_id = p.doc_id AND s.island = p.island
+      GROUP BY p.doc_id, p.phrase, p.n_words, s.score_fp
+    )
+    SELECT doc_id, phrase, n_words, n_occurrences, score_fp,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_fp DESC, phrase) AS rank
+      FROM doc_phrases
+    ) WHERE rank <= {RAKE_TOP_K}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) in exact fixed
+    point: candidate phrases are maximal stopword-free token runs
+    (gaps-and-islands over the stopword flag — one doc-partitioned
+    window); each word scores corpus-wide degree/frequency, computed
+    as ``(Σ phrase_len · SCALE) div freq`` — an exact BIGINT, so the
+    per-doc top-3 phrase ranking hash-checks cross-engine where
+    RAKE's usual float ratio could not. Identical phrases within a
+    doc collapse with an occurrence count; ties break on the phrase
+    text.
+
+    Plan: one tokenize+explode pass; the phrase assembly is one
+    doc-partitioned window + agg; the word-stats frame is
+    vocabulary-sized (shuffle carries (token, len) slivers); the
+    scoring join is phrase-members ⨝ vocabulary. No all-pairs, no
+    UDF, no driver loop."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "token",
+        F.col("token").isin(EN_STOPWORDS).alias("stop"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        tok.select(
+            "doc_id",
+            "pos",
+            "token",
+            "stop",
+            F.sum(F.col("stop").cast("int")).over(w).alias("island"),
+        )
+        .where(~F.col("stop"))
+        .drop("stop")
+        .persist()  # feeds phrase assembly, word stats, and scoring
+    )
+    phrase_agg = isl.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s.getField("token"),
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    word_occ = isl.join(phrase_agg.select("doc_id", "island", "n_words"),
+                        ["doc_id", "island"])
+    word_score = word_occ.groupBy("token").agg(
+        F.expr(f"(SUM(n_words) * {RAKE_SCALE}) div COUNT(*)").alias("score_fp")
+    )
+    phrase_score = (
+        isl.join(word_score, "token")
+        .groupBy("doc_id", "island")
+        .agg(F.sum("score_fp").cast("long").alias("score_fp"))
+    )
+    doc_phrases = (
+        phrase_agg.join(phrase_score, ["doc_id", "island"])
+        .groupBy("doc_id", "phrase", "n_words", "score_fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), F.col("phrase")
+    )
+    return (
+        doc_phrases.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= RAKE_TOP_K)
+        .select(
+            "doc_id", "phrase", "n_words", "n_occurrences", "score_fp", "rank"
         )
     )

@@ -815,6 +815,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "graph_resource_allocation": {
         "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"}
     },
+    "text_rake_keywords": {"documents": {"lang", "source", "n_chars"}},
 }
 
 
@@ -884,6 +885,9 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     # two doc_id-ONLY scans for the split-label joins (narrow by the
     # pruning contract; re-scanning one column beats caching)
     "pipeline_split_leakage": {"documents": 3},
+    # one tokenize+explode pass; phrase/word/score frames all derive
+    # from the persisted island sliver
+    "text_rake_keywords": {"documents": 1},
     # r7 additions: the bigram LM derives everything from one
     # persisted (doc, prev, cur, c) sliver; the edit-distance and
     # mutual-kNN self-joins scan each arm from parquet (re-scanning

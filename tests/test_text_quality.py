@@ -593,3 +593,42 @@ def test_ngram_novelty_planted_extremes(spark):
     assert out[1].n_novel == 0
     assert out[2].n_novel == out[2].n_grams
     assert 0 < out[4].n_novel < out[4].n_grams
+
+
+def test_rake_keywords_known_scores(spark, sf_dir):
+    """RAKE on planted docs: stopwords delimit phrases, word score =
+    deg/freq in fixed point, multiword phrases outrank their parts,
+    and identical phrases within a doc collapse with an occurrence
+    count."""
+    import tempfile
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+    from bigquery_postgres_events_etl_spark.operators.queries_text import (
+        RAKE_SCALE,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "machine learning is fun"),
+            (1, "machine learning and data"),
+            (2, "machine learning of machine learning"),
+        ],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+        rows = all_queries()["text_rake_keywords"](spark, tmp).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # word stats over the corpus: machine/learning freq 4 (two phrases
+    # in doc 2), deg = sum of phrase lengths = 8 -> score 2.0 each
+    top0 = min(by_doc[0], key=lambda r: r.rank)
+    assert top0.phrase == "machine learning"
+    assert top0.score_fp == 4 * RAKE_SCALE
+    top2 = min(by_doc[2], key=lambda r: r.rank)
+    assert top2.phrase == "machine learning" and top2.n_occurrences == 2
+    # single leftover words score below the two-word phrase
+    assert all(
+        r.score_fp < 4 * RAKE_SCALE for r in by_doc[0] if r.rank > 1
+    )
