@@ -2207,3 +2207,178 @@ def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type STRING, day DATE, n BIGINT, level_fp BIGINT, "
         "trend_fp BIGINT, forecast_next_fp BIGINT",
     )
+
+
+BH_ALPHA_NUM, BH_ALPHA_DEN = 1, 10  # FDR level α = 0.1 as an exact rational
+
+
+@register(
+    "stats_bh_correction",
+    f"""
+    WITH per_user AS (
+      SELECT event_type, user_id, user_id % 2 AS arm,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS VARCHAR)
+                  AS DOUBLE) AS metric
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT event_type,
+             CAST(CAST(SUM(CASE WHEN arm = 0
+                    THEN CAST(metric AS DECIMAL(27,4)) END) AS VARCHAR)
+                  AS DOUBLE)
+               / SUM(CASE WHEN arm = 0 THEN 1 END)
+             - CAST(CAST(SUM(CASE WHEN arm = 1
+                    THEN CAST(metric AS DECIMAL(27,4)) END) AS VARCHAR)
+                  AS DOUBLE)
+               / SUM(CASE WHEN arm = 1 THEN 1 END) AS obs_diff
+      FROM per_user GROUP BY 1
+    ),
+    perms AS (
+      SELECT event_type, b,
+             CAST(CAST(SUM(CASE WHEN parm = 0
+                    THEN CAST(metric AS DECIMAL(27,4)) END) AS VARCHAR)
+                  AS DOUBLE)
+               / SUM(CASE WHEN parm = 0 THEN 1 END)
+             - CAST(CAST(SUM(CASE WHEN parm = 1
+                    THEN CAST(metric AS DECIMAL(27,4)) END) AS VARCHAR)
+                  AS DOUBLE)
+               / SUM(CASE WHEN parm = 1 THEN 1 END) AS diff
+      FROM (
+        SELECT u.event_type, u.metric, t.b,
+               ('0x' || substr(md5(u.user_id || '~' || t.b), 1, 1))::BIGINT
+                 % 2 AS parm
+        FROM per_user u, generate_series(0, {PERM_N - 1}) t(b)
+      ) x
+      GROUP BY 1, 2
+    ),
+    scores AS (
+      SELECT o.event_type, o.obs_diff,
+             CAST(1 + SUM(CASE WHEN abs(p.diff) >= abs(o.obs_diff)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM perms p JOIN obs o USING (event_type)
+      GROUP BY 1, 2
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM scores),
+    ranked AS (
+      SELECT s.event_type, s.obs_diff, s.c, mm.m,
+             ROW_NUMBER() OVER (ORDER BY s.c, s.event_type) AS p_rank
+      FROM scores s, mm
+    ),
+    khat AS (
+      SELECT MAX(CASE WHEN {BH_ALPHA_DEN} * m * c
+                          <= p_rank * {BH_ALPHA_NUM} * (1 + {PERM_N})
+                      THEN p_rank END) AS k
+      FROM ranked
+    )
+    SELECT r.event_type, r.obs_diff,
+           r.c - 1 AS n_extreme,
+           CAST(r.c AS DOUBLE) / (1 + {PERM_N}) AS p_value,
+           CAST(r.p_rank AS BIGINT) AS p_rank,
+           r.p_rank <= COALESCE(k.k, 0) AS rejected
+    FROM ranked r, khat k
+    """,
+)
+def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over the per-event-type
+    family of randomization tests — the multiple-testing governance
+    layer every per-segment experiment readout needs (5 segments
+    tested at α=0.1 each would inflate the family-wise false-positive
+    rate; BH bounds the FDR instead). Each segment's p-value is the
+    EXACT add-one rational c/(1+B) from the stats_randomization_test
+    machinery (deterministic md5 pseudo-permutations, DECIMAL
+    string-round-trip means), so the BH step-up decision
+    ``p_(k) ≤ k·α/m`` evaluates as the pure-INTEGER cross-product
+    ``den·m·c ≤ k·num·(1+B)`` — no float threshold anywhere in the
+    decision, hash-exact cross-engine.
+
+    Scale: the B-fold expansion runs on the per-(type,user) sliver
+    with map-side partial aggregation (the randomization-test shape ×
+    the type vocabulary); the BH ranking window is GLOBAL but over m =
+    |event-type vocabulary| rows — bounded by the schema, never by
+    data."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_user = (
+        e.groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(27,4)"))
+            .cast("string")
+            .cast("double")
+            .alias("metric")
+        )
+        .select(
+            "event_type", "user_id", (F.col("user_id") % 2).alias("arm"), "metric"
+        )
+        .persist()  # two consumers: observed diffs + the B-fold expansion
+    )
+    mdec = F.col("metric").cast("decimal(27,4)")
+
+    def arm_diff(arm_col: str) -> Column:
+        s0 = F.sum(F.when(F.col(arm_col) == 0, mdec)).cast("string").cast("double")
+        s1 = F.sum(F.when(F.col(arm_col) == 1, mdec)).cast("string").cast("double")
+        n0 = F.sum(F.when(F.col(arm_col) == 0, 1))
+        n1 = F.sum(F.when(F.col(arm_col) == 1, 1))
+        return s0 / n0 - s1 / n1
+
+    obs = per_user.groupBy("event_type").agg(arm_diff("arm").alias("obs_diff"))
+    perms = (
+        per_user.select(
+            "event_type",
+            "user_id",
+            "metric",
+            F.explode(F.sequence(F.lit(0), F.lit(PERM_N - 1))).alias("b"),
+        )
+        .withColumn(
+            "parm",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("~", F.col("user_id"), F.col("b"))), 1, 1
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+        .groupBy("event_type", "b")
+        .agg(arm_diff("parm").alias("diff"))
+    )
+    scores = (
+        perms.join(obs, "event_type")
+        .groupBy("event_type", "obs_diff")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.abs(F.col("diff")) >= F.abs(F.col("obs_diff")), 1
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("c")
+        )
+    )
+    mm = scores.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    # global rank window over m = |event-type vocabulary| rows only
+    ranked = scores.crossJoin(F.broadcast(mm)).withColumn(
+        "p_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("c"), F.col("event_type"))
+        ),
+    )
+    khat = ranked.agg(
+        F.max(
+            F.when(
+                F.lit(BH_ALPHA_DEN) * F.col("m") * F.col("c")
+                <= F.col("p_rank") * F.lit(BH_ALPHA_NUM) * F.lit(1 + PERM_N),
+                F.col("p_rank"),
+            )
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(khat)).select(
+        "event_type",
+        "obs_diff",
+        (F.col("c") - 1).alias("n_extreme"),
+        (F.col("c").cast("double") / F.lit(1 + PERM_N)).alias("p_value"),
+        F.col("p_rank").cast("long").alias("p_rank"),
+        (F.col("p_rank") <= F.coalesce(F.col("k"), F.lit(0))).alias("rejected"),
+    )

@@ -190,6 +190,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("queries_graph.py", "graph_resource_allocation"):
         "hub query set — bounded by CN_QUERIES (20), same contract as "
         "graph_common_neighbors",
+    ("queries_stattests.py", "stats_bh_correction"):
+        "two scalar frames — the 1-row m count and the 1-row BH "
+        "step-up k̂ — unconditionally safe",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
     ("queries_pipeline.py", "pipeline_corpus_prep_end2end"):
         "1-row quality-threshold scalar — unconditionally safe",

@@ -816,6 +816,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
         "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"}
     },
     "text_rake_keywords": {"documents": {"lang", "source", "n_chars"}},
+    "stats_bh_correction": {"events": {"props", "event_id", "ts"}},
 }
 
 

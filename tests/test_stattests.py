@@ -864,3 +864,51 @@ def test_cuped_matches_pandas_reference_and_reduces_variance(spark):
         (ya - yb) - theta * (xa - xb), rel=1e-6
     )
     assert 0.0 < row.rho_sq < 1.0
+
+
+def test_bh_correction_reference_and_planted_signal(spark):
+    """BH step-up parity with a pure-Python reference over the
+    entry's own exact rational p-values, plus a planted strong
+    arm effect that must be rejected with the minimum p-value, and
+    the structural invariant that the rejected set is a prefix of
+    the p-rank order."""
+    import datetime
+    import tempfile
+
+    from bigquery_postgres_events_etl_spark.operators.queries_stattests import (
+        BH_ALPHA_DEN,
+        BH_ALPHA_NUM,
+        PERM_N,
+    )
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    base = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for u in range(60):
+        # 'signal': arm (u % 2) completely determines the value
+        rows.append((eid, base, u, "signal", 100.0 if u % 2 == 0 else 1.0)); eid += 1
+        # 'noise': value independent of arm
+        rows.append((eid, base, u, "noise", float(10 + (u * 7) % 5))); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(tmp + "/events.parquet")
+        out = sorted(
+            all_queries()["stats_bh_correction"](spark, tmp).collect(),
+            key=lambda r: r.p_rank,
+        )
+    m = len(out)
+    # pure-Python BH step-up over the exact integer counts
+    khat = 0
+    for r in out:
+        c = r.n_extreme + 1
+        if BH_ALPHA_DEN * m * c <= r.p_rank * BH_ALPHA_NUM * (1 + PERM_N):
+            khat = max(khat, r.p_rank)
+    assert [r.rejected for r in out] == [r.p_rank <= khat for r in out]
+    # rejected set is a prefix of the p-rank order
+    flags = [r.rejected for r in out]
+    assert flags == sorted(flags, reverse=True)
+    # the planted signal holds the minimum p-value and is rejected
+    assert out[0].event_type == "signal" and out[0].rejected
+    assert not [r for r in out if r.event_type == "noise" and r.p_value < out[0].p_value]
