@@ -183,6 +183,10 @@ QUERIES = [
     "dq_l_diversity",
     "graph_resource_allocation",
     "events_holt_smoothing",
+    # r11 fifth wave: RAKE (one tokenize pass + vocabulary joins),
+    # BH (randomization-test expansion × type vocabulary)
+    "text_rake_keywords",
+    "stats_bh_correction",
 ]
 
 
