@@ -2382,3 +2382,94 @@ def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_rank").cast("long").alias("p_rank"),
         (F.col("p_rank") <= F.coalesce(F.col("k"), F.lit(0))).alias("rejected"),
     )
+
+
+from .queries_text import NB_SCORE_CTES as _NB_CTES  # noqa: E402
+from .queries_text import _NB_SRC_SQL  # noqa: E402
+
+
+@register(
+    "ml_eval_auc_nb",
+    f"""
+    WITH {_NB_CTES},
+    scored AS (
+      SELECT d.doc_id, CAST(d.llr + p.prior AS DOUBLE) AS nb_score
+      FROM per_doc d CROSS JOIN priors p
+    ),
+    lab AS (
+      SELECT s.nb_score, COUNT(*) AS n,
+             SUM(CASE WHEN dd.source IN ({_NB_SRC_SQL})
+                      THEN 1 ELSE 0 END) AS n_pos
+      FROM scored s JOIN documents dd USING (doc_id)
+      GROUP BY s.nb_score
+    ),
+    cum AS (
+      SELECT nb_score, n, n_pos,
+             SUM(n) OVER (ORDER BY nb_score) AS cum_n
+      FROM lab
+    ),
+    tot AS (SELECT SUM(n) AS n_t, SUM(n_pos) AS p_t FROM lab)
+    SELECT CAST(t.p_t AS BIGINT) AS n_pos,
+           CAST(t.n_t - t.p_t AS BIGINT) AS n_neg,
+           CAST(SUM(c.n_pos * (2 * (c.cum_n - c.n) + c.n + 1))
+                - t.p_t * (t.p_t + 1) AS BIGINT) AS auc_num,
+           CAST(2 * t.p_t * (t.n_t - t.p_t) AS BIGINT) AS auc_den,
+           CAST(SUM(c.n_pos * (2 * (c.cum_n - c.n) + c.n + 1))
+                - t.p_t * (t.p_t + 1) AS DOUBLE)
+             / CAST(2 * t.p_t * (t.n_t - t.p_t) AS DOUBLE) AS auc
+    FROM cum c, tot t
+    GROUP BY t.p_t, t.n_t
+    """,
+)
+def ml_eval_auc_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the NB quality classifier against its weak
+    source labels — the model-eval metric the quality-gate family was
+    missing. AUC is computed by the tie-aware Mann–Whitney rank
+    identity: group docs by their (engine-identical) score, one
+    distributed two-channel cumulative sum over the distinct-score
+    frame (`_packed_cum` — NO unpartitioned window over data), then
+    AUC = (Σ_pos 2·midrank − n⁺(n⁺+1)) / (2·n⁺·n⁻) with the numerator
+    and denominator emitted as exact BIGINTs beside the one-division
+    double. The score SQL is the imported text_nb_quality_score
+    oracle body, so scorer and evaluator cannot drift."""
+    from ..io import parallelize
+    from .text import NB_TARGET_SOURCES, nb_quality_score
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    scored = nb_quality_score(docs).select("doc_id", "nb_score")
+    labels = docs.select(
+        "doc_id",
+        F.col("source").isin(*NB_TARGET_SOURCES).cast("long").alias("pos"),
+    )
+    byscore = (
+        scored.join(labels, "doc_id")
+        .groupBy("nb_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    cum = _packed_cum(byscore, "n", "n_pos", "nb_score")
+    per = cum.select(
+        (
+            F.col("n_pos")
+            * (2 * (F.col("_cum_a") - F.col("n")) + F.col("n") + 1)
+        ).alias("r2"),
+        F.col("_tot_a").alias("n_t"),
+        F.col("_tot_b").alias("p_t"),
+    )
+    agg = per.groupBy("n_t", "p_t").agg(F.sum("r2").alias("r2_sum"))
+    return agg.select(
+        F.col("p_t").cast("long").alias("n_pos"),
+        (F.col("n_t") - F.col("p_t")).cast("long").alias("n_neg"),
+        (F.col("r2_sum") - F.col("p_t") * (F.col("p_t") + 1))
+        .cast("long")
+        .alias("auc_num"),
+        (2 * F.col("p_t") * (F.col("n_t") - F.col("p_t")))
+        .cast("long")
+        .alias("auc_den"),
+        (
+            (F.col("r2_sum") - F.col("p_t") * (F.col("p_t") + 1)).cast("double")
+            / (2 * F.col("p_t") * (F.col("n_t") - F.col("p_t"))).cast("double")
+        ).alias("auc"),
+    )

@@ -715,10 +715,10 @@ def text_nb_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_token_counts(parallelize(load_table(spark, sf_dir, "documents")))
 
 
-@register(
-    "text_nb_quality_score",
-    f"""
-    WITH tok AS (
+# Shared NB scoring CTE chain — the text_nb_quality_score oracle body,
+# also consumed by the model-eval entries (queries_stattests) so the
+# score SQL cannot drift between the scorer and its evaluators.
+NB_SCORE_CTES = f"""tok AS (
       SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
       FROM documents
     ),
@@ -748,7 +748,13 @@ def text_nb_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(20,9))) AS llr
       FROM tok t JOIN counts c USING (token) CROSS JOIN totals tt
       GROUP BY t.doc_id
-    )
+    )"""
+
+
+@register(
+    "text_nb_quality_score",
+    f"""
+    WITH {NB_SCORE_CTES}
     SELECT d.doc_id, d.n_tokens,
            CAST(d.llr + p.prior AS DOUBLE) AS nb_score,
            (d.llr + p.prior) > 0 AS predicted_curated

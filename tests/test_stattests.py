@@ -912,3 +912,58 @@ def test_bh_correction_reference_and_planted_signal(spark):
     # the planted signal holds the minimum p-value and is rejected
     assert out[0].event_type == "signal" and out[0].rejected
     assert not [r for r in out if r.event_type == "noise" and r.p_value < out[0].p_value]
+
+
+def test_auc_rank_identity_on_planted_scores(spark):
+    """AUC entry parity with a pure-Python tie-aware reference on a
+    planted corpus: perfectly separating scores give AUC 1.0; the
+    reference midrank computation matches the entry's exact integer
+    numerator/denominator (documents built so NB scores produce both
+    clean separation and ties)."""
+    import tempfile
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    # src0/src1 docs share a 'curated' vocabulary; others share junk.
+    # Two junk docs are identical -> a score tie crossing nothing.
+    rows = [
+        (0, "good clean prose text", "src0"),
+        (1, "good clean prose words", "src1"),
+        (2, "spam junk noise junkery", "src5"),
+        (3, "spam junk noise junkery", "src6"),  # exact tie with doc 2
+        (4, "spam junk noise other", "src7"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+        out = all_queries()["ml_eval_auc_nb"](spark, tmp).collect()
+        # pure-Python reference from the scorer's own output
+        scored = {
+            r.doc_id: r.nb_score
+            for r in all_queries()["text_nb_quality_score"](spark, tmp).collect()
+        }
+    assert len(out) == 1
+    r = out[0]
+    labels = {0: 1, 1: 1, 2: 0, 3: 0, 4: 0}
+    pairs = sorted(scored.items(), key=lambda kv: kv[1])
+    # tie-aware midranks
+    ranks = {}
+    i = 0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][1] == pairs[i][1]:
+            j += 1
+        mid2 = (i + 1) + j  # 2*midrank = (first_rank + last_rank)
+        for k in range(i, j):
+            ranks[pairs[k][0]] = mid2
+        i = j
+    n_pos = sum(labels.values())
+    n_neg = len(labels) - n_pos
+    r2 = sum(ranks[d] for d, y in labels.items() if y)
+    assert (r.n_pos, r.n_neg) == (n_pos, n_neg)
+    assert r.auc_num == r2 - n_pos * (n_pos + 1)
+    assert r.auc_den == 2 * n_pos * n_neg
+    assert r.auc == 1.0  # curated vocabulary separates perfectly
