@@ -2473,3 +2473,81 @@ def ml_eval_auc_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.col("p_t") * (F.col("n_t") - F.col("p_t"))).cast("double")
         ).alias("auc"),
     )
+
+
+@register(
+    "ml_eval_pr_curve",
+    f"""
+    WITH {_NB_CTES},
+    scored AS (
+      SELECT d.doc_id, CAST(d.llr + p.prior AS DOUBLE) AS nb_score
+      FROM per_doc d CROSS JOIN priors p
+    ),
+    lab AS (
+      SELECT s.nb_score, COUNT(*) AS n,
+             SUM(CASE WHEN dd.source IN ({_NB_SRC_SQL})
+                      THEN 1 ELSE 0 END) AS n_pos
+      FROM scored s JOIN documents dd USING (doc_id)
+      GROUP BY s.nb_score
+    ),
+    cum AS (
+      SELECT nb_score, n, n_pos,
+             SUM(n) OVER (ORDER BY nb_score) AS cum_n,
+             SUM(n_pos) OVER (ORDER BY nb_score) AS cum_pos
+      FROM lab
+    ),
+    tot AS (SELECT SUM(n) AS n_t, SUM(n_pos) AS p_t FROM lab)
+    SELECT c.nb_score AS threshold,
+           CAST(t.p_t - (c.cum_pos - c.n_pos) AS BIGINT) AS tp,
+           CAST((t.n_t - (c.cum_n - c.n))
+                - (t.p_t - (c.cum_pos - c.n_pos)) AS BIGINT) AS fp,
+           CAST(c.cum_pos - c.n_pos AS BIGINT) AS fn,
+           CAST(t.p_t - (c.cum_pos - c.n_pos) AS DOUBLE)
+             / CAST(t.n_t - (c.cum_n - c.n) AS DOUBLE) AS precision,
+           CAST(t.p_t - (c.cum_pos - c.n_pos) AS DOUBLE)
+             / CAST(t.p_t AS DOUBLE) AS recall
+    FROM cum c, tot t
+    """,
+)
+def ml_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full precision/recall curve of the NB quality gate: one
+    point per DISTINCT score threshold θ (predict curated when
+    score ≥ θ) — TP/FP/FN as exact integers from the same
+    distinct-score two-channel cumulative sum as ml_eval_auc_nb
+    (strictly-below counts convert to at-or-above via the totals),
+    precision/recall as single IEEE divisions. The curve an operator
+    reads to pick the gate threshold the keep/drop entry hard-codes.
+
+    Scale: identical shape to the AUC entry — the only window rides
+    the distinct-score frame through the two-pass ranked cumsum, and
+    every output column derives from integers."""
+    from ..io import parallelize
+    from .text import NB_TARGET_SOURCES, nb_quality_score
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    scored = nb_quality_score(docs).select("doc_id", "nb_score")
+    labels = docs.select(
+        "doc_id",
+        F.col("source").isin(*NB_TARGET_SOURCES).cast("long").alias("pos"),
+    )
+    byscore = (
+        scored.join(labels, "doc_id")
+        .groupBy("nb_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    cum = _packed_cum(byscore, "n", "n_pos", "nb_score")
+    below_n = F.col("_cum_a") - F.col("n")
+    below_pos = F.col("_cum_b") - F.col("n_pos")
+    tp = F.col("_tot_b") - below_pos
+    at_or_above = F.col("_tot_a") - below_n
+    return cum.select(
+        F.col("nb_score").alias("threshold"),
+        tp.cast("long").alias("tp"),
+        (at_or_above - tp).cast("long").alias("fp"),
+        below_pos.cast("long").alias("fn"),
+        (tp.cast("double") / at_or_above.cast("double")).alias("precision"),
+        (tp.cast("double") / F.col("_tot_b").cast("double")).alias("recall"),
+    )

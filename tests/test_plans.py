@@ -818,6 +818,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "text_rake_keywords": {"documents": {"lang", "source", "n_chars"}},
     "stats_bh_correction": {"events": {"props", "event_id", "ts"}},
     "ml_eval_auc_nb": {"documents": {"lang", "n_chars"}},
+    "ml_eval_pr_curve": {"documents": {"lang", "n_chars"}},
 }
 
 

@@ -967,3 +967,25 @@ def test_auc_rank_identity_on_planted_scores(spark):
     assert r.auc_num == r2 - n_pos * (n_pos + 1)
     assert r.auc_den == 2 * n_pos * n_neg
     assert r.auc == 1.0  # curated vocabulary separates perfectly
+
+
+def test_pr_curve_invariants(spark, sf_dir):
+    """Structural invariants of the PR curve on the fixture corpus:
+    TP+FN = n_pos at every threshold, recall is non-increasing as the
+    threshold rises, the lowest threshold predicts everything positive
+    (recall 1, precision = base rate), and counts tie out against the
+    AUC entry's totals."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    pr = sorted(
+        all_queries()["ml_eval_pr_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    auc = all_queries()["ml_eval_auc_nb"](spark, sf_dir).collect()[0]
+    assert all(r.tp + r.fn == auc.n_pos for r in pr)
+    recalls = [r.recall for r in pr]
+    assert recalls == sorted(recalls, reverse=True)
+    lowest = pr[0]
+    assert lowest.recall == 1.0 and lowest.fn == 0
+    assert lowest.tp + lowest.fp == auc.n_pos + auc.n_neg
+    assert lowest.precision == auc.n_pos / (auc.n_pos + auc.n_neg)
