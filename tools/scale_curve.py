@@ -187,6 +187,10 @@ QUERIES = [
     # BH (randomization-test expansion × type vocabulary)
     "text_rake_keywords",
     "stats_bh_correction",
+    # r11 sixth wave: model-eval pair — NB scoring pass + the
+    # distinct-score two-pass cumsum (no data-sized window)
+    "ml_eval_auc_nb",
+    "ml_eval_pr_curve",
 ]
 
 
