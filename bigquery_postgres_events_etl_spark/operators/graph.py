@@ -1538,11 +1538,10 @@ def label_propagation(
 LPA_ROUNDS = 5  # fixed synchronous budget — what makes the loop oracle-able
 
 
-@register(
-    "graph_label_propagation",
-    f"""
-    WITH RECURSIVE
-    pairs AS (
+# Shared LPA oracle CTE chain (through the recursive `lab` table) —
+# also consumed by graph_modularity so the community assignment SQL
+# cannot drift between the detector and its quality metric.
+_LPA_CTES = f"""pairs AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -1565,7 +1564,14 @@ LPA_ROUNDS = 5  # fixed synchronous budget — what makes the loop oracle-able
          LIMIT 1)
       FROM lab l
       WHERE l.r < {LPA_ROUNDS}
-    )
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH RECURSIVE
+    {_LPA_CTES}
     SELECT f.node AS part, f.label AS label,
            CAST(s.cnt AS BIGINT) AS community_size
     FROM (SELECT node, label FROM lab WHERE r = {LPA_ROUNDS}) f
@@ -1599,4 +1605,121 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("part"), "label", "community_size"
+    )
+
+
+@register(
+    "graph_modularity",
+    f"""
+    WITH RECURSIVE
+    {_LPA_CTES},
+    final AS (SELECT node, label FROM lab WHERE r = {LPA_ROUNDS}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY a),
+    internal AS (
+      SELECT fa.label, CAST(COUNT(*) AS BIGINT) AS internal_pairs
+      FROM pairs p
+      JOIN final fa ON fa.node = p.u
+      JOIN final fb ON fb.node = p.v
+      WHERE fa.label = fb.label
+      GROUP BY fa.label
+    ),
+    per_comm AS (
+      SELECT f.label,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(g.d) AS BIGINT) AS deg_sum
+      FROM final f JOIN deg g ON g.node = f.node
+      GROUP BY f.label
+    )
+    SELECT c.label, c.n_nodes,
+           COALESCE(i.internal_pairs, 0) AS internal_pairs,
+           c.deg_sum, mm.m,
+           4 * mm.m * COALESCE(i.internal_pairs, 0)
+             - c.deg_sum * c.deg_sum AS q_contrib_fp,
+           CAST(4 * mm.m * COALESCE(i.internal_pairs, 0)
+                - c.deg_sum * c.deg_sum AS DOUBLE)
+             / CAST(4 * mm.m * mm.m AS DOUBLE) AS q_contrib
+    FROM per_comm c
+    LEFT JOIN internal i USING (label)
+    CROSS JOIN m mm
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the quality metric
+    that tells an operator whether the detected communities beat a
+    random cut (Q = Σ_c [in_c/m − (deg_c/2m)²]). Computed in EXACT
+    integers: per community the scaled contribution
+    ``4·m·in_c − deg_c²`` (Q's numerator over the common denominator
+    4m²) plus the one-division double — so the whole evaluation
+    hash-checks, and the community assignment SQL is the imported LPA
+    oracle chain (detector and metric cannot drift).
+
+    Scale: LPA's own iteration cost dominates; the metric adds one
+    pair-endpoint label join (hash-partitioned on node), a degree
+    aggregation, and community-sized rollups. The m frame is a 1-row
+    scalar."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .persist()  # feeds LPA, und/deg, and the internal-pair join
+    )
+    labels = label_propagation(
+        edges, n_iter=LPA_ROUNDS, assume_distinct=True
+    ).persist()
+    und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    internal = (
+        edges.join(
+            labels.select(F.col("node").alias("src"), F.col("label").alias("la")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("node").alias("dst"), F.col("label").alias("lb")),
+            "dst",
+        )
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_pairs"))
+    )
+    per_comm = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("deg_sum"),
+        )
+    )
+    out = (
+        per_comm.join(internal, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce(F.col("internal_pairs"), F.lit(0))
+            .cast("long")
+            .alias("internal_pairs"),
+            "deg_sum",
+            "m",
+            (
+                4 * F.col("m") * F.coalesce(F.col("internal_pairs"), F.lit(0))
+                - F.col("deg_sum") * F.col("deg_sum")
+            )
+            .cast("long")
+            .alias("q_contrib_fp"),
+        )
+    )
+    return out.withColumn(
+        "q_contrib",
+        F.col("q_contrib_fp").cast("double")
+        / (4 * F.col("m") * F.col("m")).cast("double"),
     )

@@ -193,6 +193,8 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("queries_stattests.py", "stats_bh_correction"):
         "two scalar frames — the 1-row m count and the 1-row BH "
         "step-up k̂ — unconditionally safe",
+    ("graph.py", "graph_modularity"):
+        "1-row edge-count scalar — unconditionally safe",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
     ("queries_pipeline.py", "pipeline_corpus_prep_end2end"):
         "1-row quality-threshold scalar — unconditionally safe",

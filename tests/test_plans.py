@@ -819,6 +819,9 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "stats_bh_correction": {"events": {"props", "event_id", "ts"}},
     "ml_eval_auc_nb": {"documents": {"lang", "n_chars"}},
     "ml_eval_pr_curve": {"documents": {"lang", "n_chars"}},
+    "graph_modularity": {
+        "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"}
+    },
 }
 
 
