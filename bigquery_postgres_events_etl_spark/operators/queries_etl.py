@@ -770,3 +770,87 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dominant_share"
         ),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    WITH rels AS (
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relationship,
+             (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphan_rows,
+             (SELECT COUNT(DISTINCT l.l_orderkey) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphan_keys
+      UNION ALL
+      SELECT 'orders.o_custkey->customer.c_custkey',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT COUNT(DISTINCT o.o_custkey) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part.p_partkey',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey)),
+             (SELECT COUNT(DISTINCT l.l_partkey) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+    )
+    SELECT relationship,
+           CAST(n_child_rows AS BIGINT) AS n_child_rows,
+           CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+           CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys,
+           n_orphan_rows = 0 AS intact
+    FROM rels
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse FK chain
+    (lineitem→orders, orders→customer, lineitem→part): per
+    relationship the child-row count, orphan rows (no matching
+    parent), distinct orphan keys, and an intact verdict — the DQ
+    gate that catches a partial parent load before downstream joins
+    silently drop rows. Three LEFT-ANTI probes, each a key-sliver
+    join with the parent side reduced to its key column; all-integer
+    output."""
+
+    def rel(name, child, ckey, parent, pkey):
+        c = load_table(spark, sf_dir, child).select(F.col(ckey))
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias(ckey))
+        orphans = c.join(p, ckey, "left_anti")
+        return (
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_child_rows"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_orphan_rows"),
+                        F.countDistinct(ckey).cast("long").alias("n_orphan_keys"),
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child_rows",
+                "n_orphan_rows",
+                "n_orphan_keys",
+                (F.col("n_orphan_rows") == 0).alias("intact"),
+            )
+        )
+
+    return (
+        rel("lineitem.l_orderkey->orders.o_orderkey",
+            "lineitem", "l_orderkey", "orders", "o_orderkey")
+        .unionAll(rel("orders.o_custkey->customer.c_custkey",
+                      "orders", "o_custkey", "customer", "c_custkey"))
+        .unionAll(rel("lineitem.l_partkey->part.p_partkey",
+                      "lineitem", "l_partkey", "part", "p_partkey"))
+    )

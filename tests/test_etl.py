@@ -164,3 +164,38 @@ def test_l_diversity_planted_cohorts(spark):
     assert en.dominant_share == 1.0
     assert not de.violates_l and de.n_distinct_sensitive == 3
     assert abs(de.dominant_share - 1 / 3) < 1e-12
+
+
+def test_referential_integrity_planted_orphans(spark):
+    """Orphan rows and keys are counted exactly; an intact chain
+    reports zeros. Planted: 2 lineitem rows referencing a missing
+    order (1 distinct key), one order referencing a missing customer."""
+    import tempfile
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    li = spark.createDataFrame(
+        [(1, 100), (1, 101), (2, 100), (99, 100), (99, 101)],
+        "l_orderkey long, l_partkey long",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 77)], "o_orderkey long, o_custkey long"
+    )
+    cust = spark.createDataFrame([(10,)], "c_custkey long")
+    part = spark.createDataFrame([(100,), (101,)], "p_partkey long")
+    with tempfile.TemporaryDirectory() as tmp:
+        li.write.parquet(tmp + "/lineitem.parquet")
+        orders.write.parquet(tmp + "/orders.parquet")
+        cust.write.parquet(tmp + "/customer.parquet")
+        part.write.parquet(tmp + "/part.parquet")
+        out = {
+            r.relationship: r
+            for r in all_queries()["dq_referential_integrity"](spark, tmp).collect()
+        }
+    lo = out["lineitem.l_orderkey->orders.o_orderkey"]
+    assert (lo.n_child_rows, lo.n_orphan_rows, lo.n_orphan_keys) == (5, 2, 1)
+    assert not lo.intact
+    oc = out["orders.o_custkey->customer.c_custkey"]
+    assert (oc.n_orphan_rows, oc.n_orphan_keys) == (1, 1) and not oc.intact
+    lp = out["lineitem.l_partkey->part.p_partkey"]
+    assert lp.n_orphan_rows == 0 and lp.intact

@@ -822,6 +822,10 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "graph_modularity": {
         "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"}
     },
+    "dq_referential_integrity": {
+        "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"},
+        "orders": {"o_totalprice", "o_orderdate", "o_orderpriority"},
+    },
 }
 
 
