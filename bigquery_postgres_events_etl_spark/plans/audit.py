@@ -195,6 +195,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "step-up k̂ — unconditionally safe",
     ("graph.py", "graph_modularity"):
         "1-row edge-count scalar — unconditionally safe",
+    ("queries_etl.py", "rel"):
+        "1-row orphan-count scalar per relationship "
+        "(dq_referential_integrity) — unconditionally safe",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
     ("queries_pipeline.py", "pipeline_corpus_prep_end2end"):
         "1-row quality-threshold scalar — unconditionally safe",
