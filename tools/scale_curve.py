@@ -191,6 +191,10 @@ QUERIES = [
     # distinct-score two-pass cumsum (no data-sized window)
     "ml_eval_auc_nb",
     "ml_eval_pr_curve",
+    # r11 seventh wave: LPA + endpoint-label joins; three anti-join
+    # key-sliver probes
+    "graph_modularity",
+    "dq_referential_integrity",
 ]
 
 
