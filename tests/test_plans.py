@@ -303,6 +303,13 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     # two-pass cumsum internals (ABC revenue running total — same
     # class as orders_pareto_customers)
     "lineitem_abc_analysis": {"_gr_pid", "specifiedwindowframe"},
+    # BH p-rank window rides m = |event-type vocabulary| rows
+    # (schema-bounded — the docstring's "never by data" contract)
+    "stats_bh_correction": {"c"},
+    # two-pass cumsum internals (distinct-score two-channel walk —
+    # same class as stats_mann_whitney)
+    "ml_eval_auc_nb": {"_gr_pid", "specifiedwindowframe"},
+    "ml_eval_pr_curve": {"_gr_pid", "specifiedwindowframe"},
     # histogram split search: both windows (cumulative counts, final
     # Gini rank) ride the BOUNDED bin histogram (~60 rows at any table
     # size — the LightGBM shape is the point of the entry)
