@@ -1784,3 +1784,91 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=POWER_ITERS,
         scale=POWER_SCALE,
     )
+
+
+@register(
+    "ml_eval_cluster_purity",
+    f"""
+    WITH seeds AS (
+      SELECT vec_id AS list_id, embedding AS center
+      FROM embeddings WHERE vec_id < {SEMANTIC_FROZEN_LISTS}
+    ),
+    dists AS (
+      SELECT c.vec_id, s.list_id,
+             {_l2_sql('c.embedding', 's.center')} AS d
+      FROM embeddings c, seeds s
+    ),
+    assigned AS (
+      SELECT e.vec_id, t.list_id AS cluster_id, e.label
+      FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, list_id ASC) AS rn
+        FROM dists
+      ) t
+      JOIN embeddings e ON e.vec_id = t.vec_id
+      WHERE t.rn = 1
+    ),
+    cell AS (
+      SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT cluster_id,
+           CAST(SUM(n) AS BIGINT) AS cluster_size,
+           CAST(MAX(n) AS BIGINT) AS majority_count,
+           CAST(MIN(CASE WHEN n = (SELECT MAX(n2.n) FROM cell n2
+                                   WHERE n2.cluster_id = cell.cluster_id)
+                         THEN label END) AS BIGINT) AS majority_label,
+           CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS purity
+    FROM cell
+    GROUP BY cluster_id
+    """,
+)
+def ml_eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-purity evaluation of the frozen-codebook quantizer
+    against the embeddings' ground-truth labels — the clustering
+    member of the model-eval family (AUC/PR evaluate the classifier;
+    this evaluates the partitioner the ANN/dedup tiers share): per
+    cluster its size, the majority label (smallest label on count
+    ties — engine-portable), the majority count, and purity as one
+    IEEE division of exact integers.
+
+    Plan: the same broadcast-codebook min-struct assignment as
+    dedup_semantic_frozen (corpus never shuffles for it), then a
+    (cluster × label) contingency aggregation — bounded by
+    K × |label vocabulary|, never by corpus size."""
+    from .similarity import l2_sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < SEMANTIC_FROZEN_LISTS).select(
+        F.col("vec_id").cast("long").alias("list_id"),
+        F.col("embedding").alias("center"),
+    )
+    assigned = (
+        emb.select("vec_id", "embedding", "label")
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "label",
+            "list_id",
+            l2_sq("embedding", "center").alias("d"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d", "list_id")).getField("list_id").alias("cluster_id"),
+            F.first("label").alias("label"),
+        )
+    )
+    cell = assigned.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wmax = Window.partitionBy("cluster_id")
+    per = cell.withColumn("max_n", F.max("n").over(wmax))
+    return per.groupBy("cluster_id").agg(
+        F.sum("n").cast("long").alias("cluster_size"),
+        F.max("n").cast("long").alias("majority_count"),
+        F.min(F.when(F.col("n") == F.col("max_n"), F.col("label")))
+        .cast("long")
+        .alias("majority_label"),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias("purity"),
+    )

@@ -198,6 +198,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("queries_etl.py", "rel"):
         "1-row orphan-count scalar per relationship "
         "(dq_referential_integrity) — unconditionally safe",
+    ("queries_similarity.py", "ml_eval_cluster_purity"):
+        "frozen codebook (SEMANTIC_FROZEN_LISTS rows) — the "
+        "dedup_semantic_frozen contract",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
     ("queries_pipeline.py", "pipeline_corpus_prep_end2end"):
         "1-row quality-threshold scalar — unconditionally safe",

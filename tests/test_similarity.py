@@ -364,3 +364,42 @@ def test_power_iteration_finds_planted_direction(spark):
     assert all(abs(x) <= POWER_SCALE for x in out.values())
     # the dominant component saturates the fixed-point scale
     assert abs(out[5]) == POWER_SCALE
+
+
+def test_cluster_purity_planted_labels(spark):
+    """Purity of planted clusters: when labels align with the frozen
+    clusters purity is 1.0; a deliberately mixed cluster reports
+    max-count/size with the smallest majority label on ties."""
+    import tempfile
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    def vec(axis):
+        v = [0.0] * 64
+        v[axis] = 50.0
+        return v
+
+    # seeds: vec_id 0..7 (only 0 and 1 matter — two far-apart axes)
+    rows = []
+    for vid in range(8):
+        rows.append((vid, vec(0 if vid == 0 else 30), 0 if vid == 0 else 9))
+    # cluster of seed 0: three label-5 members + planted tie pair
+    rows += [(10, vec(0), 5), (11, vec(0), 5), (12, vec(0), 6), (13, vec(0), 6)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        emb.write.parquet(tmp + "/embeddings.parquet")
+        out = {
+            r.cluster_id: r
+            for r in all_queries()["ml_eval_cluster_purity"](spark, tmp).collect()
+        }
+    c0 = out[0]
+    # cluster 0: seed (label 0) + 2x label 5 + 2x label 6 -> counts
+    # {0:1, 5:2, 6:2}; max 2, tie between 5 and 6 -> majority 5
+    assert c0.cluster_size == 5 and c0.majority_count == 2
+    assert c0.majority_label == 5
+    assert c0.purity == 2 / 5
+    # every remaining vector sits with its own seed cluster at purity 1
+    pure = [r for cid, r in out.items() if cid != 0]
+    assert pure and all(r.purity == 1.0 for r in pure)
