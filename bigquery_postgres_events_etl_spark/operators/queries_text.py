@@ -1321,3 +1321,81 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "phrase", "n_words", "n_occurrences", "score_fp", "rank"
         )
     )
+
+
+@register(
+    "corpus_source_overlap",
+    """
+    WITH sv AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM sv GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM sv a JOIN sv b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_inter,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(sa.vocab + sb.vocab - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap — the corpus-diagnostics
+    matrix a mixture designer reads before setting sampling weights
+    (two sources with near-identical vocabularies are redundant;
+    near-disjoint ones cover different registers): per source pair
+    the distinct-token intersection, both vocabulary sizes, and
+    vocabulary Jaccard as one IEEE division of exact integers.
+
+    Scale: the distinct (source, token) sliver is vocabulary-sized
+    (|sources| × |vocab| worst case, typically ≪ corpus); the pair
+    intersection is a token-key self-join of that sliver with
+    partial-aggregated counts — never touches the corpus twice and
+    never goes all-pairs over documents."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    sv = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        )
+        .distinct()
+        .persist()  # feeds sizes and both intersection arms
+    )
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    a = sv.select(F.col("source").alias("source_a"), "token")
+    b = sv.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            "vocab_a",
+            "vocab_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

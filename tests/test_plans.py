@@ -833,6 +833,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
         "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"},
         "orders": {"o_totalprice", "o_orderdate", "o_orderpriority"},
     },
+    "corpus_source_overlap": {"documents": {"lang", "n_chars"}},
 }
 
 

@@ -632,3 +632,32 @@ def test_rake_keywords_known_scores(spark, sf_dir):
     assert all(
         r.score_fp < 4 * RAKE_SCALE for r in by_doc[0] if r.rank > 1
     )
+
+
+def test_source_overlap_planted_vocabularies(spark):
+    """Identical vocabularies give Jaccard 1, disjoint give 0, and a
+    half-overlapping pair reports the exact ratio."""
+    import tempfile
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "s1"),
+            (1, "alpha beta gamma", "s2"),     # identical to s1
+            (2, "delta epsilon zeta", "s3"),   # disjoint from s1
+            (3, "alpha beta delta epsilon", "s4"),  # overlaps s1 by 2 of 5
+        ],
+        "doc_id long, text string, source string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(tmp + "/documents.parquet")
+        out = {
+            (r.source_a, r.source_b): r
+            for r in all_queries()["corpus_source_overlap"](spark, tmp).collect()
+        }
+    assert out[("s1", "s2")].jaccard == 1.0
+    assert ("s1", "s3") not in out or out[("s1", "s3")].n_inter == 0
+    s14 = out[("s1", "s4")]
+    assert (s14.n_inter, s14.vocab_a, s14.vocab_b) == (2, 3, 4)
+    assert s14.jaccard == 2 / 5
