@@ -195,6 +195,10 @@ QUERIES = [
     # key-sliver probes
     "graph_modularity",
     "dq_referential_integrity",
+    # r11 eighth wave: broadcast-codebook contingency; vocabulary-
+    # sliver self-join
+    "ml_eval_cluster_purity",
+    "corpus_source_overlap",
 ]
 
 
