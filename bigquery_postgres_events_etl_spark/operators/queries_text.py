@@ -1399,3 +1399,129 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+PAVA_ROUNDS = 8  # ≥ (max buckets − 1) = every merge sequence converges
+
+# pool aggregates at round p.r — (pool, pooled n, pooled pos), used
+# inside the recursive step's violating-pair search
+_PAV_AGG = """(SELECT x.pool AS pool, SUM(c.n_docs) AS sn, SUM(c.n_curated) AS sp
+               FROM pav x JOIN cal c ON c.bucket = x.bucket AND x.r = p.r
+               GROUP BY x.pool)"""
+# leftmost ADJACENT violating pool pair (cross-multiplied rate
+# comparison — exact integers); adjacency = no pool strictly between
+_PAV_PSTAR = f"""(SELECT MIN(a.pool) FROM {_PAV_AGG} a JOIN {_PAV_AGG} b
+                  ON a.pool < b.pool
+                 AND NOT EXISTS (SELECT 1 FROM pav z
+                                 WHERE z.r = p.r AND z.pool > a.pool
+                                   AND z.pool < b.pool)
+                 WHERE a.sp * b.sn > b.sp * a.sn)"""
+_PAV_QSTAR = f"""(SELECT MIN(z2.pool) FROM pav z2
+                  WHERE z2.r = p.r AND z2.pool > {_PAV_PSTAR})"""
+
+
+@register(
+    "ml_eval_isotonic_calibration",
+    f"""
+    WITH RECURSIVE {NB_SCORE_CTES},
+    scored AS (
+      SELECT d.doc_id, CAST(d.llr + p.prior AS DOUBLE) AS nb_score
+      FROM per_doc d CROSS JOIN priors p
+    ),
+    labeled AS (
+      SELECT s.nb_score, {_NB_CAL_BUCKET} AS bucket,
+             CASE WHEN doc.source IN ({_NB_SRC_SQL}) THEN 1 ELSE 0 END AS is_curated
+      FROM scored s JOIN documents doc USING (doc_id)
+    ),
+    cal AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(is_curated) AS BIGINT) AS n_curated
+      FROM labeled GROUP BY bucket
+    ),
+    pav (r, bucket, pool) AS (
+      SELECT 0, bucket, bucket FROM cal
+      UNION ALL
+      SELECT p.r + 1, p.bucket,
+             CASE WHEN p.pool = {_PAV_QSTAR} THEN {_PAV_PSTAR}
+                  ELSE p.pool END
+      FROM pav p WHERE p.r < {PAVA_ROUNDS}
+    ),
+    final AS (SELECT bucket, pool FROM pav WHERE r = {PAVA_ROUNDS}),
+    pools AS (
+      SELECT f.pool, CAST(SUM(c.n_docs) AS BIGINT) AS iso_den,
+             CAST(SUM(c.n_curated) AS BIGINT) AS iso_num
+      FROM final f JOIN cal c USING (bucket)
+      GROUP BY f.pool
+    )
+    SELECT c.bucket, c.n_docs, c.n_curated,
+           CAST(c.n_curated AS DOUBLE) / c.n_docs AS raw_rate,
+           CAST(f.pool AS BIGINT) AS pool_start,
+           po.iso_num, po.iso_den,
+           CAST(po.iso_num AS DOUBLE) / po.iso_den AS iso_rate
+    FROM cal c
+    JOIN final f USING (bucket)
+    JOIN pools po ON po.pool = f.pool
+    """,
+)
+def ml_eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the NB quality classifier — PAVA
+    (pool-adjacent-violators) over the reliability-curve buckets, so
+    the calibrated curated-rate is non-decreasing in score. Every
+    comparison is an exact integer cross-product and every pooled
+    rate an exact rational (iso_num/iso_den emitted beside the one
+    division), so the fit hash-checks cross-engine. The isotonic
+    solution is UNIQUE regardless of merge order, which is what lets
+    the Spark side run the classic O(B) stack PAVA while the oracle
+    replays bounded leftmost merges in a recursive CTE — both land on
+    the same pools.
+
+    Scale: the bucket table is schema-bounded (≤9 rows — the clamped
+    integer score bands), so PAVA is driver work over a
+    vocabulary-bounded collect; everything corpus-sized is the NB
+    scoring pass the calibration entry already pays."""
+    from .text import nb_score_with_tc
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    scored_full, tc = nb_score_with_tc(docs)
+    labels = tc.select("doc_id", "source").distinct().select(
+        "doc_id",
+        F.col("source").isin("src0", "src1").cast("int").alias("is_curated"),
+    )
+    bucket = F.greatest(
+        F.lit(-4),
+        F.least(F.lit(4), F.floor(F.col("nb_score") / F.lit(5.0)).cast("long")),
+    )
+    cal = (
+        scored_full.select("doc_id", "nb_score")
+        .join(labels, "doc_id")
+        .select(bucket.alias("bucket"), "is_curated")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_curated").cast("long").alias("n_curated"),
+        )
+        .collect()  # ≤9 rows — schema-bounded score bands
+    )
+    rows = sorted((r.bucket, r.n_docs, r.n_curated) for r in cal)
+    # classic stack PAVA: pools carry (start_bucket, n, pos); merge
+    # while the top two violate (pos/n non-increasing left-to-right)
+    stack: list[list[int]] = []
+    for b, n, pos in rows:
+        stack.append([b, n, pos])
+        while len(stack) >= 2 and stack[-2][2] * stack[-1][1] > stack[-1][2] * stack[-2][1]:
+            s = stack.pop()
+            stack[-1][1] += s[1]
+            stack[-1][2] += s[2]
+    out = []
+    for start, sn, sp in stack:
+        for b, n, pos in rows:
+            if b >= start and (
+                not [p for p in stack if start < p[0] <= b]
+            ):
+                out.append((b, n, pos, pos / n, start, sp, sn, sp / sn))
+    return spark.createDataFrame(
+        out,
+        "bucket BIGINT, n_docs BIGINT, n_curated BIGINT, raw_rate DOUBLE, "
+        "pool_start BIGINT, iso_num BIGINT, iso_den BIGINT, iso_rate DOUBLE",
+    )

@@ -661,3 +661,34 @@ def test_source_overlap_planted_vocabularies(spark):
     s14 = out[("s1", "s4")]
     assert (s14.n_inter, s14.vocab_a, s14.vocab_b) == (2, 3, 4)
     assert s14.jaccard == 2 / 5
+
+
+def test_isotonic_calibration_invariants(spark, sf_dir):
+    """PAVA output on the fixture: iso_rate is non-decreasing in
+    bucket order, pools are contiguous runs identified by their start
+    bucket, each pool's exact rational equals the pooled raw counts,
+    and pooling preserves the total curated mass."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["ml_eval_isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    iso = [r.iso_rate for r in rows]
+    assert iso == sorted(iso)
+    # pools are contiguous: pool_start never exceeds bucket and is
+    # non-decreasing; members of one pool share iso_num/iso_den
+    by_pool = {}
+    for r in rows:
+        assert r.pool_start <= r.bucket
+        by_pool.setdefault(r.pool_start, []).append(r)
+    for start, members in by_pool.items():
+        assert members[0].bucket == start
+        assert len({(m.iso_num, m.iso_den) for m in members}) == 1
+        assert sum(m.n_docs for m in members) == members[0].iso_den
+        assert sum(m.n_curated for m in members) == members[0].iso_num
+        assert members[0].iso_rate == members[0].iso_num / members[0].iso_den
+    assert sum(r.n_curated for r in rows) == sum(
+        m[0].iso_num for m in (sorted(v, key=lambda x: x.bucket) for v in by_pool.values())
+    )
