@@ -199,6 +199,8 @@ QUERIES = [
     # sliver self-join
     "ml_eval_cluster_purity",
     "corpus_source_overlap",
+    # r11 ninth wave: NB scoring pass + schema-bounded PAVA collect
+    "ml_eval_isotonic_calibration",
 ]
 
 
