@@ -1525,3 +1525,94 @@ def ml_eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket BIGINT, n_docs BIGINT, n_curated BIGINT, raw_rate DOUBLE, "
         "pool_start BIGINT, iso_num BIGINT, iso_den BIGINT, iso_rate DOUBLE",
     )
+
+
+DATASHEET_SHORT_CHARS = 100
+
+
+@register(
+    "corpus_datasheet",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    dup AS (
+      SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS n_exact_dup_docs
+      FROM (SELECT md5(text) AS h, COUNT(*) AS cnt
+            FROM documents GROUP BY md5(text)) g
+      WHERE cnt >= 2
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(CASE WHEN length(text) < {DATASHEET_SHORT_CHARS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs
+      FROM documents
+    ),
+    toks AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+      FROM tok
+    )
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM base
+      UNION ALL SELECT 'total_chars', total_chars FROM base
+      UNION ALL SELECT 'n_sources', n_sources FROM base
+      UNION ALL SELECT 'n_langs', n_langs FROM base
+      UNION ALL SELECT 'n_short_docs', n_short_docs FROM base
+      UNION ALL SELECT 'n_tokens', n_tokens FROM toks
+      UNION ALL SELECT 'n_distinct_tokens', n_distinct_tokens FROM toks
+      UNION ALL SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM dup
+    )
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-page corpus datasheet (Gebru et al., "Datasheets for
+    Datasets") — the integer headline numbers a dataset card leads
+    with: document/char/token counts, vocabulary size, source and
+    language counts, short-doc count, and exact-duplicate surplus
+    (Σ (copies−1) over md5-identical texts). All integers in
+    (metric, value) rows so downstream cards diff cleanly.
+
+    Plan: one narrow metadata aggregation, one tokenize pass for the
+    token pair, one digest groupBy for dups — three partial-aggregated
+    scans, each to a scalar sliver; no joins, no windows."""
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.count_if(F.length("text") < DATASHEET_SHORT_CHARS)
+        .cast("long")
+        .alias("n_short_docs"),
+    )
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    toks = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("token").cast("long").alias("n_distinct_tokens"),
+    )
+    dup = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("long").alias("n"))
+    )
+
+    def row(name, frame, col):
+        return frame.select(
+            F.lit(name).alias("metric"), F.col(col).cast("long").alias("value")
+        )
+
+    return (
+        row("n_docs", base, "n_docs")
+        .unionAll(row("total_chars", base, "total_chars"))
+        .unionAll(row("n_sources", base, "n_sources"))
+        .unionAll(row("n_langs", base, "n_langs"))
+        .unionAll(row("n_short_docs", base, "n_short_docs"))
+        .unionAll(row("n_tokens", toks, "n_tokens"))
+        .unionAll(row("n_distinct_tokens", toks, "n_distinct_tokens"))
+        .unionAll(row("n_exact_dup_docs", dup, "n"))
+    )

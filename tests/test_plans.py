@@ -834,6 +834,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
         "orders": {"o_totalprice", "o_orderdate", "o_orderpriority"},
     },
     "corpus_source_overlap": {"documents": {"lang", "n_chars"}},
+    "corpus_datasheet": {"documents": {"n_chars"}},
 }
 
 

@@ -692,3 +692,35 @@ def test_isotonic_calibration_invariants(spark, sf_dir):
     assert sum(r.n_curated for r in rows) == sum(
         m[0].iso_num for m in (sorted(v, key=lambda x: x.bucket) for v in by_pool.values())
     )
+
+
+def test_corpus_datasheet_planted_counts(spark):
+    """Datasheet counts on a planted corpus: duplicate surplus counts
+    copies-minus-one per identical text, short docs respect the char
+    threshold, vocabulary and token totals are exact."""
+    import tempfile
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", "en", "s1"),
+            (1, "alpha beta", "en", "s1"),      # dup of 0
+            (2, "alpha beta", "fr", "s2"),      # dup of 0 (3 copies total)
+            (3, "gamma " * 30, "en", "s2"),     # long doc, 30 tokens + ''
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(tmp + "/documents.parquet")
+        out = {
+            r.metric: r.value
+            for r in all_queries()["corpus_datasheet"](spark, tmp).collect()
+        }
+    assert out["n_docs"] == 4
+    assert out["n_exact_dup_docs"] == 2      # 3 copies -> surplus 2
+    assert out["n_sources"] == 2 and out["n_langs"] == 2
+    assert out["n_short_docs"] == 3          # the three 10-char docs
+    # "gamma " * 30 split on ' ' yields 30 'gamma' + 1 trailing ''
+    assert out["n_tokens"] == 2 * 3 + 31
+    assert out["n_distinct_tokens"] == 4     # alpha, beta, gamma, ''
