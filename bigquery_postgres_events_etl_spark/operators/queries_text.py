@@ -1598,21 +1598,26 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(F.md5("text").alias("h"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= 2)
-        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("long").alias("n"))
-    )
-
-    def row(name, frame, col):
-        return frame.select(
-            F.lit(name).alias("metric"), F.col(col).cast("long").alias("value")
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_exact_dup_docs")
         )
-
-    return (
-        row("n_docs", base, "n_docs")
-        .unionAll(row("total_chars", base, "total_chars"))
-        .unionAll(row("n_sources", base, "n_sources"))
-        .unionAll(row("n_langs", base, "n_langs"))
-        .unionAll(row("n_short_docs", base, "n_short_docs"))
-        .unionAll(row("n_tokens", toks, "n_tokens"))
-        .unionAll(row("n_distinct_tokens", toks, "n_distinct_tokens"))
-        .unionAll(row("n_exact_dup_docs", dup, "n"))
+    )
+    # ONE 1-row frame then stack-unpivot — a unionAll of per-metric
+    # selects would re-derive each scalar frame per branch (8 scans)
+    combined = base.crossJoin(toks).crossJoin(dup)
+    metrics = [
+        "n_docs",
+        "total_chars",
+        "n_sources",
+        "n_langs",
+        "n_short_docs",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_exact_dup_docs",
+    ]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return combined.select(
+        F.expr(f"stack({len(metrics)}, {stack}) AS (metric, value)")
     )

@@ -907,6 +907,9 @@ SCAN_BUDGET: dict[str, dict[str, int]] = {
     # one tokenize+explode pass; phrase/word/score frames all derive
     # from the persisted island sliver
     "text_rake_keywords": {"documents": 1},
+    # three deliberate scalar-sliver passes: metadata agg, tokenize
+    # agg, digest groupBy (re-scanning narrow beats caching text)
+    "corpus_datasheet": {"documents": 3},
     # r7 additions: the bigram LM derives everything from one
     # persisted (doc, prev, cur, c) sliver; the edit-distance and
     # mutual-kNN self-joins scan each arm from parquet (re-scanning

@@ -201,6 +201,8 @@ QUERIES = [
     "corpus_source_overlap",
     # r11 ninth wave: NB scoring pass + schema-bounded PAVA collect
     "ml_eval_isotonic_calibration",
+    # r11 tenth wave: three scalar-sliver aggregation passes
+    "corpus_datasheet",
 ]
 
 
