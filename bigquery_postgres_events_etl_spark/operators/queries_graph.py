@@ -544,3 +544,95 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= CN_TOP_K)
     )
+
+
+KATZ_SCALE = 10**6
+KATZ_ALPHA_DEN = 1024  # α = 1/1024 — far below 1/λmax on the fixture graphs
+KATZ_ROUNDS = 8
+
+
+@register(
+    "graph_katz_centrality",
+    f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    und AS (
+      SELECT u AS a, v AS b FROM pairs
+      UNION ALL
+      SELECT v AS a, u AS b FROM pairs
+    ),
+    katz (r, node, x) AS (
+      SELECT 0, node, CAST({KATZ_SCALE} AS BIGINT) FROM deg
+      UNION ALL
+      SELECT p.r + 1, p.node,
+             COALESCE((SELECT SUM(s.x) FROM und e
+                       JOIN katz s ON s.node = e.a AND s.r = p.r
+                       WHERE e.b = p.node), 0) // {KATZ_ALPHA_DEN}
+               + {KATZ_SCALE}
+      FROM katz p WHERE p.r < {KATZ_ROUNDS}
+    )
+    SELECT node AS part, x AS katz_fp
+    FROM katz WHERE r = {KATZ_ROUNDS}
+    """,
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on the part co-occurrence graph — attenuated
+    walk counting (x = Σ_k α^k A^k 1), the centrality that credits a
+    node for ALL walks reaching it, not just direct neighbors (the
+    PageRank sibling without degree normalization). Fixed-point
+    integer update x' = (Σ_nbr x) div 1024 + SCALE — α = 1/1024 keeps
+    the iteration contractive (α < 1/λmax on the fixture graphs) and
+    every value an exact BIGINT, so the 8 rounds replay bit-for-bit
+    in the recursive-CTE oracle (the kcore/HITS correlated-aggregate
+    shape; all terms positive, so floor and trunc division agree).
+
+    Scale per round: ONE |E|-row join of the state sliver against the
+    checkpointed edge frame + a partial-aggregated sum — linear in
+    |E| with a constant round count; state checkpoints per round (the
+    HITS quadratic-replay lesson)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    und = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+        .repartition("a")
+        .persist()
+    )
+    state = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.lit(KATZ_SCALE).cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(KATZ_ROUNDS):
+        contrib = (
+            und.join(
+                state.select(F.col("node").alias("a"), F.col("x").alias("xa")),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("xa").alias("insum"))
+        )
+        state = (
+            state.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.expr(
+                        f"coalesce(insum, 0) div {KATZ_ALPHA_DEN}"
+                    )
+                    + F.lit(KATZ_SCALE)
+                )
+                .cast("long")
+                .alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(F.col("node").alias("part"), F.col("x").alias("katz_fp"))

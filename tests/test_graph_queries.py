@@ -231,3 +231,28 @@ def test_modularity_planted_two_clusters(spark):
         deg_sum = sum(deg[n] for n in comm)
         contrib_fp = 4 * m * internal - deg_sum**2
         assert contrib_fp / (4 * m * m) > 0.1
+
+
+def test_katz_matches_python_reference_and_orders_hub_first(spark, sf_dir):
+    """Exact integer parity with a pure-Python replay of the 8
+    attenuated rounds on the sf fixture graph, and the centrality
+    property: the max-degree node scores at least as high as any
+    leaf-adjacent node (more in-walks at every depth)."""
+    from bigquery_postgres_events_etl_spark.operators.queries_graph import (
+        KATZ_ALPHA_DEN,
+        KATZ_ROUNDS,
+        KATZ_SCALE,
+    )
+
+    adj = _adjacency(spark, sf_dir)
+    x = {n: KATZ_SCALE for n in adj}
+    for _ in range(KATZ_ROUNDS):
+        x = {
+            n: sum(x[m] for m in adj[n]) // KATZ_ALPHA_DEN + KATZ_SCALE
+            for n in adj
+        }
+    rows = all_queries()["graph_katz_centrality"](spark, sf_dir).collect()
+    got = {r.part: r.katz_fp for r in rows}
+    assert got == x
+    hub = max(adj, key=lambda n: (len(adj[n]), -n))
+    assert got[hub] == max(got.values())

@@ -835,6 +835,9 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     },
     "corpus_source_overlap": {"documents": {"lang", "n_chars"}},
     "corpus_datasheet": {"documents": {"n_chars"}},
+    "graph_katz_centrality": {
+        "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"}
+    },
 }
 
 

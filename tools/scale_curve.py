@@ -203,6 +203,9 @@ QUERIES = [
     "ml_eval_isotonic_calibration",
     # r11 tenth wave: three scalar-sliver aggregation passes
     "corpus_datasheet",
+    # r11 eleventh wave: |E|-join per attenuated round, state
+    # checkpointed (the HITS shape without normalization totals)
+    "graph_katz_centrality",
 ]
 
 
