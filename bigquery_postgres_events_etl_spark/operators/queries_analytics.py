@@ -1993,3 +1993,115 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shapley"),
         )
     )
+
+
+@register(
+    "ml_eval_next_event_hitrate",
+    f"""
+    WITH m AS (
+      SELECT (CAST(epoch_us(min({_TS})) AS BIGINT)
+              + CAST(epoch_us(max({_TS})) AS BIGINT)) // 2 AS mid_us
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    seq AS (
+      SELECT user_id, event_type, event_id,
+             CAST(epoch_us({_TS}) AS BIGINT) AS ts_us,
+             CASE WHEN CAST(epoch_us({_TS}) AS BIGINT) <= m.mid_us
+                  THEN 0 ELSE 1 END AS half
+      FROM events, m WHERE user_id IS NOT NULL
+    ),
+    pairs AS (
+      SELECT half, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id, half
+                                    ORDER BY ts_us, event_id) AS dst
+      FROM seq
+    ),
+    train AS (
+      SELECT src, dst, COUNT(*) AS cnt
+      FROM pairs WHERE half = 0 AND dst IS NOT NULL
+      GROUP BY src, dst
+    ),
+    pred AS (
+      SELECT src, dst AS predicted FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY cnt DESC, dst) AS rn
+        FROM train
+      ) WHERE rn = 1
+    ),
+    test AS (
+      SELECT src, dst FROM pairs WHERE half = 1 AND dst IS NOT NULL
+    )
+    SELECT t.src, p.predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_test_transitions,
+           CAST(SUM(CASE WHEN t.dst = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN t.dst = p.predicted THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS hit_rate
+    FROM test t LEFT JOIN pred p USING (src)
+    GROUP BY t.src, p.predicted
+    """,
+)
+def ml_eval_next_event_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal backtest of the first-order next-event model — the
+    sequence-model member of the eval family: the transition argmax
+    trains on the first half of the time horizon (per-source most
+    frequent successor, lexicographic tie-break) and is scored hit@1
+    on the second half's transitions, per source type. An honest
+    train/test protocol (no peeking across the midpoint; sessions
+    never straddle it because pairing is confined within each half)
+    with all-integer counts and one final division.
+
+    Scale: the pair extraction is one (user, half)-partitioned lag
+    window; the transition matrix and argmax ride vocabulary²-bounded
+    frames; the midpoint is a 1-row broadcast scalar (the DiD
+    pattern)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    bounds = e.agg(
+        F.expr(
+            "CAST((CAST(min(unix_micros(ts)) AS BIGINT)"
+            " + CAST(max(unix_micros(ts)) AS BIGINT)) div 2 AS BIGINT)"
+        ).alias("mid_us")
+    )
+    seq = e.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.unix_micros("ts") <= F.col("mid_us"), 0)
+        .otherwise(1)
+        .alias("half"),
+    )
+    w = Window.partitionBy("user_id", "half").orderBy("ts_us", "event_id")
+    pairs = seq.select(
+        "half",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    train = (
+        pairs.where((F.col("half") == 0) & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wp = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("dst"))
+    pred = (
+        train.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("predicted"))
+    )
+    test = pairs.where((F.col("half") == 1) & F.col("dst").isNotNull())
+    return (
+        test.join(pred, "src", "left")
+        .groupBy("src", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_transitions"),
+            F.count_if(F.col("dst") == F.col("predicted"))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "hit_rate",
+            F.col("n_hits").cast("double")
+            / F.col("n_test_transitions").cast("double"),
+        )
+    )

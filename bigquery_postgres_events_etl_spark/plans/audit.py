@@ -201,6 +201,8 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("queries_similarity.py", "ml_eval_cluster_purity"):
         "frozen codebook (SEMANTIC_FROZEN_LISTS rows) — the "
         "dedup_semantic_frozen contract",
+    ("queries_analytics.py", "ml_eval_next_event_hitrate"):
+        "1-row horizon-midpoint scalar — the DiD contract",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
     ("queries_pipeline.py", "pipeline_corpus_prep_end2end"):
         "1-row quality-threshold scalar — unconditionally safe",

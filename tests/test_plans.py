@@ -838,6 +838,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "graph_katz_centrality": {
         "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"}
     },
+    "ml_eval_next_event_hitrate": {"events": {"props", "value"}},
 }
 
 

@@ -989,3 +989,48 @@ def test_pr_curve_invariants(spark, sf_dir):
     assert lowest.recall == 1.0 and lowest.fn == 0
     assert lowest.tp + lowest.fp == auc.n_pos + auc.n_neg
     assert lowest.precision == auc.n_pos / (auc.n_pos + auc.n_neg)
+
+
+def test_next_event_hitrate_planted_sequences(spark):
+    """Planted user journeys: the train half establishes 'view'→'click'
+    as the majority transition; the test half contains 3 view→click
+    and 1 view→error transitions → hit_rate 0.75 for src=view; an
+    src seen only in the test half predicts NULL and scores 0."""
+    import datetime
+    import tempfile
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, day, uid, et):
+        return (eid, t0 + datetime.timedelta(days=day), uid, et)
+
+    rows = []
+    eid = 0
+    # train half (days 0-4): user 1 does view->click twice, view->error once
+    for d, et in [(0, "view"), (0, "click"), (1, "view"), (1, "click"),
+                  (2, "view"), (2, "error")]:
+        rows.append(ev(eid, d, 1, et)); eid += 1
+    # test half (days 6-9): user 2 does view->click x3, view->error x1,
+    # plus purchase->view (purchase unseen as src in train)
+    for d, et in [(6, "view"), (6, "click"), (7, "view"), (7, "click"),
+                  (8, "view"), (8, "click"), (9, "view"), (9, "error")]:
+        rows.append(ev(eid, d, 2, et)); eid += 1
+    rows.append(ev(eid, 9, 3, "purchase")); eid += 1
+    rows.append(ev(eid, 9, 3, "view")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(tmp + "/events.parquet")
+        out = {
+            r.src: r
+            for r in all_queries()["ml_eval_next_event_hitrate"](spark, tmp).collect()
+        }
+    v = out["view"]
+    assert v.predicted == "click"
+    assert (v.n_test_transitions, v.n_hits) == (4, 3)
+    assert v.hit_rate == 0.75
+    p = out["purchase"]
+    assert p.predicted is None and p.n_hits == 0
