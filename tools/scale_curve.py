@@ -206,6 +206,8 @@ QUERIES = [
     # r11 eleventh wave: |E|-join per attenuated round, state
     # checkpointed (the HITS shape without normalization totals)
     "graph_katz_centrality",
+    # r11 twelfth wave: one lag window + vocabulary² matrix frames
+    "ml_eval_next_event_hitrate",
 ]
 
 
