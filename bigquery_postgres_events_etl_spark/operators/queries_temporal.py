@@ -675,3 +675,122 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     return win.select(
         "user_id", "hour", "n_events", interp.alias("interp_value")
     )
+
+
+# Allen relation of interval A w.r.t. B, evaluated top-down (equality
+# cases first so boundary ties classify identically on both engines);
+# the pair join guarantees touch-or-overlap, so before/after are
+# excluded by construction
+_ALLEN_CASE = """CASE
+  WHEN sa = sb AND ea = eb THEN 'equals'
+  WHEN sa = sb AND ea < eb THEN 'starts'
+  WHEN sa = sb AND ea > eb THEN 'started_by'
+  WHEN ea = eb AND sa > sb THEN 'finishes'
+  WHEN ea = eb AND sa < sb THEN 'finished_by'
+  WHEN sa > sb AND ea < eb THEN 'during'
+  WHEN sa < sb AND ea > eb THEN 'contains'
+  WHEN ea = sb THEN 'meets'
+  WHEN eb = sa THEN 'met_by'
+  WHEN sa < sb THEN 'overlaps'
+  ELSE 'overlapped_by' END"""
+
+
+@register(
+    "interval_allen_relations",
+    f"""
+    WITH seq AS (
+      SELECT user_id, {_TS} AS tsx,
+             LAG({_TS}) OVER (PARTITION BY user_id ORDER BY {_TS}, event_id)
+               AS prev
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    isl AS (
+      SELECT user_id, tsx,
+             SUM(CASE WHEN prev IS NULL
+                       OR epoch_us(tsx) - epoch_us(prev) > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tsx
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    sessions AS (
+      SELECT user_id, sid,
+             epoch_us(min(tsx)) AS s_us, epoch_us(max(tsx)) AS e_us
+      FROM isl GROUP BY user_id, sid
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, a.s_us AS start_a_us,
+             b.user_id AS user_b, b.s_us AS start_b_us,
+             a.s_us AS sa, a.e_us AS ea, b.s_us AS sb, b.e_us AS eb
+      FROM sessions a JOIN sessions b
+        ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    )
+    SELECT user_a, start_a_us, user_b, start_b_us,
+           {_ALLEN_CASE} AS relation
+    FROM pairs
+    """,
+)
+def interval_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval-algebra classification of concurrent session
+    pairs — the temporal-reasoning layer above interval_overlap:
+    every touching-or-overlapping cross-user pair is labeled with its
+    Allen relation (equals/starts/finishes/during/contains/meets/
+    overlaps + inverses; before/after are excluded by the join
+    predicate, keeping the output the true concurrency set, never
+    |sessions|²). Pure integer comparisons in a top-down CASE —
+    boundary ties classify identically on both engines.
+
+    Scale: identical bucket-decomposition plan as
+    interval_overlap_sessions (hour-bucket equi-join, hash-
+    partitioned; the documented hot-hour skew note applies)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.unix_micros("ts") - F.unix_micros(prev)) > 1800000000),
+        1,
+    ).otherwise(0)
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        e.withColumn("sid", F.sum(new_sess).over(wrun))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+    )
+    hour_us = 3600 * 1_000_000
+    buckets = sessions.withColumn(
+        "bucket",
+        F.explode(F.expr(f"sequence(s_us div {hour_us}, e_us div {hour_us})")),
+    )
+    a = buckets.select(
+        F.col("user_id").alias("user_a"),
+        F.col("s_us").alias("sa"),
+        F.col("e_us").alias("ea"),
+        "bucket",
+    )
+    b = buckets.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s_us").alias("sb"),
+        F.col("e_us").alias("eb"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .where(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select(
+            "user_a",
+            F.col("sa").alias("start_a_us"),
+            "user_b",
+            F.col("sb").alias("start_b_us"),
+            F.expr(_ALLEN_CASE).alias("relation"),
+        )
+        .distinct()
+    )

@@ -839,6 +839,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
         "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"}
     },
     "ml_eval_next_event_hitrate": {"events": {"props", "value"}},
+    "interval_allen_relations": {"events": {"props", "value", "event_type"}},
 }
 
 

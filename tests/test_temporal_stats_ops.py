@@ -211,3 +211,45 @@ def test_holt_smoothing_linear_and_constant_series(spark):
     true_next = (10 + 2 * 25) * HOLT_SCALE
     assert abs(lin[-1].forecast_next_fp - true_next) < HOLT_SCALE
     assert abs(lin[-1].trend_fp - 2 * HOLT_SCALE) < HOLT_SCALE // 2
+
+
+def test_allen_relations_planted_intervals(spark):
+    """Each planted session pair classifies to its Allen relation:
+    equals, started_by, meets, contains — with boundary ties handled
+    by the top-down CASE."""
+    import datetime
+    import tempfile
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    t0 = datetime.datetime(2024, 5, 1)
+
+    def ev(eid, uid, minutes):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), uid, "view")
+
+    rows = [
+        # user 1: session [0, 120] (events every 20 min — gap < 30)
+        *[ev(i, 1, m) for i, m in enumerate(range(0, 121, 20))],
+        # user 2: identical span [0, 120] -> equals
+        *[ev(100 + i, 2, m) for i, m in enumerate(range(0, 121, 20))],
+        # user 3: [0, 60] -> (1,3) started_by
+        *[ev(200 + i, 3, m) for i, m in enumerate(range(0, 61, 20))],
+        # user 4: [120, 180] -> (1,4) meets
+        *[ev(300 + i, 4, m) for i, m in enumerate(range(120, 181, 20))],
+        # user 5: [30, 90] -> (1,5) contains
+        *[ev(400 + i, 5, m) for i, m in enumerate(range(30, 91, 20))],
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(tmp + "/events.parquet")
+        out = {
+            (r.user_a, r.user_b): r.relation
+            for r in all_queries()["interval_allen_relations"](spark, tmp).collect()
+        }
+    assert out[(1, 2)] == "equals"
+    assert out[(1, 3)] == "started_by"
+    assert out[(1, 4)] == "meets"
+    assert out[(1, 5)] == "contains"
+    assert out[(3, 5)] == "overlaps"  # [0,60] vs [30,90]

@@ -208,6 +208,9 @@ QUERIES = [
     "graph_katz_centrality",
     # r11 twelfth wave: one lag window + vocabulary² matrix frames
     "ml_eval_next_event_hitrate",
+    # r11 thirteenth wave: the interval bucket-decomposition shape +
+    # a pure-CASE classification
+    "interval_allen_relations",
 ]
 
 
