@@ -1313,3 +1313,79 @@ def token_waterfill(
         .alias("allocated"),
         (F.col("k") <= F.col("kstar")).alias("saturated"),
     )
+
+
+HRW_SHARDS = 8
+
+
+@register(
+    "pipeline_rendezvous_sharding",
+    f"""
+    WITH w AS (
+      SELECT doc_id, s.shard,
+             {_h60("CAST(doc_id AS VARCHAR) || '#' || CAST(s.shard AS VARCHAR)")}
+               AS weight
+      FROM documents, (SELECT unnest(generate_series(0, {HRW_SHARDS - 1}))
+                       AS shard) s
+    ),
+    assigned AS (
+      SELECT doc_id, shard, weight FROM (
+        SELECT doc_id, shard, weight,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY weight DESC, shard) AS rn
+        FROM w
+      ) WHERE rn = 1
+    ),
+    sizes AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM assigned GROUP BY shard
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT CAST(s.shard AS INTEGER) AS shard, s.n_docs,
+           CAST(s.n_docs AS DOUBLE) * {HRW_SHARDS} / t.n AS balance_ratio
+    FROM sizes s, tot t
+    """,
+)
+def pipeline_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding — the stable
+    document→shard assignment a pipeline uses so that ADDING a shard
+    moves only ~1/(n+1) of the keys (plain `hash % n` reshuffles
+    almost everything): each doc scores every shard with the
+    deterministic 60-bit md5 weight and lands on its argmax. Emits
+    per-shard populations and the balance ratio (n_docs·S/N — 1.0 =
+    perfectly even). The minimal-disruption property is pytest-pinned
+    by re-running with S+1 shards.
+
+    Scale: the S-way weight fan-out is map-side (S is a config
+    constant); the argmax is a per-doc window over S rows; only the
+    shard-sized rollup shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = spark.range(HRW_SHARDS).select(F.col("id").cast("int").alias("shard"))
+    from .dedup import md5_hash60
+
+    w = docs.crossJoin(F.broadcast(shards)).select(
+        "doc_id",
+        "shard",
+        md5_hash60(
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.col("shard"))
+        ).alias("weight"),
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("shard")
+    )
+    assigned = (
+        w.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") == 1)
+    )
+    sizes = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            * F.lit(HRW_SHARDS)
+            / F.col("n").cast("double")
+        ).alias("balance_ratio"),
+    )

@@ -203,6 +203,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "dedup_semantic_frozen contract",
     ("queries_analytics.py", "ml_eval_next_event_hitrate"):
         "1-row horizon-midpoint scalar — the DiD contract",
+    ("queries_pipeline.py", "pipeline_rendezvous_sharding"):
+        "shard spine (HRW_SHARDS rows, a config constant) + the "
+        "1-row total scalar — unconditionally safe",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
     ("queries_pipeline.py", "pipeline_corpus_prep_end2end"):
         "1-row quality-threshold scalar — unconditionally safe",

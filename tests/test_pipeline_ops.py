@@ -493,3 +493,41 @@ def test_split_leakage_planted_cross_boundary_pair(spark):
         for r in split_leakage(docs, threshold=0.9).collect()
     }
     assert got == {(1, 0), (2, 0)}  # both train copies leak against 0
+
+
+def test_rendezvous_sharding_minimal_disruption(spark):
+    """The HRW property plain modulo lacks: growing 8 shards to 9
+    moves ONLY the docs whose new shard-8 weight wins — ~1/9 of keys
+    in expectation, and NO doc moves between two OLD shards."""
+    from bigquery_postgres_events_etl_spark.operators.dedup import md5_hash60
+    from pyspark.sql import Window, functions as F
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+
+    def assign(n_shards):
+        shards = spark.range(n_shards).select(
+            F.col("id").cast("int").alias("shard")
+        )
+        w = docs.crossJoin(F.broadcast(shards)).select(
+            "doc_id",
+            "shard",
+            md5_hash60(
+                F.concat_ws("#", F.col("doc_id").cast("string"), F.col("shard"))
+            ).alias("weight"),
+        )
+        wr = Window.partitionBy("doc_id").orderBy(
+            F.col("weight").desc(), F.col("shard")
+        )
+        return {
+            r.doc_id: r.shard
+            for r in w.withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") == 1)
+            .collect()
+        }
+
+    a8, a9 = assign(8), assign(9)
+    moved = {d for d in a8 if a8[d] != a9[d]}
+    # every move lands on the NEW shard — old shards never trade keys
+    assert all(a9[d] == 8 for d in moved)
+    # expected move fraction 1/9 ≈ 11%; allow generous slack
+    assert 0.03 <= len(moved) / 500 <= 0.25

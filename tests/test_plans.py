@@ -840,6 +840,9 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     },
     "ml_eval_next_event_hitrate": {"events": {"props", "value"}},
     "interval_allen_relations": {"events": {"props", "value", "event_type"}},
+    "pipeline_rendezvous_sharding": {
+        "documents": {"text", "lang", "source", "n_chars"}
+    },
 }
 
 
