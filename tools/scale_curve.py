@@ -211,6 +211,8 @@ QUERIES = [
     # r11 thirteenth wave: the interval bucket-decomposition shape +
     # a pure-CASE classification
     "interval_allen_relations",
+    # r11 fourteenth wave: map-side S-way fan-out + shard rollup
+    "pipeline_rendezvous_sharding",
 ]
 
 
