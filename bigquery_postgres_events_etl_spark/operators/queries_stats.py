@@ -1210,3 +1210,85 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("raw_diff"),
         (raw - theta * mean_dx).alias("adjusted_diff"),
     )
+
+
+WILSON_Z_VAL = "1.959963984540054"  # z_{0.975}
+# decimal literals parse as DECIMAL in DuckDB — force DOUBLE so the
+# CI chain is the same IEEE arithmetic on both engines
+WILSON_Z = f"CAST({WILSON_Z_VAL} AS DOUBLE)"
+
+
+@register(
+    "events_wilson_ci",
+    f"""
+    WITH counts AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(DISTINCT CASE WHEN value > 50 THEN user_id END)
+                  AS BIGINT) AS n_converted
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n_users, n_converted,
+           CAST(n_converted AS DOUBLE) / n_users AS rate,
+           (2 * CAST(n_converted AS DOUBLE) + {WILSON_Z} * {WILSON_Z}
+              - {WILSON_Z} * sqrt(
+                  (4 * CAST(n_converted AS DOUBLE)
+                     * CAST(n_users - n_converted AS DOUBLE)
+                   + {WILSON_Z} * {WILSON_Z} * CAST(n_users AS DOUBLE))
+                  / CAST(n_users AS DOUBLE)))
+             / (2 * (CAST(n_users AS DOUBLE) + {WILSON_Z} * {WILSON_Z}))
+             AS ci_low,
+           (2 * CAST(n_converted AS DOUBLE) + {WILSON_Z} * {WILSON_Z}
+              + {WILSON_Z} * sqrt(
+                  (4 * CAST(n_converted AS DOUBLE)
+                     * CAST(n_users - n_converted AS DOUBLE)
+                   + {WILSON_Z} * {WILSON_Z} * CAST(n_users AS DOUBLE))
+                  / CAST(n_users AS DOUBLE)))
+             / (2 * (CAST(n_users AS DOUBLE) + {WILSON_Z} * {WILSON_Z}))
+             AS ci_high
+    FROM counts
+    """,
+)
+def events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% interval for per-type user conversion rates
+    (converted = any event with value > 50) — the binomial CI that
+    stays inside [0,1] and behaves at small n where the normal
+    approximation fails; the experiment-readout companion to the
+    z-test entries. The interval is a single deterministic IEEE chain
+    over two exact integers (n, k) with z as a shared literal — both
+    engines compute sqrt of the identical double, so the bounds
+    hash-match (the registry's transcendental-aggregate exemption:
+    integer inputs, one fixed chain).
+
+    Scale: one distinct-user aggregation per type; the math is
+    per-row over the vocabulary-sized frame."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    counts = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("value") > 50, F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n_converted"),
+    )
+    z = float(WILSON_Z_VAL)
+    n = F.col("n_users").cast("double")
+    k = F.col("n_converted").cast("double")
+    nk = (F.col("n_users") - F.col("n_converted")).cast("double")
+    # 2n-scaled Wilson form: sqrt argument built from EXACT-integer
+    # doubles (4k(n-k) + z^2 n)/n, one short shared IEEE chain — the
+    # p-hat-based long form diverged by 1 ulp between engines
+    zz = F.lit(z) * F.lit(z)
+    s_arg = (F.lit(4) * k * nk + zz * n) / n
+    half = F.lit(z) * F.sqrt(s_arg)
+    center = F.lit(2) * k + zz
+    denom = F.lit(2) * (n + zz)
+    return counts.select(
+        "event_type",
+        "n_users",
+        "n_converted",
+        (k / n).alias("rate"),
+        ((center - half) / denom).alias("ci_low"),
+        ((center + half) / denom).alias("ci_high"),
+    )

