@@ -27,6 +27,11 @@ Conventions that make the hashes match:
   transcendental AGGREGATES are acceptable only when every input is
   integer/decimal-exact and there is a single IEEE chain at the end
   in a deterministic order (the stat-test suite pattern).
+- numeric-literal type hazard: DuckDB parses a bare decimal literal
+  (``1.96``) as DECIMAL, not DOUBLE, so a "shared constant" in oracle
+  SQL silently takes a different arithmetic path than Spark's
+  ``F.lit(float)`` — wrap oracle-side float constants in
+  ``CAST(... AS DOUBLE)`` (the r11 events_wilson_ci find).
 - double→decimal cast hazard: even for NON-transcendental doubles,
   ``CAST(double AS DECIMAL(p,s))`` takes engine-specific paths (Spark
   converts exactly via BigDecimal; DuckDB scales in floats), which

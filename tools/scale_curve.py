@@ -213,6 +213,8 @@ QUERIES = [
     "interval_allen_relations",
     # r11 fourteenth wave: map-side S-way fan-out + shard rollup
     "pipeline_rendezvous_sharding",
+    # r11 fifteenth wave: one distinct-user agg per type + per-row CI
+    "events_wilson_ci",
 ]
 
 
