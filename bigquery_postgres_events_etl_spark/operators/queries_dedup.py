@@ -941,3 +941,109 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=NUM_HASHES,
         bands=BANDS,
     )
+
+
+@register(
+    "dedup_containment_subsumption",
+    f"""
+    WITH {_SHINGLES_CTE},
+    dsh AS (SELECT DISTINCT doc_id, {_h60('shingle')} AS h FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM dsh a JOIN dsh b ON a.h = b.h AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    ),
+    subsumers AS (
+      SELECT c.doc_a, c.doc_b,
+             c.n_common / sa.n AS containment,
+             sb.n AS size_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE c.n_common / sa.n >= {CONTAINMENT_THRESHOLD}
+        AND (sb.n > sa.n OR (sb.n = sa.n AND c.doc_b < c.doc_a))
+    ),
+    best AS (
+      SELECT doc_a, doc_b, containment FROM (
+        SELECT doc_a, doc_b, containment,
+               ROW_NUMBER() OVER (PARTITION BY doc_a
+                                  ORDER BY containment DESC, size_b DESC,
+                                           doc_b ASC) AS rn
+        FROM subsumers
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           b.doc_a IS NULL AS kept,
+           b.doc_b AS subsumed_by,
+           b.containment
+    FROM documents d LEFT JOIN best b ON b.doc_a = d.doc_id
+    """,
+)
+def dedup_containment_subsumption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsumption dedup — the POLICY layer over the asymmetric
+    containment signal: a document is dropped when ≥80% of its
+    shingles appear in a STRICTLY LARGER document (equal sizes break
+    toward the smaller id), and the surviving superset is reported.
+    This is the doc-in-doc case Jaccard dedup under-scores (quotes,
+    mirrored excerpts, boilerplate wrappers); the larger-side rule
+    makes the drop relation acyclic, so no mutual-containment pair
+    can delete both copies.
+
+    Plan: the proven containment machinery (one persisted hashed-
+    shingle sliver, inverted-index pair counts — never all-pairs) +
+    one size-oriented filter, a per-doc argmax window over each doc's
+    subsumer candidates, and a left join back to the corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .dedup import distinct_hashed_shingles
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    dsh = distinct_hashed_shingles(docs, 3).persist()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        dsh.withColumnRenamed("doc_id", "doc_a")
+        .join(dsh.withColumnRenamed("doc_id", "doc_b"), "h")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("sz_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "containment", F.col("n_common") / F.col("sz_a")
+        )
+    )
+    subsumers = cont.where(
+        (F.col("containment") >= CONTAINMENT_THRESHOLD)
+        & (
+            (F.col("sz_b") > F.col("sz_a"))
+            | ((F.col("sz_b") == F.col("sz_a")) & (F.col("doc_b") < F.col("doc_a")))
+        )
+    )
+    wb = Window.partitionBy("doc_a").orderBy(
+        F.col("containment").desc(), F.col("sz_b").desc(), F.col("doc_b").asc()
+    )
+    best = (
+        subsumers.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("doc_a", "doc_b", "containment")
+    )
+    return (
+        docs.select("doc_id")
+        .join(best.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("doc_b").isNull().alias("kept"),
+            F.col("doc_b").alias("subsumed_by"),
+            "containment",
+        )
+    )

@@ -476,3 +476,37 @@ def test_substring_keep_first_exempts_earliest_and_is_monotone(spark, sf_dir):
     assert set(ka) == set(kf)
     assert all(kf[d] <= ka[d] for d in ka)
     assert sum(kf.values()) < sum(ka.values())  # something was exempted
+
+
+def test_containment_subsumption_planted_docs(spark):
+    """A quoted excerpt (fully contained in a larger doc) is dropped
+    in favor of the superset; the superset survives; mutual equals-
+    size duplicates keep the smaller id (acyclic drop relation); an
+    unrelated doc is untouched."""
+    import tempfile
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    excerpt = "beta gamma delta epsilon zeta"     # every trigram in big
+    twin = "one two three four five"
+    rows = [
+        (0, big),
+        (1, excerpt),
+        (2, twin),
+        (3, twin),                                 # equal-size duplicate
+        (4, "totally unrelated words here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(tmp + "/documents.parquet")
+        out = {
+            r.doc_id: r
+            for r in all_queries()["dedup_containment_subsumption"](spark, tmp).collect()
+        }
+    assert out[0].kept
+    assert not out[1].kept and out[1].subsumed_by == 0
+    assert out[1].containment == 1.0
+    assert out[2].kept                       # smaller id survives the tie
+    assert not out[3].kept and out[3].subsumed_by == 2
+    assert out[4].kept

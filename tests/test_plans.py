@@ -844,6 +844,9 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
         "documents": {"text", "lang", "source", "n_chars"}
     },
     "events_wilson_ci": {"events": {"props", "event_id", "ts"}},
+    "dedup_containment_subsumption": {
+        "documents": {"lang", "source", "n_chars"}
+    },
 }
 
 
