@@ -215,6 +215,9 @@ QUERIES = [
     "pipeline_rendezvous_sharding",
     # r11 fifteenth wave: one distinct-user agg per type + per-row CI
     "events_wilson_ci",
+    # r11 sixteenth wave: the containment inverted-index shape + a
+    # size-oriented argmax policy
+    "dedup_containment_subsumption",
 ]
 
 
