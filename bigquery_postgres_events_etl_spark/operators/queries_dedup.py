@@ -1047,3 +1047,94 @@ def dedup_containment_subsumption(spark: SparkSession, sf_dir: str) -> DataFrame
             "containment",
         )
     )
+
+
+@register(
+    "dedup_lsh_recall_report",
+    f"""
+    WITH {_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, {_h60('shingle')} AS h FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    truth AS (
+      SELECT c.doc_a, c.doc_b
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM dsh a JOIN dsh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE c.n_common / (sa.n + sb.n - c.n_common) >= {JACCARD_THRESHOLD}
+    ),
+    hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth) AS recall,
+           CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / (SELECT COUNT(*) FROM cand) AS candidate_precision
+    """,
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup sibling of similarity_ann_recall_report: candidate
+    RECALL of the MinHash-LSH blocking against the exact
+    Jaccard ≥ 0.5 ground truth, plus candidate precision (what share
+    of the verify budget lands on true pairs) — the two numbers that
+    size (num_hashes, bands) for a corpus. Composes the two PROVEN
+    oracles (the LSH banding and the inverted-index exact tier share
+    one persisted hashed-shingle sliver), so the report itself
+    hash-checks end-to-end; all counts integer, two final divisions."""
+    from pyspark.sql import functions as F
+
+    from .dedup import (
+        distinct_hashed_shingles,
+        lsh_pairs_from_signatures,
+        signatures_from_shingles,
+    )
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    dsh = distinct_hashed_shingles(docs, 3).persist()
+    sig = signatures_from_shingles(dsh, NUM_HASHES, with_size=True).persist()
+    cand = lsh_pairs_from_signatures(sig, NUM_HASHES, BANDS).persist()
+    sizes = sig.select("doc_id", "sz")
+    truth = (
+        dsh.withColumnRenamed("doc_id", "doc_a")
+        .join(dsh.withColumnRenamed("doc_id", "doc_b"), "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")), "doc_b")
+        .where(
+            F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"], "semi")
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_hit = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_true_pairs").cast("double")).alias(
+                "recall"
+            ),
+            (F.col("n_hits").cast("double") / F.col("n_candidates").cast("double")).alias(
+                "candidate_precision"
+            ),
+        )
+    )

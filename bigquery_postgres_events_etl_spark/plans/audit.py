@@ -206,6 +206,8 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
     ("queries_pipeline.py", "pipeline_rendezvous_sharding"):
         "shard spine (HRW_SHARDS rows, a config constant) + the "
         "1-row total scalar — unconditionally safe",
+    ("queries_dedup.py", "dedup_lsh_recall_report"):
+        "two 1-row count scalars — unconditionally safe",
     ("pipeline.py", "quality_threshold_filter"): "1-row percentile-threshold scalar",
     ("queries_pipeline.py", "pipeline_corpus_prep_end2end"):
         "1-row quality-threshold scalar — unconditionally safe",

@@ -510,3 +510,19 @@ def test_containment_subsumption_planted_docs(spark):
     assert out[2].kept                       # smaller id survives the tie
     assert not out[3].kept and out[3].subsumed_by == 2
     assert out[4].kept
+
+
+def test_lsh_recall_report_consistency(spark, sf_dir):
+    """The report's numbers tie out against the standalone entries
+    (truth = dedup_ngram_jaccard rows, candidates = dedup_minhash_lsh
+    rows) and the banding s-curve delivers ≥0.5 recall at the 0.5
+    Jaccard threshold on the fixture."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    r = all_queries()["dedup_lsh_recall_report"](spark, sf_dir).collect()[0]
+    n_true = all_queries()["dedup_ngram_jaccard"](spark, sf_dir).count()
+    n_cand = all_queries()["dedup_minhash_lsh"](spark, sf_dir).count()
+    assert (r.n_true_pairs, r.n_candidates) == (n_true, n_cand)
+    assert r.n_hits <= min(n_true, n_cand)
+    assert r.recall == r.n_hits / n_true
+    assert r.recall >= 0.5

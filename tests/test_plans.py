@@ -847,6 +847,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "dedup_containment_subsumption": {
         "documents": {"lang", "source", "n_chars"}
     },
+    "dedup_lsh_recall_report": {"documents": {"lang", "source", "n_chars"}},
 }
 
 
