@@ -218,6 +218,8 @@ QUERIES = [
     # r11 sixteenth wave: the containment inverted-index shape + a
     # size-oriented argmax policy
     "dedup_containment_subsumption",
+    # r11 seventeenth wave: the LSH + exact-tier composition report
+    "dedup_lsh_recall_report",
 ]
 
 
