@@ -63,6 +63,15 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # the hash compare must run once; output column renamed rank ->
     # rank_fp (BIGINT):
     "graph_pagerank_copurchase": 11,
+    # r12: rows-only -> recursive-CTE hash oracle (r11 verdict item
+    # #2: hard-sigmoid fixed-point GD, the perceptron precedent
+    # extended to residual-proportional updates). Output schema
+    # changed from (feature, weight) to the per-epoch trajectory:
+    "ml_logreg_train": 12,
+    # r12 expression changes (ADVICE hardening — values identical on
+    # non-degenerate data, re-attest the new plan once):
+    "dedup_lsh_recall_report": 12,
+    "embedding_power_iteration": 12,
 }
 
 

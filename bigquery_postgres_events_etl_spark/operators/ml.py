@@ -187,3 +187,136 @@ def logreg_train_reference(
 
 def sigmoid(z: float) -> float:
     return 1.0 / (1.0 + math.exp(-z))
+
+
+HS_SCALE = 10**6
+HS_EPOCHS = 8
+HS_LR_DEN = 1000
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — spelled sign-explicitly
+    so Python, Spark SQL ``div`` and DuckDB ``//`` (whose negative-
+    operand semantics differ) all agree: operands handed to the engine
+    division are always non-negative."""
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def logreg_train_hardsigmoid(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_epochs: int = HS_EPOCHS,
+    scale: int = HS_SCALE,
+    lr_den: int = HS_LR_DEN,
+) -> DataFrame:
+    """Logistic-regression gradient descent with the HARD-SIGMOID
+    activation in EXACT fixed-point integer arithmetic — the
+    hash-oracle member of the training tier that covers the logistic
+    UPDATE semantics (residual-proportional, y ∈ {0,1}), completing
+    what :func:`perceptron_train` did for the sign-based update:
+
+    - σ is replaced by the piecewise-linear hard sigmoid
+      hσ(z) = clamp(1/2 + z/4, 0, 1) — the standard quantized-network
+      stand-in (Courbariaux et al. 2015's binarized-net activation);
+      in fixed point at ``scale`` S: p = clamp(S/2 + z div 4, 0, S),
+      every term a BIGINT, truncation spelled sign-explicitly so both
+      engines agree on negative z;
+    - full-batch update w += truncdiv(Σ (y·S − p)·x, lr_den · n) with
+      lr = 1/lr_den — residual-proportional like true logistic GD
+      (the perceptron only counts misclassifications), yet exactly
+      replayable as a recursive CTE;
+    - each epoch is ONE partial-aggregated scan with the current
+      weights compiled in as literals; only a (k+2)-value scalar row
+      reaches the driver (bounded-collect contract);
+    - output is the full trajectory: (epoch, weights…, n_correct)
+      where n_correct counts rows with prediction 1{2p ≥ S} == y, so
+      the oracle hash-checks every update AND the per-epoch accuracy.
+
+    Overflow bound (shared with the DuckDB BIGINT twin): |z| ≤
+    Σ|w|·max|x| and |g| ≤ n·S·max|x| must stay below 2⁶³ — safe for
+    n up to ~9e12 rows at S=1e6, max|x|=10³.
+
+    ``label_col`` must be 0/1. Scale: iteration cost is O(scan), no
+    join, no window, no data-sized shuffle; the integer feature frame
+    is cached once. Exact pure-Python parity is pytest-pinned
+    (tests/test_ml.py).
+    """
+    cols = ["__bias"] + list(feature_cols)
+    feats = features.select(
+        F.lit(1).cast("long").alias("__bias"),
+        *[F.col(c).cast("long").alias(c) for c in feature_cols],
+        F.col(label_col).cast("long").alias("__y"),
+    ).persist()
+    n = feats.count()
+    w = dict.fromkeys(cols, 0)
+    out_rows = []
+    for epoch in range(n_epochs + 1):
+        z = " + ".join(f"({w[c]} * `{c}`)" for c in cols)
+        zq = f"(CASE WHEN ({z}) >= 0 THEN ({z}) div 4 ELSE -((-({z})) div 4) END)"
+        p = f"GREATEST(0, LEAST({scale}, {scale // 2} + {zq}))"
+        r = f"(`__y` * {scale} - {p})"
+        agg = feats.agg(
+            F.expr(
+                f"COUNT_IF((CASE WHEN 2 * {p} >= {scale} THEN 1 ELSE 0 END)"
+                " = `__y`)"
+            )
+            .cast("long")
+            .alias("__n_correct"),
+            *[F.expr(f"SUM({r} * `{c}`)").cast("long").alias(c) for c in cols],
+        ).first()
+        out_rows.append((epoch, *[w[c] for c in cols], agg["__n_correct"] or 0))
+        if epoch < n_epochs:
+            for c in cols:
+                # max(n,1) mirrors the oracle's GREATEST — the empty
+                # frame degenerates to a zero-weight trajectory on
+                # both engines instead of a divide-by-zero
+                w[c] = w[c] + _tdiv(int(agg[c] or 0), lr_den * max(n, 1))
+    feats.unpersist()
+    spark = features.sparkSession
+    w_names = ["w_bias"] + [f"w_{c}" for c in feature_cols]
+    schema = (
+        "epoch BIGINT, "
+        + ", ".join(f"{nm} BIGINT" for nm in w_names)
+        + ", n_correct BIGINT"
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
+def logreg_hardsigmoid_reference(
+    rows: list[tuple],
+    n_features: int,
+    n_epochs: int = HS_EPOCHS,
+    scale: int = HS_SCALE,
+    lr_den: int = HS_LR_DEN,
+) -> list[tuple]:
+    """Pure-Python integer twin for exact-parity tests: same hard
+    sigmoid, same truncations, plain ints throughout. ``rows`` are
+    (x1..xk, y) with y ∈ {0, 1}."""
+    n = len(rows)
+    w = [0] * (n_features + 1)
+    out = []
+    for epoch in range(n_epochs + 1):
+
+        def p(row):
+            z = w[0] + sum(wi * xi for wi, xi in zip(w[1:], row[:n_features]))
+            return max(0, min(scale, scale // 2 + _tdiv(z, 4)))
+
+        n_correct = sum(
+            1
+            for row in rows
+            if (1 if 2 * p(row) >= scale else 0) == row[n_features]
+        )
+        out.append((epoch, *w, n_correct))
+        if epoch < n_epochs:
+            g = [0] * (n_features + 1)
+            for row in rows:
+                r = row[n_features] * scale - p(row)
+                g[0] += r
+                for j in range(n_features):
+                    g[j + 1] += r * row[j]
+            w = [
+                w[j] + _tdiv(g[j], lr_den * max(n, 1))
+                for j in range(n_features + 1)
+            ]
+    return out

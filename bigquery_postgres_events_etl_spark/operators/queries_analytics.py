@@ -802,26 +802,90 @@ def events_mergeable_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@register("ml_logreg_train", None)  # iterative GD — rows-only
+_HS_FEATS = """
+    feats AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x1,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x2,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x3,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+                  THEN 1 ELSE 0 END AS y
+      FROM events GROUP BY user_id
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM feats)
+"""
+_HS_Z = "(w.w_bias + w.w_n_click*x1 + w.w_n_view*x2 + w.w_n_error*x3)"
+_HS_ZQ = (
+    f"(CASE WHEN {_HS_Z} >= 0 THEN {_HS_Z} // 4"
+    f" ELSE -((-{_HS_Z}) // 4) END)"
+)
+
+
+def _hs_oracle(scale: int, epochs: int, lr_den: int) -> str:
+    p = f"GREATEST(0, LEAST({scale}, {scale // 2} + {_HS_ZQ}))"
+    r = f"(y * {scale} - {p})"
+    div = f"({lr_den} * GREATEST((SELECT n FROM nn), 1))"
+
+    def upd(xc: str) -> str:
+        g = f"coalesce((SELECT SUM({r} * {xc}) FROM feats), 0)"
+        return (
+            f"CAST(CASE WHEN {g} >= 0 THEN {g} // {div}"
+            f" ELSE -((-{g}) // {div}) END AS BIGINT)"
+        )
+
+    return f"""
+    WITH RECURSIVE {_HS_FEATS},
+    w (epoch, w_bias, w_n_click, w_n_view, w_n_error) AS (
+      SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT w.epoch + 1,
+             w.w_bias + {upd('1')},
+             w.w_n_click + {upd('x1')},
+             w.w_n_view + {upd('x2')},
+             w.w_n_error + {upd('x3')}
+      FROM w WHERE w.epoch < {epochs}
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           w_bias, w_n_click, w_n_view, w_n_error,
+           CAST((SELECT COUNT(*) FROM feats
+                 WHERE (CASE WHEN 2 * {p} >= {scale} THEN 1 ELSE 0 END) = y)
+                AS BIGINT) AS n_correct
+    FROM w
+    """
+
+
+from .ml import HS_EPOCHS, HS_LR_DEN, HS_SCALE  # noqa: E402
+
+
+@register("ml_logreg_train", _hs_oracle(HS_SCALE, HS_EPOCHS, HS_LR_DEN))
 def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAIN the logistic model ml_linear_score_users consumes:
     predict whether a user purchases from their click/view/error
-    activity — full-batch gradient descent where each step is one
-    partial-aggregated scan with the current weights compiled in as
-    literals (see operators/ml.py). Rows-only (iterative tier);
-    NumPy parity and loss descent pinned in tests/test_ml.py."""
-    from .ml import logreg_train
+    activity. r12 (r11 verdict item 2): converted rows-only → HASH
+    ORACLE by the ml_perceptron_train precedent — gradient descent
+    with the hard-sigmoid activation in exact fixed-point BIGINT
+    arithmetic (see operators/ml.py:logreg_train_hardsigmoid), so the
+    DuckDB twin replays all 8 residual-proportional updates
+    bit-for-bit as a recursive CTE. The float-σ variant remains as
+    ml.logreg_train with its NumPy-parity pytest (tests/test_ml.py);
+    this registered entry now hash-checks the logistic UPDATE
+    semantics (y ∈ {0,1}, residual-proportional — the piece the
+    sign-based perceptron entry does not cover)."""
+    from .ml import logreg_train_hardsigmoid
 
     e = load_table(spark, sf_dir, "events")
     feats = e.groupBy("user_id").agg(
-        F.count_if(F.col("event_type") == "click").cast("double").alias("n_click"),
-        F.count_if(F.col("event_type") == "view").cast("double").alias("n_view"),
-        F.count_if(F.col("event_type") == "error").cast("double").alias("n_error"),
+        F.count_if(F.col("event_type") == "click").cast("long").alias("n_click"),
+        F.count_if(F.col("event_type") == "view").cast("long").alias("n_view"),
+        F.count_if(F.col("event_type") == "error").cast("long").alias("n_error"),
         (F.count_if(F.col("event_type") == "purchase") > 0)
-        .cast("double")
+        .cast("long")
         .alias("purchased"),
     )
-    return logreg_train(feats, ["n_click", "n_view", "n_error"], "purchased")
+    return logreg_train_hardsigmoid(
+        feats, ["n_click", "n_view", "n_error"], "purchased"
+    )
 
 
 PERCEPTRON_EPOCHS = 8

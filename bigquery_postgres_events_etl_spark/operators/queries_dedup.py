@@ -1077,9 +1077,9 @@ def dedup_containment_subsumption(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
            CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hits,
            CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-             / (SELECT COUNT(*) FROM truth) AS recall,
+             / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall,
            CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-             / (SELECT COUNT(*) FROM cand) AS candidate_precision
+             / NULLIF((SELECT COUNT(*) FROM cand), 0) AS candidate_precision
     """,
 )
 def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1130,11 +1130,16 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true_pairs",
             "n_candidates",
             "n_hits",
-            (F.col("n_hits").cast("double") / F.col("n_true_pairs").cast("double")).alias(
-                "recall"
-            ),
-            (F.col("n_hits").cast("double") / F.col("n_candidates").cast("double")).alias(
-                "candidate_precision"
-            ),
+            # nullif pins the degenerate no-qualifying-pairs corpus to
+            # NULL on BOTH engines (ADVICE r11): double 0/0 semantics
+            # differ across engines, an explicit guard does not
+            (
+                F.col("n_hits").cast("double")
+                / F.nullif(F.col("n_true_pairs").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+            (
+                F.col("n_hits").cast("double")
+                / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0))
+            ).alias("candidate_precision"),
         )
     )

@@ -838,6 +838,15 @@ def semantic_dedup_frozen(
         F.col(id_col).cast("long").alias("list_id"),
         F.col(emb_col).alias("center"),
     )
+    # the frozen contract is "ids 0..n_lists-1 are the codebook"; a
+    # corpus with sparse/offset ids would silently shrink the codebook
+    # (worst case: empty output) — fail loudly instead (ADVICE r11)
+    n_seeds = seeds.count()
+    if n_seeds < n_lists:
+        raise ValueError(
+            f"frozen codebook needs ids 0..{n_lists - 1} present; "
+            f"only {n_seeds} seed vectors have {id_col} < {n_lists}"
+        )
     # Persisted shared sliver (the semantic_dedup contract): assigned
     # feeds both pair-join arms AND the final keep/drop left-join —
     # unpersisted, each consumer would re-run the n_lists-way
@@ -952,7 +961,13 @@ def power_iteration_int8(
         .agg(F.sum(F.col("qi").cast("long") * F.col("qj")).alias("g"))
         .collect()  # ≤ d² rows — schema-constant bound, never data-sized
     )
-    d = 1 + max((r.i for r in gram_rows), default=0)
+    spark = vectors.sparkSession
+    if not gram_rows:  # empty corpus: zero rows, matching the oracle
+        return spark.createDataFrame([], "dim BIGINT, v_fp BIGINT")
+    # d from the data's own embedding length, not max(i): a corpus
+    # whose trailing dimensions are all-zero still iterates full-width
+    d_row = vectors.select(F.size(emb_col).alias("d")).first()
+    d = int(d_row["d"]) if d_row is not None else 1 + max(r.i for r in gram_rows)
     gram: dict[tuple[int, int], int] = {(r.i, r.j): r.g for r in gram_rows}
     v = [scale] * d
     for _ in range(n_iter):
@@ -962,7 +977,6 @@ def power_iteration_int8(
         m = max(abs(x) for x in w) if w else 0
         dvr = max(m // scale, 1)
         v = [x // dvr if x >= 0 else -((-x) // dvr) for x in w]
-    spark = vectors.sparkSession
     return spark.createDataFrame(
         [(i, v[i]) for i in range(d)], "dim BIGINT, v_fp BIGINT"
     )
@@ -1004,6 +1018,10 @@ def kcenter_coreset(
     spark = vectors.sparkSession
     v = vectors.select(F.col(id_col), F.col(emb_col))
     seed_id = v.agg(F.min(id_col)).first()[0]
+    if seed_id is None:  # empty input: no seed, empty trajectory
+        return spark.createDataFrame(
+            [], "sel_round BIGINT, vec_id BIGINT, sel_dist DOUBLE"
+        )
     seed = v.where(F.col(id_col) == seed_id).select(
         F.col(emb_col).alias("__center")
     )
@@ -1030,6 +1048,8 @@ def kcenter_coreset(
             )
             .first()["t"]
         )
+        if top is None or top["neg_id"] is None:
+            break  # fewer than k vectors: return the partial trajectory
         new_id, sel_dist = -top["neg_id"], top["dmin"]
         center = state.where(F.col(id_col) == new_id).select(
             F.col(emb_col).alias("__center")

@@ -41,9 +41,25 @@ def test_previous_round_parses_committed_reference_files():
         assert name in med, name
         assert med[name] > 0
     covered = [n for n in bench.TIER2 if n in med]
-    assert len(covered) * 2 >= len(bench.TIER2), (
-        f"tier-2 coverage collapsed: only {covered} parsed from the "
-        "newest BENCH_r*.json — parser drift, not a composition change"
+    # exact drift guard (r11 ADVICE: a 50% blanket let half the medians
+    # vanish silently): a TIER2 name may be uncovered ONLY if it is
+    # genuinely absent from the newest record's raw text (a newcomer).
+    # A name present in the file but not in the parsed medians means
+    # the parser dropped it — that IS drift, fail loudly.
+    import glob as _glob
+    import re as _re
+
+    numbered = sorted(
+        (int(m.group(1)), p)
+        for p in _glob.glob(os.path.join(root, "BENCH_r*.json"))
+        if (m := _re.search(r"r(\d+)\.json$", os.path.basename(p)))
+    )
+    with open(numbered[-1][1]) as f:
+        raw = f.read()
+    dropped = [n for n in bench.TIER2 if n not in med and f'"{n}"' in raw]
+    assert not dropped, (
+        f"parser drift: {dropped} present in {numbered[-1][1]} but "
+        "missing from bench._previous_round medians"
     )
     for name in covered:
         assert med[name] > 0

@@ -373,3 +373,27 @@ def test_hits_copurchase_entry_invariants(spark, sf_dir):
     # parts (dst side) never gain hubness
     assert all(r.auth_fp == 0 for r in rows if r.node < 10_000_000)
     assert all(r.hub_fp == 0 for r in rows if r.node >= 10_000_000)
+
+
+def test_state_broadcast_gate_malformed_conf(spark):
+    """A malformed spark.graph.stateBroadcastMaxNodes (e.g. '2e6')
+    must raise ONE descriptive ValueError at the gate — naming the
+    conf key — instead of an uncaught parse error deep inside
+    pagerank/LPA/PPR/HITS (r11 verdict item 4)."""
+    import pytest
+
+    from bigquery_postgres_events_etl_spark.operators.graph import (
+        STATE_BROADCAST_CONF,
+        _state_broadcast_gate,
+    )
+
+    df = spark.range(1)
+    try:
+        spark.conf.set(STATE_BROADCAST_CONF, "2e6")
+        with pytest.raises(ValueError, match=STATE_BROADCAST_CONF):
+            _state_broadcast_gate(df, 123)
+        spark.conf.set(STATE_BROADCAST_CONF, "500")
+        assert _state_broadcast_gate(df, 123) == 500
+    finally:
+        spark.conf.unset(STATE_BROADCAST_CONF)
+    assert _state_broadcast_gate(df, 123) == 123

@@ -161,3 +161,43 @@ def test_perceptron_converges_on_separable_data(spark):
     traj = perceptron_train(df, ["x"], "y", n_epochs=20).orderBy("epoch").collect()
     assert traj[-1].n_mis == 0
     assert traj[0].n_mis == len(rows)  # zero weights misclassify everything
+
+
+def test_logreg_hardsigmoid_exact_python_parity(spark):
+    """The fixed-point hard-sigmoid GD (the r12 hash-oracle tier of
+    ml_logreg_train) must match the pure-Python integer twin
+    BIT-FOR-BIT on a planted two-class dataset — every epoch's
+    weights AND accuracy count."""
+    from bigquery_postgres_events_etl_spark.operators.ml import (
+        logreg_hardsigmoid_reference,
+        logreg_train_hardsigmoid,
+    )
+
+    rows = [
+        (x1, x2, 1 if 2 * x1 + x2 > 14 else 0)
+        for x1 in range(8)
+        for x2 in range(6)
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    got = [
+        tuple(r)
+        for r in logreg_train_hardsigmoid(df, ["x1", "x2"], "y")
+        .orderBy("epoch")
+        .collect()
+    ]
+    want = logreg_hardsigmoid_reference(rows, n_features=2)
+    assert got == want
+    # training actually learns: final accuracy strictly above the
+    # zero-weight epoch-0 accuracy
+    assert got[-1][-1] > got[0][-1]
+    # all-one-class degenerate + empty frames stay well-defined
+    ones = spark.createDataFrame(
+        [(x, 1) for x in range(5)], "x1 long, y long"
+    )
+    tr = logreg_train_hardsigmoid(ones, ["x1"], "y").orderBy("epoch").collect()
+    assert tr[-1].n_correct == 5
+    empty = spark.createDataFrame([], "x1 long, y long")
+    etr = logreg_train_hardsigmoid(empty, ["x1"], "y").orderBy("epoch").collect()
+    assert len(etr) == 9 and all(
+        r.w_bias == 0 and r.w_x1 == 0 and r.n_correct == 0 for r in etr
+    )

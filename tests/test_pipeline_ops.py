@@ -531,3 +531,23 @@ def test_rendezvous_sharding_minimal_disruption(spark):
     assert all(a9[d] == 8 for d in moved)
     # expected move fraction 1/9 ≈ 11%; allow generous slack
     assert 0.03 <= len(moved) / 500 <= 0.25
+
+
+def test_token_waterfill_budget_at_and_above_capacity(spark):
+    """The all-saturated edge (r11 verdict item 1): budget == total
+    capacity and budget > total capacity both make kstar == n, so the
+    base/extra divisors hit n - kstar == 0 — the nullif guard must
+    keep the query NULL-safe (ANSI-proof) and every source simply
+    saturates at its capacity."""
+    from bigquery_postgres_events_etl_spark.operators.queries_pipeline import (
+        token_waterfill,
+    )
+
+    caps = [("a", 10), ("b", 25), ("c", 5)]
+    df = spark.createDataFrame(caps, "source string, cap long")
+    for num, den in ((10, 10), (15, 10), (100, 1)):
+        rows = token_waterfill(df, budget_num=num, budget_den=den).collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert r.saturated is True
+            assert r.allocated == r.capacity

@@ -403,3 +403,51 @@ def test_cluster_purity_planted_labels(spark):
     # every remaining vector sits with its own seed cluster at purity 1
     pure = [r for cid, r in out.items() if cid != 0]
     assert pure and all(r.purity == 1.0 for r in pure)
+
+
+def test_kcenter_handles_empty_and_fewer_than_k(spark):
+    """Degenerate inputs (ADVICE r11): an empty corpus returns an
+    empty trajectory instead of TypeError-ing on a None seed; a corpus
+    with fewer than k vectors returns the full partial trajectory
+    (every vector selected once) instead of crashing on the exhausted
+    argmax."""
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kcenter_coreset(empty, k=4).count() == 0
+
+    rows = [(i, [float(i), 0.0]) for i in range(3)]
+    small = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kcenter_coreset(small, k=8).orderBy("sel_round").collect()
+    assert [r.vec_id for r in out] == [0, 2, 1]  # seed, farthest, rest
+    assert [r.sel_round for r in out] == [0, 1, 2]
+
+
+def test_power_iteration_empty_corpus_yields_zero_rows(spark):
+    """Spark/oracle parity in the degenerate case (ADVICE r11): an
+    empty corpus produces ZERO rows (the SQL oracle's behavior), not a
+    fabricated (dim=0, v=scale) row."""
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        power_iteration_int8,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert power_iteration_int8(empty).count() == 0
+
+
+def test_frozen_codebook_short_seed_frame_raises(spark):
+    """The frozen-codebook contract is ids 0..n_lists-1 present; a
+    sparse/offset id space must fail LOUDLY (ADVICE r11) rather than
+    silently shrinking the codebook on both engines."""
+    import pytest
+
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        semantic_dedup_frozen,
+    )
+
+    rows = [(100 + i, [float(i), 1.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="frozen codebook"):
+        semantic_dedup_frozen(emb, n_lists=4)
