@@ -618,6 +618,77 @@ def dedup_semantic_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# production regime: the codebook grows WITH the corpus so cluster
+# populations stay ~constant and the in-cluster pair join stays linear
+# (SCALE.md's measured fixed-cluster-size curve: 3.3x @10x vs the
+# frozen-8 entry's deliberately adversarial 18.3x)
+SEMANTIC_TARGET_CLUSTER = 64
+
+
+@register(
+    "dedup_semantic_fixed_size",
+    f"""
+    WITH k AS (
+      SELECT CAST((COUNT(*) + {SEMANTIC_TARGET_CLUSTER - 1})
+                  // {SEMANTIC_TARGET_CLUSTER} AS BIGINT) AS k
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS list_id, embedding AS center
+      FROM embeddings WHERE vec_id < (SELECT k FROM k)
+    ),
+    dists AS (
+      SELECT c.vec_id, s.list_id,
+             {_l2_sql('c.embedding', 's.center')} AS d
+      FROM embeddings c, seeds s
+    ),
+    assigned AS (
+      SELECT e.vec_id, t.list_id AS cluster_id, e.embedding,
+             {_dot_sql('e.embedding', 'e.embedding')} AS nsq
+      FROM (
+        SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, list_id ASC) AS rn
+        FROM dists
+      ) t
+      JOIN embeddings e ON e.vec_id = t.vec_id
+      WHERE t.rn = 1
+    ),
+    dups AS (
+      SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_near_dups
+      FROM assigned a JOIN assigned b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_dot_sql('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
+              >= {SEMANTIC_THRESHOLD}
+      GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, CAST(s.cluster_id AS BIGINT) AS cluster_id,
+           coalesce(d.n_near_dups, 0) AS n_near_dups,
+           (coalesce(d.n_near_dups, 0) = 0) AS kept
+    FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
+    """,
+)
+def dedup_semantic_fixed_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the PRODUCTION codebook-sizing regime (r11 verdict
+    item 7): the frozen-codebook tier with k = ceil(N / 64) lists, so
+    cluster populations stay ~64 as the corpus grows and the
+    in-cluster pair join stays LINEAR in N — the scale-safe shipped
+    default beside `dedup_semantic_frozen`'s deliberately adversarial
+    fixed-8 point (18.3x @10x measured; this regime measured 3.3x).
+    Same quantizer contract (first k corpus vectors as centroids),
+    same (d, list_id) tie-break, same drop policy — only the sizing
+    rule differs, and it is itself part of the hash-checked semantics
+    (k derives from COUNT(*) on both engines)."""
+    from .similarity import semantic_dedup_frozen
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded scalar: sizes the codebook, like the oracle's k CTE
+    k = (n + SEMANTIC_TARGET_CLUSTER - 1) // SEMANTIC_TARGET_CLUSTER
+    return semantic_dedup_frozen(
+        emb, threshold=SEMANTIC_THRESHOLD, n_lists=max(k, 1)
+    )
+
+
 RP_DIMS = 8
 
 

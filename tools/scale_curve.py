@@ -220,6 +220,13 @@ QUERIES = [
     "dedup_containment_subsumption",
     # r11 seventeenth wave: the LSH + exact-tier composition report
     "dedup_lsh_recall_report",
+    # r12: the production-regime SemDeDup sibling — codebook k =
+    # ceil(N/64) grows with the corpus, so expected ~linear (the
+    # 3.3x regime SCALE.md measured) vs the frozen-8 entry above
+    "dedup_semantic_fixed_size",
+    # r12: fixed-point hard-sigmoid GD — one partial-agg scan per
+    # epoch, expected linear iteration-bounded like the perceptron
+    "ml_logreg_train",
 ]
 
 
