@@ -1621,3 +1621,152 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return combined.select(
         F.expr(f"stack({len(metrics)}, {stack}) AS (metric, value)")
     )
+
+
+# ---------------------------------------------------------------------
+# Unigram-LM tokenizer training (r11 verdict item 6) — hash oracle
+# generated as an UNROLLED chain of MATERIALIZED CTEs: the DP has the
+# static depth bound UNIGRAM_MAX_WORD, so each suffix-DP level and
+# each forward step is its own plain aggregation CTE (a recursive CTE
+# cannot be layered per EM round — DuckDB does not evaluate a
+# recursive CTE referenced from inside another's recursive term; the
+# BPE oracle's single-recursion state machine avoids this, the
+# unrolled chain here avoids it MORE simply). MATERIALIZED is
+# required: each level references the previous in two branches, so
+# inlining would expand the plan 2^depth.
+# ---------------------------------------------------------------------
+
+
+def _unigram_oracle(
+    rounds: int, max_piece: int, min_seed: int, lb: int, scale: int
+) -> str:
+    ctes = [
+        f"""
+w AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE word != '' AND length(word) <= {lb} GROUP BY word
+)""",
+        f"""
+grid AS MATERIALIZED (
+  SELECT word, freq, CAST(s AS BIGINT) AS start, CAST(l AS BIGINT) AS len,
+         substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece
+  FROM w,
+       unnest(range(1, length(word) + 1)) AS ts(s),
+       unnest(range(1, least({max_piece}, length(word) - s + 1) + 1)) AS tl(l)
+)""",
+        f"""
+c0 AS MATERIALIZED (
+  SELECT piece, SUM(freq) AS c FROM grid GROUP BY piece
+  HAVING length(piece) = 1 OR SUM(freq) >= {min_seed}
+)""",
+    ]
+    for r in range(rounds):
+        ctes.append(f"t{r} AS MATERIALIZED (SELECT SUM(c) AS t FROM c{r})")
+        ctes.append(
+            f"""
+m{r} AS MATERIALIZED (
+  SELECT g.word, g.freq, g.start, g.len, g.piece,
+         CAST(floor(ln(CAST((SELECT t FROM t{r}) AS DOUBLE)
+              / CAST(v.c AS DOUBLE)) * {scale}) AS BIGINT) AS cost
+  FROM grid g JOIN c{r} v USING (piece)
+)"""
+        )
+        ctes.append(
+            f"""
+sb{r}_0 AS MATERIALIZED (
+  SELECT word, CAST(length(word) + 1 AS BIGINT) AS pos,
+         CAST(0 AS BIGINT) AS sc
+  FROM w
+)"""
+        )
+        for lvl in range(1, lb + 1):
+            ctes.append(
+                f"""
+sb{r}_{lvl} AS MATERIALIZED (
+  SELECT word, pos, sc FROM sb{r}_{lvl - 1}
+  UNION ALL
+  SELECT m.word, m.start AS pos, MIN(m.cost + s.sc) AS sc
+  FROM m{r} m JOIN sb{r}_{lvl - 1} s
+    ON s.word = m.word AND s.pos = m.start + m.len
+  WHERE m.start = length(m.word) - {lvl} + 1
+  GROUP BY m.word, m.start
+)"""
+            )
+        ctes.append(
+            f"""
+f{r}_0 AS MATERIALIZED (
+  SELECT word, freq, CAST(1 AS BIGINT) AS pos,
+         CAST(NULL AS VARCHAR) AS piece
+  FROM w
+)"""
+        )
+        for s in range(1, lb + 1):
+            ctes.append(
+                f"""
+f{r}_{s} AS MATERIALIZED (
+  SELECT word, freq, pos, piece FROM (
+    SELECT m.word, p.freq, m.start + m.len AS pos, m.piece,
+           ROW_NUMBER() OVER (PARTITION BY m.word
+                              ORDER BY m.cost + sx.sc ASC, m.len ASC) AS rn
+    FROM f{r}_{s - 1} p
+    JOIN m{r} m ON m.word = p.word AND m.start = p.pos
+    JOIN sb{r}_{lb} sx ON sx.word = m.word AND sx.pos = m.start + m.len
+    WHERE p.pos <= length(p.word)
+  ) q WHERE rn = 1
+)"""
+            )
+        union = " UNION ALL ".join(
+            f"SELECT word, freq, piece FROM f{r}_{s}" for s in range(1, lb + 1)
+        )
+        ctes.append(f"use{r} AS MATERIALIZED ({union})")
+        ctes.append(
+            f"""
+c{r + 1} AS MATERIALIZED (
+  SELECT piece, SUM(freq) AS c FROM use{r} GROUP BY piece
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT v.piece, CAST(v.c AS BIGINT) AS freq,
+       CAST(floor(ln(CAST((SELECT SUM(c) FROM c{rounds}) AS DOUBLE)
+            / CAST(v.c AS DOUBLE)) * {scale}) AS BIGINT) AS cost_fp
+FROM c{rounds} v
+"""
+    )
+
+
+from .text import (  # noqa: E402
+    UNIGRAM_COST_SCALE,
+    UNIGRAM_EM_ROUNDS,
+    UNIGRAM_MAX_PIECE,
+    UNIGRAM_MAX_WORD,
+    UNIGRAM_MIN_SEED,
+)
+
+
+@register(
+    "text_unigram_lm_train",
+    _unigram_oracle(
+        UNIGRAM_EM_ROUNDS,
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_MIN_SEED,
+        UNIGRAM_MAX_WORD,
+        UNIGRAM_COST_SCALE,
+    ),
+)
+def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) tokenizer training over the corpus
+    (r11 verdict item 6) — the OTHER production tokenizer beside the
+    BPE pair: hard-EM (Viterbi E-step under fixed-point integer
+    ln-costs, count M-step with hard prune) for 2 rounds over a
+    bounded seed vocabulary; see operators/text.py:unigram_lm_train
+    for the full semantics, exactness, and scale argument. Output:
+    the final vocabulary (piece, freq, cost_fp). A pure-Python EM
+    parity pytest additionally pins the whole trajectory
+    (tests/test_text_quality.py)."""
+    from .text import unigram_lm_train
+
+    return unigram_lm_train(parallelize(load_table(spark, sf_dir, "documents")))

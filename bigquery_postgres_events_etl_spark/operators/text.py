@@ -1007,3 +1007,206 @@ def bpe_encode(
     return docs.select(F.col(id_col).alias("doc_id"), "text").mapInPandas(
         run, schema="doc_id BIGINT, n_words BIGINT, n_tokens BIGINT, first_tokens STRING"
     )
+
+
+# ---------------------------------------------------------------------
+# Unigram-LM tokenizer training (the SentencePiece unigram model,
+# Kudo 2018) — hard-EM over a bounded seed vocabulary
+# ---------------------------------------------------------------------
+
+UNIGRAM_MAX_PIECE = 4
+UNIGRAM_MIN_SEED = 2
+UNIGRAM_COST_SCALE = 10**9
+UNIGRAM_MAX_WORD = 16
+UNIGRAM_EM_ROUNDS = 2
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    em_rounds: int = UNIGRAM_EM_ROUNDS,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+    min_seed: int = UNIGRAM_MIN_SEED,
+    max_word: int = UNIGRAM_MAX_WORD,
+    scale: int = UNIGRAM_COST_SCALE,
+) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018 — the SentencePiece
+    unigram model; the production tokenizer beside BPE) as hard-EM
+    over the word-frequency vocabulary, in the bpe_train scale shape:
+    the corpus is touched exactly ONCE (word frequencies); everything
+    after iterates over the VOCAB table, which Heaps' law keeps
+    sublinear in corpus size.
+
+    Semantics (the Viterbi/hard-EM variant of SentencePiece's EM —
+    expected counts replaced by best-segmentation counts, the
+    standard hard-EM specialization):
+
+    - SEED: every substring of length 1..``max_piece`` of every word,
+      counted with multiplicity weighted by word frequency; pieces
+      below ``min_seed`` are pruned except single chars (coverage).
+    - E-step: per word, the min-cost segmentation under fixed-point
+      integer piece costs cost(p) = floor(ln(T/c(p)) · scale) — the
+      Viterbi path via a SUFFIX DP (sbest[pos] = min over vocab
+      pieces at pos of cost + sbest[pos+len]), then a forward walk
+      re-picking argmin(cost + sbest[pos+len], ties to the SHORTEST
+      piece) so no backpointer state is carried.
+    - M-step: piece counts re-estimated from the Viterbi uses
+      (count × word freq); unused pieces drop out (the hard-EM prune
+      — every word stays segmentable because its own previous
+      segmentation survives by construction).
+    - Output after ``em_rounds``: (piece, freq, cost_fp) — the final
+      vocabulary with re-estimated counts and costs.
+
+    Cross-engine exactness: all arithmetic is BIGINT except the ONE
+    ln() per (piece, round), floored to 1e-9 units before any
+    comparison (the text_bm25_topk precedent: ln differs by ≤1 ulp
+    across JVM/libm on ~8% of inputs; a floor to integer units makes
+    a value-flip require the true value to sit within ~1e-7 relative
+    of a unit boundary — parity verified empirically at all fixture
+    scales, and the DP/argmin tie-break (total, len) is exact-integer
+    on both engines).
+
+    Scale: one corpus scan for word frequencies; the (start, len)
+    grid is |vocab| × max_word × max_piece rows; each DP level and
+    forward step is a vocab-sized sliver join (piece table broadcast);
+    loop depth is the STATIC bound ``max_word`` (words longer are
+    excluded — the documented truncation valve; production would
+    pre-split rare giant tokens). State checkpoints every 4 levels
+    (the quadratic-replay lesson). Driver holds no data-sized state.
+
+    Reference behavior derived from the published SentencePiece
+    algorithm only (Kudo 2018, arXiv:1804.10959); no reference-repo
+    counterpart exists (extract_bq.py has no tokenizer)."""
+    LB = max_word
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where((F.col("word") != "") & (F.length("word") <= LB))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .persist()
+    )
+    grid = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.expr("sequence(1, length(word))")).alias("start"),
+        )
+        .select(
+            "word",
+            "freq",
+            F.col("start").cast("long").alias("start"),
+            F.explode(
+                F.expr(
+                    f"sequence(1, least({max_piece}, length(word) - start + 1))"
+                )
+            ).alias("len0"),
+        )
+        .withColumn("len", F.col("len0").cast("long"))
+        .drop("len0")
+        .withColumn("piece", F.expr("substring(word, start, len)"))
+        .persist()
+    )
+    c = (
+        grid.groupBy("piece")
+        .agg(F.sum("freq").alias("c"))
+        .where((F.length("piece") == 1) | (F.col("c") >= min_seed))
+    )
+    # actual DP depth: levels beyond the longest word are no-ops on
+    # both engines (the oracle keeps the static bound; empty levels
+    # add nothing) — a bounded scalar, halves the job count here
+    lmax_row = words.agg(F.max(F.length("word"))).first()
+    LB = min(LB, int(lmax_row[0] or 0))
+    for _ in range(em_rounds):
+        t = c.agg(F.sum("c").alias("t"))
+        m = (
+            grid.join(F.broadcast(c), "piece")
+            .crossJoin(F.broadcast(t))
+            .select(
+                "word",
+                "freq",
+                "start",
+                "len",
+                "piece",
+                F.expr(
+                    f"CAST(FLOOR(LN(CAST(t AS DOUBLE) / CAST(c AS DOUBLE))"
+                    f" * {scale}) AS BIGINT)"
+                ).alias("cost"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sb = words.select(
+            "word",
+            (F.length("word") + 1).cast("long").alias("pos"),
+            F.lit(0).cast("long").alias("sc"),
+        )
+        for lvl in range(1, LB + 1):
+            new = (
+                m.alias("m")
+                .where(F.expr(f"start = length(word) - {lvl} + 1"))
+                .join(
+                    sb.alias("s"),
+                    (F.col("m.word") == F.col("s.word"))
+                    & (F.col("s.pos") == F.col("m.start") + F.col("m.len")),
+                )
+                .groupBy(F.col("m.word").alias("word"), F.col("m.start").alias("pos"))
+                .agg(F.min(F.col("m.cost") + F.col("s.sc")).alias("sc"))
+            )
+            sb = sb.unionByName(new)
+            if lvl % 4 == 0:
+                sb = sb.localCheckpoint(eager=True)
+        sb = sb.localCheckpoint(eager=True)
+        cur = words.select("word", "freq", F.lit(1).cast("long").alias("pos"))
+        uses = None
+        for s in range(1, LB + 1):
+            step = (
+                cur.alias("p")
+                .where(F.expr("pos <= length(word)"))
+                .join(
+                    m.alias("m"),
+                    (F.col("m.word") == F.col("p.word"))
+                    & (F.col("m.start") == F.col("p.pos")),
+                )
+                .join(
+                    sb.alias("sx"),
+                    (F.col("sx.word") == F.col("m.word"))
+                    & (F.col("sx.pos") == F.col("m.start") + F.col("m.len")),
+                )
+            )
+            pick = step.groupBy(F.col("m.word").alias("word")).agg(
+                F.min(
+                    F.struct(
+                        (F.col("m.cost") + F.col("sx.sc")).alias("tot"),
+                        F.col("m.len").alias("len"),
+                        F.col("m.piece").alias("piece"),
+                    )
+                ).alias("b"),
+                F.first("p.freq").alias("freq"),
+                F.first("p.pos").alias("pos"),
+            )
+            emitted = pick.select(
+                "word",
+                "freq",
+                F.col("b.piece").alias("piece"),
+                (F.col("pos") + F.col("b.len")).alias("npos"),
+            )
+            u = emitted.select("word", "freq", "piece")
+            uses = u if uses is None else uses.unionByName(u)
+            cur = emitted.select("word", "freq", F.col("npos").alias("pos"))
+            if s % 4 == 0:
+                cur = cur.localCheckpoint(eager=True)
+                uses = uses.localCheckpoint(eager=True)
+        c = uses.groupBy("piece").agg(F.sum("freq").alias("c"))
+    t = c.agg(F.sum("c").alias("t"))
+    out = (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "piece",
+            F.col("c").alias("freq"),
+            F.expr(
+                f"CAST(FLOOR(LN(CAST(t AS DOUBLE) / CAST(c AS DOUBLE))"
+                f" * {scale}) AS BIGINT)"
+            ).alias("cost_fp"),
+        )
+    )
+    words.unpersist()
+    grid.unpersist()
+    return out

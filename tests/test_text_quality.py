@@ -724,3 +724,93 @@ def test_corpus_datasheet_planted_counts(spark):
     # "gamma " * 30 split on ' ' yields 30 'gamma' + 1 trailing ''
     assert out["n_tokens"] == 2 * 3 + 31
     assert out["n_distinct_tokens"] == 4     # alpha, beta, gamma, ''
+
+
+def _unigram_reference(texts, rounds=2, max_piece=4, min_seed=2, lb=16,
+                       scale=10**9):
+    """Pure-Python hard-EM unigram-LM twin (same seed rule, same
+    fixed-point floor(ln)·scale costs, same (total, len) Viterbi
+    tie-break) for exact-parity testing of unigram_lm_train."""
+    import math
+
+    words = {}
+    for t in texts:
+        for wd in t.split(" "):
+            if wd and len(wd) <= lb:
+                words[wd] = words.get(wd, 0) + 1
+    c = {}
+    for wd, f in words.items():
+        L = len(wd)
+        for s in range(L):
+            for ln_ in range(1, min(max_piece, L - s) + 1):
+                p = wd[s:s + ln_]
+                c[p] = c.get(p, 0) + f
+    vocab = {p: n for p, n in c.items() if len(p) == 1 or n >= min_seed}
+    for _ in range(rounds):
+        T = sum(vocab.values())
+        cost = {p: math.floor(math.log(T / n) * scale) for p, n in vocab.items()}
+        newc = {}
+        for wd, f in words.items():
+            L = len(wd)
+            sb = {L: 0}
+            for pos in range(L - 1, -1, -1):
+                best = None
+                for ln_ in range(1, min(max_piece, L - pos) + 1):
+                    p = wd[pos:pos + ln_]
+                    if p in cost and pos + ln_ in sb:
+                        tot = cost[p] + sb[pos + ln_]
+                        best = tot if best is None else min(best, tot)
+                if best is not None:
+                    sb[pos] = best
+            pos = 0
+            while pos < L:
+                pick = None
+                for ln_ in range(1, min(max_piece, L - pos) + 1):
+                    p = wd[pos:pos + ln_]
+                    if p in cost and pos + ln_ in sb:
+                        k = (cost[p] + sb[pos + ln_], ln_)
+                        if pick is None or k < pick[:2]:
+                            pick = (*k, p)
+                newc[pick[2]] = newc.get(pick[2], 0) + f
+                pos += pick[1]
+        vocab = newc
+    T = sum(vocab.values())
+    return sorted(
+        (p, n, math.floor(math.log(T / n) * scale)) for p, n in vocab.items()
+    )
+
+
+def test_unigram_lm_train_matches_reference(spark, sf_dir):
+    """The distributed hard-EM unigram trainer must match the
+    pure-Python twin EXACTLY on the driver fixture — every surviving
+    piece, every re-estimated count, every fixed-point cost."""
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.text import (
+        unigram_lm_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        (r.piece, r.freq, r.cost_fp) for r in unigram_lm_train(docs).collect()
+    )
+    texts = [r.text for r in docs.select("text").collect()]
+    assert got == _unigram_reference(texts)
+
+
+def test_unigram_lm_planted_compression(spark):
+    """On a corpus dominated by one repeated word, EM consolidates
+    mass onto the max-length pieces tiling that word (the compression
+    property that makes unigram-LM a tokenizer, not a char model) —
+    and a second word sharing no chars still stays covered."""
+    from bigquery_postgres_events_etl_spark.operators.text import (
+        unigram_lm_train,
+    )
+
+    rows = [("abcdabcd xy",)] * 20 + [("xy",)] * 3
+    docs = spark.createDataFrame(rows, "text string")
+    out = {r.piece: r.freq for r in unigram_lm_train(docs).collect()}
+    # 'abcdabcd' tiles as two max-length 'abcd' pieces; 'xy' survives
+    assert out.get("abcd", 0) == 40
+    assert out.get("xy", 0) == 23
+    # no single-char leftovers once EM consolidates
+    assert all(len(p) > 1 for p in out)
