@@ -772,6 +772,109 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# t = T_CLOSENESS_NUM / T_CLOSENESS_DEN — the max allowed total-
+# variation distance between a cohort's sensitive distribution and
+# the global one (Li, Li & Venkatasubramanian 2007 use t = 0.2 in
+# the running example)
+T_CLOSENESS_NUM = 1
+T_CLOSENESS_DEN = 5
+
+
+@register(
+    "dq_t_closeness",
+    f"""
+    WITH sv AS (
+      SELECT lang,
+             CAST(n_chars // {K_ANON_LEN_BUCKET} AS BIGINT) AS len_bucket,
+             source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    coh AS (
+      SELECT lang, len_bucket, CAST(SUM(n) AS BIGINT) AS n_c
+      FROM sv GROUP BY 1, 2
+    ),
+    gsrc AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS g_v FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    grid AS (
+      SELECT c.lang, c.len_bucket, c.n_c, g.source, g.g_v,
+             COALESCE(s.n, 0) AS n_cv, t.n
+      FROM coh c CROSS JOIN gsrc g CROSS JOIN tot t
+      LEFT JOIN sv s ON s.lang = c.lang AND s.len_bucket = c.len_bucket
+                    AND s.source = g.source
+    )
+    SELECT lang, len_bucket,
+           CAST(MAX(n_c) AS BIGINT) AS group_size,
+           CAST(SUM(ABS(n_cv * n - g_v * n_c)) AS BIGINT) AS tvd_num,
+           CAST(SUM(ABS(n_cv * n - g_v * n_c)) AS DOUBLE)
+             / CAST(2 * MAX(n_c) * MAX(n) AS DOUBLE) AS tvd,
+           SUM(ABS(n_cv * n - g_v * n_c)) * {T_CLOSENESS_DEN}
+             > CAST(2 * {T_CLOSENESS_NUM} AS BIGINT) * MAX(n_c) * MAX(n)
+             AS violates_t
+    FROM grid GROUP BY 1, 2
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) —
+    completes the privacy trio beside dq_k_anonymity and
+    dq_l_diversity: a cohort can satisfy k AND l yet still leak when
+    its sensitive-value DISTRIBUTION diverges from the global one
+    (the skewness/similarity attacks). Per quasi-identifier cohort
+    (lang × length-bucket), the total-variation distance between the
+    cohort's ``source`` distribution and the corpus-wide one must be
+    ≤ t = 1/5.
+
+    Exact-integer design: TVD = ½ Σ_v |n_cv/n_c − g_v/N| =
+    Σ_v |n_cv·N − g_v·n_c| / (2·n_c·N) — the numerators are exact
+    BIGINTs summed over the source VOCABULARY (absent values
+    contribute g_v·n_c, hence the vocab grid), so the violation flag
+    compares pure integers (5·Σ > 2·n_c·N) and the reported tvd is
+    ONE final IEEE division. No decimal casting anywhere.
+
+    Plan: the l-diversity sliver plus a vocabulary-sized cross join
+    (|cohorts| × |sources| rows — both vocab-bounded, broadcast) and
+    one left join back onto the sliver; never document-count-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    sv = docs.groupBy(
+        "lang",
+        F.expr(f"CAST(n_chars div {K_ANON_LEN_BUCKET} AS BIGINT)").alias(
+            "len_bucket"
+        ),
+        "source",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    coh = sv.groupBy("lang", "len_bucket").agg(
+        F.sum("n").cast("long").alias("n_c")
+    )
+    glob = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("g_v")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        coh.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            sv.withColumnRenamed("n", "n_cv"),
+            ["lang", "len_bucket", "source"],
+            "left",
+        )
+        .withColumn("n_cv", F.coalesce(F.col("n_cv"), F.lit(0)))
+    )
+    term = F.abs(F.col("n_cv") * F.col("n") - F.col("g_v") * F.col("n_c"))
+    return grid.groupBy("lang", "len_bucket").agg(
+        F.max("n_c").cast("long").alias("group_size"),
+        F.sum(term).cast("long").alias("tvd_num"),
+        (
+            F.sum(term).cast("double")
+            / (2 * F.max("n_c") * F.max("n")).cast("double")
+        ).alias("tvd"),
+        (
+            F.sum(term) * T_CLOSENESS_DEN
+            > 2 * T_CLOSENESS_NUM * F.max("n_c") * F.max("n")
+        ).alias("violates_t"),
+    )
+
+
 @register(
     "dq_referential_integrity",
     """

@@ -546,6 +546,135 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AA_SCALE = 10**9  # fixed-point units for the 1/ln(deg) Adamic-Adar weight
+
+
+@register(
+    "graph_adamic_adar",
+    f"""
+    WITH {_EDGES_CTE},
+    und AS (
+      SELECT u AS a, v AS b FROM pairs
+      UNION ALL
+      SELECT v AS a, u AS b FROM pairs
+    ),
+    qset AS (
+      SELECT node AS qnode FROM (
+        SELECT node, d, ROW_NUMBER() OVER (ORDER BY d DESC, node) AS rn
+        FROM deg
+      ) WHERE rn <= {CN_QUERIES}
+    ),
+    wedge AS (
+      SELECT q.qnode, w2.b AS candidate,
+             SUM(CAST(floor({AA_SCALE} / ln(CAST(gm.d AS DOUBLE))) AS BIGINT))
+               AS aa_fp,
+             COUNT(*) AS common_cnt
+      FROM qset q
+      JOIN und w1 ON w1.a = q.qnode
+      JOIN und w2 ON w2.a = w1.b AND w2.b != q.qnode
+      JOIN deg gm ON gm.node = w1.b
+      GROUP BY 1, 2
+    ),
+    nonadj AS (
+      SELECT w.* FROM wedge w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und e WHERE e.a = w.qnode AND e.b = w.candidate
+      )
+    ),
+    scored AS (
+      SELECT qnode, candidate,
+             CAST(aa_fp AS BIGINT) AS aa_fp,
+             CAST(common_cnt AS BIGINT) AS common_cnt,
+             ROW_NUMBER() OVER (PARTITION BY qnode
+                                ORDER BY aa_fp DESC, candidate) AS rank
+      FROM nonadj
+    )
+    SELECT qnode, candidate, aa_fp, common_cnt, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= {CN_TOP_K}
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) — completes
+    the link-prediction weight family beside common-neighbors (unit
+    weight) and resource-allocation (1/deg): each shared neighbor z
+    contributes 1/ln(deg(z)), the classic citation/collaboration
+    weighting that discounts hubs more gently than RA.
+
+    Exactness: the RA entry's docstring noted the log weight "cannot
+    offer" the integer-division trick — the BM25 precedent closes the
+    gap differently: each term is FLOORED to fixed point
+    (floor(10⁹ / ln(deg))) BEFORE the sum, so the aggregation is an
+    order-insensitive BIGINT sum on both engines; the single ln() per
+    degree value is the ≤1-ulp cross-engine surface, pushed across a
+    unit boundary only when 10⁹/ln(d) sits within ~1e-7 of an integer
+    (deg values are small integers — empirically parity-verified at
+    all fixture scales). deg(z) ≥ 2 always (z neighbors both
+    endpoints), so ln > 0.
+
+    Plan shape is the CN/RA wedge: fan-out from the bounded broadcast
+    hub query set only (never Σ deg²), narrow degree join on the
+    midpoint, anti-join against existing edges, per-query top-k
+    window."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .persist()
+    )
+    deg = (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    qset = (
+        deg.orderBy(F.col("d").desc(), F.col("node"))
+        .limit(CN_QUERIES)
+        .select(F.col("node").alias("qnode"))
+    )
+    w1 = und.select(F.col("a").alias("qnode"), F.col("b").alias("mid"))
+    w2 = und.select(F.col("a").alias("mid"), F.col("b").alias("candidate"))
+    wedge = (
+        F.broadcast(qset)
+        .join(w1, "qnode")
+        .join(w2, "mid")
+        .where(F.col("candidate") != F.col("qnode"))
+        .join(deg.select(F.col("node").alias("mid"), "d"), "mid")
+        .groupBy("qnode", "candidate")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(FLOOR({AA_SCALE} / LN(CAST(d AS DOUBLE))) AS BIGINT)"
+                )
+            ).alias("aa_fp"),
+            F.count(F.lit(1)).alias("common_cnt"),
+        )
+    )
+    nonadj = wedge.join(
+        und.select(F.col("a").alias("qnode"), F.col("b").alias("candidate")),
+        ["qnode", "candidate"],
+        "left_anti",
+    )
+    return (
+        nonadj.select(
+            "qnode",
+            "candidate",
+            F.col("aa_fp").cast("long").alias("aa_fp"),
+            F.col("common_cnt").cast("long").alias("common_cnt"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("qnode").orderBy(
+                    F.col("aa_fp").desc(), F.col("candidate")
+                )
+            )
+            .cast("long"),
+        )
+        .where(F.col("rank") <= CN_TOP_K)
+    )
+
+
 KATZ_SCALE = 10**6
 KATZ_ALPHA_DEN = 1024  # α = 1/1024 — far below 1/λmax on the fixture graphs
 KATZ_ROUNDS = 8

@@ -1389,3 +1389,89 @@ def pipeline_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("balance_ratio"),
     )
+
+
+CURRICULUM_STAGES = 4
+
+
+@register(
+    "pipeline_curriculum_order",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM documents
+    ),
+    staged AS (
+      SELECT doc_id, source, n_chars,
+             CAST(((rnk - 1) * {CURRICULUM_STAGES}) // n AS BIGINT) AS stage,
+             rnk
+      FROM ranked
+    ),
+    interleaved AS (
+      SELECT doc_id, source, n_chars, stage,
+             ROW_NUMBER() OVER (PARTITION BY stage, source
+                                ORDER BY rnk) AS src_rnk
+      FROM staged
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, stage,
+           CAST(ROW_NUMBER() OVER (ORDER BY stage, src_rnk, source, doc_id)
+                AS BIGINT) AS train_order
+    FROM interleaved
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009, the data-ordering
+    dual of mixture design): documents ranked easy→hard by a
+    difficulty proxy (length, ties to doc_id), split into
+    {CURRICULUM_STAGES} equal difficulty stages, and WITHIN each stage
+    the sources are round-robin interleaved (order by per-source rank,
+    then source) so no training window is single-source — the schedule
+    a curriculum loader actually consumes, emitted as a deterministic
+    train_order column.
+
+    All-integer window arithmetic (rank, floor-div stage split,
+    per-(stage, source) re-rank) — hash-exact with no numeric caveats.
+
+    Scale: three window passes; the first is a GLOBAL length rank —
+    at cluster scale that is the two-pass distributed ranking pattern
+    (ranking.py's with_global_cumsum) or a range-partitioned sort;
+    here the single-window plan is the honest fixture-scale choice and
+    the documented swap-in is noted (the window_distribution
+    precedent). The stage/interleave windows partition by stage and
+    (stage, source) — parallel by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_all = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_all).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    staged = ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(f"CAST(((rnk - 1) * {CURRICULUM_STAGES}) div n AS BIGINT)").alias(
+            "stage"
+        ),
+        "rnk",
+    )
+    w_src = Window.partitionBy("stage", "source").orderBy("rnk")
+    inter = staged.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "stage",
+        F.row_number().over(w_src).alias("src_rnk"),
+    )
+    w_out = Window.orderBy("stage", "src_rnk", "source", "doc_id")
+    return inter.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "stage",
+        F.row_number().over(w_out).cast("long").alias("train_order"),
+    )

@@ -2551,3 +2551,84 @@ def ml_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (tp.cast("double") / at_or_above.cast("double")).alias("precision"),
         (tp.cast("double") / F.col("_tot_b").cast("double")).alias("recall"),
     )
+
+
+@register(
+    "stats_anova_oneway",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(27,4))) AS DOUBLE) AS q
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(CAST(s AS DECIMAL(27,4))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(q AS DECIMAL(27,4))) AS DOUBLE) AS q,
+             CAST(SUM(CAST(s * s / n AS DECIMAL(27,4))) AS DOUBLE) AS sqn
+      FROM g
+    )
+    SELECT k, n,
+           sqn - s * s / n AS ss_between,
+           q - sqn AS ss_within,
+           (sqn - s * s / n) / (k - 1)
+             / ((q - sqn) / (n - k)) AS f_stat,
+           (sqn - s * s / n) / (q - s * s / n) AS eta_sq
+    FROM tot
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of l_extendedprice across the three return-flag
+    groups — completes the parametric corner of the test suite
+    (t-test/z-test pairwise, Mann-Whitney/KS nonparametric,
+    chi-square categorical): F = (SSB/(k−1)) / (SSW/(N−k)) with
+    SSB = Σ S_g²/n_g − S²/N and SSW = Σ Q_g − Σ S_g²/n_g, all from
+    per-group (n, Σx, Σx²) — ONE partial-aggregated scan, a k-row
+    rollup, zero data-sized shuffles at any scale.
+
+    Exactness: per-row x and x² round to DECIMAL(27,4) before the
+    sums (the dsum discipline), so group sums are order-free; the
+    per-group S_g²/n_g division is one IEEE op re-rounded to decimal
+    before the k-row rollup; the final F/η² are fixed short double
+    chains — bit-equal cross-engine. Also emits η² (effect size),
+    the number a filter-design decision actually reads."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("s"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(27,4)"
+            )
+        )
+        .cast("double")
+        .alias("q"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum(F.col("s").cast("decimal(27,4)")).cast("double").alias("s"),
+        F.sum(F.col("q").cast("decimal(27,4)")).cast("double").alias("q"),
+        F.sum((F.col("s") * F.col("s") / F.col("n")).cast("decimal(27,4)"))
+        .cast("double")
+        .alias("sqn"),
+    )
+    sq_over_n = F.col("s") * F.col("s") / F.col("n")
+    ssb = F.col("sqn") - sq_over_n
+    ssw = F.col("q") - F.col("sqn")
+    return tot.select(
+        "k",
+        "n",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        (ssb / (F.col("k") - 1) / (ssw / (F.col("n") - F.col("k")))).alias(
+            "f_stat"
+        ),
+        (ssb / (F.col("q") - sq_over_n)).alias("eta_sq"),
+    )

@@ -1638,7 +1638,12 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unigram_oracle(
-    rounds: int, max_piece: int, min_seed: int, lb: int, scale: int
+    rounds: int,
+    max_piece: int,
+    min_seed: int,
+    lb: int,
+    scale: int,
+    encode: bool = False,
 ) -> str:
     ctes = [
         f"""
@@ -1661,7 +1666,8 @@ c0 AS MATERIALIZED (
   HAVING length(piece) = 1 OR SUM(freq) >= {min_seed}
 )""",
     ]
-    for r in range(rounds):
+    n_seg_rounds = rounds + (1 if encode else 0)
+    for r in range(n_seg_rounds):
         ctes.append(f"t{r} AS MATERIALIZED (SELECT SUM(c) AS t FROM c{r})")
         ctes.append(
             f"""
@@ -1716,15 +1722,75 @@ f{r}_{s} AS MATERIALIZED (
   ) q WHERE rn = 1
 )"""
             )
-        union = " UNION ALL ".join(
-            f"SELECT word, freq, piece FROM f{r}_{s}" for s in range(1, lb + 1)
-        )
-        ctes.append(f"use{r} AS MATERIALIZED ({union})")
-        ctes.append(
-            f"""
+        if encode and r == rounds:
+            union = " UNION ALL ".join(
+                f"SELECT word, freq, CAST({s} AS BIGINT) AS step, piece"
+                f" FROM f{r}_{s}"
+                for s in range(1, lb + 1)
+            )
+            ctes.append(f"enc_use AS MATERIALIZED ({union})")
+        else:
+            union = " UNION ALL ".join(
+                f"SELECT word, freq, piece FROM f{r}_{s}" for s in range(1, lb + 1)
+            )
+            ctes.append(f"use{r} AS MATERIALIZED ({union})")
+            ctes.append(
+                f"""
 c{r + 1} AS MATERIALIZED (
   SELECT piece, SUM(freq) AS c FROM use{r} GROUP BY piece
 )"""
+            )
+    if encode:
+        ctes.append(
+            """
+word_enc AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS enc_len,
+         list(piece ORDER BY step) AS syms
+  FROM enc_use GROUP BY word
+)"""
+        )
+        ctes.append(
+            """
+doc_words AS MATERIALIZED (
+  SELECT d.doc_id, t.pos, sp.sp[t.pos] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        FROM documents WHERE text != '') sp
+  JOIN documents d USING (doc_id),
+       unnest(range(1, len(sp.sp) + 1)) AS t(pos)
+)"""
+        )
+        ctes.append(
+            """
+doc_enc AS MATERIALIZED (
+  SELECT doc_id, pos, w.enc_len, w.syms,
+         coalesce(SUM(w.enc_len) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM doc_words dw JOIN word_enc w USING (word)
+)"""
+        )
+        ctes.append(
+            """
+enc_agg AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(coalesce(sum(enc_len), 0) AS BIGINT) AS n_tokens,
+         array_to_string(
+           (flatten(list(syms ORDER BY pos) FILTER (WHERE cum_before < 8)))[1:8],
+           ' ') AS first_tokens
+  FROM doc_enc GROUP BY doc_id
+)"""
+        )
+        return (
+            "WITH "
+            + ",".join(ctes)
+            + """
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.first_tokens, '') AS first_tokens
+FROM documents d LEFT JOIN enc_agg a USING (doc_id)
+"""
         )
     return (
         "WITH "
@@ -1770,3 +1836,174 @@ def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import unigram_lm_train
 
     return unigram_lm_train(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "ml_eval_ece",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token,
+             SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 1 ELSE 0 END) AS c_pos,
+             SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 0 ELSE 1 END) AS c_neg
+      FROM tok GROUP BY token
+    ),
+    totals AS (
+      SELECT CAST(SUM(c_pos) AS BIGINT) AS pos_total,
+             CAST(SUM(c_neg) AS BIGINT) AS neg_total,
+             count(*) AS vocab
+      FROM counts
+    ),
+    priors AS (
+      SELECT CAST(ln(CAST(SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(SUM(CASE WHEN source IN ({_NB_SRC_SQL}) THEN 0 ELSE 1 END) AS DOUBLE))
+                  AS DECIMAL(20,9)) AS prior
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             SUM(CAST(ln((c.c_pos + CAST(1 AS DOUBLE)) / (tt.pos_total + CAST(tt.vocab AS DOUBLE)))
+                    - ln((c.c_neg + CAST(1 AS DOUBLE)) / (tt.neg_total + CAST(tt.vocab AS DOUBLE)))
+                  AS DECIMAL(20,9))) AS llr
+      FROM tok t JOIN counts c USING (token) CROSS JOIN totals tt
+      GROUP BY t.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, CAST(d.llr + p.prior AS DOUBLE) AS nb_score
+      FROM per_doc d CROSS JOIN priors p
+    ),
+    labeled AS (
+      SELECT s.nb_score,
+             CAST(1.0 / (1.0 + EXP(-ABS(s.nb_score))) AS DECIMAL(20,9)) AS conf_dec,
+             CASE WHEN (s.nb_score >= 0)
+                       = (doc.source IN ({_NB_SRC_SQL})) THEN 1 ELSE 0 END AS correct
+      FROM scored s
+      JOIN (SELECT DISTINCT doc_id, source FROM tok) doc USING (doc_id)
+    ),
+    n_all AS (SELECT CAST(count(*) AS BIGINT) AS n FROM labeled),
+    bins AS (
+      SELECT LEAST(9, CAST(FLOOR((CAST(conf_dec AS DOUBLE) - 0.5) * 20)
+                           AS BIGINT)) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(correct) AS BIGINT) AS n_correct,
+             CAST(SUM(conf_dec) AS DOUBLE) AS conf_sum
+      FROM labeled GROUP BY 1
+    ),
+    gaps AS (
+      SELECT bin, n_docs, n_correct,
+             conf_sum / n_docs AS avg_conf,
+             CAST(n_correct AS DOUBLE) / n_docs AS accuracy,
+             ABS(CAST(n_correct AS DOUBLE) / n_docs - conf_sum / n_docs) AS gap
+      FROM bins
+    )
+    SELECT g.bin, g.n_docs, g.n_correct, g.avg_conf, g.accuracy, g.gap,
+           CAST(SUM(CAST(g.n_docs * g.gap / a.n AS DECIMAL(20,9)))
+                OVER () AS DOUBLE) AS ece
+    FROM gaps g CROSS JOIN n_all a
+    """,
+)
+def ml_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (Guo et al. 2017) of the NB quality
+    classifier — the scalar companion to the reliability curve
+    (text_nb_calibration) and the isotonic recalibration entry:
+    confidence of the PREDICTED class conf = σ(|score|), 10 equal
+    bins over [0.5, 1], ECE = Σ (n_b/N)·|accuracy_b − avg_conf_b|.
+    A well-calibrated filter can use its scores as keep-probabilities;
+    a miscalibrated one needs the isotonic map — this entry is the
+    number that says which.
+
+    Exactness: per-doc confidence is rounded to DECIMAL(20,9) before
+    ANY aggregation (the NB-llr precedent), so bin sums are exact
+    decimal; accuracy/avg_conf are one IEEE division each; the ECE
+    window-sum adds per-bin DECIMAL(20,9) contributions (order-free).
+    Scan shape: the one persisted tc sliver feeds scoring AND labels
+    (the text_nb_calibration lesson)."""
+    from pyspark.sql import Window as W
+
+    from .text import nb_score_with_tc
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    scored_full, tc = nb_score_with_tc(docs)
+    labels = tc.select("doc_id", "source").distinct()
+    labeled = (
+        scored_full.select("doc_id", "nb_score")
+        .join(labels, "doc_id")
+        .select(
+            F.expr(
+                "CAST(1.0 / (1.0 + EXP(-ABS(nb_score))) AS DECIMAL(20,9))"
+            ).alias("conf_dec"),
+            F.when(
+                (F.col("nb_score") >= 0)
+                == F.col("source").isin("src0", "src1"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("correct"),
+        )
+    )
+    n_all = labeled.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bins = labeled.groupBy(
+        F.least(
+            F.lit(9),
+            F.floor((F.col("conf_dec").cast("double") - 0.5) * 20).cast("long"),
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("correct").cast("long").alias("n_correct"),
+        F.sum("conf_dec").cast("double").alias("conf_sum"),
+    )
+    gaps = bins.select(
+        "bin",
+        "n_docs",
+        "n_correct",
+        (F.col("conf_sum") / F.col("n_docs")).alias("avg_conf"),
+        (F.col("n_correct").cast("double") / F.col("n_docs")).alias("accuracy"),
+        F.abs(
+            F.col("n_correct").cast("double") / F.col("n_docs")
+            - F.col("conf_sum") / F.col("n_docs")
+        ).alias("gap"),
+    )
+    return gaps.crossJoin(F.broadcast(n_all)).select(
+        "bin",
+        "n_docs",
+        "n_correct",
+        "avg_conf",
+        "accuracy",
+        "gap",
+        F.sum(
+            (F.col("n_docs") * F.col("gap") / F.col("n"))
+            .cast("decimal(20,9)")
+        )
+        .over(W.partitionBy())
+        .cast("double")
+        .alias("ece"),
+    )
+
+
+@register(
+    "text_unigram_encode_trained",
+    _unigram_oracle(
+        UNIGRAM_EM_ROUNDS,
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_MIN_SEED,
+        UNIGRAM_MAX_WORD,
+        UNIGRAM_COST_SCALE,
+        encode=True,
+    ),
+)
+def text_unigram_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the unigram-LM vocabulary trained by
+    text_unigram_lm_train — completing train+encode for the second
+    tokenizer exactly as the BPE pair does: one more Viterbi pass
+    under the final vocabulary's fixed-point costs, rolled up per
+    document to (doc_id, n_words, n_tokens, first_tokens) — the
+    text_bpe_encode_trained column contract, so both tokenizers'
+    corpus footprints compare directly. The oracle extends the
+    trainer's unrolled MATERIALIZED-CTE chain with the encode round
+    plus the BPE-encode doc rollup shape."""
+    from .text import unigram_encode
+
+    return unigram_encode(parallelize(load_table(spark, sf_dir, "documents")))

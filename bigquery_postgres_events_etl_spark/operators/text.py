@@ -1021,6 +1021,105 @@ UNIGRAM_MAX_WORD = 16
 UNIGRAM_EM_ROUNDS = 2
 
 
+def _unigram_matches(grid: DataFrame, c: DataFrame, scale: int) -> DataFrame:
+    """(word, freq, start, len, piece, cost) — the grid restricted to
+    the current vocabulary with fixed-point floor(ln(T/c)·scale)
+    costs compiled in. Vocab + total broadcast; checkpointed because
+    every DP level and forward step re-reads it."""
+    t = c.agg(F.sum("c").alias("t"))
+    return (
+        grid.join(F.broadcast(c), "piece")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "word",
+            "freq",
+            "start",
+            "len",
+            "piece",
+            F.expr(
+                f"CAST(FLOOR(LN(CAST(t AS DOUBLE) / CAST(c AS DOUBLE))"
+                f" * {scale}) AS BIGINT)"
+            ).alias("cost"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _unigram_viterbi(words: DataFrame, m: DataFrame, LB: int) -> DataFrame:
+    """Viterbi segmentation of every word under the piece costs in
+    ``m``: suffix DP (min cost of each suffix), then a forward walk
+    re-picking argmin(cost + sbest[pos+len], ties to the SHORTEST
+    piece). Returns one row per used piece: (word, freq, step, piece),
+    step 1-based in reading order."""
+    sb = words.select(
+        "word",
+        (F.length("word") + 1).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("sc"),
+    )
+    for lvl in range(1, LB + 1):
+        new = (
+            m.alias("m")
+            .where(F.expr(f"start = length(word) - {lvl} + 1"))
+            .join(
+                sb.alias("s"),
+                (F.col("m.word") == F.col("s.word"))
+                & (F.col("s.pos") == F.col("m.start") + F.col("m.len")),
+            )
+            .groupBy(F.col("m.word").alias("word"), F.col("m.start").alias("pos"))
+            .agg(F.min(F.col("m.cost") + F.col("s.sc")).alias("sc"))
+        )
+        sb = sb.unionByName(new)
+        if lvl % 4 == 0:
+            sb = sb.localCheckpoint(eager=True)
+    sb = sb.localCheckpoint(eager=True)
+    cur = words.select("word", "freq", F.lit(1).cast("long").alias("pos"))
+    uses = None
+    for s in range(1, LB + 1):
+        step = (
+            cur.alias("p")
+            .where(F.expr("pos <= length(word)"))
+            .join(
+                m.alias("m"),
+                (F.col("m.word") == F.col("p.word"))
+                & (F.col("m.start") == F.col("p.pos")),
+            )
+            .join(
+                sb.alias("sx"),
+                (F.col("sx.word") == F.col("m.word"))
+                & (F.col("sx.pos") == F.col("m.start") + F.col("m.len")),
+            )
+        )
+        pick = step.groupBy(F.col("m.word").alias("word")).agg(
+            F.min(
+                F.struct(
+                    (F.col("m.cost") + F.col("sx.sc")).alias("tot"),
+                    F.col("m.len").alias("len"),
+                    F.col("m.piece").alias("piece"),
+                )
+            ).alias("b"),
+            F.first("p.freq").alias("freq"),
+            F.first("p.pos").alias("pos"),
+        )
+        emitted = pick.select(
+            "word",
+            "freq",
+            F.lit(s).cast("long").alias("step"),
+            F.col("b.piece").alias("piece"),
+            (F.col("pos") + F.col("b.len")).alias("npos"),
+        )
+        u = emitted.select("word", "freq", "step", "piece")
+        uses = u if uses is None else uses.unionByName(u)
+        cur = emitted.select("word", "freq", F.col("npos").alias("pos"))
+        if s % 4 == 0:
+            cur = cur.localCheckpoint(eager=True)
+            uses = uses.localCheckpoint(eager=True)
+    if uses is None:  # empty corpus: LB == 0, no steps ran
+        return words.sparkSession.createDataFrame(
+            [], "word STRING, freq BIGINT, step BIGINT, piece STRING"
+        )
+    return uses
+
+
 def unigram_lm_train(
     docs: DataFrame,
     em_rounds: int = UNIGRAM_EM_ROUNDS,
@@ -1116,84 +1215,8 @@ def unigram_lm_train(
     lmax_row = words.agg(F.max(F.length("word"))).first()
     LB = min(LB, int(lmax_row[0] or 0))
     for _ in range(em_rounds):
-        t = c.agg(F.sum("c").alias("t"))
-        m = (
-            grid.join(F.broadcast(c), "piece")
-            .crossJoin(F.broadcast(t))
-            .select(
-                "word",
-                "freq",
-                "start",
-                "len",
-                "piece",
-                F.expr(
-                    f"CAST(FLOOR(LN(CAST(t AS DOUBLE) / CAST(c AS DOUBLE))"
-                    f" * {scale}) AS BIGINT)"
-                ).alias("cost"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        sb = words.select(
-            "word",
-            (F.length("word") + 1).cast("long").alias("pos"),
-            F.lit(0).cast("long").alias("sc"),
-        )
-        for lvl in range(1, LB + 1):
-            new = (
-                m.alias("m")
-                .where(F.expr(f"start = length(word) - {lvl} + 1"))
-                .join(
-                    sb.alias("s"),
-                    (F.col("m.word") == F.col("s.word"))
-                    & (F.col("s.pos") == F.col("m.start") + F.col("m.len")),
-                )
-                .groupBy(F.col("m.word").alias("word"), F.col("m.start").alias("pos"))
-                .agg(F.min(F.col("m.cost") + F.col("s.sc")).alias("sc"))
-            )
-            sb = sb.unionByName(new)
-            if lvl % 4 == 0:
-                sb = sb.localCheckpoint(eager=True)
-        sb = sb.localCheckpoint(eager=True)
-        cur = words.select("word", "freq", F.lit(1).cast("long").alias("pos"))
-        uses = None
-        for s in range(1, LB + 1):
-            step = (
-                cur.alias("p")
-                .where(F.expr("pos <= length(word)"))
-                .join(
-                    m.alias("m"),
-                    (F.col("m.word") == F.col("p.word"))
-                    & (F.col("m.start") == F.col("p.pos")),
-                )
-                .join(
-                    sb.alias("sx"),
-                    (F.col("sx.word") == F.col("m.word"))
-                    & (F.col("sx.pos") == F.col("m.start") + F.col("m.len")),
-                )
-            )
-            pick = step.groupBy(F.col("m.word").alias("word")).agg(
-                F.min(
-                    F.struct(
-                        (F.col("m.cost") + F.col("sx.sc")).alias("tot"),
-                        F.col("m.len").alias("len"),
-                        F.col("m.piece").alias("piece"),
-                    )
-                ).alias("b"),
-                F.first("p.freq").alias("freq"),
-                F.first("p.pos").alias("pos"),
-            )
-            emitted = pick.select(
-                "word",
-                "freq",
-                F.col("b.piece").alias("piece"),
-                (F.col("pos") + F.col("b.len")).alias("npos"),
-            )
-            u = emitted.select("word", "freq", "piece")
-            uses = u if uses is None else uses.unionByName(u)
-            cur = emitted.select("word", "freq", F.col("npos").alias("pos"))
-            if s % 4 == 0:
-                cur = cur.localCheckpoint(eager=True)
-                uses = uses.localCheckpoint(eager=True)
+        m = _unigram_matches(grid, c, scale)
+        uses = _unigram_viterbi(words, m, LB)
         c = uses.groupBy("piece").agg(F.sum("freq").alias("c"))
     t = c.agg(F.sum("c").alias("t"))
     out = (
@@ -1205,6 +1228,136 @@ def unigram_lm_train(
                 f"CAST(FLOOR(LN(CAST(t AS DOUBLE) / CAST(c AS DOUBLE))"
                 f" * {scale}) AS BIGINT)"
             ).alias("cost_fp"),
+        )
+    )
+    words.unpersist()
+    grid.unpersist()
+    return out
+
+
+def unigram_encode(
+    docs: DataFrame,
+    em_rounds: int = UNIGRAM_EM_ROUNDS,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+    min_seed: int = UNIGRAM_MIN_SEED,
+    max_word: int = UNIGRAM_MAX_WORD,
+    scale: int = UNIGRAM_COST_SCALE,
+) -> DataFrame:
+    """ENCODE the corpus with the trained unigram-LM vocabulary — the
+    sibling of :func:`unigram_lm_train` completing train+encode for
+    the second tokenizer (the BPE pair's precedent): train for
+    ``em_rounds``, then run ONE more Viterbi pass under the FINAL
+    vocabulary's costs and roll the per-word segmentations up to
+    documents. Output per doc: (doc_id, n_words, n_tokens,
+    first_tokens) — the text_bpe_encode_trained column contract, so
+    the two tokenizers' corpus-level footprints are directly
+    comparable. Words longer than ``max_word`` (and empty splits) are
+    outside the vocabulary contract and excluded from the counts on
+    both engines."""
+    LB = max_word
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where((F.col("word") != "") & (F.length("word") <= LB))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .persist()
+    )
+    grid = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.expr("sequence(1, length(word))")).alias("start"),
+        )
+        .select(
+            "word",
+            "freq",
+            F.col("start").cast("long").alias("start"),
+            F.explode(
+                F.expr(
+                    f"sequence(1, least({max_piece}, length(word) - start + 1))"
+                )
+            ).alias("len0"),
+        )
+        .withColumn("len", F.col("len0").cast("long"))
+        .drop("len0")
+        .withColumn("piece", F.expr("substring(word, start, len)"))
+        .persist()
+    )
+    c = (
+        grid.groupBy("piece")
+        .agg(F.sum("freq").alias("c"))
+        .where((F.length("piece") == 1) | (F.col("c") >= min_seed))
+    )
+    lmax_row = words.agg(F.max(F.length("word"))).first()
+    LB = min(LB, int(lmax_row[0] or 0))
+    for _ in range(em_rounds):
+        m = _unigram_matches(grid, c, scale)
+        uses = _unigram_viterbi(words, m, LB)
+        c = uses.groupBy("piece").agg(F.sum("freq").alias("c"))
+    # encode pass under the FINAL vocabulary
+    m = _unigram_matches(grid, c, scale)
+    enc = _unigram_viterbi(words, m, LB)
+    word_enc = enc.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("enc_len"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("step", "piece"))),
+            lambda x: x["piece"],
+        ).alias("syms"),
+    )
+    doc_words = (
+        docs.where(F.col("text") != "")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    )
+    doc_enc = doc_words.join(word_enc, "word").select(
+        "doc_id",
+        "pos",
+        "enc_len",
+        "syms",
+        F.coalesce(
+            F.sum("enc_len").over(
+                Window.partitionBy("doc_id")
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    agg = doc_enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.coalesce(F.sum("enc_len"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice(
+                F.flatten(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("cum_before") < 8,
+                                    F.struct("pos", "syms"),
+                                )
+                            )
+                        ),
+                        lambda x: x["syms"],
+                    )
+                ),
+                1,
+                8,
+            ),
+            " ",
+        ).alias("first_tokens"),
+    )
+    out = (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("first_tokens", F.lit("")).alias("first_tokens"),
         )
     )
     words.unpersist()

@@ -553,3 +553,21 @@ def test_streaming_psi_monitor_detects_drift_vs_reference(spark, sf_dir, tmp_pat
     assert row.psi == pytest.approx(psi, rel=1e-9)
     assert row.alert == (row.psi > 0.2)
     assert row.alert  # a collapsed support IS a drift
+
+
+def test_tws_gate_pins_operator_importable():
+    """Pin the TWS env-gate (r11 verdict item 9): the parity test
+    above may skip ONLY because google.protobuf is absent —
+    importorskip lights it up automatically the day the dependency
+    exists. The rot mode a bare skip would hide is the OPERATOR
+    module becoming unimportable (then the parity test would skip
+    forever even with protobuf present); this guard imports it
+    unconditionally and checks the TWS entry point is real."""
+    import inspect
+
+    from bigquery_postgres_events_etl_spark.streaming.stateful import (
+        streaming_user_profiles_tws,
+    )
+
+    src = inspect.getsource(streaming_user_profiles_tws)
+    assert "transformWithStateInPandas" in src

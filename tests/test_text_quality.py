@@ -163,20 +163,23 @@ def test_semantic_dedup_frozen_planted_and_no_false_drops(spark, sf_dir):
         semantic_dedup_frozen,
     )
 
+    # ids 0..n_lists-1 are the codebook by contract (r12: a sparse id
+    # space now raises instead of silently shrinking the codebook):
+    # seeds are base + ortho, the planted near-copy rides along
     base = [math.sin(i * 0.7) for i in range(64)]
     near = [v * 1.01 for v in base]
     ortho = [math.cos(i * 1.3) for i in range(64)]
     emb = spark.createDataFrame(
-        [(1, base), (2, near), (3, ortho)], "vec_id long, embedding array<float>"
+        [(0, base), (1, ortho), (2, near)], "vec_id long, embedding array<float>"
     )
     rows = {
         r.vec_id: r
         for r in semantic_dedup_frozen(emb, threshold=0.95, n_lists=2).collect()
     }
-    assert rows[1].kept
+    assert rows[0].kept
     assert not rows[2].kept and rows[2].n_near_dups >= 1
-    assert rows[1].cluster_id == rows[2].cluster_id
-    assert rows[3].kept
+    assert rows[0].cluster_id == rows[2].cluster_id
+    assert rows[1].kept
 
     threshold = 0.35
     corpus = load_table(spark, sf_dir, "embeddings")

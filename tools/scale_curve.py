@@ -227,6 +227,16 @@ QUERIES = [
     # r12: fixed-point hard-sigmoid GD — one partial-agg scan per
     # epoch, expected linear iteration-bounded like the perceptron
     "ml_logreg_train",
+    # r12 second wave: unigram trainer (vocab-table DP — expected
+    # near-flat: corpus touched once, loop depth corpus-independent),
+    # AA wedges (the CN/RA shape), exact-integer privacy grid,
+    # one-scan ANOVA, three-window curriculum schedule, NB ECE
+    "text_unigram_lm_train",
+    "graph_adamic_adar",
+    "dq_t_closeness",
+    "stats_anova_oneway",
+    "pipeline_curriculum_order",
+    "ml_eval_ece",
 ]
 
 
