@@ -708,7 +708,16 @@ def dedup_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the recall."""
     from pyspark.sql import functions as F
 
-    docs = parallelize(load_table(spark, sf_dir, "documents")).persist()
+    # persist the NARROW projection only: a full-width docs cache is
+    # wasted executor memory here, and (r12) once materialized it
+    # substitutes into every other entry's parallelize(documents)
+    # subtree, silently widening their scans (the cache-contamination
+    # mode the plan-contract tests now guard cold)
+    docs = (
+        parallelize(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
+        .persist()
+    )
     cand = simhash_near_pairs(docs, MAX_HAMMING).select("doc_a", "doc_b")
     t = docs.select(
         "doc_id", "text", F.length("text").cast("long").alias("len")

@@ -1434,21 +1434,25 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer window arithmetic (rank, floor-div stage split,
     per-(stage, source) re-rank) — hash-exact with no numeric caveats.
 
-    Scale: three window passes; the first is a GLOBAL length rank —
-    at cluster scale that is the two-pass distributed ranking pattern
-    (ranking.py's with_global_cumsum) or a range-partitioned sort;
-    here the single-window plan is the honest fixture-scale choice and
-    the documented swap-in is noted (the window_distribution
-    precedent). The stage/interleave windows partition by stage and
-    (stage, source) — parallel by construction."""
+    Scale: both GLOBAL orderings (the length rank and the final
+    train_order) run through the two-pass distributed ranking pattern
+    (ranking.with_global_ranks — range partition, local ranks,
+    bounded per-partition offset table), so no data-sized
+    single-reducer window anywhere; the interleave window partitions
+    by (stage, source) — parallel by construction."""
+    from .ranking import with_global_ranks
+
     docs = load_table(spark, sf_dir, "documents")
-    w_all = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
-    ranked = docs.select(
+    ranked = with_global_ranks(
+        docs.select("doc_id", "source", "n_chars"),
+        key_order=[("n_chars", "asc")],
+        tie_order=[("doc_id", "asc")],
+    ).select(
         "doc_id",
         "source",
         "n_chars",
-        F.row_number().over(w_all).alias("rnk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+        F.col("rn").alias("rnk"),
+        F.col("n_total").alias("n"),
     )
     staged = ranked.select(
         "doc_id",
@@ -1467,11 +1471,15 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         F.row_number().over(w_src).alias("src_rnk"),
     )
-    w_out = Window.orderBy("stage", "src_rnk", "source", "doc_id")
-    return inter.select(
+    out = with_global_ranks(
+        inter,
+        key_order=[("stage", "asc"), ("src_rnk", "asc"), ("source", "asc")],
+        tie_order=[("doc_id", "asc")],
+    )
+    return out.select(
         "doc_id",
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
         "stage",
-        F.row_number().over(w_out).cast("long").alias("train_order"),
+        F.col("rn").cast("long").alias("train_order"),
     )

@@ -1502,7 +1502,11 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it 2-3x (query + corpus arms) — 6 embeddings scans cold; an
     # evaluation op re-reading the corpus six times is exactly what it
     # exists to catch in others
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .persist()
+    )
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     brute = brute_force_topk(queries, emb, k=TOP_K).select(
         "query_id", "neighbor_id"
@@ -1702,7 +1706,11 @@ def similarity_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection."""
     from .similarity import pq_adc_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .persist()
+    )
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     brute = brute_force_topk(queries, emb, k=TOP_K).select(
         "query_id", "neighbor_id"
