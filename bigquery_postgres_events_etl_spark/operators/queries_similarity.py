@@ -1951,3 +1951,104 @@ def ml_eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("majority_label"),
         (F.max("n").cast("double") / F.sum("n").cast("double")).alias("purity"),
     )
+
+
+KMEANS_Q8_CELLS = """
+cells AS MATERIALIZED (
+  SELECT vec_id, CAST(g.i - 1 AS BIGINT) AS dim,
+         CAST(coalesce(CAST(floor(CAST(s.embedding[g.i] AS DOUBLE) * s.scale)
+                       AS INTEGER), 0) AS BIGINT) AS qv
+  FROM (
+    SELECT vec_id, embedding,
+           CAST(127.0 AS DOUBLE)
+             / nullif(list_max(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE)))), 0)
+             AS scale
+    FROM embeddings
+  ) s, UNNEST(generate_series(1, len(s.embedding))) AS g(i)
+)
+"""
+
+
+def _kmeans_q8_oracle(k: int, rounds: int, cs: int) -> str:
+    """Unrolled MATERIALIZED-CTE replay of the fixed-point Lloyd's
+    loop (the unigram-trainer oracle pattern: one assignment CTE +
+    one centroid-update CTE per round; recursive CTEs cannot be
+    layered, and without materialization each round would inline the
+    previous one twice)."""
+    ctes = [
+        KMEANS_Q8_CELLS,
+        f"""
+cent0 AS MATERIALIZED (
+  SELECT vec_id AS cid, dim, qv * {cs} AS c
+  FROM cells WHERE vec_id < {k}
+)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""
+asg{r} AS MATERIALIZED (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT t.vec_id, t.cid, t.d2,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY t.d2 ASC, t.cid ASC) AS rn
+    FROM (
+      SELECT x.vec_id, c.cid,
+             SUM((x.qv * {cs} - c.c) * (x.qv * {cs} - c.c)) AS d2
+      FROM cells x JOIN cent{r} c ON c.dim = x.dim
+      GROUP BY x.vec_id, c.cid
+    ) t
+  ) q WHERE rn = 1
+)"""
+        )
+        if r < rounds - 1:
+            ctes.append(
+                f"""
+cent{r + 1} AS MATERIALIZED (
+  SELECT p.cid, p.dim,
+         CASE WHEN m.s IS NULL THEN p.c
+              WHEN m.s >= 0 THEN m.s // m.n
+              ELSE -((-m.s) // m.n) END AS c
+  FROM cent{r} p
+  LEFT JOIN (
+    SELECT a.cid, x.dim, SUM(x.qv * {cs}) AS s, COUNT(*) AS n
+    FROM asg{r} a JOIN cells x ON x.vec_id = a.vec_id
+    GROUP BY a.cid, x.dim
+  ) m ON m.cid = p.cid AND m.dim = p.dim
+)"""
+            )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, CAST(d2 AS BIGINT) AS d2
+FROM asg{rounds - 1}
+"""
+    )
+
+
+from .similarity import (  # noqa: E402
+    KMEANS_Q8_K,
+    KMEANS_Q8_ROUNDS,
+    KMEANS_Q8_SCALE,
+)
+
+
+@register(
+    "ml_kmeans_train_q8",
+    _kmeans_q8_oracle(KMEANS_Q8_K, KMEANS_Q8_ROUNDS, KMEANS_Q8_SCALE),
+)
+def ml_kmeans_train_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd's k-means over the int8-quantized corpus —
+    the clustering member of the exact-integer training tier
+    (pagerank → perceptron → logreg → k-means): 6 full Lloyd rounds
+    with frozen first-k init, exact BIGINT distances, truncdiv
+    centroid means and empty-cluster carry-forward, replayed
+    bit-for-bit by the unrolled DuckDB twin. The float Spark-ML tier
+    (`dedup_semantic_kmeans`) keeps owning recall/quality; this entry
+    gives the ITERATION SEMANTICS a hard driver hash check. Output:
+    final (vec_id, cluster_id, d2). See
+    operators/similarity.py:kmeans_q8 for the scale argument."""
+    from .similarity import kmeans_q8
+
+    return kmeans_q8(load_table(spark, sf_dir, "embeddings"))

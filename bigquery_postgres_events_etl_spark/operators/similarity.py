@@ -1503,3 +1503,105 @@ def matryoshka_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "pre_cosine", "cosine", "rank")
     )
+
+
+KMEANS_Q8_K = 8
+KMEANS_Q8_ROUNDS = 6
+KMEANS_Q8_SCALE = 10**6
+
+
+def kmeans_q8(
+    vectors: DataFrame,
+    k: int = KMEANS_Q8_K,
+    n_rounds: int = KMEANS_Q8_ROUNDS,
+    scale: int = KMEANS_Q8_SCALE,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means in EXACT fixed-point integer arithmetic — the
+    hash-oracle member of the clustering tier beside the float
+    Spark-ML `semantic_dedup_kmeans` (the pagerank/perceptron/logreg
+    pattern applied to clustering): vectors int8-quantized
+    (:func:`quantize_embeddings_int8`, floor-exact), centroids BIGINT
+    at ``scale`` units per q8 unit, seeded from vectors 0..k−1 (the
+    frozen-init contract); per round every vector joins the
+    broadcast centroid table, distance Σ(q·S − c)² is exact BIGINT
+    (≤ d·(127·S)² < 2⁶³ for d=64, S=1e6), argmin ties to the
+    smallest cluster id, and the new centroid is truncdiv(Σ q·S, n)
+    per dimension — empty clusters carry their previous centroid.
+    Every round replays bit-for-bit in the DuckDB unrolled-CTE twin.
+
+    Scale: the centroid table is k·d BIGINTs (schema-constant —
+    collected to the driver each round under the bounded-collect
+    contract, broadcast back as literals); assignment is one
+    map-side crossJoin + zip_with fold per vector (N·k rows, partial-
+    aggregated); the mean is one (cid, dim)-keyed aggregation whose
+    output is again k·d rows. No data-sized driver state, no
+    data-sized window. Returns the final assignment
+    (vec_id, cluster_id, d2)."""
+    spark = vectors.sparkSession
+    q = quantize_embeddings_int8(vectors, id_col, emb_col).select(
+        id_col, F.expr("transform(q8, x -> CAST(x AS BIGINT))").alias("q8")
+    ).persist()
+    seeds = (
+        q.where(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("long").alias("cid"),
+            F.expr(f"transform(q8, x -> x * CAST({scale} AS BIGINT))").alias(
+                "cent"
+            ),
+        )
+        .collect()  # k rows — schema-constant bound, never data-sized
+    )
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_q8 frozen init needs ids 0..{k - 1} present; got {len(seeds)}"
+        )
+    cent = {r["cid"]: list(r["cent"]) for r in seeds}
+
+    def _assign(cent_map: dict[int, list[int]]) -> DataFrame:
+        cent_df = spark.createDataFrame(
+            [(cid, v) for cid, v in sorted(cent_map.items())],
+            "cid BIGINT, cent ARRAY<BIGINT>",
+        )
+        d2 = F.expr(
+            f"aggregate(zip_with(q8, cent,"
+            f" (a, b) -> (a * CAST({scale} AS BIGINT) - b)"
+            f" * (a * CAST({scale} AS BIGINT) - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        scored = q.crossJoin(F.broadcast(cent_df)).select(
+            id_col, "cid", "q8", d2.alias("d2")
+        )
+        return scored.groupBy(id_col).agg(
+            F.min(F.struct(F.col("d2"), F.col("cid"))).alias("b"),
+            F.first("q8").alias("q8"),
+        )
+
+    for r in range(n_rounds):
+        asg = _assign(cent)
+        if r == n_rounds - 1:
+            out = asg.select(
+                F.col(id_col),
+                F.col("b.cid").cast("long").alias("cluster_id"),
+                F.col("b.d2").cast("long").alias("d2"),
+            )
+            break
+        sums = (
+            asg.select(F.col("b.cid").alias("cid"), F.posexplode("q8"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("col") * F.lit(scale)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # ≤ k·d rows — schema-constant bound
+        )
+        new_cent = {cid: list(v) for cid, v in cent.items()}  # carry-forward
+        for row in sums:
+            s, n = int(row["s"]), int(row["n"])
+            new_cent[int(row["cid"])][int(row["pos"])] = (
+                s // n if s >= 0 else -((-s) // n)
+            )
+        cent = new_cent
+    q.unpersist()
+    return out

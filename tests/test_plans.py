@@ -861,6 +861,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     },
     "dq_t_closeness": {"documents": {"text"}},
     "pipeline_curriculum_order": {"documents": {"text", "lang"}},
+    "ml_kmeans_train_q8": {"embeddings": {"label"}},
     "events_wilson_ci": {"events": {"props", "event_id", "ts"}},
     "dedup_containment_subsumption": {
         "documents": {"lang", "source", "n_chars"}

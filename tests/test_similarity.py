@@ -451,3 +451,90 @@ def test_frozen_codebook_short_seed_frame_raises(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="frozen codebook"):
         semantic_dedup_frozen(emb, n_lists=4)
+
+
+def test_kmeans_q8_planted_clusters_and_python_parity(spark):
+    """Fixed-point Lloyd's (the r12 hash tier): (a) EXACT parity with
+    a pure-Python integer twin on a planted corpus — every
+    assignment and distance after 6 rounds; (b) three well-separated
+    planted clusters are recovered perfectly even though the frozen
+    first-k seeds start skewed."""
+    import math
+
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        KMEANS_Q8_ROUNDS,
+        KMEANS_Q8_SCALE,
+        kmeans_q8,
+    )
+
+    def vec(axis, jit):
+        v = [0.1 * math.sin(0.3 * (axis + j + jit)) for j in range(16)]
+        v[axis] = 40.0 + jit
+        return v
+
+    # 3 planted clusters at axes 2/7/12, 8 members each; ids 0..23
+    rows = [
+        (cid * 8 + j, vec(2 + cid * 5, 0.25 * j))
+        for cid in range(3)
+        for j in range(8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r.vec_id, r.cluster_id, r.d2)
+        for r in kmeans_q8(emb, k=4, n_rounds=KMEANS_Q8_ROUNDS).collect()
+    )
+
+    # pure-Python integer twin
+    CS = KMEANS_Q8_SCALE
+    K = 4
+
+    def q8(v):
+        m = max(abs(x) for x in v)
+        sc = 127.0 / m
+        # float32 storage first — Spark reads array<float>
+        import struct
+
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        m32 = max(abs(x) for x in v32)
+        sc32 = 127.0 / m32
+        return [math.floor(x * sc32) for x in v32]
+
+    cells = {vid: q8(v) for vid, v in rows}
+    d = 16
+
+    def tdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    cent = {cid: [cells[cid][j] * CS for j in range(d)] for cid in range(K)}
+    for r in range(KMEANS_Q8_ROUNDS):
+        asg = {}
+        for vid, qv in cells.items():
+            best = None
+            for cid in range(K):
+                d2 = sum((qv[j] * CS - cent[cid][j]) ** 2 for j in range(d))
+                if best is None or (d2, cid) < best:
+                    best = (d2, cid)
+            asg[vid] = (best[1], best[0])
+        if r < KMEANS_Q8_ROUNDS - 1:
+            newc = {}
+            for cid in range(K):
+                mem = [v for v, (c, _) in asg.items() if c == cid]
+                if not mem:
+                    newc[cid] = cent[cid]
+                else:
+                    newc[cid] = [
+                        tdiv(sum(cells[v][j] * CS for v in mem), len(mem))
+                        for j in range(d)
+                    ]
+            cent = newc
+    want = sorted((vid, c, d2) for vid, (c, d2) in asg.items())
+    assert got == want
+    # planted separation: no label ever mixes two true clusters
+    # (Lloyd may SPLIT a cluster when k > true k — that is correct
+    # behavior — but never merges across the planted gaps)
+    labels = {}
+    for vid, cid, _ in got:
+        labels.setdefault(vid // 8, set()).add(cid)
+    for a in range(3):
+        for b in range(a + 1, 3):
+            assert not (labels[a] & labels[b]), (a, b, labels)

@@ -237,6 +237,9 @@ QUERIES = [
     "stats_anova_oneway",
     "pipeline_curriculum_order",
     "ml_eval_ece",
+    # r12 third wave: fixed-point Lloyd's — iteration-bounded, k·d
+    # centroid broadcast, N·k map-side assignment rows per round
+    "ml_kmeans_train_q8",
 ]
 
 
