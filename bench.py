@@ -61,6 +61,9 @@ TIER2 = [
     "events_markov_removal_p4",
     "graph_ppr_seeded",
     "graph_hits_copurchase",
+    # r12 heavy newcomers (same comparability caveat as r11)
+    "text_unigram_lm_train",
+    "ml_kmeans_train_q8",
 ]
 
 

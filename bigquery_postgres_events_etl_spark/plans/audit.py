@@ -64,6 +64,20 @@ def plan_summary(df: DataFrame) -> dict:
 # Keys are (module basename, enclosing function or "<module>").
 
 ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
+    ("queries_graph.py", "graph_adamic_adar"):
+        "top-Q hub query set — CN_QUERIES rows, a config constant",
+    ("queries_etl.py", "dq_t_closeness"):
+        "source vocabulary (g_v per source — small finite set) + 1-row "
+        "corpus-count scalar — both vocabulary/schema-bounded",
+    ("text.py", "unigram_lm_train"):
+        "1-row total-count scalar for the final cost column",
+    ("text.py", "_unigram_matches"):
+        "piece vocabulary (Heaps-sublinear; seed-capped in production) "
+        "+ 1-row total scalar",
+    ("queries_text.py", "ml_eval_ece"):
+        "1-row corpus-count scalar feeding the ECE weight",
+    ("similarity.py", "_assign"):
+        "k-means centroid table — k·d rows, schema constants",
     ("queries_stattests.py", "customer_survival_km_full"):
         "two 1-row scalar aggregates (data horizon max-date; total gap "
         "count) — unconditionally safe",
