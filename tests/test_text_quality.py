@@ -817,3 +817,27 @@ def test_unigram_lm_planted_compression(spark):
     assert out.get("xy", 0) == 23
     # no single-char leftovers once EM consolidates
     assert all(len(p) > 1 for p in out)
+
+
+def test_unigram_encode_planted_roundtrip(spark):
+    """Encode under the trained vocab: on the planted compression
+    corpus the dominant word tiles as two 'abcd' pieces, so its doc
+    encodes to exactly 3 tokens (abcd abcd xy); per-doc n_tokens is
+    the sum of its words' Viterbi lengths and first_tokens is the
+    reading-order prefix; empty docs come back zeroed."""
+    from bigquery_postgres_events_etl_spark.operators.text import (
+        unigram_encode,
+    )
+
+    rows = [(0, "abcdabcd xy"), (1, "xy"), (2, "")] + [
+        (i, "abcdabcd xy") for i in range(3, 22)
+    ] + [(22, "xy"), (23, "xy")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_encode(docs).collect()}
+    assert len(out) == 24
+    assert out[0].n_words == 2 and out[0].n_tokens == 3
+    assert out[0].first_tokens == "abcd abcd xy"
+    assert out[1].n_words == 1 and out[1].n_tokens == 1
+    assert out[1].first_tokens == "xy"
+    assert out[2].n_words == 0 and out[2].n_tokens == 0
+    assert out[2].first_tokens == ""
