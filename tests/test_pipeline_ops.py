@@ -551,3 +551,41 @@ def test_token_waterfill_budget_at_and_above_capacity(spark):
         for r in rows:
             assert r.saturated is True
             assert r.allocated == r.capacity
+
+
+def test_curriculum_order_stage_and_interleave_properties(spark, tmp_path):
+    """Curriculum schedule invariants: (a) train_order is a
+    permutation of 1..N; (b) stages are length-monotone (every doc in
+    stage s is no longer than any doc in stage s+1); (c) within a
+    stage the sources alternate round-robin — the first |sources|
+    positions of a stage cover every source present in it."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    rows = [
+        (i, f"src{i % 3}", "en", 10 * (i + 1), "x " * (i + 1))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long, text string"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = sorted(
+        all_queries()["pipeline_curriculum_order"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.train_order,
+    )
+    assert [r.train_order for r in out] == list(range(1, 25))
+    # stage monotone in length
+    for a, b in zip(out, out[1:]):
+        assert a.stage <= b.stage
+    by_stage = {}
+    for r in out:
+        by_stage.setdefault(r.stage, []).append(r)
+    assert len(by_stage) == 4 and all(len(v) == 6 for v in by_stage.values())
+    for s, docs in by_stage.items():
+        lengths = [d.n_chars for d in docs]
+        assert max(lengths) <= min(
+            [d.n_chars for ss, dd in by_stage.items() if ss > s for d in dd],
+            default=max(lengths),
+        )
+        # first 3 positions of each stage cover all 3 sources
+        assert {d.source for d in docs[:3]} == {"src0", "src1", "src2"}

@@ -538,3 +538,25 @@ def test_kmeans_q8_planted_clusters_and_python_parity(spark):
     for a in range(3):
         for b in range(a + 1, 3):
             assert not (labels[a] & labels[b]), (a, b, labels)
+
+
+def test_semantic_fixed_size_codebook_scales_with_corpus(spark):
+    """The production-regime sizing rule: k = ceil(N/64), so the
+    cluster-id space grows with the corpus (N=64 → 1 list, N=130 →
+    3 lists) and every emitted cluster_id is < k."""
+    import math as _m
+
+    from bigquery_postgres_events_etl_spark.operators.similarity import (
+        semantic_dedup_frozen,
+    )
+
+    for n in (64, 130):
+        k = (n + 63) // 64
+        rows = [
+            (i, [_m.sin(0.1 * i + 0.01 * j) for j in range(8)])
+            for i in range(n)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semantic_dedup_frozen(emb, threshold=0.99, n_lists=k).collect()
+        assert len(out) == n
+        assert {r.cluster_id for r in out} <= set(range(k))

@@ -1058,3 +1058,22 @@ def test_wilson_ci_reference_and_structure(spark, sf_dir):
         hi = (2 * float(k) + z * z + z * s) / (2 * (float(n) + z * z))
         assert r.ci_low == lo and r.ci_high == hi
         assert 0.0 <= r.ci_low <= r.rate <= r.ci_high <= 1.0 + 1e-15
+
+
+def test_anova_oneway_known_small_case(spark, tmp_path):
+    """F statistic against a hand-computed case: groups A=(1,2,3),
+    B=(2,3,4), C=(6,7,8) → grand mean 4, SSB = 3·(2−4)²+3·(3−4)²+
+    3·(7−4)² = 42, SSW = 2+2+2 = 6, F = (42/2)/(6/6) = 21, η² = 42/48."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    rows = [("A", v) for v in (1.0, 2.0, 3.0)] + [
+        ("B", v) for v in (2.0, 3.0, 4.0)
+    ] + [("C", v) for v in (6.0, 7.0, 8.0)]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = all_queries()["stats_anova_oneway"](spark, str(tmp_path)).first()
+    assert out.k == 3 and out.n == 9
+    assert abs(out.ss_between - 42.0) < 1e-9
+    assert abs(out.ss_within - 6.0) < 1e-9
+    assert abs(out.f_stat - 21.0) < 1e-9
+    assert abs(out.eta_sq - 42.0 / 48.0) < 1e-9

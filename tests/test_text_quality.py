@@ -841,3 +841,23 @@ def test_unigram_encode_planted_roundtrip(spark):
     assert out[1].first_tokens == "xy"
     assert out[2].n_words == 0 and out[2].n_tokens == 0
     assert out[2].first_tokens == ""
+
+
+def test_ece_invariants_on_fixture(spark, sf_dir):
+    """ECE report invariants: bins within 0..9, avg_conf in
+    [0.5, 1], accuracy in [0, 1], gap = |accuracy − avg_conf|, the
+    scalar ece equals the bin-weighted gap sum and is constant across
+    rows."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    rows = all_queries()["ml_eval_ece"](spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.n_docs for r in rows)
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.5 <= r.avg_conf <= 1.0 + 1e-12
+        assert 0.0 <= r.accuracy <= 1.0
+        assert abs(r.gap - abs(r.accuracy - r.avg_conf)) < 1e-12
+    want = sum(round(r.n_docs * r.gap / n_total, 9) for r in rows)
+    assert all(abs(r.ece - want) < 1e-9 for r in rows)
+    assert 0.0 <= rows[0].ece <= 1.0
