@@ -2007,3 +2007,108 @@ def text_unigram_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import unigram_encode
 
     return unigram_encode(parallelize(load_table(spark, sf_dir, "documents")))
+
+
+NDCG_K = 10
+
+
+@register(
+    "ml_eval_ndcg_bm25",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    d AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             {", ".join(f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM t
+    ),
+    s AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(27,0))) AS DOUBLE) / count(*) AS avgdl,
+             {", ".join(f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}" for i in range(len(_BM25_TERMS)))}
+      FROM d
+    ),
+    rel AS (
+      SELECT doc_id, CAST({" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} AS BIGINT) AS rel
+      FROM d
+    ),
+    ranked AS (
+      SELECT doc_id, bm25, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+      FROM (
+        SELECT doc_id,
+               CAST({" + ".join(_bm25_contrib(i) for i in range(len(_BM25_TERMS)))}
+                    AS DOUBLE) AS bm25
+        FROM d, s
+        ORDER BY bm25 DESC, doc_id LIMIT {NDCG_K}
+      ) q
+    ),
+    dcg AS (
+      SELECT SUM(CAST(r.rel / (ln(p.pos + 1) / ln(2)) AS DECIMAL(20,9))) AS v
+      FROM ranked p JOIN rel r USING (doc_id)
+    ),
+    ideal AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS pos
+      FROM (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id LIMIT {NDCG_K}) q
+    ),
+    idcg AS (
+      SELECT SUM(CAST(rel / (ln(pos + 1) / ln(2)) AS DECIMAL(20,9))) AS v
+      FROM ideal
+    )
+    SELECT CAST({NDCG_K} AS BIGINT) AS k,
+           CAST(d.v AS DOUBLE) AS dcg,
+           CAST(i.v AS DOUBLE) AS idcg,
+           CAST(d.v AS DOUBLE) / CAST(i.v AS DOUBLE) AS ndcg
+    FROM dcg d, idcg i
+    """,
+)
+def ml_eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 retriever — the ranking-QUALITY metric the
+    retrieval family was missing (the recall reports grade candidate
+    coverage; NDCG grades ORDER): graded relevance is the document's
+    total query-term count (the deterministic lexical truth), gains
+    linear, discount 1/log2(pos+1), ideal ranking = top-10 by
+    (rel DESC, doc_id). Per-position terms round to DECIMAL(20,9)
+    before the sums (the BM25 ln precedent — log2 spelled as
+    ln(x)/ln(2) IDENTICALLY on both engines), so DCG/IDCG are exact
+    decimal sums and NDCG is one final division.
+
+    Scale: the BM25 scan/stats machinery (corpus never shuffles, one
+    1-row stats broadcast); the two ranking windows ride 10-row
+    LIMIT frames (bounded by k, not data)."""
+    from pyspark.sql import Window as W
+
+    from .text import bm25_topk, with_tokens
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    terms = _BM25_TERMS
+    rel = with_tokens(docs).select(
+        "doc_id",
+        sum(
+            F.expr(f"size(filter(tokens, x -> x = '{t}'))").cast("bigint")
+            for t in terms
+        ).alias("rel"),
+    ).persist()
+    top = bm25_topk(docs, terms, k=NDCG_K).select("doc_id", "bm25")
+    ranked = top.withColumn(
+        "pos",
+        F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    ).join(rel, "doc_id")
+    disc = "CAST(rel / (ln(pos + 1) / ln(2)) AS DECIMAL(20,9))"
+    dcg = ranked.agg(F.expr(f"SUM({disc})").cast("double").alias("dcg"))
+    ideal = (
+        rel.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(NDCG_K)
+        .withColumn(
+            "pos",
+            F.row_number().over(W.orderBy(F.desc("rel"), F.asc("doc_id"))),
+        )
+    )
+    idcg = ideal.agg(F.expr(f"SUM({disc})").cast("double").alias("idcg"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.lit(NDCG_K).cast("long").alias("k"),
+            "dcg",
+            "idcg",
+            (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+        )
+    )

@@ -302,6 +302,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     # ECE scalar: full-frame decimal sum over the BIN table (≤ 10
     # rows by construction — bounded by the bin constant, not data)
     "ml_eval_ece": {"specifiedwindowframe"},
+    # NDCG position windows ride two LIMIT-k (10-row) frames —
+    # bounded by the k constant, not data
+    "ml_eval_ndcg_bm25": {"bm25", "rel"},
     # two-pass ranking internals (per-period quartile passes — the
     # same exemption class as rfm_segmentation's three scores)
     "rfm_migration": {"_gr_pid", "specifiedwindowframe"},
@@ -862,6 +865,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "dq_t_closeness": {"documents": {"text"}},
     "pipeline_curriculum_order": {"documents": {"text", "lang"}},
     "ml_kmeans_train_q8": {"embeddings": {"label"}},
+    "ml_eval_ndcg_bm25": {"documents": {"lang", "source", "n_chars"}},
     "events_wilson_ci": {"events": {"props", "event_id", "ts"}},
     "dedup_containment_subsumption": {
         "documents": {"lang", "source", "n_chars"}

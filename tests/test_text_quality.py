@@ -861,3 +861,15 @@ def test_ece_invariants_on_fixture(spark, sf_dir):
     want = sum(round(r.n_docs * r.gap / n_total, 9) for r in rows)
     assert all(abs(r.ece - want) < 1e-9 for r in rows)
     assert 0.0 <= rows[0].ece <= 1.0
+
+
+def test_ndcg_bm25_bounds_and_identity(spark, sf_dir):
+    """NDCG invariants: 0 < ndcg ≤ 1 (the BM25 ranking can never beat
+    the relevance-ideal), dcg ≤ idcg, and ndcg == dcg/idcg exactly."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    r = all_queries()["ml_eval_ndcg_bm25"](spark, sf_dir).first()
+    assert r.k == 10
+    assert r.idcg > 0 and 0 < r.dcg <= r.idcg + 1e-12
+    assert 0 < r.ndcg <= 1.0 + 1e-12
+    assert abs(r.ndcg - r.dcg / r.idcg) < 1e-15
