@@ -240,6 +240,9 @@ QUERIES = [
     # r12 third wave: fixed-point Lloyd's — iteration-bounded, k·d
     # centroid broadcast, N·k map-side assignment rows per round
     "ml_kmeans_train_q8",
+    # r12 fourth wave: the BM25 machinery + two LIMIT-k windows —
+    # expected flat (corpus never shuffles)
+    "ml_eval_ndcg_bm25",
 ]
 
 
