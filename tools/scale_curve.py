@@ -243,6 +243,9 @@ QUERIES = [
     # r12 fourth wave: the BM25 machinery + two LIMIT-k windows —
     # expected flat (corpus never shuffles)
     "ml_eval_ndcg_bm25",
+    # r12 fifth wave: trainer + one more Viterbi pass + per-doc
+    # rollup — the only corpus-sized stage is the doc_words join
+    "text_unigram_encode_trained",
 ]
 
 
