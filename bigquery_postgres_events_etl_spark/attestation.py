@@ -55,23 +55,27 @@ import re
 PLAN_CHANGED_REATTEST: dict[str, int] = {
     # name -> first round that must re-attest the new plan
     # (r10 flags — LPA oracle conversion, pagerank adjacency rewrite,
-    # markov driver tail — all attested in CORRECTNESS_r10 and were
-    # removed.)
-    # r11: rows-only -> recursive-CTE hash oracle (r10 verdict item
-    # #2: the LPA pattern extended to numeric state via fixed-point
-    # integer arithmetic). Prior "green" rows were err:no_oracle —
-    # the hash compare must run once; output column renamed rank ->
-    # rank_fp (BIGINT):
-    "graph_pagerank_copurchase": 11,
-    # r12: rows-only -> recursive-CTE hash oracle (r11 verdict item
-    # #2: hard-sigmoid fixed-point GD, the perceptron precedent
-    # extended to residual-proportional updates). Output schema
-    # changed from (feature, weight) to the per-epoch trajectory:
-    "ml_logreg_train": 12,
-    # r12 expression changes (ADVICE hardening — values identical on
-    # non-degenerate data, re-attest the new plan once):
-    "dedup_lsh_recall_report": 12,
-    "embedding_power_iteration": 12,
+    # markov driver tail — attested green in CORRECTNESS_r10 and
+    # removed; the r11 flag graph_pagerank_copurchase attested in
+    # CORRECTNESS_r11; the r12 flags ml_logreg_train,
+    # dedup_lsh_recall_report, embedding_power_iteration attested in
+    # CORRECTNESS_r12 — all pruned.)
+    # r12 narrowed persisted projections (cache-contamination fix
+    # fc81649 — ADVICE r12 medium: the persist now projects only the
+    # columns downstream reads, changing these entries' physical
+    # plans; their last green rows attest the wide-persist plan):
+    "dedup_edit_distance_banded": 13,
+    "similarity_ann_recall_report": 13,
+    "similarity_pq_recall_report": 13,
+    # r13 NULLIF degenerate-denominator hardening (ADVICE r12 lows —
+    # values identical on non-degenerate data, re-attest once):
+    "stats_anova_oneway": 13,
+    "ml_eval_ndcg_bm25": 13,
+    # r13 fused-Viterbi rewrite (r12 verdict item 2 — the unrolled
+    # suffix-DP/forward-walk join chain replaced by one Arrow
+    # mapInPandas kernel per EM round; same semantics, new plan):
+    "text_unigram_lm_train": 13,
+    "text_unigram_encode_trained": 13,
 }
 
 

@@ -608,7 +608,14 @@ def dedup_semantic_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances replay in the oracle as the identical left-associative
     term chains, ties break (d, list_id) on both engines, and the
     in-cluster cosine-threshold drop policy is then hash-checked
-    end-to-end (the trained tier keeps owning recall)."""
+    end-to-end (the trained tier keeps owning recall).
+
+    Degenerate-input asymmetry (deliberate, ADVICE r12): on a corpus
+    whose ids 0..k-1 are not all present the Spark side FAILS LOUDLY
+    (ValueError in semantic_dedup_frozen) while the oracle SQL would
+    silently shrink the codebook and return rows — a sparse-id
+    fixture erroring on one engine is this guard working, not an
+    oracle regression."""
     from .similarity import semantic_dedup_frozen
 
     return semantic_dedup_frozen(
@@ -678,7 +685,13 @@ def dedup_semantic_fixed_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same quantizer contract (first k corpus vectors as centroids),
     same (d, list_id) tie-break, same drop policy — only the sizing
     rule differs, and it is itself part of the hash-checked semantics
-    (k derives from COUNT(*) on both engines)."""
+    (k derives from COUNT(*) on both engines).
+
+    Degenerate-input asymmetry (deliberate, ADVICE r12): an EMPTY
+    embeddings table clamps k to max(k,1)=1 here, and ids 0..k-1
+    missing raises ValueError on the Spark side while the oracle
+    silently shrinks the codebook — fail-loud hardening, not an
+    oracle regression, if a sparse-id fixture ever diverges."""
     from .similarity import semantic_dedup_frozen
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2048,7 +2061,12 @@ def ml_kmeans_train_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`dedup_semantic_kmeans`) keeps owning recall/quality; this entry
     gives the ITERATION SEMANTICS a hard driver hash check. Output:
     final (vec_id, cluster_id, d2). See
-    operators/similarity.py:kmeans_q8 for the scale argument."""
+    operators/similarity.py:kmeans_q8 for the scale argument.
+
+    Degenerate-input asymmetry (deliberate, ADVICE r12): ids 0..k-1
+    missing raises ValueError on the Spark side (frozen-init
+    contract) while the DuckDB twin would silently shrink the
+    codebook — fail-loud hardening, not an oracle regression."""
     from .similarity import kmeans_q8
 
     return kmeans_q8(load_table(spark, sf_dir, "embeddings"))

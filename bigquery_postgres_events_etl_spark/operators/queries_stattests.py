@@ -2575,9 +2575,9 @@ def ml_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k, n,
            sqn - s * s / n AS ss_between,
            q - sqn AS ss_within,
-           (sqn - s * s / n) / (k - 1)
-             / ((q - sqn) / (n - k)) AS f_stat,
-           (sqn - s * s / n) / (q - s * s / n) AS eta_sq
+           (sqn - s * s / n) / NULLIF(k - 1, 0)
+             / NULLIF((q - sqn) / NULLIF(n - k, 0), 0) AS f_stat,
+           (sqn - s * s / n) / NULLIF(q - s * s / n, 0) AS eta_sq
     FROM tot
     """,
 )
@@ -2627,8 +2627,18 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         ssb.alias("ss_between"),
         ssw.alias("ss_within"),
-        (ssb / (F.col("k") - 1) / (ssw / (F.col("n") - F.col("k")))).alias(
-            "f_stat"
-        ),
-        (ssb / (F.col("q") - sq_over_n)).alias("eta_sq"),
+        # NULLIF pins the degenerate denominators (single group k=1,
+        # one row per group n=k, zero within/total SS) to NULL on BOTH
+        # engines — DuckDB double division would yield inf/NaN where
+        # Spark non-ANSI division yields NULL (the lsh_recall_report
+        # precedent, ADVICE r12).
+        (
+            ssb
+            / F.nullif((F.col("k") - 1).cast("double"), F.lit(0.0))
+            / F.nullif(
+                ssw / F.nullif((F.col("n") - F.col("k")).cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            )
+        ).alias("f_stat"),
+        (ssb / F.nullif(F.col("q") - sq_over_n, F.lit(0.0))).alias("eta_sq"),
     )

@@ -10,6 +10,7 @@ from ..registry import register
 from .text import (
     EN_STOPWORDS,
     LANG_ID_THRESHOLD,
+    NB_TARGET_SOURCES,
     doc_fingerprints,
     language_id,
     quality_score,
@@ -690,7 +691,10 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NB_SRC_SQL = "'src0', 'src1'"
+# Derived from the ONE positive-class constant (text.NB_TARGET_SOURCES)
+# so the oracle predicate, the Spark scoring path, and every label
+# predicate below can never drift apart (ADVICE r12).
+_NB_SRC_SQL = ", ".join(f"'{s}'" for s in NB_TARGET_SOURCES)
 
 
 @register(
@@ -1028,7 +1032,7 @@ def text_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("nb_score") / F.lit(5).cast("double")).cast("long"),
             ),
         ).alias("bucket"),
-        F.when(F.col("source").isin("src0", "src1"), 1).otherwise(0).alias("is_curated"),
+        F.when(F.col("source").isin(*NB_TARGET_SOURCES), 1).otherwise(0).alias("is_curated"),
     )
     return labeled.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1486,7 +1490,7 @@ def ml_eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored_full, tc = nb_score_with_tc(docs)
     labels = tc.select("doc_id", "source").distinct().select(
         "doc_id",
-        F.col("source").isin("src0", "src1").cast("int").alias("is_curated"),
+        F.col("source").isin(*NB_TARGET_SOURCES).cast("int").alias("is_curated"),
     )
     bucket = F.greatest(
         F.lit(-4),
@@ -1937,7 +1941,7 @@ def ml_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conf_dec"),
             F.when(
                 (F.col("nb_score") >= 0)
-                == F.col("source").isin("src0", "src1"),
+                == F.col("source").isin(*NB_TARGET_SOURCES),
                 F.lit(1),
             )
             .otherwise(F.lit(0))
@@ -2056,7 +2060,7 @@ NDCG_K = 10
     SELECT CAST({NDCG_K} AS BIGINT) AS k,
            CAST(d.v AS DOUBLE) AS dcg,
            CAST(i.v AS DOUBLE) AS idcg,
-           CAST(d.v AS DOUBLE) / CAST(i.v AS DOUBLE) AS ndcg
+           CAST(d.v AS DOUBLE) / NULLIF(CAST(i.v AS DOUBLE), 0) AS ndcg
     FROM dcg d, idcg i
     """,
 )
@@ -2109,6 +2113,9 @@ def ml_eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(NDCG_K).cast("long").alias("k"),
             "dcg",
             "idcg",
-            (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+            # NULLIF pins the no-term-matches corpus (idcg 0 or NULL
+            # from an empty SUM) to NULL on both engines instead of
+            # diverging on 0-division semantics (ADVICE r12).
+            (F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0))).alias("ndcg"),
         )
     )
