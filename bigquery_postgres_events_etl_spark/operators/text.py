@@ -1021,103 +1021,164 @@ UNIGRAM_MAX_WORD = 16
 UNIGRAM_EM_ROUNDS = 2
 
 
-def _unigram_matches(grid: DataFrame, c: DataFrame, scale: int) -> DataFrame:
-    """(word, freq, start, len, piece, cost) — the grid restricted to
-    the current vocabulary with fixed-point floor(ln(T/c)·scale)
-    costs compiled in. Vocab + total broadcast; checkpointed because
-    every DP level and forward step re-reads it."""
+def _unigram_cost_map(c: DataFrame, scale: int) -> dict[str, int]:
+    """Driver-collected ``{piece: cost_fp}`` under the current counts,
+    cost(p) = floor(ln(T/c(p)) · scale).
+
+    Bounded collect (the kmeans-q8 contract): the piece vocabulary is
+    Heaps-sublinear in corpus size and hard-capped by
+    |charset|^max_piece — never corpus-sized. The ln is evaluated
+    JVM-SIDE by the exact expression the previous per-level join plan
+    compiled in, so the cross-engine floor(ln)·scale parity argument
+    (verified empirically at all fixture scales) is unchanged."""
     t = c.agg(F.sum("c").alias("t"))
-    return (
-        grid.join(F.broadcast(c), "piece")
-        .crossJoin(F.broadcast(t))
+    rows = (
+        c.crossJoin(F.broadcast(t))
         .select(
-            "word",
-            "freq",
-            "start",
-            "len",
             "piece",
             F.expr(
                 f"CAST(FLOOR(LN(CAST(t AS DOUBLE) / CAST(c AS DOUBLE))"
                 f" * {scale}) AS BIGINT)"
             ).alias("cost"),
         )
-        .localCheckpoint(eager=True)
+        .collect()  # vocabulary-bounded, never data-sized
+    )
+    return {r["piece"]: r["cost"] for r in rows}
+
+
+def _unigram_viterbi(
+    words: DataFrame, costs: dict[str, int], max_piece: int
+) -> DataFrame:
+    """Viterbi segmentation of every word under the broadcast piece
+    costs, FUSED into one Arrow ``mapInPandas`` pass (r12 verdict
+    item 2 — the bpe_encode precedent: the previous unrolled
+    suffix-DP + forward-walk join chain spent ~6·max_word tiny Spark
+    jobs per EM round on a vocab-sized sliver; the whole-word DP is
+    a pure function of (word, vocab), so one kernel pass replaces
+    them all and wall-clock stops scaling with max_word).
+
+    Semantics are IDENTICAL to the join chain (the pure-Python EM
+    parity pytest pins them): suffix DP sbest[pos] = min over vocab
+    pieces at pos of cost + sbest[pos+len] in exact BIGINT, then a
+    forward walk re-picking argmin with the (total, len) tie-break —
+    ties to the SHORTEST piece. Unsegmentable words (sbest[1]
+    undefined) emit nothing, exactly as the join chain's empty
+    match-set did. Returns one row per used piece:
+    (word, freq, step, piece), step 1-based in reading order.
+
+    Scale: the cost table ships in a Spark broadcast (vocab-bounded);
+    the kernel is O(len·max_piece) integer work per DISTINCT word
+    (words is the post-groupBy frequency table, Heaps-sublinear) —
+    embarrassingly parallel, no shuffle, no driver state."""
+    b = words.sparkSession.sparkContext.broadcast(costs)
+    mp = max_piece
+
+    def run(batches):
+        import pandas as pd
+
+        cost = b.value
+        for pdf in batches:
+            ws: list[str] = []
+            fs: list[int] = []
+            ss: list[int] = []
+            ps: list[str] = []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                n = len(word)
+                sb: list[int | None] = [None] * (n + 2)
+                sb[n + 1] = 0
+                for pos in range(n, 0, -1):
+                    best = None
+                    for ln_ in range(1, min(mp, n - pos + 1) + 1):
+                        cst = cost.get(word[pos - 1 : pos - 1 + ln_])
+                        nxt = sb[pos + ln_]
+                        if cst is None or nxt is None:
+                            continue
+                        tot = cst + nxt
+                        if best is None or tot < best:
+                            best = tot
+                    sb[pos] = best
+                if sb[1] is None:
+                    continue  # unsegmentable: no emission (join-chain parity)
+                pos, step = 1, 1
+                f = int(freq)
+                while pos <= n:
+                    pick = None
+                    for ln_ in range(1, min(mp, n - pos + 1) + 1):
+                        p = word[pos - 1 : pos - 1 + ln_]
+                        cst = cost.get(p)
+                        nxt = sb[pos + ln_]
+                        if cst is None or nxt is None:
+                            continue
+                        k = (cst + nxt, ln_, p)
+                        if pick is None or k < pick:
+                            pick = k
+                    ws.append(word)
+                    fs.append(f)
+                    ss.append(step)
+                    ps.append(pick[2])
+                    pos += pick[1]
+                    step += 1
+            yield pd.DataFrame(
+                {
+                    "word": pd.Series(ws, dtype="object"),
+                    "freq": pd.Series(fs, dtype="int64"),
+                    "step": pd.Series(ss, dtype="int64"),
+                    "piece": pd.Series(ps, dtype="object"),
+                }
+            )
+
+    return words.select("word", "freq").mapInPandas(
+        run, schema="word STRING, freq BIGINT, step BIGINT, piece STRING"
     )
 
 
-def _unigram_viterbi(words: DataFrame, m: DataFrame, LB: int) -> DataFrame:
-    """Viterbi segmentation of every word under the piece costs in
-    ``m``: suffix DP (min cost of each suffix), then a forward walk
-    re-picking argmin(cost + sbest[pos+len], ties to the SHORTEST
-    piece). Returns one row per used piece: (word, freq, step, piece),
-    step 1-based in reading order."""
-    sb = words.select(
-        "word",
-        (F.length("word") + 1).cast("long").alias("pos"),
-        F.lit(0).cast("long").alias("sc"),
+def _unigram_em_counts(
+    docs: DataFrame,
+    em_rounds: int,
+    max_piece: int,
+    min_seed: int,
+    max_word: int,
+    scale: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared train loop for :func:`unigram_lm_train` /
+    :func:`unigram_encode`: returns ``(words, c)`` — the persisted
+    word-frequency table (caller unpersists) and the hard-EM piece
+    counts after ``em_rounds``. One corpus scan (word frequencies);
+    the substring seed pass and every EM round iterate over the
+    VOCAB table only."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where((F.col("word") != "") & (F.length("word") <= max_word))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .persist()
     )
-    for lvl in range(1, LB + 1):
-        new = (
-            m.alias("m")
-            .where(F.expr(f"start = length(word) - {lvl} + 1"))
-            .join(
-                sb.alias("s"),
-                (F.col("m.word") == F.col("s.word"))
-                & (F.col("s.pos") == F.col("m.start") + F.col("m.len")),
-            )
-            .groupBy(F.col("m.word").alias("word"), F.col("m.start").alias("pos"))
-            .agg(F.min(F.col("m.cost") + F.col("s.sc")).alias("sc"))
-        )
-        sb = sb.unionByName(new)
-        if lvl % 4 == 0:
-            sb = sb.localCheckpoint(eager=True)
-    sb = sb.localCheckpoint(eager=True)
-    cur = words.select("word", "freq", F.lit(1).cast("long").alias("pos"))
-    uses = None
-    for s in range(1, LB + 1):
-        step = (
-            cur.alias("p")
-            .where(F.expr("pos <= length(word)"))
-            .join(
-                m.alias("m"),
-                (F.col("m.word") == F.col("p.word"))
-                & (F.col("m.start") == F.col("p.pos")),
-            )
-            .join(
-                sb.alias("sx"),
-                (F.col("sx.word") == F.col("m.word"))
-                & (F.col("sx.pos") == F.col("m.start") + F.col("m.len")),
-            )
-        )
-        pick = step.groupBy(F.col("m.word").alias("word")).agg(
-            F.min(
-                F.struct(
-                    (F.col("m.cost") + F.col("sx.sc")).alias("tot"),
-                    F.col("m.len").alias("len"),
-                    F.col("m.piece").alias("piece"),
-                )
-            ).alias("b"),
-            F.first("p.freq").alias("freq"),
-            F.first("p.pos").alias("pos"),
-        )
-        emitted = pick.select(
-            "word",
+    c = (
+        words.select(
             "freq",
-            F.lit(s).cast("long").alias("step"),
-            F.col("b.piece").alias("piece"),
-            (F.col("pos") + F.col("b.len")).alias("npos"),
+            F.explode(F.expr("sequence(1, length(word))")).alias("start"),
+            "word",
         )
-        u = emitted.select("word", "freq", "step", "piece")
-        uses = u if uses is None else uses.unionByName(u)
-        cur = emitted.select("word", "freq", F.col("npos").alias("pos"))
-        if s % 4 == 0:
-            cur = cur.localCheckpoint(eager=True)
-            uses = uses.localCheckpoint(eager=True)
-    if uses is None:  # empty corpus: LB == 0, no steps ran
-        return words.sparkSession.createDataFrame(
-            [], "word STRING, freq BIGINT, step BIGINT, piece STRING"
+        .select(
+            "freq",
+            "word",
+            "start",
+            F.explode(
+                F.expr(
+                    f"sequence(1, least({max_piece}, length(word) - start + 1))"
+                )
+            ).alias("len"),
         )
-    return uses
+        .select(F.expr("substring(word, start, len)").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("c"))
+        .where((F.length("piece") == 1) | (F.col("c") >= min_seed))
+    )
+    for _ in range(em_rounds):
+        costs = _unigram_cost_map(c, scale)
+        uses = _unigram_viterbi(words, costs, max_piece)
+        c = uses.groupBy("piece").agg(F.sum("freq").alias("c"))
+    return words, c
 
 
 def unigram_lm_train(
@@ -1164,60 +1225,23 @@ def unigram_lm_train(
     scales, and the DP/argmin tie-break (total, len) is exact-integer
     on both engines).
 
-    Scale: one corpus scan for word frequencies; the (start, len)
-    grid is |vocab| × max_word × max_piece rows; each DP level and
-    forward step is a vocab-sized sliver join (piece table broadcast);
-    loop depth is the STATIC bound ``max_word`` (words longer are
-    excluded — the documented truncation valve; production would
-    pre-split rare giant tokens). State checkpoints every 4 levels
-    (the quadratic-replay lesson). Driver holds no data-sized state.
+    Scale: one corpus scan for word frequencies; the substring seed
+    pass and the EM rounds iterate over the VOCAB table only. The
+    per-word Viterbi is FUSED into one Arrow ``mapInPandas`` kernel
+    per round (r12 verdict item 2 — replaces the ~6·max_word-job
+    unrolled DP/walk join chain; wall no longer scales with
+    max_word), with the piece costs collected to the driver
+    (vocab-bounded) and shipped as a Spark broadcast. Words longer
+    than ``max_word`` are excluded — the documented truncation
+    valve; production would pre-split rare giant tokens. Driver
+    holds no data-sized state.
 
     Reference behavior derived from the published SentencePiece
     algorithm only (Kudo 2018, arXiv:1804.10959); no reference-repo
     counterpart exists (extract_bq.py has no tokenizer)."""
-    LB = max_word
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .where((F.col("word") != "") & (F.length("word") <= LB))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .persist()
+    words, c = _unigram_em_counts(
+        docs, em_rounds, max_piece, min_seed, max_word, scale
     )
-    grid = (
-        words.select(
-            "word",
-            "freq",
-            F.explode(F.expr("sequence(1, length(word))")).alias("start"),
-        )
-        .select(
-            "word",
-            "freq",
-            F.col("start").cast("long").alias("start"),
-            F.explode(
-                F.expr(
-                    f"sequence(1, least({max_piece}, length(word) - start + 1))"
-                )
-            ).alias("len0"),
-        )
-        .withColumn("len", F.col("len0").cast("long"))
-        .drop("len0")
-        .withColumn("piece", F.expr("substring(word, start, len)"))
-        .persist()
-    )
-    c = (
-        grid.groupBy("piece")
-        .agg(F.sum("freq").alias("c"))
-        .where((F.length("piece") == 1) | (F.col("c") >= min_seed))
-    )
-    # actual DP depth: levels beyond the longest word are no-ops on
-    # both engines (the oracle keeps the static bound; empty levels
-    # add nothing) — a bounded scalar, halves the job count here
-    lmax_row = words.agg(F.max(F.length("word"))).first()
-    LB = min(LB, int(lmax_row[0] or 0))
-    for _ in range(em_rounds):
-        m = _unigram_matches(grid, c, scale)
-        uses = _unigram_viterbi(words, m, LB)
-        c = uses.groupBy("piece").agg(F.sum("freq").alias("c"))
     t = c.agg(F.sum("c").alias("t"))
     out = (
         c.crossJoin(F.broadcast(t))
@@ -1231,7 +1255,6 @@ def unigram_lm_train(
         )
     )
     words.unpersist()
-    grid.unpersist()
     return out
 
 
@@ -1254,49 +1277,11 @@ def unigram_encode(
     comparable. Words longer than ``max_word`` (and empty splits) are
     outside the vocabulary contract and excluded from the counts on
     both engines."""
-    LB = max_word
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .where((F.col("word") != "") & (F.length("word") <= LB))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .persist()
+    words, c = _unigram_em_counts(
+        docs, em_rounds, max_piece, min_seed, max_word, scale
     )
-    grid = (
-        words.select(
-            "word",
-            "freq",
-            F.explode(F.expr("sequence(1, length(word))")).alias("start"),
-        )
-        .select(
-            "word",
-            "freq",
-            F.col("start").cast("long").alias("start"),
-            F.explode(
-                F.expr(
-                    f"sequence(1, least({max_piece}, length(word) - start + 1))"
-                )
-            ).alias("len0"),
-        )
-        .withColumn("len", F.col("len0").cast("long"))
-        .drop("len0")
-        .withColumn("piece", F.expr("substring(word, start, len)"))
-        .persist()
-    )
-    c = (
-        grid.groupBy("piece")
-        .agg(F.sum("freq").alias("c"))
-        .where((F.length("piece") == 1) | (F.col("c") >= min_seed))
-    )
-    lmax_row = words.agg(F.max(F.length("word"))).first()
-    LB = min(LB, int(lmax_row[0] or 0))
-    for _ in range(em_rounds):
-        m = _unigram_matches(grid, c, scale)
-        uses = _unigram_viterbi(words, m, LB)
-        c = uses.groupBy("piece").agg(F.sum("freq").alias("c"))
-    # encode pass under the FINAL vocabulary
-    m = _unigram_matches(grid, c, scale)
-    enc = _unigram_viterbi(words, m, LB)
+    # encode pass under the FINAL vocabulary (one more fused kernel)
+    enc = _unigram_viterbi(words, _unigram_cost_map(c, scale), max_piece)
     word_enc = enc.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("enc_len"),
         F.transform(
@@ -1361,5 +1346,4 @@ def unigram_encode(
         )
     )
     words.unpersist()
-    grid.unpersist()
     return out

@@ -71,9 +71,12 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "corpus-count scalar — both vocabulary/schema-bounded",
     ("text.py", "unigram_lm_train"):
         "1-row total-count scalar for the final cost column",
-    ("text.py", "_unigram_matches"):
-        "piece vocabulary (Heaps-sublinear; seed-capped in production) "
-        "+ 1-row total scalar",
+    ("text.py", "_unigram_cost_map"):
+        "1-row total scalar under the vocab-bounded cost collect",
+    ("text.py", "_unigram_viterbi"):
+        "piece-cost dict shipped to the fused kernel — vocabulary-"
+        "bounded (Heaps-sublinear, |charset|^max_piece hard cap), "
+        "never corpus-sized",
     ("queries_text.py", "ml_eval_ece"):
         "1-row corpus-count scalar feeding the ECE weight",
     ("queries_text.py", "ml_eval_ndcg_bm25"):
