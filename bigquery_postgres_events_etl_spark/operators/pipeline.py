@@ -806,3 +806,70 @@ def epoch_repeat(
             F.explode(F.expr("sequence(1, n_copies)")).alias("copy_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429)
+# — multiplicative-weights rounds over per-source proxy losses
+# ---------------------------------------------------------------------
+
+DOREMI_ROUNDS = 8
+DOREMI_W_SCALE = 10**9       # weight fixed-point: 1.0 == 1e9
+DOREMI_ETA_NUM = DOREMI_W_SCALE // 2   # eta = 0.5 at full clamp
+DOREMI_LOSS_SCALE = 10**6    # loss fixed-point units
+DOREMI_EXCESS_CLAMP = 4 * DOREMI_LOSS_SCALE  # excess clamped to ±4.0
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Trunc-toward-zero integer division (b > 0) — the exact Python
+    twin of the oracle's ``CASE WHEN a >= 0 THEN a // b ELSE
+    -((-a) // b) END`` idiom (Python ``//`` floors, which differs on
+    negative numerators)."""
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def doremi_weights(
+    losses: list[tuple[str, int]],
+    n_rounds: int = DOREMI_ROUNDS,
+    w_scale: int = DOREMI_W_SCALE,
+    eta_num: int = DOREMI_ETA_NUM,
+    clamp: int = DOREMI_EXCESS_CLAMP,
+) -> dict[str, int]:
+    """The multiplicative-weights core of DoReMi domain reweighting
+    (Xie et al. 2023): given per-domain fixed-point proxy losses,
+    run ``n_rounds`` of the Hedge/Group-DRO update
+
+        excess_d = clamp(loss_d − weighted_mean_loss, ±clamp)
+        w_d     ← w_d · (1 + η · excess_d / clamp)   (trunc fixed-point)
+        w       ← w / Σw                             (re-normalize)
+
+    entirely in exact integer arithmetic (the pagerank/perceptron/
+    logreg/kmeans fixed-point family), so the DuckDB unrolled-CTE twin
+    replays every round bit-for-bit. Domains whose proxy loss exceeds
+    the current mixture-weighted mean gain weight — the Group-DRO
+    "upweight the domain the proxy is worst on" step, with the
+    published algorithm's per-round normalization. The proxy-loss
+    REGRESSION under reweighting (DoReMi retrains the proxy each
+    round) is deliberately out of scope: losses here are the static
+    scores of the already-trained in-engine proxy (the NB quality
+    model), i.e. one DoReMi outer step — the part that is a data-
+    pipeline operator rather than a training loop.
+
+    Pure driver arithmetic over |domains| values (vocabulary-bounded
+    — the kmeans-q8 centroid-loop contract); the corpus-sized work
+    (per-domain loss aggregation) stays distributed in the caller."""
+    k = len(losses)
+    if k == 0:
+        return {}
+    w = {src: w_scale // k for src, _ in losses}
+    loss = dict(losses)
+    for _ in range(n_rounds):
+        tot_w = sum(w.values())
+        wmean = _tdiv(sum(w[s] * loss[s] for s in w), tot_w)
+        for s in w:
+            exc = min(max(loss[s] - wmean, -clamp), clamp)
+            factor = w_scale + _tdiv(eta_num * exc, clamp)
+            w[s] = (w[s] * factor) // w_scale
+        tot = sum(w.values())
+        w = {s: (w[s] * w_scale) // tot for s in w}
+    return w

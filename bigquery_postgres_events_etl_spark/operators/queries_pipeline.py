@@ -1483,3 +1483,134 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         F.col("rn").cast("long").alias("train_order"),
     )
+
+
+def _doremi_oracle() -> str:
+    """Unrolled MATERIALIZED-CTE twin of the fixed-point
+    multiplicative-weights loop in operators/pipeline.doremi_weights
+    (the unigram-trainer oracle pattern: DuckDB cannot aggregate over
+    a recursive reference, so the bounded round count unrolls into a
+    plain CTE chain, each level MATERIALIZED to stop 2^depth plan
+    inlining). Per-source proxy loss comes from the shared NB scoring
+    chain (NB_SCORE_CTES — the same SQL the scorer and evaluators
+    use), per-doc decimal scores routed through the identical
+    decimal→double→decimal cast Spark applies to nb_score."""
+    from .pipeline import (
+        DOREMI_ETA_NUM,
+        DOREMI_EXCESS_CLAMP,
+        DOREMI_LOSS_SCALE,
+        DOREMI_ROUNDS,
+        DOREMI_W_SCALE,
+    )
+    from .queries_text import NB_SCORE_CTES
+
+    S, ETA, C = DOREMI_W_SCALE, DOREMI_ETA_NUM, DOREMI_EXCESS_CLAMP
+    parts = [
+        """score AS MATERIALIZED (
+      SELECT d.doc_id,
+             CAST(CAST(d.llr + p.prior AS DOUBLE) AS DECIMAL(20,9)) AS sd
+      FROM per_doc d CROSS JOIN priors p
+    )""",
+        f"""srcloss AS MATERIALIZED (
+      SELECT doc.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(FLOOR(-(CAST(SUM(s.sd) AS DOUBLE) / count(*))
+                        * {DOREMI_LOSS_SCALE}) AS BIGINT) AS loss_fp
+      FROM score s JOIN documents doc USING (doc_id)
+      GROUP BY doc.source
+    )""",
+        f"""w0 AS MATERIALIZED (
+      SELECT source, n_docs, loss_fp,
+             CAST({S} AS BIGINT) // (SELECT count(*) FROM srcloss) AS w
+      FROM srcloss
+    )""",
+    ]
+    for r in range(1, DOREMI_ROUNDS + 1):
+        p = r - 1
+        parts.append(f"""a{r} AS MATERIALIZED (
+      SELECT source, n_docs, loss_fp,
+             (w * (CAST({S} AS BIGINT)
+                   + CASE WHEN exc >= 0
+                          THEN (CAST({ETA} AS BIGINT) * exc) // {C}
+                          ELSE -((CAST({ETA} AS BIGINT) * (-exc)) // {C})
+                     END)) // CAST({S} AS BIGINT) AS w
+      FROM (SELECT source, n_docs, loss_fp, w,
+                   LEAST(GREATEST(loss_fp -
+                         (SELECT CASE WHEN SUM(w * loss_fp) >= 0
+                                 THEN SUM(w * loss_fp) // SUM(w)
+                                 ELSE -((-SUM(w * loss_fp)) // SUM(w)) END
+                          FROM w{p}),
+                         -{C}), {C}) AS exc
+            FROM w{p}) t
+    )""")
+        parts.append(f"""w{r} AS MATERIALIZED (
+      SELECT source, n_docs, loss_fp,
+             (w * CAST({S} AS BIGINT)) // (SELECT SUM(w) FROM a{r}) AS w
+      FROM a{r}
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {NB_SCORE_CTES},
+    {body}
+    SELECT source, n_docs, loss_fp, CAST(w AS BIGINT) AS weight_fp
+    FROM w{DOREMI_ROUNDS}
+    """
+
+
+@register("pipeline_doremi_weights", _doremi_oracle())
+def pipeline_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023) — the
+    missing member of the mixture-design family (temperature,
+    waterfill, caps, curriculum): per-source proxy loss = −mean NB
+    quality llr (the already-in-engine proxy model, per-doc decimal
+    scores summed order-free, ONE IEEE division, floored to 1e-6
+    fixed point), then DOREMI_ROUNDS of the exact-integer
+    Hedge/Group-DRO multiplicative-weights update — domains the proxy
+    scores worst gain mixture weight, re-normalized each round.
+    Output: (source, n_docs, loss_fp, weight_fp) — weight_fp at 1e9
+    scale, the training-mixture rates a data pipeline feeds its
+    sampler.
+
+    Scale: the corpus-sized work is the NB scoring plan (one token
+    sliver, the persisted-tc contract); the per-source rollup is
+    |sources| rows, the MW loop is driver arithmetic over that
+    vocabulary-bounded table (the kmeans-q8 centroid-loop contract),
+    and the weights rejoin via a literal map — no data-sized driver
+    state, no extra corpus scan."""
+    from .pipeline import DOREMI_LOSS_SCALE, doremi_weights
+    from .text import nb_score_with_tc
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    scored_full, tc = nb_score_with_tc(docs)
+    labels = tc.select("doc_id", "source").distinct()
+    srcloss = (
+        scored_full.select("doc_id", "nb_score")
+        .join(labels, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr("CAST(nb_score AS DECIMAL(20,9))")).alias("sd"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                f"CAST(FLOOR(-(CAST(sd AS DOUBLE) / n_docs)"
+                f" * {DOREMI_LOSS_SCALE}) AS BIGINT)"
+            ).alias("loss_fp"),
+        )
+        .persist()
+    )
+    rows = srcloss.select("source", "loss_fp").collect()  # |sources| rows
+    w = doremi_weights([(r["source"], int(r["loss_fp"])) for r in rows])
+    if not w:
+        return srcloss.select(
+            "source", "n_docs", "loss_fp",
+            F.lit(None).cast("long").alias("weight_fp"),
+        )
+    wmap = F.create_map(*[F.lit(x) for s in sorted(w) for x in (s, w[s])])
+    return srcloss.select(
+        "source",
+        "n_docs",
+        "loss_fp",
+        wmap[F.col("source")].cast("long").alias("weight_fp"),
+    )

@@ -2015,11 +2015,11 @@ def text_unigram_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NDCG_K = 10
 
-
-@register(
-    "ml_eval_ndcg_bm25",
-    f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+# Shared eval CTE chain — tokenized docs → per-doc term frequencies →
+# corpus stats → graded relevance → BM25 top-k ranking. The ndcg and
+# mrr/judged-coverage oracles build on the SAME string so the ranking
+# SQL cannot drift between the metrics that grade it.
+_BM25_EVAL_CTES = f"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     d AS (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
              {", ".join(f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
@@ -2044,7 +2044,13 @@ NDCG_K = 10
         FROM d, s
         ORDER BY bm25 DESC, doc_id LIMIT {NDCG_K}
       ) q
-    ),
+    )"""
+
+
+@register(
+    "ml_eval_ndcg_bm25",
+    f"""
+    WITH {_BM25_EVAL_CTES},
     dcg AS (
       SELECT SUM(CAST(r.rel / (ln(p.pos + 1) / ln(2)) AS DECIMAL(20,9))) AS v
       FROM ranked p JOIN rel r USING (doc_id)
@@ -2118,4 +2124,74 @@ def ml_eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             # diverging on 0-division semantics (ADVICE r12).
             (F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0))).alias("ndcg"),
         )
+    )
+
+
+@register(
+    "ml_eval_mrr_bm25",
+    f"""
+    WITH {_BM25_EVAL_CTES}
+    SELECT CAST({NDCG_K} AS BIGINT) AS k,
+           n_judged,
+           first_rel_pos,
+           coalesce(CAST(1 AS DOUBLE) / CAST(first_rel_pos AS DOUBLE),
+                    CAST(0 AS DOUBLE)) AS mrr_at_k,
+           CAST(n_judged AS DOUBLE) / CAST({NDCG_K} AS DOUBLE) AS judged_at_k
+    FROM (
+      SELECT CAST(count(*) FILTER (WHERE r.rel > 0) AS BIGINT) AS n_judged,
+             CAST(min(p.pos) FILTER (WHERE r.rel > 0) AS BIGINT)
+               AS first_rel_pos
+      FROM ranked p JOIN rel r USING (doc_id)
+    ) q
+    """,
+)
+def ml_eval_mrr_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 + judged-at-k coverage of the BM25 retriever — the
+    retrieval-ROBUSTNESS sibling of ml_eval_ndcg_bm25 (r12 verdict
+    item 6), from the SAME one-pass ranked frame: MRR grades how
+    early the first relevant document appears (1/rank of the first
+    top-k hit with rel > 0, 0 if none), judged_at_k is the fraction
+    of the top k with any relevance — the metric that says whether a
+    low NDCG means bad ORDERING or an unjudged/empty candidate pool.
+    Relevance is the deterministic lexical grade the NDCG entry
+    defined (total query-term count), the ranking window rides the
+    same LIMIT-k frame, and the only floats are two IEEE divisions —
+    bit-equal cross-engine; the degenerate no-hits corpus pins to
+    (0, NULL, 0.0) on both engines via coalesce, not a 0-division."""
+    from pyspark.sql import Window as W
+
+    from .text import bm25_topk, with_tokens
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    terms = _BM25_TERMS
+    rel = with_tokens(docs).select(
+        "doc_id",
+        sum(
+            F.expr(f"size(filter(tokens, x -> x = '{t}'))").cast("bigint")
+            for t in terms
+        ).alias("rel"),
+    )
+    top = bm25_topk(docs, terms, k=NDCG_K).select("doc_id", "bm25")
+    ranked = top.withColumn(
+        "pos",
+        F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    ).join(rel, "doc_id")
+    m = ranked.agg(
+        F.count(F.when(F.col("rel") > 0, F.lit(1)))
+        .cast("long")
+        .alias("n_judged"),
+        F.min(F.when(F.col("rel") > 0, F.col("pos")))
+        .cast("long")
+        .alias("first_rel_pos"),
+    )
+    return m.select(
+        F.lit(NDCG_K).cast("long").alias("k"),
+        "n_judged",
+        "first_rel_pos",
+        F.coalesce(
+            F.lit(1.0) / F.col("first_rel_pos").cast("double"), F.lit(0.0)
+        ).alias("mrr_at_k"),
+        (F.col("n_judged").cast("double") / F.lit(float(NDCG_K))).alias(
+            "judged_at_k"
+        ),
     )

@@ -589,3 +589,55 @@ def test_curriculum_order_stage_and_interleave_properties(spark, tmp_path):
         )
         # first 3 positions of each stage cover all 3 sources
         assert {d.source for d in docs[:3]} == {"src0", "src1", "src2"}
+
+
+def test_doremi_weights_pure_properties():
+    """The MW core: uniform losses stay uniform; the worst domain
+    gains weight vs uniform (the Group-DRO upweighting DoReMi exists
+    for); weights re-normalize to ~1.0 each round; order-insensitive
+    in the input list."""
+    from bigquery_postgres_events_etl_spark.operators.pipeline import (
+        DOREMI_W_SCALE,
+        doremi_weights,
+    )
+
+    S = DOREMI_W_SCALE
+    # uniform losses: every round's excess is 0, weights stay at S//k
+    w = doremi_weights([("a", 7_000_000), ("b", 7_000_000), ("c", 7_000_000)])
+    assert len(set(w.values())) == 1
+    # heterogeneous: worst-loss domain ends strictly above uniform,
+    # best strictly below
+    losses = [("low", 1_700_000), ("mid", 2_500_000), ("high", 2_800_000)]
+    w = doremi_weights(losses)
+    uniform = S // 3
+    assert w["high"] > uniform > w["low"]
+    assert max(w, key=w.get) == "high" and min(w, key=w.get) == "low"
+    # normalization: sum within k truncation units of S
+    assert S - 3 <= sum(w.values()) <= S
+    # input order cannot matter (the oracle's GROUP BY has no order)
+    assert doremi_weights(list(reversed(losses))) == w
+    # empty domain set degrades to empty, not a crash
+    assert doremi_weights([]) == {}
+
+
+def test_doremi_entry_upweights_worst_source(spark, sf_dir):
+    """End-to-end: the registered entry's weight_fp column must rank
+    sources identically to their loss_fp (static-loss MW is monotone:
+    higher proxy loss -> higher final weight), sum to ~1e9, and the
+    worst source must beat uniform."""
+    from bigquery_postgres_events_etl_spark.operators.pipeline import (
+        DOREMI_W_SCALE,
+    )
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    rows = all_queries()["pipeline_doremi_weights"](spark, sf_dir).collect()
+    assert rows
+    k = len(rows)
+    by_loss = sorted(rows, key=lambda r: (r.loss_fp, r.source))
+    by_weight = sorted(rows, key=lambda r: (r.weight_fp, r.source))
+    assert [r.source for r in by_loss] == [r.source for r in by_weight]
+    total = sum(r.weight_fp for r in rows)
+    assert DOREMI_W_SCALE - 8 * k <= total <= DOREMI_W_SCALE
+    worst = max(rows, key=lambda r: r.loss_fp)
+    if len({r.loss_fp for r in rows}) > 1:
+        assert worst.weight_fp > DOREMI_W_SCALE // k

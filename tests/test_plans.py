@@ -305,6 +305,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     # NDCG position windows ride two LIMIT-k (10-row) frames —
     # bounded by the k constant, not data
     "ml_eval_ndcg_bm25": {"bm25", "rel"},
+    # MRR shares the NDCG ranking frame: one LIMIT-k (10-row) window
+    "ml_eval_mrr_bm25": {"bm25"},
     # two-pass ranking internals (per-period quartile passes — the
     # same exemption class as rfm_segmentation's three scores)
     "rfm_migration": {"_gr_pid", "specifiedwindowframe"},
@@ -866,6 +868,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "pipeline_curriculum_order": {"documents": {"text", "lang"}},
     "ml_kmeans_train_q8": {"embeddings": {"label"}},
     "ml_eval_ndcg_bm25": {"documents": {"lang", "source", "n_chars"}},
+    "ml_eval_mrr_bm25": {"documents": {"lang", "source", "n_chars"}},
     "events_wilson_ci": {"events": {"props", "event_id", "ts"}},
     "dedup_containment_subsumption": {
         "documents": {"lang", "source", "n_chars"}

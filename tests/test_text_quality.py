@@ -873,3 +873,41 @@ def test_ndcg_bm25_bounds_and_identity(spark, sf_dir):
     assert r.idcg > 0 and 0 < r.dcg <= r.idcg + 1e-12
     assert 0 < r.ndcg <= 1.0 + 1e-12
     assert abs(r.ndcg - r.dcg / r.idcg) < 1e-15
+
+
+def test_mrr_bm25_bounds_and_consistency(spark, sf_dir):
+    """MRR@k invariants: mrr = 1/first_rel_pos exactly when any hit is
+    judged relevant (else 0 with NULL pos), both rates in [0,1],
+    n_judged <= k, and judged_at_k = n_judged/k."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    row = all_queries()["ml_eval_mrr_bm25"](spark, sf_dir).collect()[0]
+    assert row.k == 10
+    assert 0 <= row.n_judged <= row.k
+    assert 0.0 <= row.mrr_at_k <= 1.0
+    assert row.judged_at_k == row.n_judged / row.k
+    if row.n_judged > 0:
+        assert 1 <= row.first_rel_pos <= row.k
+        assert row.mrr_at_k == 1.0 / row.first_rel_pos
+    else:
+        assert row.first_rel_pos is None and row.mrr_at_k == 0.0
+
+
+def test_mrr_bm25_planted_first_hit(spark, tmp_path):
+    """A corpus where exactly one document contains a query term must
+    yield first_rel_pos 1 (BM25 ranks it first), mrr 1.0, and
+    judged_at_k 1/k."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    rows = [(0, "src0", "en", 20, "vector store lookup")] + [
+        (i, f"src{i % 2}", "en", 20, f"plain filler text {i}")
+        for i in range(1, 30)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    row = all_queries()["ml_eval_mrr_bm25"](spark, str(tmp_path)).collect()[0]
+    assert row.n_judged == 1
+    assert row.first_rel_pos == 1
+    assert row.mrr_at_k == 1.0
+    assert row.judged_at_k == 1 / 10
