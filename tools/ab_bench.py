@@ -37,6 +37,11 @@ MOVERS = [
     "dedup_entity_resolve",
     "text_nb_quality_score",
     "etl_scd2_user_state",
+    # r12 verdict item 3: the two spread-dominated entries whose
+    # driver history kept needing manual adjudication — permanently
+    # in the interleaved set so the pooled medians settle it
+    "etl_flagship",
+    "dedup_minhash_jaccard_est",
 ]
 
 PKG = "bigquery_postgres_events_etl_spark"
