@@ -911,3 +911,62 @@ def test_mrr_bm25_planted_first_hit(spark, tmp_path):
     assert row.first_rel_pos == 1
     assert row.mrr_at_k == 1.0
     assert row.judged_at_k == 1 / 10
+
+
+def test_auc_nb_matches_pure_python(spark, sf_dir):
+    """The rank-sum AUC must equal the direct pairwise definition
+    P(score_pos > score_neg) + 0.5·P(=) computed in exact Fractions
+    over the same scores and labels."""
+    from fractions import Fraction
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.text import (
+        NB_TARGET_SOURCES,
+        nb_score_with_tc,
+    )
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    row = all_queries()["ml_eval_auc_nb"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    scored, tc = nb_score_with_tc(docs)
+    labels = {
+        r.doc_id: r.source in NB_TARGET_SOURCES
+        for r in tc.select("doc_id", "source").distinct().collect()
+    }
+    import decimal
+
+    pts = [
+        (decimal.Decimal(repr(r.nb_score)).quantize(decimal.Decimal("1e-9")),
+         labels[r.doc_id])
+        for r in scored.select("doc_id", "nb_score").collect()
+    ]
+    pos = [s for s, p in pts if p]
+    neg = [s for s, p in pts if not p]
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    num = sum(
+        2 if sp > sn else (1 if sp == sn else 0) for sp in pos for sn in neg
+    )
+    want = Fraction(num, 2 * len(pos) * len(neg))
+    assert Fraction(row.auc).limit_denominator(10**12) == want or abs(
+        row.auc - float(want)
+    ) < 1e-12
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_auc_nb_planted_separation(spark, tmp_path):
+    """A corpus where curated sources use a disjoint vocabulary from
+    the rest must score AUC 1.0 (perfect separation); swapping the
+    label set inverts it to 0.0."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    rows = [
+        (i, "src0" if i % 2 == 0 else "src5", "en", 20,
+         "alpha beta gamma" if i % 2 == 0 else "zeta eta theta")
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    row = all_queries()["ml_eval_auc_nb"](spark, str(tmp_path)).collect()[0]
+    assert row.n_pos == 20 and row.n_neg == 20
+    assert row.auc == 1.0
