@@ -2195,101 +2195,3 @@ def ml_eval_mrr_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "judged_at_k"
         ),
     )
-
-
-@register(
-    "ml_eval_auc_nb",
-    f"""
-    WITH {NB_SCORE_CTES},
-    score AS MATERIALIZED (
-      SELECT d.doc_id,
-             CAST(CAST(d.llr + p.prior AS DOUBLE) AS DECIMAL(20,9)) AS score
-      FROM per_doc d CROSS JOIN priors p
-    ),
-    lab AS (
-      SELECT s.score,
-             CAST(SUM(CASE WHEN doc.source IN ({_NB_SRC_SQL})
-                           THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
-             CAST(SUM(CASE WHEN doc.source IN ({_NB_SRC_SQL})
-                           THEN 0 ELSE 1 END) AS BIGINT) AS b_cnt
-      FROM score s JOIN documents doc USING (doc_id)
-      GROUP BY s.score
-    ),
-    cum AS (
-      SELECT a_cnt, a_cnt + b_cnt AS t,
-             CAST(SUM(a_cnt + b_cnt) OVER (ORDER BY score) AS BIGINT) AS ct
-      FROM lab
-    ),
-    sums AS (
-      SELECT CAST(SUM(a_cnt * (2 * (ct - t) + t + 1)) AS BIGINT) AS two_r1,
-             (SELECT CAST(SUM(a_cnt) AS BIGINT) FROM lab) AS n_pos,
-             (SELECT CAST(SUM(b_cnt) AS BIGINT) FROM lab) AS n_neg
-      FROM cum
-    )
-    SELECT n_pos, n_neg, two_r1,
-           CAST(two_r1 - n_pos * (n_pos + 1) AS DOUBLE)
-             / NULLIF(CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
-                      * CAST(n_neg AS DOUBLE), 0) AS auc
-    FROM sums
-    """,
-)
-def ml_eval_auc_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROC-AUC of the NB quality classifier — the DISCRIMINATION
-    metric completing the model-eval family (ECE grades calibration,
-    NDCG/MRR grade ranking, the confusion entries grade a single
-    threshold; AUC grades the whole score ordering): via the rank-sum
-    identity AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg), ties
-    credited 0.5 through average ranks that never materialize —
-    2·R_pos = Σ a·(2·cum_before + t + 1) in exact BIGINT over the
-    score-grouped table (the stats_mann_whitney machinery verbatim),
-    ONE IEEE division at the end, NULLIF-pinned to NULL when either
-    class is empty. Scores group on the DECIMAL(20,9) nb_score (the
-    ece cast precedent — exact cross-engine equality), labels from
-    the same persisted tc sliver.
-
-    Scale: |distinct scores| hash-agg, then the two-pass distributed
-    cumsum (range partition + broadcast per-partition offsets) — no
-    unpartitioned window over data at any scale."""
-    from .ranking import with_global_cumsum
-    from .text import nb_score_with_tc
-
-    docs = parallelize(load_table(spark, sf_dir, "documents"))
-    scored_full, tc = nb_score_with_tc(docs)
-    labels = tc.select("doc_id", "source").distinct()
-    is_pos = F.col("source").isin(*NB_TARGET_SOURCES)
-    ab = (
-        scored_full.select("doc_id", "nb_score")
-        .join(labels, "doc_id")
-        .select(
-            F.expr("CAST(nb_score AS DECIMAL(20,9))").alias("score"),
-            F.when(is_pos, F.lit(1)).otherwise(F.lit(0)).alias("p"),
-        )
-        .groupBy("score")
-        .agg(
-            F.sum("p").cast("long").alias("a_cnt"),
-            F.sum(F.lit(1) - F.col("p")).cast("long").alias("b_cnt"),
-        )
-    )
-    witht = ab.select("*", (F.col("a_cnt") + F.col("b_cnt")).alias("t"))
-    cum = with_global_cumsum(witht, [("score", "asc")], [], "t")
-    t, ct, a = F.col("t"), F.col("cum_sum"), F.col("a_cnt")
-    sums = cum.agg(
-        F.sum(a * (F.lit(2) * (ct - t) + t + F.lit(1)))
-        .cast("long")
-        .alias("two_r1"),
-        F.sum(a).cast("long").alias("n_pos"),
-        F.sum("b_cnt").cast("long").alias("n_neg"),
-    )
-    npd = F.col("n_pos").cast("double")
-    nnd = F.col("n_neg").cast("double")
-    return sums.select(
-        "n_pos",
-        "n_neg",
-        "two_r1",
-        (
-            (F.col("two_r1") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
-                "double"
-            )
-            / F.nullif(F.lit(2.0) * npd * nnd, F.lit(0.0))
-        ).alias("auc"),
-    )

@@ -60,6 +60,17 @@ def register(name: str, oracle: str | None):
     ``name`` with its DuckDB oracle SQL (None → rows-only check)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # fail LOUDLY on a duplicate name: register() used to silently
+        # overwrite, so a second registration shadowed the certified
+        # first one and the registry count hid the loss (found the
+        # hard way in r13 — a new ml_eval_auc_nb silently replaced the
+        # existing one). Module reloads rebuild _REGISTRY from scratch
+        # (fresh import graph), so this only fires on true collisions.
+        if name in _REGISTRY:
+            raise ValueError(
+                f"duplicate registry entry {name!r}: already registered "
+                f"by {_REGISTRY[name][0].__module__}"
+            )
         _REGISTRY[name] = (fn, oracle)
         return fn
 

@@ -914,49 +914,42 @@ def test_mrr_bm25_planted_first_hit(spark, tmp_path):
 
 
 def test_auc_nb_matches_pure_python(spark, sf_dir):
-    """The rank-sum AUC must equal the direct pairwise definition
-    P(score_pos > score_neg) + 0.5·P(=) computed in exact Fractions
-    over the same scores and labels."""
+    """The registered rank-sum AUC must equal the direct pairwise
+    definition P(score_pos > score_neg) + 0.5·P(=) computed in exact
+    Fractions over the same scores and labels — pins the midrank
+    identity (auc_num/auc_den) against first principles."""
     from fractions import Fraction
 
     from bigquery_postgres_events_etl_spark.io import load_table
     from bigquery_postgres_events_etl_spark.operators.text import (
         NB_TARGET_SOURCES,
-        nb_score_with_tc,
+        nb_quality_score,
     )
     from bigquery_postgres_events_etl_spark.registry import all_queries
 
     row = all_queries()["ml_eval_auc_nb"](spark, sf_dir).collect()[0]
     docs = load_table(spark, sf_dir, "documents")
-    scored, tc = nb_score_with_tc(docs)
+    scored = nb_quality_score(docs).select("doc_id", "nb_score").collect()
     labels = {
         r.doc_id: r.source in NB_TARGET_SOURCES
-        for r in tc.select("doc_id", "source").distinct().collect()
+        for r in docs.select("doc_id", "source").collect()
     }
-    import decimal
-
-    pts = [
-        (decimal.Decimal(repr(r.nb_score)).quantize(decimal.Decimal("1e-9")),
-         labels[r.doc_id])
-        for r in scored.select("doc_id", "nb_score").collect()
-    ]
-    pos = [s for s, p in pts if p]
-    neg = [s for s, p in pts if not p]
+    pos = [r.nb_score for r in scored if labels[r.doc_id]]
+    neg = [r.nb_score for r in scored if not labels[r.doc_id]]
     assert row.n_pos == len(pos) and row.n_neg == len(neg)
     num = sum(
         2 if sp > sn else (1 if sp == sn else 0) for sp in pos for sn in neg
     )
-    want = Fraction(num, 2 * len(pos) * len(neg))
-    assert Fraction(row.auc).limit_denominator(10**12) == want or abs(
-        row.auc - float(want)
-    ) < 1e-12
+    assert Fraction(row.auc_num, row.auc_den) == Fraction(
+        num, 2 * len(pos) * len(neg)
+    )
+    assert row.auc == row.auc_num / row.auc_den
     assert 0.0 <= row.auc <= 1.0
 
 
 def test_auc_nb_planted_separation(spark, tmp_path):
     """A corpus where curated sources use a disjoint vocabulary from
-    the rest must score AUC 1.0 (perfect separation); swapping the
-    label set inverts it to 0.0."""
+    the rest must score AUC 1.0 (perfect separation)."""
     from bigquery_postgres_events_etl_spark.registry import all_queries
 
     rows = [
@@ -970,3 +963,15 @@ def test_auc_nb_planted_separation(spark, tmp_path):
     row = all_queries()["ml_eval_auc_nb"](spark, str(tmp_path)).collect()[0]
     assert row.n_pos == 20 and row.n_neg == 20
     assert row.auc == 1.0
+
+
+def test_registry_rejects_duplicate_names():
+    """register() must fail LOUDLY on a name collision (a silent
+    overwrite shadows the certified first registration — the r13
+    near-miss this guard pins)."""
+    import pytest
+
+    from bigquery_postgres_events_etl_spark.registry import register
+
+    with pytest.raises(ValueError, match="duplicate registry entry"):
+        register("ml_eval_auc_nb", None)(lambda spark, sf: None)
