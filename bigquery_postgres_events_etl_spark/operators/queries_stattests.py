@@ -2554,6 +2554,88 @@ def ml_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_eval_avg_precision_nb",
+    f"""
+    WITH {_NB_CTES},
+    scored AS (
+      SELECT d.doc_id, CAST(d.llr + p.prior AS DOUBLE) AS nb_score
+      FROM per_doc d CROSS JOIN priors p
+    ),
+    lab AS (
+      SELECT s.nb_score, COUNT(*) AS n,
+             SUM(CASE WHEN dd.source IN ({_NB_SRC_SQL})
+                      THEN 1 ELSE 0 END) AS n_pos
+      FROM scored s JOIN documents dd USING (doc_id)
+      GROUP BY s.nb_score
+    ),
+    cum AS (
+      SELECT nb_score, n, n_pos,
+             SUM(n) OVER (ORDER BY nb_score) AS cum_n,
+             SUM(n_pos) OVER (ORDER BY nb_score) AS cum_pos
+      FROM lab
+    ),
+    tot AS (SELECT SUM(n) AS n_t, SUM(n_pos) AS p_t FROM lab)
+    SELECT CAST(t.p_t AS BIGINT) AS n_pos,
+           CAST(t.n_t - t.p_t AS BIGINT) AS n_neg,
+           CAST(SUM(CAST(
+             CAST(c.n_pos * (t.p_t - (c.cum_pos - c.n_pos)) AS DOUBLE)
+             / NULLIF(CAST(t.p_t * (t.n_t - (c.cum_n - c.n)) AS DOUBLE), 0)
+           AS DECIMAL(20,9))) AS DOUBLE) AS avg_precision
+    FROM cum c, tot t
+    GROUP BY t.p_t, t.n_t
+    """,
+)
+def ml_eval_avg_precision_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC, step interpolation — the sklearn
+    ``average_precision_score`` convention) of the NB quality gate —
+    the SCALAR the full ml_eval_pr_curve was missing, exactly as
+    ml_eval_auc_nb is the scalar of the ROC sweep. Sweeping distinct
+    scores descending, AP = Σ ΔR_i · P_i with ΔR_i = positives at the
+    threshold / total positives and P_i = precision at-or-above —
+    every factor an exact BIGINT from the SAME two-channel
+    distinct-score cumulative sum the PR curve rides; each term is
+    one IEEE division of two BIGINTs rounded to DECIMAL(20,9) before
+    the order-free sum (the ece per-term precedent), NULLIF-pinned
+    when a class is empty.
+
+    Scale: identical to the AUC/PR entries — the only window is the
+    two-pass packed cumsum over the distinct-score frame."""
+    from ..io import parallelize
+    from .text import NB_TARGET_SOURCES, nb_quality_score
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    scored = nb_quality_score(docs).select("doc_id", "nb_score")
+    labels = docs.select(
+        "doc_id",
+        F.col("source").isin(*NB_TARGET_SOURCES).cast("long").alias("pos"),
+    )
+    byscore = (
+        scored.join(labels, "doc_id")
+        .groupBy("nb_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    cum = _packed_cum(byscore, "n", "n_pos", "nb_score")
+    tp = F.col("_tot_b") - (F.col("_cum_b") - F.col("n_pos"))
+    at_or_above = F.col("_tot_a") - (F.col("_cum_a") - F.col("n"))
+    term = (F.col("n_pos") * tp).cast("double") / F.nullif(
+        (F.col("_tot_b") * at_or_above).cast("double"), F.lit(0.0)
+    )
+    agg = cum.groupBy(
+        F.col("_tot_a").alias("n_t"), F.col("_tot_b").alias("p_t")
+    ).agg(
+        F.sum(term.cast("decimal(20,9)")).cast("double").alias("avg_precision")
+    )
+    return agg.select(
+        F.col("p_t").cast("long").alias("n_pos"),
+        (F.col("n_t") - F.col("p_t")).cast("long").alias("n_neg"),
+        "avg_precision",
+    )
+
+
+@register(
     "stats_anova_oneway",
     """
     WITH g AS (

@@ -1077,3 +1077,69 @@ def test_anova_oneway_known_small_case(spark, tmp_path):
     assert abs(out.ss_within - 6.0) < 1e-9
     assert abs(out.f_stat - 21.0) < 1e-9
     assert abs(out.eta_sq - 42.0 / 48.0) < 1e-9
+
+
+def test_avg_precision_matches_sklearn_convention(spark, sf_dir):
+    """The registered AP must equal the step-interpolated definition
+    (sklearn average_precision_score) computed directly in Python
+    over the same scores and labels (to the DECIMAL(20,9) per-term
+    rounding the entry documents)."""
+    from decimal import Decimal
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.operators.text import (
+        NB_TARGET_SOURCES,
+        nb_quality_score,
+    )
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    row = all_queries()["ml_eval_avg_precision_nb"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    labels = {
+        r.doc_id: r.source in NB_TARGET_SOURCES
+        for r in docs.select("doc_id", "source").collect()
+    }
+    pts = sorted(
+        (r.nb_score, labels[r.doc_id])
+        for r in nb_quality_score(docs).select("doc_id", "nb_score").collect()
+    )
+    n_pos = sum(1 for _, p in pts if p)
+    assert row.n_pos == n_pos and row.n_neg == len(pts) - n_pos
+    # sweep distinct scores descending
+    from itertools import groupby
+
+    groups = [
+        (s, sum(1 for _ in g)) for s, g in groupby(pts, key=lambda x: x[0])
+    ]
+    pos_at = {}
+    for s, grp in groupby(pts, key=lambda x: x[0]):
+        pos_at[s] = sum(1 for _, p in grp if p)
+    ap = Decimal(0)
+    cum_n = cum_p = 0
+    for s, n in sorted(groups, reverse=True):
+        cum_n += n
+        cum_p += pos_at[s]
+        if pos_at[s]:
+            term = (pos_at[s] * cum_p) / (n_pos * cum_n)
+            ap += Decimal(repr(term)).quantize(Decimal("1e-9"))
+        else:
+            ap += Decimal(0)
+    assert abs(row.avg_precision - float(ap)) < 1e-12
+    assert 0.0 <= row.avg_precision <= 1.0
+
+
+def test_avg_precision_planted_perfect(spark, tmp_path):
+    """Perfect separation -> AP exactly 1.0 (every positive ranked
+    above every negative)."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    rows = [
+        (i, "src0" if i % 2 == 0 else "src5", "en", 20,
+         "alpha beta gamma" if i % 2 == 0 else "zeta eta theta")
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    row = all_queries()["ml_eval_avg_precision_nb"](spark, str(tmp_path)).collect()[0]
+    assert row.avg_precision == 1.0
