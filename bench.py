@@ -64,6 +64,9 @@ TIER2 = [
     # r12 heavy newcomers (same comparability caveat as r11)
     "text_unigram_lm_train",
     "ml_kmeans_train_q8",
+    # r13: the former 50s heavyweight, now fused-Viterbi (~4s) —
+    # tracked so a regression in the kernel path is caught
+    "text_unigram_encode_trained",
 ]
 
 
