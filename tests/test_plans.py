@@ -320,6 +320,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     # same class as stats_mann_whitney)
     "ml_eval_auc_nb": {"_gr_pid", "specifiedwindowframe"},
     "ml_eval_pr_curve": {"_gr_pid", "specifiedwindowframe"},
+    # AP rides the same packed two-pass cumsum internals
+    "ml_eval_avg_precision_nb": {"_gr_pid", "specifiedwindowframe"},
     # histogram split search: both windows (cumulative counts, final
     # Gini rank) ride the BOUNDED bin histogram (~60 rows at any table
     # size — the LightGBM shape is the point of the entry)
@@ -836,6 +838,7 @@ PRUNING_CONTRACTS: dict[str, dict[str, set[str]]] = {
     "stats_bh_correction": {"events": {"props", "event_id", "ts"}},
     "ml_eval_auc_nb": {"documents": {"lang", "n_chars"}},
     "ml_eval_pr_curve": {"documents": {"lang", "n_chars"}},
+    "ml_eval_avg_precision_nb": {"documents": {"lang", "n_chars"}},
     "graph_modularity": {
         "lineitem": {"l_extendedprice", "l_quantity", "l_shipdate"}
     },
