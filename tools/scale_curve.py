@@ -246,6 +246,13 @@ QUERIES = [
     # r12 fifth wave: trainer + one more Viterbi pass + per-doc
     # rollup — the only corpus-sized stage is the doc_words join
     "text_unigram_encode_trained",
+    # r13 additions: DoReMi (corpus work = NB scoring; MW loop is
+    # |sources|-row driver arithmetic — expected near-flat beyond the
+    # NB token join), MRR (the NDCG frame — expected flat), AP (the
+    # packed-cumsum PR machinery — expected near-linear sliver)
+    "pipeline_doremi_weights",
+    "ml_eval_mrr_bm25",
+    "ml_eval_avg_precision_nb",
 ]
 
 
