@@ -1614,3 +1614,106 @@ def pipeline_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loss_fp",
         wmap[F.col("source")].cast("long").alias("weight_fp"),
     )
+
+
+def _learnability_oracle() -> str:
+    """Combined NB + bigram-LM twin for the learnability selection:
+    the two shared scoring chains (NB_SCORE_CTES / BIGRAM_LM_CTES —
+    the exact strings their own entries compare) feed two plain
+    ROW_NUMBER rankings. Per the registry exactness policy the
+    transcendental scores only ORDER rows; every compared column is
+    an integer rank / id / boolean."""
+    from .queries_text import BIGRAM_LM_CTES, NB_SCORE_CTES
+
+    return f"""
+    WITH {NB_SCORE_CTES},
+    {BIGRAM_LM_CTES},
+    prof AS (
+      SELECT doc_id, num, den, CAST(SUM(c) AS BIGINT) AS c_sum
+      FROM classes GROUP BY 1, 2, 3
+    ),
+    lmce AS MATERIALIZED (
+      SELECT doc_id,
+             -(CAST(SUM(CAST(c_sum AS DECIMAL(10,0))
+                 * CAST(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                        AS DECIMAL(20,9))) AS DOUBLE))
+               / CAST(SUM(c_sum) AS DOUBLE) AS ce
+      FROM prof GROUP BY doc_id
+    ),
+    nbranked AS MATERIALIZED (
+      SELECT d.doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(d.llr + p.prior AS DOUBLE) DESC, d.doc_id
+             ) AS nb_rank,
+             COUNT(*) OVER () AS n
+      FROM per_doc d CROSS JOIN priors p
+    ),
+    cand AS (
+      SELECT n.doc_id, l.ce
+      FROM nbranked n JOIN lmce l USING (doc_id)
+      WHERE 2 * n.nb_rank <= n.n + 1
+    ),
+    ceranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY ce DESC, doc_id) AS ce_rank,
+             COUNT(*) OVER () AS m
+      FROM cand
+    )
+    SELECT n.doc_id,
+           CAST(n.nb_rank AS BIGINT) AS nb_rank,
+           CAST(r.ce_rank AS BIGINT) AS ce_rank,
+           COALESCE(2 * r.ce_rank <= r.m + 1, FALSE) AS selected
+    FROM nbranked n LEFT JOIN ceranked r USING (doc_id)
+    """
+
+
+@register("pipeline_learnability_select", _learnability_oracle())
+def pipeline_learnability_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learnability-prioritized data selection (RHO-loss — Mindermann
+    et al. 2022; RHO-1, Lin et al. 2024): keep the examples that are
+    CLEAN under the reference-quality signal yet HARD under the
+    fluency proxy — the "worth learning and not yet learnt" quadrant.
+    In-engine specialization with the two already-trained proxies:
+    clean pool = top half by NB quality score (rank 1 = cleanest),
+    and within it select the top half by bigram-LM cross-entropy
+    (rank 1 = hardest) — i.e. the top quarter of the corpus on the
+    clean-but-hard frontier. Docs with no bigram profile (single-token
+    text) are never candidates: NULL ce_rank, selected FALSE.
+
+    Exactness: both scores are transcendental-derived, so they only
+    ORDER rows (the registry policy: a rank flips only when two keys
+    collide within an ulp AT a selection boundary, and doc_id breaks
+    ties); every compared column is an integer rank / boolean. Both
+    scoring chains are the shared oracle strings their own entries
+    hash-compare (NB_SCORE_CTES / BIGRAM_LM_CTES), so scorer and
+    selector cannot drift.
+
+    Scale: the corpus-sized work is the two scoring plans (one token
+    sliver each, gated broadcasts); both rankings ride the two-pass
+    distributed row_number (range partition + bounded offsets) — no
+    unpartitioned data window, no driver state."""
+    from .ranking import with_global_ranks
+    from .text import bigram_lm_score, nb_quality_score
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    scored = nb_quality_score(docs).select("doc_id", "nb_score")
+    nbr = with_global_ranks(
+        scored, [("nb_score", "desc")], [("doc_id", "asc")]
+    ).select("doc_id", F.col("rn").alias("nb_rank"), "n_total")
+    ce = bigram_lm_score(docs).select("doc_id", "cross_entropy")
+    cand = (
+        nbr.where(2 * F.col("nb_rank") <= F.col("n_total") + 1)
+        .join(ce, "doc_id")
+        .select("doc_id", "cross_entropy")
+    )
+    cer = with_global_ranks(
+        cand, [("cross_entropy", "desc")], [("doc_id", "asc")]
+    ).select("doc_id", F.col("rn").alias("ce_rank"), F.col("n_total").alias("m"))
+    return nbr.join(cer, "doc_id", "left").select(
+        "doc_id",
+        F.col("nb_rank").cast("long").alias("nb_rank"),
+        F.col("ce_rank").cast("long").alias("ce_rank"),
+        F.coalesce(
+            2 * F.col("ce_rank") <= F.col("m") + 1, F.lit(False)
+        ).alias("selected"),
+    )

@@ -888,10 +888,11 @@ def text_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
-@register(
-    "text_bigram_lm_score",
-    f"""
-    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+# Shared bigram-LM CTE chain (the text_bigram_lm_score oracle body
+# through the per-doc likelihood classes) — also consumed by the
+# learnability-selection entry so the model SQL cannot drift between
+# the scorer and its consumers (the NB_SCORE_CTES precedent).
+BIGRAM_LM_CTES = f"""toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
     bi AS (
       SELECT doc_id, source,
              unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS prev,
@@ -923,7 +924,13 @@ def text_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN bc b ON b.prev = t.prev AND b.cur = t.cur
       LEFT JOIN cc cx ON cx.prev = t.prev
       CROSS JOIN vocab vv
-    )
+    )"""
+
+
+@register(
+    "text_bigram_lm_score",
+    f"""
+    WITH {BIGRAM_LM_CTES}
     SELECT doc_id, num, den, CAST(SUM(c) AS BIGINT) AS c_sum
     FROM classes GROUP BY 1, 2, 3
     """,

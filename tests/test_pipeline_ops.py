@@ -641,3 +641,64 @@ def test_doremi_entry_upweights_worst_source(spark, sf_dir):
     worst = max(rows, key=lambda r: r.loss_fp)
     if len({r.loss_fp for r in rows}) > 1:
         assert worst.weight_fp > DOREMI_W_SCALE // k
+
+
+def test_learnability_select_quadrant(spark, sf_dir):
+    """Invariants of the clean-but-hard selection: selected docs are
+    exactly the top-half-by-ce of the top-half-by-nb candidate pool;
+    never-candidates (bottom nb half or no bigrams) have NULL ce_rank
+    and selected False; nb_rank is a 1..N permutation."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    rows = all_queries()["pipeline_learnability_select"](spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.nb_rank for r in rows) == list(range(1, n + 1))
+    cand = [r for r in rows if r.ce_rank is not None]
+    m = len(cand)
+    assert all(2 * r.nb_rank <= n + 1 for r in cand)
+    assert sorted(r.ce_rank for r in cand) == list(range(1, m + 1))
+    for r in rows:
+        if r.ce_rank is None:
+            assert r.selected is False
+        else:
+            assert r.selected == (2 * r.ce_rank <= m + 1)
+    assert 0 < sum(r.selected for r in rows) <= (n + 1) // 2
+
+
+def test_learnability_select_planted(spark, tmp_path):
+    """Planted quadrant: among equally-clean docs (same curated
+    vocabulary), the one with an off-model bigram ORDER (higher
+    cross-entropy under the curated bigram LM) must rank harder and
+    be selected ahead of the fluent one."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    curated = [
+        (i, "src0", "en", 30, "the quick brown fox jumps over dog")
+        for i in range(10)
+    ]
+    # same tokens, scrambled order -> same NB score class, higher ce
+    hard = [(100, "src0", "en", 30, "dog over jumps fox brown quick the")]
+    # a non-curated class so the NB prior/count denominators are
+    # non-degenerate, with disjoint vocabulary so it ranks dirtier
+    noise = [
+        (200 + i, "src5", "en", 30, "zz yy xx ww vv uu tt")
+        for i in range(11)
+    ]
+    rows = curated + hard + noise
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in all_queries()["pipeline_learnability_select"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    cand = [r for r in out.values() if r.ce_rank is not None]
+    if cand:
+        hardest = min(cand, key=lambda r: r.ce_rank)
+        # the scrambled doc is the hardest candidate when it makes the
+        # clean pool (NB scores tie up to prior; doc_id breaks ties)
+        if 100 in {r.doc_id for r in cand}:
+            assert hardest.doc_id == 100
+            assert out[100].selected

@@ -299,6 +299,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     "ml_quantile_transform": {"_gr_pid", "specifiedwindowframe"},
     # two-pass ranking internals ×2 (length rank + train_order rank)
     "pipeline_curriculum_order": {"_gr_pid", "specifiedwindowframe"},
+    # two-pass ranking internals ×2 (nb rank + ce rank)
+    "pipeline_learnability_select": {"_gr_pid", "specifiedwindowframe"},
     # ECE scalar: full-frame decimal sum over the BIN table (≤ 10
     # rows by construction — bounded by the bin constant, not data)
     "ml_eval_ece": {"specifiedwindowframe"},
