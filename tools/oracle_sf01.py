@@ -38,6 +38,8 @@ COHORT = [
     "text_unigram_lm_train",
     "text_unigram_encode_trained",
     "pipeline_doremi_weights",
+    "ml_eval_avg_precision_nb",
+    "pipeline_learnability_select",
 ]
 
 

@@ -253,6 +253,8 @@ QUERIES = [
     "pipeline_doremi_weights",
     "ml_eval_mrr_bm25",
     "ml_eval_avg_precision_nb",
+    # r13 third wave: two scoring slivers + two two-pass rankings
+    "pipeline_learnability_select",
 ]
 
 
