@@ -177,3 +177,30 @@ def test_text_stats_unicode_pinned_against_hashlib(spark, sf_dir):
         assert r.n_distinct_tokens == len(set(toks)), did
         assert r.utext_h60 == h60(utext), did
         assert r.min_token_h60 == min(h60(t) for t in toks), did
+
+
+def test_unigram_kernel_codepoint_exact_on_unicode(udocs):
+    """The fused-Viterbi unigram trainer (r13: Python-slicing kernel)
+    must match the pure-Python hard-EM reference EXACTLY on hostile
+    unicode — multibyte pieces, combining marks, emoji (incl. beyond
+    the BMP), RTL — pinning that the kernel's slicing, the Spark-side
+    substring grid, and the length filter all operate on CODEPOINTS.
+    (The 17-codepoint CJK word also pins the max_word exclusion on
+    codepoints, not bytes.)"""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_text_quality import _unigram_reference
+
+    from bigquery_postgres_events_etl_spark.operators.text import (
+        unigram_lm_train,
+    )
+
+    got = sorted(
+        (r.piece, r.freq, r.cost_fp) for r in unigram_lm_train(udocs).collect()
+    )
+    want = _unigram_reference([t for _, t in UNICODE_DOCS])
+    assert got == want
+    # multibyte pieces actually survived training (not silently dropped)
+    assert any(any(ord(ch) > 127 for ch in p) for p, _, _ in got)
