@@ -1587,6 +1587,11 @@ def kmeans_q8(
                 F.col("b.d2").cast("long").alias("d2"),
             )
             break
+        # NOTE: the "obvious" de-explode (d array-indexed SUM
+        # aggregates, no N·d rows) measured 2× SLOWER at sf0.1 (10-12s
+        # vs 5s end-to-end, r13 A/B) — 65 wide aggregates with
+        # per-row array extraction lose to the hash-agg over narrow
+        # exploded rows. Keep the explode.
         sums = (
             asg.select(F.col("b.cid").alias("cid"), F.posexplode("q8"))
             .groupBy("cid", "pos")
