@@ -76,6 +76,11 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # mapInPandas kernel per EM round; same semantics, new plan):
     "text_unigram_lm_train": 13,
     "text_unigram_encode_trained": 13,
+    # r13 empty-token fix (Spark sequence(1,0) minted ['',''] symbols
+    # for '' words — values unchanged on the '' -free driver fixture,
+    # but the word filter changes the plan):
+    "text_bpe_train_merges": 13,
+    "text_bpe_encode_trained": 13,
 }
 
 

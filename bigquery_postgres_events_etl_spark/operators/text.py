@@ -494,6 +494,15 @@ def bpe_train(docs: DataFrame, n_merges: int = 10) -> DataFrame:
     words = (
         with_tokens(docs)
         .select(F.explode("tokens").alias("word"))
+        # empty tokens have ZERO symbols and can never participate in
+        # a merge — and they MUST be excluded before the char split:
+        # Spark's sequence(1, length('')) is sequence(1, 0), which
+        # takes the negative-step default and yields [1, 0] → two ''
+        # symbols → a bogus ('','') pair that outvotes real merges on
+        # corpora with repeated-space text (r13 unicode-corpus find;
+        # the oracle's generate_series(1, 0) is empty, so this was a
+        # silent cross-engine divergence)
+        .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

@@ -204,3 +204,35 @@ def test_unigram_kernel_codepoint_exact_on_unicode(udocs):
     assert got == want
     # multibyte pieces actually survived training (not silently dropped)
     assert any(any(ord(ch) > 127 for ch in p) for p, _, _ in got)
+
+
+def test_bpe_train_codepoint_exact_on_unicode(udocs):
+    """BPE training on the hostile corpus must match the pure-Python
+    reference EXACTLY — including the empty-token case: the
+    double-space doc yields '' tokens, and Spark's sequence(1, 0)
+    (negative-step default → [1, 0]) used to split '' into TWO empty
+    symbols, minting a bogus ('','') merge that outvoted real pairs
+    (the r13 unicode-corpus find; reference and DuckDB oracle both
+    treat '' as zero symbols)."""
+    import os
+    import sys
+    from collections import Counter
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_text_quality import _reference_bpe
+
+    from bigquery_postgres_events_etl_spark.operators.text import bpe_train
+
+    freqs = Counter(
+        tok for _, t in UNICODE_DOCS for tok in t.split(" ")
+    )
+    want = _reference_bpe(dict(freqs))
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.n_occurrences)
+        for r in bpe_train(udocs).orderBy("rank").collect()
+    ]
+    assert got == want
+    # no merge may involve an empty symbol
+    assert all(a != "" and b != "" for _, a, b, _, _ in got)
+    # multibyte merges actually formed
+    assert any(any(ord(ch) > 127 for ch in m) for _, _, _, m, _ in got)
