@@ -658,7 +658,14 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     record-linkage tier for short fields below shingle Jaccard. See
     operators.dedup.edit_distance_pairs for the completeness argument
     (length blocking misses nothing within the distance bound) and
-    the at-scale composition with the SimHash content blocker."""
+    the at-scale composition with the SimHash content blocker.
+
+    Oracle scope (r13 unicode-tool find): DuckDB's levenshtein()
+    counts BYTES where Spark's counts CODEPOINTS, so the twin is
+    valid on the ASCII driver fixtures only; the ENGINE's codepoint
+    semantics (the correct ones for text) are pinned on multibyte
+    input by the unicode parity pytest. Applies equally to the
+    banded sibling."""
     from pyspark.sql import functions as F
 
     from .dedup import edit_distance_pairs

@@ -236,3 +236,42 @@ def test_bpe_train_codepoint_exact_on_unicode(udocs):
     assert all(a != "" and b != "" for _, a, b, _, _ in got)
     # multibyte merges actually formed
     assert any(any(ord(ch) > 127 for ch in m) for _, _, _, m, _ in got)
+
+
+def test_levenshtein_counts_codepoints_not_bytes(spark):
+    """Spark's levenshtein (the edit-distance dedup verify) must count
+    CODEPOINT edits on multibyte text — pinned against a pure-Python
+    DP, with the documented DuckDB-bytes divergence asserted so the
+    oracle-scope note in dedup_edit_distance_pairs stays true."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    def py_lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    pairs = [
+        ("héllo wörld", "hello world"),      # 2 codepoint subs, 4 byte edits
+        ("naïve café", "naive cafe"),
+        ("🚀🔥", "🚀"),                        # astral-plane deletion
+        ("日本語", "日本誤"),
+        ("", "abc"),
+        ("héllo", "héllo"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string").select(
+        "a", "b", F.levenshtein("a", "b").alias("d")
+    )
+    got = {(r.a, r.b): r.d for r in df.collect()}
+    for a, b in pairs:
+        assert got[(a, b)] == py_lev(a, b), (a, b)
+    # the documented oracle divergence: DuckDB counts bytes
+    dk = duckdb.connect().execute(
+        "SELECT levenshtein('héllo wörld', 'hello world')"
+    ).fetchone()[0]
+    assert dk == 4 and got[("héllo wörld", "hello world")] == 2

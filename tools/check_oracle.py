@@ -5,6 +5,9 @@ oracle_sql() twin on DuckDB, then compares row count, column names, and
 an order-insensitive value multiset. Exit code 1 on any mismatch.
 
 Usage: python tools/check_oracle.py [sf_dir] [name_filter ...]
+       (a name_filter starting with "!" EXCLUDES matching entries —
+        e.g. `dedup_ '!dedup_edit_distance'` runs the dedup family
+        minus the ASCII-only-oracle edit-distance twins)
 """
 
 from __future__ import annotations
@@ -106,10 +109,14 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    include = [f for f in name_filter if not f.startswith("!")]
+    exclude = [f[1:] for f in name_filter if f.startswith("!")]
     failures = []
     n_run = 0
     for name, fn in qs.items():
-        if name_filter and not any(f in name for f in name_filter):
+        if include and not any(f in name for f in include):
+            continue
+        if any(f in name for f in exclude):
             continue
         # the dedup verify tiers persist shingle/signature frames with
         # no later unpersist handle; a full 250-entry run in one JVM
