@@ -81,6 +81,10 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # but the word filter changes the plan):
     "text_bpe_train_merges": 13,
     "text_bpe_encode_trained": 13,
+    # r13 empty-corpus NULLIF hardening (ANSI DIVIDE_BY_ZERO on
+    # zero-traffic corpora — values identical on non-degenerate data):
+    "funnel_time_to_convert": 13,
+    "funnel_window_constrained": 13,
 }
 
 

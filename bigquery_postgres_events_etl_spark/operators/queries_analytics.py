@@ -1534,11 +1534,11 @@ FUNNEL_WINDOW_HOURS = 24  # max gap allowed between consecutive steps
     SELECT CAST(COUNT(t1) AS BIGINT) AS n_signup,
            CAST(COUNT(t2) AS BIGINT) AS n_click_in_window,
            CAST(COUNT(t3) AS BIGINT) AS n_purchase_in_window,
-           CAST(COUNT(t2) AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE)
+           CAST(COUNT(t2) AS DOUBLE) / NULLIF(CAST(COUNT(t1) AS DOUBLE), 0)
              AS step2_rate,
-           CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(t2) AS DOUBLE)
+           CAST(COUNT(t3) AS DOUBLE) / NULLIF(CAST(COUNT(t2) AS DOUBLE), 0)
              AS step3_rate,
-           CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE)
+           CAST(COUNT(t3) AS DOUBLE) / NULLIF(CAST(COUNT(t1) AS DOUBLE), 0)
              AS full_rate
     FROM per_user
     """,
@@ -1585,19 +1585,19 @@ def funnel_window_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = staged.groupBy("user_id").agg(
         F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
     )
+    # NULLIF pins the zero-traffic / no-step corpus to NULL on both
+    # engines — Spark ANSI would throw DIVIDE_BY_ZERO (r13 empty-
+    # corpus sweep find)
+    def _rate(num, den):
+        return num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))
+
     return per_user.agg(
         F.count("t1").alias("n_signup"),
         F.count("t2").alias("n_click_in_window"),
         F.count("t3").alias("n_purchase_in_window"),
-        (F.count("t2").cast("double") / F.count("t1").cast("double")).alias(
-            "step2_rate"
-        ),
-        (F.count("t3").cast("double") / F.count("t2").cast("double")).alias(
-            "step3_rate"
-        ),
-        (F.count("t3").cast("double") / F.count("t1").cast("double")).alias(
-            "full_rate"
-        ),
+        _rate(F.count("t2"), F.count("t1")).alias("step2_rate"),
+        _rate(F.count("t3"), F.count("t2")).alias("step3_rate"),
+        _rate(F.count("t3"), F.count("t1")).alias("full_rate"),
     )
 
 

@@ -1012,13 +1012,14 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup_users,
            CAST(count(*) AS BIGINT) AS n_converted,
-           CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM s) AS conversion_rate,
+           CAST(count(*) AS DOUBLE)
+             / NULLIF((SELECT CAST(count(*) AS DOUBLE) FROM s), 0) AS conversion_rate,
            CAST(min(delta_s) AS BIGINT) AS min_seconds,
            quantile_cont(delta_s, 0.5) AS median_seconds,
            quantile_cont(delta_s, 0.9) AS p90_seconds,
            CAST(max(delta_s) AS BIGINT) AS max_seconds,
            CAST(CAST(SUM(CAST(delta_s AS DECIMAL(27,0))) AS VARCHAR) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) AS mean_seconds
+             / NULLIF(CAST(count(*) AS DOUBLE), 0) AS mean_seconds
     FROM conv
     """,
 )
@@ -1067,12 +1068,21 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_s"),
     )
+    # NULLIF pins the zero-traffic corpus (no signups / no conversions)
+    # to NULL on both engines — Spark ANSI would throw DIVIDE_BY_ZERO
+    # while DuckDB returns NaN (r13 empty-corpus sweep find)
     return agg.crossJoin(F.broadcast(n_signups)).select(
         "n_signup_users",
         "n_converted",
-        (F.col("n_converted").cast("double") / F.col("n_signup_users").cast("double")).alias("conversion_rate"),
+        (
+            F.col("n_converted").cast("double")
+            / F.nullif(F.col("n_signup_users").cast("double"), F.lit(0.0))
+        ).alias("conversion_rate"),
         "min_seconds", "median_seconds", "p90_seconds", "max_seconds",
-        (F.col("sum_s") / F.col("n_converted").cast("double")).alias("mean_seconds"),
+        (
+            F.col("sum_s")
+            / F.nullif(F.col("n_converted").cast("double"), F.lit(0.0))
+        ).alias("mean_seconds"),
     )
 
 
@@ -1105,11 +1115,13 @@ def events_segment_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         F.col("est_click") + F.col("est_purchase") - F.col("est_union")
     ).alias("est_intersection")
+    # NULLIF: an empty union sketch (zero-traffic corpus) pins jaccard
+    # to NULL instead of an ANSI DIVIDE_BY_ZERO (r13 empty-corpus find)
     return est.select(
         "est_click", "est_purchase", "est_union", inter,
         (
             (F.col("est_click") + F.col("est_purchase") - F.col("est_union")).cast("double")
-            / F.col("est_union").cast("double")
+            / F.nullif(F.col("est_union").cast("double"), F.lit(0.0))
         ).alias("jaccard_est"),
     )
 
