@@ -1143,3 +1143,32 @@ def test_avg_precision_planted_perfect(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     row = all_queries()["ml_eval_avg_precision_nb"](spark, str(tmp_path)).collect()[0]
     assert row.avg_precision == 1.0
+
+
+def test_funnel_rates_null_on_zero_traffic(spark, tmp_path):
+    """Zero-traffic corpus: the funnel/overlap rate entries must
+    return NULL rates (NULLIF discipline, both engines) instead of
+    the ANSI DIVIDE_BY_ZERO the r13 degenerate-corpus sweep caught —
+    fast CI pin so the full tools/degenerate_oracle.py run stays a
+    round-close check, not a per-commit one."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    for t in ("region nation customer supplier part orders lineitem "
+              "documents embeddings").split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(tmp_path))
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    pq.write_table(src.slice(0, 0), str(tmp_path / "events.parquet"))
+
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    r = qs["funnel_time_to_convert"](spark, str(tmp_path)).collect()[0]
+    assert r.n_signup_users == 0 and r.n_converted == 0
+    assert r.conversion_rate is None and r.mean_seconds is None
+    r = qs["funnel_window_constrained"](spark, str(tmp_path)).collect()[0]
+    assert r.n_signup == 0
+    assert r.step2_rate is None and r.step3_rate is None and r.full_rate is None
+    r = qs["events_segment_overlap_hll"](spark, str(tmp_path)).collect()[0]
+    assert r.jaccard_est is None
