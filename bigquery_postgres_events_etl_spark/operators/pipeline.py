@@ -266,7 +266,11 @@ def context_chunks(
     scan stage. The index sequence keeps that inferred filter integer-
     cheap and the string assembly parallel.
     """
-    df = with_tokens(docs)
+    # NULL text → NO chunks: size(NULL tokens) is -1 in Spark, so the
+    # greatest(...) clamp would mint ONE empty chunk per NULL doc
+    # while the oracle's generate_series(0, NULL) yields none (r13
+    # null-corpus sweep find)
+    df = with_tokens(docs).where(F.col("tokens").isNotNull())
     # integer ceil-div (div, not "/") so boundary rounding is exact
     last_chunk = (
         f"sequence(0, (greatest(size(tokens) - {width}, 0L) + {stride - 1}) div {stride})"

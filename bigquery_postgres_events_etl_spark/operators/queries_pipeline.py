@@ -148,7 +148,7 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(generate_series(0,
                (greatest(len(toks) - {CHUNK_WIDTH}, 0) + {CHUNK_STRIDE - 1})
                  // {CHUNK_STRIDE})) AS i
-      FROM t
+      FROM t WHERE toks IS NOT NULL
     )
     SELECT doc_id,
            CAST(i AS BIGINT) AS chunk_id,
@@ -532,7 +532,8 @@ def pipeline_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_tokens,
-           CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS length_bucket
+           CAST(ntile(4) OVER (ORDER BY n_tokens NULLS FIRST, doc_id)
+                AS BIGINT) AS length_bucket
     FROM base
     """,
 )
@@ -1416,7 +1417,8 @@ CURRICULUM_STAGES = 4
       FROM staged
     )
     SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, stage,
-           CAST(ROW_NUMBER() OVER (ORDER BY stage, src_rnk, source, doc_id)
+           CAST(ROW_NUMBER() OVER (ORDER BY stage, src_rnk,
+                                   source NULLS FIRST, doc_id)
                 AS BIGINT) AS train_order
     FROM interleaved
     """,
@@ -1607,12 +1609,25 @@ def pipeline_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_docs", "loss_fp",
             F.lit(None).cast("long").alias("weight_fp"),
         )
-    wmap = F.create_map(*[F.lit(x) for s in sorted(w) for x in (s, w[s])])
+    # a NULL source is a legitimate domain row (the oracle's GROUP BY
+    # keeps it); map literals cannot key NULL, so route it through a
+    # coalesce sentinel on both the map and the lookup. sorted() keys
+    # None-last (r13 null-corpus sweep: bare sorted() crashed on None).
+    sentinel = "\x00<null-source>"
+    wmap = F.create_map(
+        *[
+            F.lit(x)
+            for s in sorted(w, key=lambda k: (k is None, k))
+            for x in (sentinel if s is None else s, w[s])
+        ]
+    )
     return srcloss.select(
         "source",
         "n_docs",
         "loss_fp",
-        wmap[F.col("source")].cast("long").alias("weight_fp"),
+        wmap[F.coalesce(F.col("source"), F.lit(sentinel))]
+        .cast("long")
+        .alias("weight_fp"),
     )
 
 

@@ -2451,7 +2451,14 @@ def ml_eval_auc_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = nb_quality_score(docs).select("doc_id", "nb_score")
     labels = docs.select(
         "doc_id",
-        F.col("source").isin(*NB_TARGET_SOURCES).cast("long").alias("pos"),
+        # when/otherwise: a NULL source labels NEGATIVE (0) like the
+        # oracle CASE/ELSE — bare isin().cast() yields NULL, and an
+        # all-NULL score group sums to NULL and falls out of the
+        # packed cumsum (r13 null-corpus sweep find)
+        F.when(F.col("source").isin(*NB_TARGET_SOURCES), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pos"),
     )
     byscore = (
         scored.join(labels, "doc_id")
@@ -2540,7 +2547,14 @@ def ml_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = nb_quality_score(docs).select("doc_id", "nb_score")
     labels = docs.select(
         "doc_id",
-        F.col("source").isin(*NB_TARGET_SOURCES).cast("long").alias("pos"),
+        # when/otherwise: a NULL source labels NEGATIVE (0) like the
+        # oracle CASE/ELSE — bare isin().cast() yields NULL, and an
+        # all-NULL score group sums to NULL and falls out of the
+        # packed cumsum (r13 null-corpus sweep find)
+        F.when(F.col("source").isin(*NB_TARGET_SOURCES), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pos"),
     )
     byscore = (
         scored.join(labels, "doc_id")
@@ -2619,7 +2633,14 @@ def ml_eval_avg_precision_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = nb_quality_score(docs).select("doc_id", "nb_score")
     labels = docs.select(
         "doc_id",
-        F.col("source").isin(*NB_TARGET_SOURCES).cast("long").alias("pos"),
+        # when/otherwise: a NULL source labels NEGATIVE (0) like the
+        # oracle CASE/ELSE — bare isin().cast() yields NULL, and an
+        # all-NULL score group sums to NULL and falls out of the
+        # packed cumsum (r13 null-corpus sweep find)
+        F.when(F.col("source").isin(*NB_TARGET_SOURCES), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pos"),
     )
     byscore = (
         scored.join(labels, "doc_id")

@@ -685,8 +685,14 @@ def nb_score_with_tc(
     # counts toward the class prior — and the (source)-only column
     # scan is near-free under parquet pruning at any scale.
     priors = docs.agg(
-        F.count_if(is_target).alias("n_pos_docs"),
-        F.count_if(~is_target).alias("n_neg_docs"),
+        # coalesce: a NULL source is NOT curated → a NEGATIVE doc, the
+        # oracle's CASE/ELSE semantics. Bare ~is_target is NULL for a
+        # NULL source, and count_if silently DROPS it from the prior —
+        # every downstream NB score shifts (r13 null-corpus sweep
+        # find; the driver fixtures have no NULL sources, so values
+        # there are unchanged).
+        F.count_if(F.coalesce(is_target, F.lit(False))).alias("n_pos_docs"),
+        F.count_if(~F.coalesce(is_target, F.lit(False))).alias("n_neg_docs"),
     )
     contrib = F.expr(
         "CAST(ln((c_pos + CAST(1 AS DOUBLE)) / (pos_total + CAST(vocab AS DOUBLE)))"
