@@ -59,32 +59,10 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # removed; the r11 flag graph_pagerank_copurchase attested in
     # CORRECTNESS_r11; the r12 flags ml_logreg_train,
     # dedup_lsh_recall_report, embedding_power_iteration attested in
-    # CORRECTNESS_r12 — all pruned.)
-    # r12 narrowed persisted projections (cache-contamination fix
-    # fc81649 — ADVICE r12 medium: the persist now projects only the
-    # columns downstream reads, changing these entries' physical
-    # plans; their last green rows attest the wide-persist plan):
-    "dedup_edit_distance_banded": 13,
-    "similarity_ann_recall_report": 13,
-    "similarity_pq_recall_report": 13,
-    # r13 NULLIF degenerate-denominator hardening (ADVICE r12 lows —
-    # values identical on non-degenerate data, re-attest once):
-    "stats_anova_oneway": 13,
-    "ml_eval_ndcg_bm25": 13,
-    # r13 fused-Viterbi rewrite (r12 verdict item 2 — the unrolled
-    # suffix-DP/forward-walk join chain replaced by one Arrow
-    # mapInPandas kernel per EM round; same semantics, new plan):
-    "text_unigram_lm_train": 13,
-    "text_unigram_encode_trained": 13,
-    # r13 empty-token fix (Spark sequence(1,0) minted ['',''] symbols
-    # for '' words — values unchanged on the '' -free driver fixture,
-    # but the word filter changes the plan):
-    "text_bpe_train_merges": 13,
-    "text_bpe_encode_trained": 13,
-    # r13 empty-corpus NULLIF hardening (ANSI DIVIDE_BY_ZERO on
-    # zero-traffic corpora — values identical on non-degenerate data):
-    "funnel_time_to_convert": 13,
-    "funnel_window_constrained": 13,
+    # CORRECTNESS_r12 — all pruned; all eleven r13 flags — the r12
+    # narrowed-persist trio, the NULLIF hardenings, the fused-Viterbi
+    # pair, the BPE empty-token pair, the funnel zero-traffic pair —
+    # attested green in CORRECTNESS_r13 and pruned.)
 }
 
 

@@ -1526,6 +1526,10 @@ def _doremi_oracle() -> str:
       FROM srcloss
     )""",
     ]
+    # the weighted-mean terms w·loss_fp reach ~1e18 each (w ≤ 1e9,
+    # loss_fp ~ 1e9 on extreme-loss docs), so the SUM over sources can
+    # overflow BIGINT; HUGEINT matches the Python loop's unbounded ints
+    # (doremi_weights) instead of raising where the engine succeeds.
     for r in range(1, DOREMI_ROUNDS + 1):
         p = r - 1
         parts.append(f"""a{r} AS MATERIALIZED (
@@ -1537,9 +1541,9 @@ def _doremi_oracle() -> str:
                      END)) // CAST({S} AS BIGINT) AS w
       FROM (SELECT source, n_docs, loss_fp, w,
                    LEAST(GREATEST(loss_fp -
-                         (SELECT CASE WHEN SUM(w * loss_fp) >= 0
-                                 THEN SUM(w * loss_fp) // SUM(w)
-                                 ELSE -((-SUM(w * loss_fp)) // SUM(w)) END
+                         (SELECT CASE WHEN SUM(CAST(w AS HUGEINT) * loss_fp) >= 0
+                                 THEN SUM(CAST(w AS HUGEINT) * loss_fp) // SUM(w)
+                                 ELSE -((-SUM(CAST(w AS HUGEINT) * loss_fp)) // SUM(w)) END
                           FROM w{p}),
                          -{C}), {C}) AS exc
             FROM w{p}) t

@@ -1084,7 +1084,22 @@ def _unigram_viterbi(
     Scale: the cost table ships in a Spark broadcast (vocab-bounded);
     the kernel is O(len·max_piece) integer work per DISTINCT word
     (words is the post-groupBy frequency table, Heaps-sublinear) —
-    embarrassingly parallel, no shuffle, no driver state."""
+    embarrassingly parallel, no shuffle, no driver state.
+
+    Broadcast lifecycle (r13 ADVICE): one broadcast is created per EM
+    round per entry and is deliberately NEVER unpersisted/destroyed
+    here — the returned frame is LAZY and its closure re-executes this
+    kernel on every caller action (the final hash/collect replays all
+    rounds over the persisted vocab sliver), so an eager destroy()
+    would fail that replay and unpersist() is a no-op in one-JVM local
+    mode (blocks live in the driver's own BlockManager, which
+    unpersist skips). Reclamation relies on ContextCleaner instead,
+    exactly like the persist contracts elsewhere: the broadcast is
+    referenced ONLY from this closure, so once the caller drops the
+    returned frame (check_oracle drops per entry) the py4j proxy and
+    the JVM Broadcast become unreachable and ContextCleaner removes
+    the blocks. Long single-JVM sweeps therefore hold at most the
+    live entries' broadcasts, not the session's history."""
     b = words.sparkSession.sparkContext.broadcast(costs)
     mp = max_piece
 

@@ -64,9 +64,23 @@ def register(name: str, oracle: str | None):
         # overwrite, so a second registration shadowed the certified
         # first one and the registry count hid the loss (found the
         # hard way in r13 — a new ml_eval_auc_nb silently replaced the
-        # existing one). Module reloads rebuild _REGISTRY from scratch
-        # (fresh import graph), so this only fires on true collisions.
-        if name in _REGISTRY:
+        # existing one). A TRUE collision is two different modules
+        # claiming one name; a same-module re-registration is an
+        # importlib.reload of that one operator module re-executing
+        # its register() calls against the live _REGISTRY (reloading
+        # registry.py itself rebuilds _REGISTRY, but reloading an
+        # operator module in isolation does not — the r13 ADVICE
+        # edge), which must stay legal for interactive sessions. A
+        # reload re-executes the SAME definitions, so (module,
+        # qualname) both match; an accidental duplicate is a second
+        # function claiming the name, so at least one differs. (The
+        # one blind spot — re-defining the same function name twice in
+        # one file — also shadows the function itself: flake8 F811.)
+        prev = _REGISTRY.get(name)
+        if prev is not None and (
+            prev[0].__module__ != fn.__module__
+            or prev[0].__qualname__ != fn.__qualname__
+        ):
             raise ValueError(
                 f"duplicate registry entry {name!r}: already registered "
                 f"by {_REGISTRY[name][0].__module__}"

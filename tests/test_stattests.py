@@ -1084,7 +1084,7 @@ def test_avg_precision_matches_sklearn_convention(spark, sf_dir):
     (sklearn average_precision_score) computed directly in Python
     over the same scores and labels (to the DECIMAL(20,9) per-term
     rounding the entry documents)."""
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     from bigquery_postgres_events_etl_spark.io import load_table
     from bigquery_postgres_events_etl_spark.operators.text import (
@@ -1121,7 +1121,14 @@ def test_avg_precision_matches_sklearn_convention(spark, sf_dir):
         cum_p += pos_at[s]
         if pos_at[s]:
             term = (pos_at[s] * cum_p) / (n_pos * cum_n)
-            ap += Decimal(repr(term)).quantize(Decimal("1e-9"))
+            # HALF_UP, not the quantize default HALF_EVEN: the entry
+            # rounds via CAST(... AS DECIMAL(20,9)), which is HALF_UP
+            # in both Spark and DuckDB — a term landing exactly on a
+            # 0.5e-9 boundary must round the same way here (the ece
+            # precedent; r13 ADVICE latent-flake fix)
+            ap += Decimal(repr(term)).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP
+            )
         else:
             ap += Decimal(0)
     assert abs(row.avg_precision - float(ap)) < 1e-12

@@ -975,3 +975,43 @@ def test_registry_rejects_duplicate_names():
 
     with pytest.raises(ValueError, match="duplicate registry entry"):
         register("ml_eval_auc_nb", None)(lambda spark, sf: None)
+
+
+def test_registry_allows_module_reload_reregistration():
+    """importlib.reload of ONE operator module re-executes its
+    register() calls against the live _REGISTRY (only reloading
+    registry.py itself rebuilds the dict), so a same-(module,
+    qualname) re-registration is a reload, not a collision — it must
+    be permitted (the r13 ADVICE edge on the duplicate guard)."""
+    from bigquery_postgres_events_etl_spark.registry import _REGISTRY, register
+
+    name = "ml_eval_auc_nb"
+    prev = _REGISTRY[name]
+    try:
+        register(name, prev[1])(prev[0])  # exactly what a reload replays
+        assert _REGISTRY[name][0] is prev[0]
+    finally:
+        _REGISTRY[name] = prev
+
+
+def test_registry_rejects_same_module_second_function():
+    """A SECOND function in the same module claiming a taken name is a
+    true collision (different qualname), not a reload — still loud."""
+    import pytest
+
+    from bigquery_postgres_events_etl_spark.registry import _REGISTRY, register
+
+    name = "__dup_guard_probe__"
+
+    def probe_a(spark, sf):
+        return None
+
+    def probe_b(spark, sf):
+        return None
+
+    try:
+        register(name, None)(probe_a)
+        with pytest.raises(ValueError, match="duplicate registry entry"):
+            register(name, None)(probe_b)
+    finally:
+        _REGISTRY.pop(name, None)

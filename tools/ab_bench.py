@@ -42,6 +42,13 @@ MOVERS = [
     # in the interleaved set so the pooled medians settle it
     "etl_flagship",
     "dedup_minhash_jaccard_est",
+    # r13 verdict item 2: the only two >1.2× single-capture movers in
+    # BENCH_r13 (+33%/+21% on code unchanged since r11), both bench-
+    # protocol-sensitive (a plain session timed ppr 2× the bench
+    # capture) and never interleaved before — pooled medians
+    # adjudicate the r13 captures
+    "graph_ppr_seeded",
+    "events_markov_removal_p4",
 ]
 
 PKG = "bigquery_postgres_events_etl_spark"
