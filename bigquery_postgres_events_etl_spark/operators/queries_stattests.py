@@ -2757,3 +2757,239 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         (ssb / F.nullif(F.col("q") - sq_over_n, F.lit(0.0))).alias("eta_sq"),
     )
+
+
+# ---------------------------------------------------------------------
+# sequential A/B testing — mSPRT always-valid inference
+# ---------------------------------------------------------------------
+
+# mixture prior variance τ² for the mSPRT normal mixing distribution
+# (Johari et al. 2017/2022, "Always Valid Inference"): the prior scale
+# of the effect size in metric units (per-user revenue sums are
+# O(100) on the fixture). A deployment tunes τ to the effect sizes it
+# wants earliest detection for; the statistic stays always-valid for
+# ANY fixed τ, so the constant is a sensitivity knob, not a validity
+# assumption.
+AB_SEQ_TAU2 = 100.0
+
+_AB_SEQ_ORACLE = f"""
+    WITH per_user AS (
+      SELECT user_id % 2 AS variant,
+             MIN(CAST({_TS} AS DATE)) AS first_day,
+             SUM(CAST(value AS DECIMAL(27,4))) AS metric
+      FROM events GROUP BY user_id
+    ),
+    dv AS (
+      SELECT first_day, variant,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(metric AS DECIMAL(27,4))) AS s_dec,
+             SUM(CAST(CAST(metric AS DECIMAL(18,4)) * CAST(metric AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS ss_dec
+      FROM per_user GROUP BY first_day, variant
+    ),
+    grid AS (
+      SELECT d.first_day, v.variant
+      FROM (SELECT DISTINCT first_day FROM per_user) d
+      CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) v(variant)
+    ),
+    filled AS (
+      SELECT g.first_day, g.variant,
+             coalesce(dv.n, 0) AS n,
+             coalesce(dv.s_dec, CAST(0 AS DECIMAL(27,4))) AS s_dec,
+             coalesce(dv.ss_dec, CAST(0 AS DECIMAL(38,8))) AS ss_dec
+      FROM grid g LEFT JOIN dv ON dv.first_day = g.first_day AND dv.variant = g.variant
+    ),
+    cum AS (
+      SELECT first_day, variant,
+             CAST(SUM(n) OVER w AS BIGINT) AS cn,
+             CAST(CAST(SUM(s_dec) OVER w AS VARCHAR) AS DOUBLE) AS cs,
+             CAST(CAST(SUM(ss_dec) OVER w AS VARCHAR) AS DOUBLE) AS css
+      FROM filled
+      WINDOW w AS (PARTITION BY variant ORDER BY first_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    wide AS (
+      SELECT first_day AS day,
+             MAX(CASE WHEN variant = 0 THEN cn END) AS n_a,
+             MAX(CASE WHEN variant = 1 THEN cn END) AS n_b,
+             MAX(CASE WHEN variant = 0 THEN cs END) AS s_a,
+             MAX(CASE WHEN variant = 1 THEN cs END) AS s_b,
+             MAX(CASE WHEN variant = 0 THEN css END) AS ss_a,
+             MAX(CASE WHEN variant = 1 THEN css END) AS ss_b
+      FROM cum GROUP BY first_day
+    ),
+    stats AS (
+      SELECT day, n_a, n_b,
+             s_a / NULLIF(n_a, 0) AS mean_a,
+             s_b / NULLIF(n_b, 0) AS mean_b,
+             (ss_a - s_a * s_a / NULLIF(n_a, 0)) / NULLIF(n_a - 1, 0) AS var_a,
+             (ss_b - s_b * s_b / NULLIF(n_b, 0)) / NULLIF(n_b - 1, 0) AS var_b
+      FROM wide
+    ),
+    vn AS (
+      SELECT day, n_a, n_b, mean_a, mean_b,
+             mean_a - mean_b AS theta,
+             var_a / NULLIF(n_a, 0) + var_b / NULLIF(n_b, 0) AS v_n
+      FROM stats
+    )
+    SELECT day, n_a, n_b, mean_a, mean_b, theta, v_n,
+           CASE WHEN v_n > 0 THEN
+             sqrt(v_n / (v_n + CAST(100 AS DOUBLE))) END AS mix_shrink,
+           CASE WHEN v_n > 0 THEN
+             theta * theta * CAST(100 AS DOUBLE)
+               / (2 * v_n * (v_n + CAST(100 AS DOUBLE))) END AS exp_arg
+    FROM vn
+    """
+
+
+def events_ab_sequential_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-indexed mSPRT monitoring trajectory INCLUDING the
+    transcendental columns (log_lambda, the always-valid p-value, and
+    the α=0.05 decision) — the user-facing surface; the registered
+    entry compares the boundary-safe projection (the Kaplan-Meier
+    _full precedent: ln/exp may differ by 1 ulp across libm builds,
+    so they are pytest-pinned instead of oracle-hashed)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.sum(F.col("value").cast("decimal(27,4)")).alias("metric"),
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "first_day", "metric")
+    )
+    m18 = F.col("metric").cast("decimal(18,4)")
+    dv = per_user.groupBy("first_day", "variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("metric").cast("decimal(27,4)")).alias("s_dec"),
+        F.sum((m18 * m18).cast("decimal(38,8)")).alias("ss_dec"),
+    )
+    grid = (
+        per_user.select("first_day")
+        .distinct()
+        .crossJoin(
+            spark.range(2).select(F.col("id").cast("long").alias("variant"))
+        )
+    )
+    filled = grid.join(dv, ["first_day", "variant"], "left").select(
+        "first_day",
+        "variant",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        F.coalesce("s_dec", F.lit(0).cast("decimal(27,4)")).alias("s_dec"),
+        F.coalesce("ss_dec", F.lit(0).cast("decimal(38,8)")).alias("ss_dec"),
+    )
+    # per-variant cumulative moments: the window rides the DAY grid
+    # (calendar-bounded — |days| rows per arm, the events_wow_growth
+    # exemption class), never the event stream
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = filled.select(
+        "first_day",
+        "variant",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("s_dec").over(w).cast("string").cast("double").alias("cs"),
+        F.sum("ss_dec").over(w).cast("string").cast("double").alias("css"),
+    )
+
+    def pick(c: str, v: int):
+        return F.max(F.when(F.col("variant") == v, F.col(c)))
+
+    wide = cum.groupBy(F.col("first_day").alias("day")).agg(
+        pick("cn", 0).alias("n_a"),
+        pick("cn", 1).alias("n_b"),
+        pick("cs", 0).alias("s_a"),
+        pick("cs", 1).alias("s_b"),
+        pick("css", 0).alias("ss_a"),
+        pick("css", 1).alias("ss_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s_a, s_b = F.col("s_a"), F.col("s_b")
+    ss_a, ss_b = F.col("ss_a"), F.col("ss_b")
+    zero = F.lit(0.0)
+    stats = wide.select(
+        "day",
+        "n_a",
+        "n_b",
+        (s_a / F.nullif(n_a.cast("double"), zero)).alias("mean_a"),
+        (s_b / F.nullif(n_b.cast("double"), zero)).alias("mean_b"),
+        (
+            (ss_a - s_a * s_a / F.nullif(n_a.cast("double"), zero))
+            / F.nullif((n_a - 1).cast("double"), zero)
+        ).alias("var_a"),
+        (
+            (ss_b - s_b * s_b / F.nullif(n_b.cast("double"), zero))
+            / F.nullif((n_b - 1).cast("double"), zero)
+        ).alias("var_b"),
+    )
+    tau2 = F.lit(AB_SEQ_TAU2)
+    theta = F.col("mean_a") - F.col("mean_b")
+    v_n = F.col("var_a") / F.nullif(
+        F.col("n_a").cast("double"), zero
+    ) + F.col("var_b") / F.nullif(F.col("n_b").cast("double"), zero)
+    vn = stats.select(
+        "day", "n_a", "n_b", "mean_a", "mean_b",
+        theta.alias("theta"), v_n.alias("v_n"),
+    )
+    v = F.col("v_n")
+    th = F.col("theta")
+    per_day = vn.select(
+        "day", "n_a", "n_b", "mean_a", "mean_b", "theta", "v_n",
+        F.when(v > 0, F.sqrt(v / (v + tau2))).alias("mix_shrink"),
+        F.when(v > 0, th * th * tau2 / (F.lit(2.0) * v * (v + tau2))).alias(
+            "exp_arg"
+        ),
+    )
+    # the transcendental tail: logΛ, the running-max crossing state,
+    # and the always-valid p (non-increasing by construction). The
+    # running max rides the |days| frame — pruned out of the
+    # registered entry's plan along with these columns.
+    log_lambda = F.log(F.col("mix_shrink")) + F.col("exp_arg")
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    with_ll = per_day.withColumn("log_lambda", log_lambda).withColumn(
+        "p_always_valid",
+        F.least(F.lit(1.0), F.exp(-F.max("log_lambda").over(wd))),
+    )
+    return with_ll.withColumn(
+        "reject_05", F.col("p_always_valid") < F.lit(0.05)
+    )
+
+
+@register("events_ab_sequential", _AB_SEQ_ORACLE)
+def events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential A/B testing via the mSPRT (mixture sequential
+    probability ratio test — Johari, Koomen, Pekelis & Walsh,
+    "Peeking at A/B Tests" / always-valid inference): the missing
+    member of the experimentation family (t/z/DiD/CUPED/power/
+    randomization/BH test a FIXED horizon; this one is valid under
+    CONTINUOUS monitoring). Users split into arms by ``user_id % 2``
+    (the events_ab_ttest assignment), per-user metric = exact DECIMAL
+    revenue sum, indexed by the user's arrival day (first event
+    date); each day's row is the experiment state had you peeked that
+    day:
+
+        Λ_n = √(Vn/(Vn+τ²)) · exp(θ̂²τ² / (2·Vn·(Vn+τ²)))
+        p_n = min(p_{{n-1}}, 1/Λ_n)            (always-valid p-value)
+
+    with θ̂ = mean_a − mean_b and Vn = var_a/n_a + var_b/n_b from the
+    cumulative exact-decimal moments.
+
+    Compared output: day, arm counts/means, θ̂, Vn, and Λ's two
+    factors in EXACT form — mix_shrink = √(Vn/(Vn+τ²)) and exp_arg =
+    θ̂²τ²/(2Vn(Vn+τ²)) (+,−,×,÷,√ are all correctly rounded IEEE ops
+    over identical decimal-string-converted inputs, so bit-identical
+    across engines). logΛ / p_always_valid / reject_05 need exp/ln
+    (1-ulp libm hazard) and live in events_ab_sequential_full,
+    pytest-pinned including the crossing-boundary trajectory (the
+    customer_survival_km split). Degenerate guards: one-arm / n≤1 /
+    zero-variance days NULL out via NULLIF on both engines (the r13
+    zero-traffic precedent).
+
+    Scale: two partial-aggregatable rollups (user, then day×arm); the
+    cumulative window rides the calendar-bounded day grid (|days|
+    rows per arm — the events_wow_growth class), never the event
+    stream; the pivot is a |days|-row conditional aggregation."""
+    return events_ab_sequential_full(spark, sf_dir).drop(
+        "log_lambda", "p_always_valid", "reject_05"
+    )

@@ -888,6 +888,220 @@ def text_bpe_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+# ---------------------------------------------------------------------
+# WordPiece tokenizer oracles — UNROLLED round CTEs (the DoReMi
+# pattern: n_merges is a fixed constant, so each merge round is one
+# MATERIALIZED CTE triplet instead of the BPE recursion's two-phase
+# state machine; the likelihood pick needs pair counts AND symbol
+# counts per round, which the unrolled form expresses naturally)
+# ---------------------------------------------------------------------
+
+_WORDPIECE_N_MERGES = 10
+
+
+def _wordpiece_ctes(n_merges: int = _WORDPIECE_N_MERGES, min_pair: int = 2) -> str:
+    """Round-unrolled replication of wordpiece_train: wpv{r} is the
+    vocab state, wpp{r}/wps{r} the weighted pair/symbol counts,
+    wpb{r} the likelihood-argmax pick (score compared as the same
+    IEEE cast/multiply/divide chain the engine orders by —
+    exactly-rounded ops over exact integers, bit-identical across
+    engines; ties on (a, b)). The apply step reuses the BPE-encode
+    parity-mask (merge-start iff the offset within a same-char run is
+    even — the canonical left-to-right scan), and a round whose best
+    pair count is < min_pair leaves the vocab unchanged, so every
+    later round is identically empty — the engine loop's break."""
+    parts = [
+        """wp_words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE word != ''
+  GROUP BY word
+)""",
+        """wpv0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_transform(range(1, length(word) + 1),
+           i -> CASE WHEN i = 1 THEN word[i] ELSE '##' || word[i] END) AS syms
+  FROM wp_words
+)""",
+    ]
+    for r in range(n_merges):
+        parts.append(f"""wpp{r} AS MATERIALIZED (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT v.freq, v.syms[i] AS a, v.syms[i + 1] AS b
+        FROM wpv{r} v, unnest(range(1, len(v.syms))) AS t(i))
+  GROUP BY a, b
+)""")
+        parts.append(f"""wps{r} AS MATERIALIZED (
+  SELECT s, CAST(SUM(freq) AS BIGINT) AS c
+  FROM (SELECT v.freq, unnest(v.syms) AS s FROM wpv{r} v)
+  GROUP BY s
+)""")
+        parts.append(f"""wpb{r} AS MATERIALIZED (
+  SELECT p.a, p.b, p.n, sa.c AS ca, sb.c AS cb,
+         p.a || CASE WHEN p.b LIKE '##_%' THEN substring(p.b, 3)
+                     ELSE p.b END AS merged
+  FROM wpp{r} p JOIN wps{r} sa ON sa.s = p.a JOIN wps{r} sb ON sb.s = p.b
+  WHERE p.n >= {min_pair}
+  ORDER BY CAST(p.n AS DOUBLE)
+             / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) DESC,
+           p.a, p.b
+  LIMIT 1
+)""")
+        parts.append(f"""wpv{r + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN a IS NULL THEN syms ELSE
+           flatten(list_transform(range(1, len(syms) + 1), i ->
+             CASE WHEN i > 1 AND starts[i - 1] THEN []
+                  WHEN i <= len(starts) AND starts[i] THEN [merged]
+                  ELSE [syms[i]] END))
+         END AS syms
+  FROM (
+    SELECT v.word, v.freq, v.syms, b.a, b.merged,
+      CASE WHEN b.a IS NULL THEN NULL ELSE
+        list_transform(range(1, len(v.syms)), i ->
+          v.syms[i] = b.a AND v.syms[i + 1] = b.b
+          AND (b.a != b.b OR
+               (i - (1 + coalesce(list_max(
+                  list_filter(range(1, i), j -> v.syms[j] != b.a)), 0))) % 2 = 0))
+      END AS starts
+    FROM wpv{r} v LEFT JOIN wpb{r} b ON true
+  )
+)""")
+    return ",\n".join(parts)
+
+
+_WORDPIECE_TRAIN_ORACLE = (
+    "WITH " + _wordpiece_ctes() + "\nSELECT * FROM (\n"
+    + "\n  UNION ALL\n".join(
+        f'  SELECT CAST({r} AS BIGINT) AS rank, a AS "left", b AS "right",'
+        f" merged, n AS n_pair, ca AS n_left, cb AS n_right FROM wpb{r}"
+        for r in range(_WORDPIECE_N_MERGES)
+    )
+    + "\n) ORDER BY rank\n"
+)
+
+_WORDPIECE_ENCODE_ORACLE = (
+    "WITH RECURSIVE " + _wordpiece_ctes() + ",\n"
+    + """wp_vocab AS MATERIALIZED (
+  SELECT DISTINCT piece FROM (
+    SELECT unnest(syms) AS piece FROM wpv0
+"""
+    + "".join(
+        f"    UNION ALL SELECT merged FROM wpb{r}\n"
+        for r in range(_WORDPIECE_N_MERGES)
+    )
+    + """  ) t
+),
+wpe_words AS MATERIALIZED (
+  SELECT DISTINCT word FROM (
+    SELECT unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE text != ''
+  ) t
+),
+-- the vocabulary rides INSIDE the recursion rows as a list column and
+-- the longest-match is pure list arithmetic: DuckDB 1.0.0 silently
+-- matches nothing when a recursive CTE's LATERAL joins a CTE whose
+-- derivation contains any unnest (minimal repro in the r14 notes), so
+-- no join may appear inside the recursive step
+wpv_list AS MATERIALIZED (SELECT list(DISTINCT piece) AS vlist FROM wp_vocab),
+wpe AS (
+  SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n_tokens,
+         CAST([] AS VARCHAR[]) AS toks, vl.vlist
+  FROM wpe_words CROSS JOIN wpv_list vl
+  UNION ALL
+  SELECT word,
+         CASE WHEN best_l IS NULL THEN CAST(length(word) + 1 AS BIGINT)
+              ELSE pos + best_l END AS pos,
+         CASE WHEN best_l IS NULL THEN CAST(1 AS BIGINT)
+              ELSE n_tokens + 1 END AS n_tokens,
+         CASE WHEN best_l IS NULL THEN ['[UNK]']
+              ELSE list_append(toks,
+                     (CASE WHEN pos > 1 THEN '##' ELSE '' END)
+                       || substring(word, pos, best_l)) END AS toks,
+         vlist
+  FROM (
+    SELECT word, pos, n_tokens, toks, vlist,
+           list_max(list_filter(range(1, length(word) - pos + 2),
+             L -> list_contains(vlist,
+                    (CASE WHEN pos > 1 THEN '##' ELSE '' END)
+                      || substring(word, pos, L)))) AS best_l
+    FROM wpe WHERE pos <= length(word)
+  ) e
+),
+wp_word_enc AS (
+  SELECT word, toks AS syms, n_tokens AS enc_len FROM (
+    SELECT word, toks, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos DESC) AS rn
+    FROM wpe
+  ) WHERE rn = 1
+),
+wp_doc_words AS (
+  SELECT d.doc_id, t.pos, sp.sp[t.pos] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+        FROM documents WHERE text != '') sp
+  JOIN documents d USING (doc_id),
+       unnest(range(1, len(sp.sp) + 1)) AS t(pos)
+),
+wp_doc_enc AS (
+  SELECT doc_id, pos, w.enc_len, w.syms,
+         coalesce(SUM(w.enc_len) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM wp_doc_words dw JOIN wp_word_enc w USING (word)
+),
+wp_agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(coalesce(sum(enc_len), 0) AS BIGINT) AS n_tokens,
+         array_to_string(
+           (flatten(list(syms ORDER BY pos) FILTER (WHERE cum_before < 8)))[1:8],
+           ' ') AS first_tokens
+  FROM wp_doc_enc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.first_tokens, '') AS first_tokens
+FROM documents d LEFT JOIN wp_agg a USING (doc_id)
+"""
+)
+
+
+@register("text_wordpiece_train", _WORDPIECE_TRAIN_ORACLE)
+def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 10 WordPiece merges from the corpus — the third
+    production tokenizer (BPE: most-frequent-pair; unigram-LM:
+    hard-EM prune; WordPiece: max likelihood gain n(ab)/(n(a)·n(b))).
+    One corpus pass for word frequencies, then two small
+    vocab-table aggregations per round (pair counts + symbol counts).
+    Hash-oracle-checked: the unrolled-CTE twin replays every round
+    with the identical integer counts and the identical IEEE score
+    chain; compared columns are labels + exact integers only."""
+    from .text import wordpiece_train
+
+    return wordpiece_train(
+        parallelize(load_table(spark, sf_dir, "documents")),
+        n_merges=_WORDPIECE_N_MERGES,
+    )
+
+
+@register("text_wordpiece_encode_trained", _WORDPIECE_ENCODE_ORACLE)
+def text_wordpiece_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the WordPiece vocabulary its own
+    training learns (alphabet + merged tokens): greedy
+    longest-match-first per word, whole-word [UNK] on any miss — the
+    BERT runtime tokenizer. The oracle re-derives the vocabulary with
+    the shared unrolled training CTEs, then a recursive CTE replays
+    the greedy cursor walk per DISTINCT word (lateral longest-match;
+    a missed position jumps the cursor past the end with the single
+    [UNK] emission), and docs reassemble by position with the shared
+    first-8-tokens accumulation contract (bpe/unigram column
+    parity)."""
+    from .text import wordpiece_encode, wordpiece_vocab
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    return wordpiece_encode(docs, wordpiece_vocab(docs, _WORDPIECE_N_MERGES))
+
+
 # Shared bigram-LM CTE chain (the text_bigram_lm_score oracle body
 # through the per-doc likelihood classes) — also consumed by the
 # learnability-selection entry so the model SQL cannot drift between
@@ -2201,4 +2415,148 @@ def ml_eval_mrr_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_judged").cast("double") / F.lit(float(NDCG_K))).alias(
             "judged_at_k"
         ),
+    )
+
+
+# ---------------------------------------------------------------------
+# split-conformal prediction — distribution-free coverage for the NB
+# quality score (Vovk et al.; Papadopoulos et al. 2002 split variant)
+# ---------------------------------------------------------------------
+
+# target coverage 1−α = 9/10, kept as exact integers so the quantile
+# rank k = ⌈(1−α)(n+1)⌉ = (9(n+1)+9) div 10 is the same BIGINT on both
+# engines (no float ceil at any n)
+_CONFORMAL_COV_NUM, _CONFORMAL_COV_DEN = 9, 10
+# 1-in-5 md5 hash split: deterministic, engine-identical, and
+# independent of the score (the exchangeability the guarantee needs)
+_CONFORMAL_SPLIT_MOD = 5
+
+
+@register(
+    "ml_eval_conformal",
+    f"""
+    WITH {NB_SCORE_CTES},
+    sc AS (
+      SELECT d.doc_id,
+             CAST(-(d.llr + p.prior) AS DECIMAL(20,9)) AS nonconf,
+             (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % {_CONFORMAL_SPLIT_MOD} = 0) AS is_cal
+      FROM per_doc d CROSS JOIN priors p
+    ),
+    cal AS (
+      SELECT nonconf,
+             ROW_NUMBER() OVER (ORDER BY nonconf, doc_id) AS rn,
+             COUNT(*) OVER () AS n_cal
+      FROM sc WHERE is_cal
+    ),
+    q AS (
+      SELECT MAX(nonconf) AS qhat FROM cal
+      WHERE rn = ({_CONFORMAL_COV_NUM} * (n_cal + 1) + {_CONFORMAL_COV_DEN - 1})
+                   // {_CONFORMAL_COV_DEN}
+    ),
+    caln AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM sc WHERE is_cal),
+    cov AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(coalesce(SUM(CASE WHEN q.qhat IS NULL OR s.nonconf <= q.qhat
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_covered,
+             MAX(q.qhat) AS qhat
+      FROM sc s CROSS JOIN q WHERE NOT s.is_cal
+    )
+    SELECT c.n_cal,
+           CAST(({_CONFORMAL_COV_NUM} * (c.n_cal + 1) + {_CONFORMAL_COV_DEN - 1})
+                  // {_CONFORMAL_COV_DEN} AS BIGINT) AS k_rank,
+           v.qhat, v.n_test, v.n_covered,
+           CAST(v.n_covered AS DOUBLE) / NULLIF(CAST(v.n_test AS DOUBLE), 0) AS coverage
+    FROM caln c CROSS JOIN cov v
+    """,
+)
+def ml_eval_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction for the NB quality score — the eval
+    family's distribution-free calibration-guarantee member (AUC/ECE/
+    isotonic measure fit; this one GUARANTEES marginal coverage):
+    nonconformity = −nb_score on an md5 hash-split calibration sliver
+    (1 in 5 docs), q̂ = the ⌈(1−α)(n_cal+1)⌉-th smallest nonconformity
+    (α = 1/10 — the finite-sample-corrected empirical quantile), and a
+    test doc is COVERED iff −nb_score ≤ q̂. Exchangeability of the
+    hash split gives P(covered) ≥ 1−α with no distributional
+    assumption (Vovk; Papadopoulos 2002; Angelopoulos & Bates 2023
+    tutorial form).
+
+    Hash-oracle friendly by construction: nonconformity is the exact
+    DECIMAL(20,9) NB score negated (the doremi double→decimal
+    round-trip precedent), the quantile rank is pure integer
+    arithmetic, q̂ is an exact decimal, coverage flags are integers,
+    and the one division at the end is a single IEEE op. n_cal < 9
+    makes k_rank > n_cal → q̂ NULL → everything covered (q̂ = +∞, the
+    conformal convention for an undersized calibration set).
+
+    Scale: the corpus-sized work is the shared NB scoring plan; the
+    calibration sliver ranks via the two-pass global ranking (no
+    unpartitioned window over data); q̂ broadcasts back as a 1-row
+    frame (the bm25-stats contract)."""
+    from .dedup import md5_hash60
+    from .ranking import with_global_ranks
+    from .text import nb_quality_score
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    h = md5_hash60(F.col("doc_id").cast("string"))
+    base = (
+        nb_quality_score(docs)
+        .select(
+            "doc_id",
+            (-F.expr("CAST(nb_score AS DECIMAL(20,9))")).alias("nonconf"),
+            (h % _CONFORMAL_SPLIT_MOD == 0).alias("is_cal"),
+        )
+        # narrow persisted projection: ranked (cal) and coverage (test)
+        # both read it, and the NB scoring plan above is the expensive
+        # part worth computing once
+        .persist()
+    )
+    k_of = (
+        f"CAST(({_CONFORMAL_COV_NUM} * (n_cal + 1) + {_CONFORMAL_COV_DEN - 1})"
+        f" DIV {_CONFORMAL_COV_DEN} AS BIGINT)"
+    )
+    ranked = with_global_ranks(
+        base.where(F.col("is_cal")).select("nonconf", "doc_id"),
+        key_order=[("nonconf", "asc")],
+        tie_order=[("doc_id", "asc")],
+    )
+    qhat = (
+        ranked.withColumnRenamed("n_total", "n_cal")
+        .where(F.col("rn") == F.expr(k_of))
+        .agg(F.max("nonconf").alias("qhat"))  # 1 row, NULL when k>n_cal
+    )
+    caln = base.where(F.col("is_cal")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal")
+    )
+    cov = (
+        base.where(~F.col("is_cal"))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("qhat").isNull()
+                        | (F.col("nonconf") <= F.col("qhat")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_covered"),
+            F.max("qhat").alias("qhat"),
+        )
+    )
+    return caln.crossJoin(F.broadcast(cov)).select(
+        "n_cal",
+        F.expr(k_of).alias("k_rank"),
+        "qhat",
+        "n_test",
+        "n_covered",
+        (
+            F.col("n_covered").cast("double")
+            / F.nullif(F.col("n_test").cast("double"), F.lit(0.0))
+        ).alias("coverage"),
     )

@@ -1025,6 +1025,247 @@ def bpe_encode(
 
 
 # ---------------------------------------------------------------------
+# WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer) —
+# likelihood-scored merges + greedy longest-match-first encode
+# ---------------------------------------------------------------------
+
+WORDPIECE_UNK = "[UNK]"
+
+
+def _wp_initial_syms_expr() -> str:
+    """Spark SQL for a word's initial WordPiece segmentation: first
+    char as-is, every later char with the ``##`` continuation prefix
+    (the published convention — symbols are PLAIN STRINGS, so an
+    initial piece whose raw text starts with ``##`` conflates with a
+    continuation piece of the suffix; HF tokenizers shares exactly
+    this string-keyed conflation, and both engines conflate
+    identically, so it is canonical behavior, not a parity hazard)."""
+    return (
+        "transform(sequence(1, length(word)), i -> "
+        "CASE WHEN i = 1 THEN substring(word, i, 1) "
+        "ELSE concat('##', substring(word, i, 1)) END)"
+    )
+
+
+def _wp_merge_label(a: str, b: str) -> str:
+    """Merged-token label: strip the right side's ``##`` prefix before
+    concatenating (the HF rule) — EXCEPT when the stripped remainder
+    would be empty (b == '##', reachable only through degenerate
+    '#'-run corpora): concatenating '' would make merged == a, and the
+    left-to-right apply scan's overlap self-exclusion relies on the
+    merged symbol differing from the pair's left element (see
+    bpe_train). Keeping b whole preserves merged = a + nonempty ≠ a on
+    every input; the oracle applies the same rule ('##_%' — at least
+    one char after the prefix)."""
+    return a + (b[2:] if b.startswith("##") and len(b) > 2 else b)
+
+
+def wordpiece_train(
+    docs: DataFrame, n_merges: int = 10, min_pair: int = 2
+) -> DataFrame:
+    """WordPiece tokenizer TRAINING — the third production tokenizer
+    beside :func:`bpe_train` and :func:`unigram_lm_train`, in the same
+    scale shape: the corpus is touched exactly ONCE (word
+    frequencies); the merge loop iterates over the VOCAB table
+    (Heaps-sublinear in corpus size).
+
+    The one semantic difference from BPE is the PICK rule: instead of
+    the most frequent adjacent pair, WordPiece merges the pair
+    maximizing the likelihood gain score
+
+        score(a, b) = n(a,b) / (n(a) · n(b))
+
+    (Schuster & Nakajima 2012 §III — the pair whose merge most
+    increases a unigram LM's corpus likelihood), so each round needs
+    the pair counts AND the symbol counts: two small aggregations over
+    the vocab table instead of one. The score is compared as ONE IEEE
+    chain over exact integers (cast, multiply, divide — all exactly
+    rounded, hence bit-identical across engines; no transcendental),
+    with ties broken lexicographically on (left, right). The apply
+    step is the bpe_train higher-order ``aggregate`` scan verbatim —
+    the merged label differs from the pair's left element on every
+    input (see :func:`_wp_merge_label`), so overlaps self-exclude.
+
+    Returns (rank, left, right, merged, n_pair, n_left, n_right) —
+    all-integer counts beside the labels, so the entry is
+    hash-oracle-checkable (the unrolled-CTE DuckDB twin replays every
+    round; score itself is deliberately NOT a compared column).
+
+    Reference behavior derived from the published algorithm only
+    (Schuster & Nakajima 2012, Wu et al. 2016 §4.1); no reference-repo
+    counterpart exists (extract_bq.py has no tokenizer)."""
+    spark = docs.sparkSession
+    words = (
+        with_tokens(docs)
+        .select(F.explode("tokens").alias("word"))
+        # '' words have zero symbols (the bpe_train sequence(1,0)
+        # precedent) — excluded before the char split
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.withColumn(
+        "syms", F.expr(_wp_initial_syms_expr())
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int, int, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms) - 1),"
+                        " slice(syms, 2, size(syms) - 1),"
+                        " (a, b) -> struct(a, b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+        )
+        sym_counts = (
+            vocab.select("freq", F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = (
+            pairs.where(F.col("n") >= min_pair)
+            .join(sym_counts.select(F.col("s").alias("a"), F.col("c").alias("ca")), "a")
+            .join(sym_counts.select(F.col("s").alias("b"), F.col("c").alias("cb")), "b")
+            .orderBy(
+                F.desc(
+                    F.col("n").cast("double")
+                    / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+                ),
+                F.asc("a"),
+                F.asc("b"),
+            )
+            .first()  # bounded single-row fetch (the bpe_train contract)
+        )
+        if best is None:
+            break
+        a, b = best["a"], best["b"]
+        merged = _wp_merge_label(a, b)
+        merges.append(
+            (rank, a, b, merged, int(best["n"]), int(best["ca"]), int(best["cb"]))
+        )
+        qa, qb, qm = (x.replace("'", "\\'") for x in (a, b, merged))
+        vocab = vocab.withColumn(
+            "syms",
+            F.expr(
+                f"aggregate(syms, cast(array() as array<string>),"
+                f" (acc, s) -> CASE WHEN size(acc) > 0"
+                f" AND element_at(acc, -1) = '{qa}' AND s = '{qb}'"
+                f" THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}'))"
+                f" ELSE concat(acc, array(s)) END)"
+            ),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "rank BIGINT, left STRING, right STRING, merged STRING,"
+        " n_pair BIGINT, n_left BIGINT, n_right BIGINT",
+    )
+
+
+def wordpiece_vocab(docs: DataFrame, n_merges: int = 10) -> list[str]:
+    """The deployable WordPiece vocabulary: the initial alphabet
+    (every word-initial char as-is + every later char ``##``-prefixed,
+    exactly the symbols training starts from) plus the learned merged
+    tokens. Two bounded collects — alphabet ≤ 2·|charset| rows,
+    merges ≤ n_merges rows (the bpe_encode merge-table contract:
+    deployment constants, never corpus-sized)."""
+    alpha = (
+        with_tokens(docs)
+        .select(F.explode("tokens").alias("word"))
+        .where(F.col("word") != "")
+        .select(F.explode(F.expr(_wp_initial_syms_expr())).alias("piece"))
+        .distinct()
+        .collect()
+    )
+    merged = wordpiece_train(docs, n_merges).select("merged").collect()
+    return sorted({r["piece"] for r in alpha} | {r["merged"] for r in merged})
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    unk: str = WORDPIECE_UNK,
+) -> DataFrame:
+    """Tokenizer INFERENCE — greedy longest-match-first WordPiece
+    encoding (the BERT runtime tokenizer): per word, repeatedly take
+    the LONGEST vocabulary piece matching at the cursor (continuation
+    positions look up '##' + substring — plain string membership, the
+    published convention); any position with no match makes the whole
+    word a single ``[UNK]`` token (the HF WordPiece rule).
+
+    The vocabulary is a deployment constant shipped in the task
+    closure (the bpe_encode contract); Arrow ``mapInPandas`` with a
+    per-batch word→encoding cache (Zipf: per-occurrence work becomes
+    per-distinct-word work). Output: (doc_id, n_words, n_tokens,
+    first_tokens) — the shared tokenizer column contract, so all
+    three tokenizers' corpus footprints are directly comparable."""
+    vset = frozenset(vocab)
+
+    def encode_word(word: str) -> list[str]:
+        n = len(word)
+        out: list[str] = []
+        pos = 0
+        while pos < n:
+            hit = None
+            for ln_ in range(n - pos, 0, -1):
+                cand = ("##" if pos > 0 else "") + word[pos : pos + ln_]
+                if cand in vset:
+                    hit = (cand, ln_)
+                    break
+            if hit is None:
+                return [unk]
+            out.append(hit[0])
+            pos += hit[1]
+        return out
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is None:
+                got = cache[word] = encode_word(word)
+            return got
+
+        for pdf in batches:
+            n_words, n_tokens, first = [], [], []
+            for text in pdf["text"]:
+                ws = text.split(" ") if text else []
+                toks: list[str] = []
+                total = 0
+                for w in ws:
+                    e = enc(w)
+                    total += len(e)
+                    if len(toks) < 8:
+                        toks.extend(e)
+                n_words.append(len(ws))
+                n_tokens.append(total)
+                first.append(" ".join(toks[:8]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                    "first_tokens": first,
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id"), "text").mapInPandas(
+        run, schema="doc_id BIGINT, n_words BIGINT, n_tokens BIGINT, first_tokens STRING"
+    )
+
+
+# ---------------------------------------------------------------------
 # Unigram-LM tokenizer training (the SentencePiece unigram model,
 # Kudo 2018) — hard-EM over a bounded seed vocabulary
 # ---------------------------------------------------------------------

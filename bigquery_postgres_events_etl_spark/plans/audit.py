@@ -81,6 +81,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "1-row corpus-count scalar feeding the ECE weight",
     ("queries_text.py", "ml_eval_ndcg_bm25"):
         "1-row IDCG scalar — unconditionally safe",
+    ("queries_text.py", "ml_eval_conformal"):
+        "two 1-row scalar frames (q̂ conformal quantile; test-split "
+        "coverage rollup) — unconditionally safe",
     ("similarity.py", "_assign"):
         "k-means centroid table — k·d rows, schema constants",
     ("queries_stattests.py", "customer_survival_km_full"):

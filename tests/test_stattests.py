@@ -1179,3 +1179,146 @@ def test_funnel_rates_null_on_zero_traffic(spark, tmp_path):
     assert r.step2_rate is None and r.step3_rate is None and r.full_rate is None
     r = qs["events_segment_overlap_hll"](spark, str(tmp_path)).collect()[0]
     assert r.jaccard_est is None
+
+
+def _ref_msprt(rows, tau2=100.0):
+    """Pure-Python mSPRT trajectory over (user_id, day, value) rows —
+    the spec for events_ab_sequential_full. All planted values are
+    exact binary fractions so the decimal-vs-float sum order cannot
+    matter."""
+    import math
+
+    per_user = {}
+    for uid, day, val in rows:
+        d, s = per_user.get(uid, (day, 0.0))
+        per_user[uid] = (min(d, day), s + val)
+    days = sorted({d for d, _ in per_user.values()})
+    out = []
+    best_ll, p = None, 1.0
+    for d in days:
+        arm = {0: [], 1: []}
+        for uid, (ud, m) in per_user.items():
+            if ud <= d:
+                arm[uid % 2].append(m)
+        st = {}
+        for v, xs in arm.items():
+            n = len(xs)
+            s = sum(xs)
+            ss = sum(x * x for x in xs)
+            mean = s / n if n else None
+            var = (ss - s * s / n) / (n - 1) if n >= 2 else None
+            st[v] = (n, mean, var)
+        (n_a, mean_a, var_a), (n_b, mean_b, var_b) = st[0], st[1]
+        theta = v_n = mix = arg = ll = None
+        if None not in (mean_a, mean_b):
+            theta = mean_a - mean_b
+        if None not in (var_a, var_b):
+            v_n = var_a / n_a + var_b / n_b
+            if v_n > 0:
+                mix = math.sqrt(v_n / (v_n + tau2))
+                arg = theta * theta * tau2 / (2 * v_n * (v_n + tau2))
+                ll = math.log(mix) + arg
+        if ll is not None:
+            best_ll = ll if best_ll is None else max(best_ll, ll)
+        if best_ll is not None:
+            p = min(p, min(1.0, math.exp(-best_ll)))
+        out.append(
+            dict(day=d, n_a=n_a, n_b=n_b, mean_a=mean_a, mean_b=mean_b,
+                 theta=theta, v_n=v_n, mix_shrink=mix, exp_arg=arg,
+                 log_lambda=ll,
+                 p=(p if best_ll is not None else None)))
+    return out
+
+
+def test_ab_sequential_crossing_boundary(spark, tmp_path):
+    """A planted 8-day staggered-arrival experiment with a real
+    effect: the always-valid p must match the pure-Python mSPRT day
+    by day, be NON-INCREASING, start above α=0.05, and CROSS it at
+    some interior day — with reject_05 false before and true from the
+    crossing on (the running-max construction makes the decision
+    sticky)."""
+    import datetime
+    import math
+
+    from bigquery_postgres_events_etl_spark.operators.queries_stattests import (
+        events_ab_sequential_full,
+    )
+
+    rows = []
+    planted = []
+    for uid in range(40):
+        day = uid // 5 + 1
+        # arm 0 (even uid): 14..29; arm 1 (odd uid): 10..22 — theta ≈ 4
+        # against real within-arm spread, so the crossing needs several
+        # days of accumulating evidence (p hits 0.05 on day 7 of 8);
+        # all values are multiples of 0.5 (exact binary fractions), so
+        # decimal-vs-float summation order cannot matter
+        if uid % 2 == 0:
+            val = 14.0 + (uid % 7) * 2.5
+        else:
+            val = 10.0 + (uid % 5) * 3.0
+        ts = datetime.datetime(2024, 3, day, 12, 0, 0)
+        rows.append((uid, ts, uid, "purchase", val, "{}"))
+        planted.append((uid, datetime.date(2024, 3, day), val))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["day"]: r
+        for r in events_ab_sequential_full(spark, str(tmp_path)).collect()
+    }
+    want = _ref_msprt(planted)
+    assert set(got) == {w["day"] for w in want}
+    for w in want:
+        g = got[w["day"]]
+        assert (g["n_a"], g["n_b"]) == (w["n_a"], w["n_b"])
+        for col in ("mean_a", "mean_b", "theta", "v_n", "mix_shrink", "exp_arg"):
+            if w[col] is None:
+                assert g[col] is None, (w["day"], col)
+            else:
+                assert math.isclose(g[col], w[col], rel_tol=1e-12), (w["day"], col)
+        if w["log_lambda"] is not None:
+            assert math.isclose(g["log_lambda"], w["log_lambda"], rel_tol=1e-9)
+            assert math.isclose(g["p_always_valid"], w["p"], rel_tol=1e-9)
+    # trajectory shape: p non-increasing, crosses 0.05 at an interior
+    # day, and the decision is sticky from the crossing on
+    ps = [got[w["day"]]["p_always_valid"] for w in want]
+    assert all(a >= b - 1e-15 for a, b in zip(ps, ps[1:]))
+    rejects = [got[w["day"]]["reject_05"] for w in want]
+    assert rejects[0] is False and rejects[-1] is True
+    first_true = rejects.index(True)
+    assert 0 < first_true < len(rejects) - 1
+    assert all(rejects[first_true:])
+
+
+def test_ab_sequential_no_effect_never_rejects(spark, tmp_path):
+    """Null experiment (identical arm distributions): the always-valid
+    p must stay comfortably above α on every peek — the entire point
+    of the mSPRT vs repeated fixed-horizon tests."""
+    import datetime
+
+    from bigquery_postgres_events_etl_spark.operators.queries_stattests import (
+        events_ab_sequential_full,
+    )
+
+    rows = []
+    for uid in range(40):
+        day = uid // 5 + 1
+        val = 10.0 + ((uid // 2) % 5) * 0.5  # same profile in both arms
+        ts = datetime.datetime(2024, 3, day, 12, 0, 0)
+        rows.append((uid, ts, uid, "purchase", val, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = events_ab_sequential_full(spark, str(tmp_path)).collect()
+    assert all(r["reject_05"] is False for r in out if r["reject_05"] is not None)
+    assert all(
+        r["p_always_valid"] > 0.2
+        for r in out
+        if r["p_always_valid"] is not None
+    )

@@ -440,6 +440,147 @@ def test_bpe_encode_matches_reference_and_compresses(spark, sf_dir):
     assert total_tokens < total_chars
 
 
+def _reference_wordpiece(word_freqs: dict[str, int], n_merges: int = 10,
+                         min_pair: int = 2):
+    """Pure-Python WordPiece trainer (Schuster & Nakajima 2012): pick
+    the pair maximizing n(ab)/(n(a)·n(b)) (IEEE double, ties on
+    (a, b)), strip the right side's '##' before concatenating unless
+    that would empty it, left-to-right non-overlapping apply."""
+    vocab = {
+        w: [w[0]] + ["##" + c for c in w[1:]] for w in word_freqs if w != ""
+    }
+    merges = []
+    for rank in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        sc: dict[str, int] = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for s in syms:
+                sc[s] = sc.get(s, 0) + f
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + f
+        cand = [(a, b, n) for (a, b), n in pc.items() if n >= min_pair]
+        if not cand:
+            break
+        a, b, n = min(
+            cand, key=lambda t: (-(t[2] / (sc[t[0]] * sc[t[1]])), t[0], t[1])
+        )
+        merged = a + (b[2:] if b.startswith("##") and len(b) > 2 else b)
+        merges.append((rank, a, b, merged, n, sc[a], sc[b]))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_wordpiece_train_matches_reference(spark, sf_dir):
+    from collections import Counter
+
+    from bigquery_postgres_events_etl_spark.io import load_table
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"],
+         r["n_pair"], r["n_left"], r["n_right"])
+        for r in all_queries()["text_wordpiece_train"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    texts = [r.text for r in load_table(spark, sf_dir, "documents").collect()]
+    freqs = Counter(w for t in texts for w in t.split(" ") if w != "")
+    assert got == _reference_wordpiece(dict(freqs), n_merges=10)
+    assert len(got) == 10
+    # continuation stripping: merged composes left + right-sans-prefix
+    for _, a, b, merged, *_ in got:
+        want = a + (b[2:] if b.startswith("##") and len(b) > 2 else b)
+        assert merged == want
+
+
+def test_wordpiece_picks_likelihood_not_frequency(spark, tmp_path):
+    """The planted corpus separates the two pick rules: pair
+    ('a','##a') is the most FREQUENT (10 > 3) but its symbols are
+    common (score 10/(10·10)); ('x','##y') is rarer with rare symbols
+    (score 3/(3·3)) — BPE would merge aa first, WordPiece must merge
+    xy first."""
+    from bigquery_postgres_events_etl_spark.operators.text import wordpiece_train
+
+    text = " ".join(["aa"] * 10 + ["xy"] * 3)
+    docs = spark.createDataFrame(
+        [(1, "src0", "en", len(text), text)],
+        "doc_id long, source string, lang string, n_chars long, text string",
+    )
+    rows = wordpiece_train(docs, n_merges=2).orderBy("rank").collect()
+    assert (rows[0]["left"], rows[0]["right"]) == ("x", "##y")
+    assert rows[0]["merged"] == "xy"
+    assert (rows[0]["n_pair"], rows[0]["n_left"], rows[0]["n_right"]) == (3, 3, 3)
+
+
+def test_wordpiece_encode_matches_reference(spark, sf_dir):
+    """The distributed greedy longest-match encoder must segment every
+    document exactly as the pure-Python spec over the SAME trained
+    vocabulary, with whole-word [UNK] on any miss."""
+    from bigquery_postgres_events_etl_spark.io import load_table, parallelize
+    from bigquery_postgres_events_etl_spark.operators.text import (
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    vocab = wordpiece_vocab(docs, n_merges=10)
+    vset = frozenset(vocab)
+
+    def ref_encode(word):
+        out, pos, n = [], 0, len(word)
+        while pos < n:
+            hit = None
+            for ln in range(n - pos, 0, -1):
+                cand = ("##" if pos > 0 else "") + word[pos : pos + ln]
+                if cand in vset:
+                    hit = (cand, ln)
+                    break
+            if hit is None:
+                return ["[UNK]"]
+            out.append(hit[0])
+            pos += hit[1]
+        return out
+
+    got = {r.doc_id: r for r in wordpiece_encode(docs, vocab).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        words = text.split(" ") if text else []
+        want = [t for w in words for t in ref_encode(w)]
+        assert got[doc_id].n_words == len(words)
+        assert got[doc_id].n_tokens == len(want), f"doc {doc_id}"
+        assert got[doc_id].first_tokens == " ".join(want[:8]), f"doc {doc_id}"
+    # same-corpus train+encode can never hit [UNK]: the alphabet covers
+    # every (char, position-class) the corpus itself exhibits
+    assert all("[UNK]" not in r.first_tokens for r in got.values())
+
+
+def test_wordpiece_encode_unk_on_out_of_vocab(spark):
+    """Encoding with a REDUCED vocabulary hits the [UNK] rule: any
+    position with no matching piece makes the whole word one [UNK]
+    token (the HF WordPiece contract)."""
+    from bigquery_postgres_events_etl_spark.operators.text import wordpiece_encode
+
+    docs = spark.createDataFrame(
+        [(1, "ab zq a")], "doc_id long, text string"
+    )
+    out = wordpiece_encode(docs, ["a", "##b", "z"]).collect()[0]
+    # 'ab' -> a ##b (2); 'zq' -> [UNK] (1: z matches but ##q misses);
+    # 'a' -> a (1)
+    assert out.n_words == 3
+    assert out.n_tokens == 4
+    assert out.first_tokens == "a ##b [UNK] a"
+
+
 def test_token_entropy_matches_pure_python(spark, sf_dir):
     """The entropy double is pinned HERE (vs a pure-Python Shannon
     reference) because the registry's compared output is all-integer:
@@ -1015,3 +1156,80 @@ def test_registry_rejects_same_module_second_function():
             register(name, None)(probe_b)
     finally:
         _REGISTRY.pop(name, None)
+
+
+def test_conformal_matches_reference_and_covers(spark, sf_dir):
+    """ml_eval_conformal's quantile/coverage must replay exactly from
+    the engine's own nb scores in pure Python (split by the same md5
+    hash, rank by the same integer k), and the empirical test-split
+    coverage must sit at-or-above the 1−α = 0.9 target minus binomial
+    noise — the distribution-free guarantee the operator exists for."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bigquery_postgres_events_etl_spark.io import load_table, parallelize
+    from bigquery_postgres_events_etl_spark.operators.text import nb_quality_score
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    docs = parallelize(load_table(spark, sf_dir, "documents"))
+    scores = {
+        r["doc_id"]: r["nb_score"]
+        for r in nb_quality_score(docs).select("doc_id", "nb_score").collect()
+    }
+
+    def is_cal(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % 5 == 0
+
+    def nonconf(s):
+        # -CAST(nb_score AS DECIMAL(20,9)): decimal cast is HALF_UP
+        return -Decimal(repr(s)).quantize(
+            Decimal("1e-9"), rounding=ROUND_HALF_UP
+        )
+
+    cal = sorted(
+        (nonconf(s), d) for d, s in scores.items() if is_cal(d)
+    )
+    test = [(nonconf(s), d) for d, s in scores.items() if not is_cal(d)]
+    n_cal = len(cal)
+    k = (9 * (n_cal + 1) + 9) // 10
+    qhat = cal[k - 1][0] if k <= n_cal else None
+    n_covered = sum(1 for nc, _ in test if qhat is None or nc <= qhat)
+
+    (row,) = all_queries()["ml_eval_conformal"](spark, sf_dir).collect()
+    assert row["n_cal"] == n_cal
+    assert row["k_rank"] == k
+    assert (row["qhat"] is None) == (qhat is None)
+    if qhat is not None:
+        assert Decimal(str(row["qhat"])) == qhat
+    assert row["n_test"] == len(test)
+    assert row["n_covered"] == n_covered
+    assert row["coverage"] == n_covered / len(test)
+    # the guarantee: marginal coverage ≥ 1−α up to binomial noise on
+    # a few hundred test docs (3σ ≈ 0.05 at n_test ≈ 400)
+    assert row["coverage"] >= 0.85
+    assert row["n_test"] + row["n_cal"] == len(scores)
+
+
+def test_conformal_tiny_calibration_covers_everything(spark, tmp_path):
+    """n_cal < 9 makes k_rank > n_cal: q̂ is NULL (=+∞) and EVERY test
+    doc is covered — the documented undersized-calibration
+    convention."""
+    from bigquery_postgres_events_etl_spark.registry import all_queries
+
+    # doc_ids chosen so the md5 split puts ≤ 8 docs in calibration
+    rows = [
+        (i, "src0" if i % 2 == 0 else "src5", "en", 20,
+         "alpha beta gamma" if i % 2 == 0 else "zeta eta theta")
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    (row,) = all_queries()["ml_eval_conformal"](spark, str(tmp_path)).collect()
+    if row["n_cal"] < 9:
+        assert row["qhat"] is None
+        assert row["n_covered"] == row["n_test"]
+        assert row["coverage"] == 1.0
+    else:  # hash landed ≥ 9 of 20 in cal — still a valid conformal row
+        assert row["qhat"] is not None
