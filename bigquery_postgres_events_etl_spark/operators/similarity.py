@@ -1533,12 +1533,23 @@ def kmeans_q8(
 
     Scale: the centroid table is k·d BIGINTs (schema-constant —
     collected to the driver each round under the bounded-collect
-    contract, broadcast back as literals); assignment is one
-    map-side crossJoin + zip_with fold per vector (N·k rows, partial-
-    aggregated); the mean is one (cid, dim)-keyed aggregation whose
-    output is again k·d rows. No data-sized driver state, no
+    contract, shipped back in a Spark broadcast); each round is ONE
+    fused Arrow ``mapInPandas`` pass (the r13 unigram-Viterbi
+    precedent, applied here in r14 — the r12-era plan spent two
+    data-sized shuffles per round: the N·k crossJoin → groupBy(vec)
+    argmin, then an N·d posexplode → (cid, dim) rollup; the fused
+    kernel does the argmin AND the per-task (cid, dim) partial sums
+    in vectorized exact int64, so the only shuffle per round is
+    k·d·n_tasks partial rows). No data-sized driver state, no
     data-sized window. Returns the final assignment
-    (vec_id, cluster_id, d2)."""
+    (vec_id, cluster_id, d2).
+
+    int64 exactness bounds: |q·S| ≤ 127·1e6, diff ≤ 2·1.27e8, diff²
+    ≤ 6.5e16, Σ over d=64 ≤ 4.2e18 < 2⁶³; member sums Σ q·S ≤
+    N·1.27e8 — exact far past 10⁹ vectors. numpy int64 arithmetic is
+    exact integer arithmetic (no float path), so every round matches
+    the DuckDB unrolled-CTE twin bit-for-bit, pinned by the pure-
+    Python Lloyd parity pytest."""
     spark = vectors.sparkSession
     q = quantize_embeddings_int8(vectors, id_col, emb_col).select(
         id_col, F.expr("transform(q8, x -> CAST(x AS BIGINT))").alias("q8")
@@ -1559,48 +1570,99 @@ def kmeans_q8(
         )
     cent = {r["cid"]: list(r["cent"]) for r in seeds}
 
-    def _assign(cent_map: dict[int, list[int]]) -> DataFrame:
-        cent_df = spark.createDataFrame(
-            [(cid, v) for cid, v in sorted(cent_map.items())],
-            "cid BIGINT, cent ARRAY<BIGINT>",
-        )
-        d2 = F.expr(
-            f"aggregate(zip_with(q8, cent,"
-            f" (a, b) -> (a * CAST({scale} AS BIGINT) - b)"
-            f" * (a * CAST({scale} AS BIGINT) - b)),"
-            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
-        scored = q.crossJoin(F.broadcast(cent_df)).select(
-            id_col, "cid", "q8", d2.alias("d2")
-        )
-        return scored.groupBy(id_col).agg(
-            F.min(F.struct(F.col("d2"), F.col("cid"))).alias("b"),
-            F.first("q8").alias("q8"),
-        )
+    def _round_pass(cent_map: dict[int, list[int]], final: bool) -> DataFrame:
+        """One kernel pass under the given centroids: ``final=False``
+        emits per-task (cid, pos, s, n) partial sums (the M-step
+        input), ``final=True`` emits the per-vector assignment. The
+        centroid broadcast is k·d BIGINTs (schema-constant). M-step
+        broadcasts are destroyed right after their collect (nothing
+        lazy references them); the final round's broadcast is owned by
+        the returned frame and reclaimed by ContextCleaner when the
+        caller drops it (the unigram-Viterbi contract)."""
+        cents = [cent_map[c] for c in sorted(cent_map)]
+        b = spark.sparkContext.broadcast(cents)
+
+        def run_partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = np.asarray(b.value, dtype=np.int64)  # (k, d)
+            kk, d = C.shape
+            acc_s = np.zeros((kk, d), dtype=np.int64)
+            acc_n = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                S = np.stack(pdf["q8"].to_numpy()).astype(np.int64) * scale
+                dist = np.stack(
+                    [((S - C[c]) ** 2).sum(axis=1) for c in range(kk)]
+                )
+                a = dist.argmin(axis=0)  # first min = smallest cid
+                for c in range(kk):
+                    m = a == c
+                    if m.any():
+                        acc_s[c] += S[m].sum(axis=0)
+                        acc_n[c] += int(m.sum())
+            rows = [
+                (c, p, int(acc_s[c, p]), int(acc_n[c]))
+                for c in range(kk)
+                if acc_n[c]
+                for p in range(d)
+            ]
+            yield pd.DataFrame(
+                rows, columns=["cid", "pos", "s", "n"]
+            ).astype({"cid": "int64", "pos": "int64", "s": "int64", "n": "int64"})
+
+        def run_assign(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = np.asarray(b.value, dtype=np.int64)
+            kk = C.shape[0]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                S = np.stack(pdf["q8"].to_numpy()).astype(np.int64) * scale
+                dist = np.stack(
+                    [((S - C[c]) ** 2).sum(axis=1) for c in range(kk)]
+                )
+                a = dist.argmin(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf[id_col].astype("int64"),
+                        "cluster_id": pd.Series(a, dtype="int64"),
+                        "d2": pd.Series(
+                            dist[a, np.arange(len(a))], dtype="int64"
+                        ),
+                    }
+                )
+
+        if final:
+            out_df = q.mapInPandas(
+                run_assign,
+                schema=f"{id_col} BIGINT, cluster_id BIGINT, d2 BIGINT",
+            )
+        else:
+            out_df = q.mapInPandas(
+                run_partials, schema="cid BIGINT, pos BIGINT, s BIGINT, n BIGINT"
+            )
+        return out_df, b
 
     for r in range(n_rounds):
-        asg = _assign(cent)
         if r == n_rounds - 1:
-            out = asg.select(
-                F.col(id_col),
-                F.col("b.cid").cast("long").alias("cluster_id"),
-                F.col("b.d2").cast("long").alias("d2"),
-            )
+            out, _b_final = _round_pass(cent, final=True)
             break
         # NOTE: the "obvious" de-explode (d array-indexed SUM
         # aggregates, no N·d rows) measured 2× SLOWER at sf0.1 (10-12s
-        # vs 5s end-to-end, r13 A/B) — 65 wide aggregates with
-        # per-row array extraction lose to the hash-agg over narrow
-        # exploded rows. Keep the explode.
+        # vs 5s end-to-end, r13 A/B); the r14 fused kernel beats both
+        # by removing the data-sized shuffles entirely.
+        partials, b = _round_pass(cent, final=False)
         sums = (
-            asg.select(F.col("b.cid").alias("cid"), F.posexplode("q8"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.sum(F.col("col") * F.lit(scale)).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            partials.groupBy("cid", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()  # ≤ k·d rows — schema-constant bound
         )
+        b.destroy()  # M-step broadcast: no lazy plan references it
         new_cent = {cid: list(v) for cid, v in cent.items()}  # carry-forward
         for row in sums:
             s, n = int(row["s"]), int(row["n"])

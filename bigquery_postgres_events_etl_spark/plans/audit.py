@@ -86,6 +86,9 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "coverage rollup) — unconditionally safe",
     ("similarity.py", "_assign"):
         "k-means centroid table — k·d rows, schema constants",
+    ("similarity.py", "_round_pass"):
+        "kmeans_q8 fused-kernel centroid broadcast — k·d BIGINTs, "
+        "schema-constant; M-step copies destroyed after each collect",
     ("queries_stattests.py", "customer_survival_km_full"):
         "two 1-row scalar aggregates (data horizon max-date; total gap "
         "count) — unconditionally safe",

@@ -324,6 +324,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, set[str]] = {
     "ml_eval_pr_curve": {"_gr_pid", "specifiedwindowframe"},
     # AP rides the same packed two-pass cumsum internals
     "ml_eval_avg_precision_nb": {"_gr_pid", "specifiedwindowframe"},
+    # conformal q̂ rank rides the two-pass ranking internals over the
+    # calibration sliver (bounded per-partition stats table)
+    "ml_eval_conformal": {"_gr_pid", "specifiedwindowframe"},
     # histogram split search: both windows (cumulative counts, final
     # Gini rank) ride the BOUNDED bin histogram (~60 rows at any table
     # size — the LightGBM shape is the point of the entry)
