@@ -67,6 +67,9 @@ TIER2 = [
     # r13: the former 50s heavyweight, now fused-Viterbi (~4s) —
     # tracked so a regression in the kernel path is caught
     "text_unigram_encode_trained",
+    # r14: the third tokenizer's full train+encode path (same
+    # comparability caveat — compare per-query medians)
+    "text_wordpiece_encode_trained",
 ]
 
 

@@ -40,6 +40,14 @@ COHORT = [
     "pipeline_doremi_weights",
     "ml_eval_avg_precision_nb",
     "pipeline_learnability_select",
+    # r14: WordPiece rides the ln-free integer-score chain but shares
+    # the tokenizer decimal surface; mSPRT compares decimal-string-
+    # converted IEEE chains; conformal compares an exact-decimal
+    # quantile — all three are exactly the class this tier exists for
+    "text_wordpiece_train",
+    "text_wordpiece_encode_trained",
+    "events_ab_sequential",
+    "ml_eval_conformal",
 ]
 
 

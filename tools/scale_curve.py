@@ -255,6 +255,17 @@ QUERIES = [
     "ml_eval_avg_precision_nb",
     # r13 third wave: two scoring slivers + two two-pass rankings
     "pipeline_learnability_select",
+    # r14 additions: WordPiece trainer (one corpus pass + two small
+    # vocab aggregations per round — the bpe_train shape, expected
+    # near-flat) and encoder (vocab-bounded closure + one Arrow pass +
+    # the per-doc rollup join — the bpe_encode shape), mSPRT (two
+    # partial-agg rollups + calendar-bounded day windows — expected
+    # linear scan-bound), conformal (NB scoring pass + calibration-
+    # sliver two-pass ranking — the ml_eval_auc shape)
+    "text_wordpiece_train",
+    "text_wordpiece_encode_trained",
+    "events_ab_sequential",
+    "ml_eval_conformal",
 ]
 
 
