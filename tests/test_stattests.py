@@ -1322,3 +1322,82 @@ def test_ab_sequential_no_effect_never_rejects(spark, tmp_path):
         for r in out
         if r["p_always_valid"] is not None
     )
+
+
+def test_ab_sequential_property_random_experiments(spark, tmp_path):
+    """Hypothesis sweep: random (user, day, value) event streams —
+    including multi-event users, lopsided arms, and single-day
+    trajectories — must match the pure-Python mSPRT day by day (all
+    values quarter-integers, so decimal-vs-float summation order
+    cannot matter)."""
+    import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigquery_postgres_events_etl_spark.operators.queries_stattests import (
+        events_ab_sequential_full,
+    )
+
+    event = st.tuples(
+        st.integers(min_value=0, max_value=9),    # user_id
+        st.integers(min_value=1, max_value=4),    # day
+        st.integers(min_value=0, max_value=80),   # value in 0.25 units
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(event, min_size=1, max_size=25))
+    def run(events):
+        import math
+
+        rows = [
+            (
+                i,
+                datetime.datetime(2024, 3, day, 9 + (i % 12)),
+                uid,
+                "purchase",
+                v * 0.25,
+                "{}",
+            )
+            for i, (uid, day, v) in enumerate(events)
+        ]
+        d = tmp_path / f"case{abs(hash(tuple(events)))}"
+        d.mkdir()
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(str(d / "events.parquet"))
+        got = {
+            r["day"]: r
+            for r in events_ab_sequential_full(spark, str(d)).collect()
+        }
+        want = _ref_msprt(
+            [(uid, datetime.date(2024, 3, day), v * 0.25)
+             for uid, day, v in events]
+        )
+        assert set(got) == {w["day"] for w in want}
+        for w in want:
+            g = got[w["day"]]
+            assert (g["n_a"], g["n_b"]) == (w["n_a"], w["n_b"])
+            for col in ("mean_a", "mean_b", "theta", "v_n",
+                        "mix_shrink", "exp_arg"):
+                if w[col] is None:
+                    assert g[col] is None, (w["day"], col)
+                else:
+                    assert math.isclose(
+                        g[col], w[col], rel_tol=1e-12, abs_tol=1e-15
+                    ), (w["day"], col)
+            if w["log_lambda"] is None:
+                assert g["log_lambda"] is None
+            else:
+                assert math.isclose(
+                    g["log_lambda"], w["log_lambda"], rel_tol=1e-9
+                )
+                assert math.isclose(g["p_always_valid"], w["p"], rel_tol=1e-9)
+
+    run()

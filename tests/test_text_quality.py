@@ -1233,3 +1233,96 @@ def test_conformal_tiny_calibration_covers_everything(spark, tmp_path):
         assert row["coverage"] == 1.0
     else:  # hash landed ≥ 9 of 20 in cal — still a valid conformal row
         assert row["qhat"] is not None
+
+
+def test_wordpiece_train_property_random_corpora(spark):
+    """Hypothesis sweep: on random small corpora (alphabet includes
+    '#', so the ##-conflation and strip-guard paths are reachable)
+    the distributed trainer must equal the pure-Python WordPiece
+    reference merge-for-merge — the cdc_chunks randomized-parity
+    pattern."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigquery_postgres_events_etl_spark.operators.text import wordpiece_train
+
+    word = st.text(alphabet="ab#", min_size=1, max_size=6)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(word, min_size=2, max_size=30))
+    def run(words):
+        from collections import Counter
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        got = [
+            (r["rank"], r["left"], r["right"], r["merged"],
+             r["n_pair"], r["n_left"], r["n_right"])
+            for r in wordpiece_train(docs, n_merges=4).orderBy("rank").collect()
+        ]
+        want = _reference_wordpiece(
+            dict(Counter(w for w in words if w != "")), n_merges=4
+        )
+        assert got == want
+
+    run()
+
+
+def test_wordpiece_encode_property_random_vocab(spark):
+    """Hypothesis sweep: greedy longest-match + whole-word [UNK]
+    against the pure-Python spec under RANDOM (word list, vocab)
+    pairs — including vocabularies that cannot segment some words."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigquery_postgres_events_etl_spark.operators.text import wordpiece_encode
+
+    piece = st.text(alphabet="ab#", min_size=1, max_size=3)
+    word = st.text(alphabet="ab#", min_size=1, max_size=5)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(word, min_size=1, max_size=12),
+        st.sets(
+            st.one_of(piece, piece.map(lambda p: "##" + p)),
+            min_size=1,
+            max_size=12,
+        ),
+    )
+    def run(words, vocab):
+        vset = frozenset(vocab)
+
+        def ref(word):
+            out, pos, n = [], 0, len(word)
+            while pos < n:
+                hit = None
+                for ln in range(n - pos, 0, -1):
+                    cand = ("##" if pos > 0 else "") + word[pos : pos + ln]
+                    if cand in vset:
+                        hit = (cand, ln)
+                        break
+                if hit is None:
+                    return ["[UNK]"]
+                out.append(hit[0])
+                pos += hit[1]
+            return out
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        (row,) = wordpiece_encode(docs, sorted(vset)).collect()
+        want = [t for w in words for t in ref(w)]
+        assert row.n_words == len(words)
+        assert row.n_tokens == len(want)
+        assert row.first_tokens == " ".join(want[:8])
+
+    run()
