@@ -2783,7 +2783,7 @@ _AB_SEQ_ORACLE = f"""
       SELECT first_day, variant,
              CAST(count(*) AS BIGINT) AS n,
              SUM(CAST(metric AS DECIMAL(27,4))) AS s_dec,
-             SUM(CAST(CAST(metric AS DECIMAL(18,4)) * CAST(metric AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS ss_dec
+             SUM(CAST(CAST(metric AS DECIMAL(19,4)) * CAST(metric AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS ss_dec
       FROM per_user GROUP BY first_day, variant
     ),
     grid AS (
@@ -2984,7 +2984,14 @@ def events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned including the crossing-boundary trajectory (the
     customer_survival_km split). Degenerate guards: one-arm / n≤1 /
     zero-variance days NULL out via NULLIF on both engines (the r13
-    zero-traffic precedent).
+    zero-traffic precedent). The oracle squares the metric at
+    DECIMAL(19,4), not the engine's (18,4): DuckDB's DECIMAL(18)
+    multiply runs on the int64 fast path and RAISES around metric
+    ≈ 3e13 where Spark's (37,8) product still fits — precision 19
+    forces DuckDB's int128 path so both engines widen (the r14
+    extreme-values sweep find; the events_ab_ttest oracle made the
+    same choice). Beyond metric ≈ 1e14 the engine's (18,4) cast
+    itself NULLs — the documented _dsum_sq family bound.
 
     Scale: two partial-aggregatable rollups (user, then day×arm); the
     cumulative window rides the calendar-bounded day grid (|days|

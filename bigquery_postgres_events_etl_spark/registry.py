@@ -32,6 +32,25 @@ Conventions that make the hashes match:
   SQL silently takes a different arithmetic path than Spark's
   ``F.lit(float)`` — wrap oracle-side float constants in
   ``CAST(... AS DOUBLE)`` (the r11 events_wilson_ci find).
+- decimal→double cast hazard (the r14 extreme-values find): once a
+  decimal's SCALED integer exceeds 2^53 (sums > ~9e11 at scale 4),
+  BOTH engines' direct ``CAST(decimal AS DOUBLE)`` double-round —
+  DuckDB scales the backing int in floats, and Spark's compact-long
+  Decimal path divides longVal/10^s in doubles — with
+  engine-specific last-bit detail: empirically they AGREE on some
+  sites (stats_anova_oneway's 5e16-scaled moments pass today) and
+  DISAGREE on others (q1's sum_disc_price at price×1e6). A one-sided
+  "fix" breaks the sites where the float paths happened to align
+  (measured in r14: exact-rounding only the oracle flipped anova
+  while fixing q1). The ROBUST idiom is the digit-string round-trip
+  on BOTH sides — ``.cast("string").cast("double")`` /
+  ``CAST(CAST(x AS VARCHAR) AS DOUBLE)`` — which the stat-test
+  family (_dsum/_dsum_sq) already uses; migrating the shared
+  functions.scalars dsum/davg (and their oracle twins) to it is the
+  scheduled r15 item (engine-side change → PLAN_CHANGED_REATTEST
+  flags for the TPC-H tier, which needs a fresh rotation budget).
+  Until then tools/extreme_oracle.py pins the band: in-band corpora
+  must hash, and q1 at price×1e6 is the asserted-divergent marker.
 - double→decimal cast hazard: even for NON-transcendental doubles,
   ``CAST(double AS DECIMAL(p,s))`` takes engine-specific paths (Spark
   converts exactly via BigDecimal; DuckDB scales in floats), which
