@@ -70,6 +70,13 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # sf0.01 — but the physical plan is new; AB interleave measured
     # 5.91 → 2.25 s pooled median at sf0.1):
     "ml_kmeans_train_q8": 14,
+    # r14 single-level-vocabulary NULLIF hardening (a one-event-type
+    # partition crashed Spark ANSI DIVIDE_BY_ZERO in all three —
+    # caught by the r14 sweep probes; values identical on
+    # non-degenerate data, re-attest once — the r13 funnel class):
+    "events_ks_test": 14,
+    "stats_mann_whitney": 14,
+    "stats_chi_square_independence": 14,
 }
 
 

@@ -106,13 +106,13 @@ def _ab_counts(spark: SparkSession, sf_dir: str, a: str, b: str) -> DataFrame:
     SELECT n1, n2,
            CAST(MAX(ABS(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
            CAST(MAX(ABS(ca * n2 - cb * n1)) AS DOUBLE)
-             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat,
+             / NULLIF(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0) AS d_stat,
            CAST(1.358 AS DOUBLE)
-             * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS d_crit_05,
+             * sqrt(CAST(n1 + n2 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0)) AS d_crit_05,
            CAST(MAX(ABS(ca * n2 - cb * n1)) AS DOUBLE)
-             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             / NULLIF(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0)
              > CAST(1.358 AS DOUBLE)
-               * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS reject_05
+               * sqrt(CAST(n1 + n2 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0)) AS reject_05
     FROM cum CROSS JOIN tot
     GROUP BY n1, n2
     """,
@@ -138,9 +138,14 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
-    d = F.col("d_num").cast("double") / (n1d * n2d)
+    # NULLIF pins the one-empty-sample corpus (a single-event-type
+    # partition: n1 or n2 = 0) to NULL on BOTH engines — Spark ANSI
+    # raises DIVIDE_BY_ZERO and DuckDB yields inf otherwise (the r14
+    # single-level-vocabulary sweep find, the funnel r13 class)
+    nn = F.nullif(n1d * n2d, F.lit(0.0))
+    d = F.col("d_num").cast("double") / nn
     crit = F.lit(1.358).cast("double") * F.sqrt(
-        (F.col("n1") + F.col("n2")).cast("double") / (n1d * n2d)
+        (F.col("n1") + F.col("n2")).cast("double") / nn
     )
     return stat.select(
         "n1", "n2", "d_num",
@@ -182,13 +187,13 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(2 AS DOUBLE) AS mu_u,
            sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12 AS DOUBLE)
                 * ((CAST(n1 + n2 AS DOUBLE) + 1)
-                   - tie_sum / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS sigma_u,
+                   - tie_sum / NULLIF(CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1), 0))) AS sigma_u,
            ((CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
               / CAST(2 AS DOUBLE)
             - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(2 AS DOUBLE))
-           / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12 AS DOUBLE)
+           / NULLIF(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12 AS DOUBLE)
                   * ((CAST(n1 + n2 AS DOUBLE) + 1)
-                     - tie_sum / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z
+                     - tie_sum / NULLIF(CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1), 0))), 0) AS z
     FROM sums
     """,
 )
@@ -223,16 +228,20 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = (F.col("n1") + F.col("n2")).cast("double")
     u1 = (F.col("two_r1").cast("double") - n1d * (n1d + 1)) / F.lit(2).cast("double")
     mu = n1d * n2d / F.lit(2).cast("double")
+    # NULLIF pins the degenerate corpora to NULL on BOTH engines (the
+    # r14 single-level-vocabulary sweep find): n ≤ 1 pooled samples
+    # zero the tie-term denominator, and an empty sample (n1·n2 = 0)
+    # zeroes sigma so z would divide by zero
     sigma = F.sqrt(
         n1d * n2d / F.lit(12).cast("double")
-        * ((nd + 1) - F.col("tie_sum") / (nd * (nd - 1)))
+        * ((nd + 1) - F.col("tie_sum") / F.nullif(nd * (nd - 1), F.lit(0.0)))
     )
     return sums.select(
         "n1", "n2",
         u1.alias("u1"),
         mu.alias("mu_u"),
         sigma.alias("sigma_u"),
-        ((u1 - mu) / sigma).alias("z"),
+        ((u1 - mu) / F.nullif(sigma, F.lit(0.0))).alias("z"),
     )
 
 
@@ -273,7 +282,7 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
            (MAX(tl) - 1) * (MAX(sl) - 1) AS dof,
            CAST(SUM(term) AS DOUBLE) / 1000000000.0 AS chi2,
            sqrt(CAST(SUM(term) AS DOUBLE) / 1000000000.0
-                / (CAST(MAX(n) AS DOUBLE) * CAST(least(MAX(tl) - 1, MAX(sl) - 1) AS DOUBLE))) AS cramers_v
+                / NULLIF(CAST(MAX(n) AS DOUBLE) * CAST(least(MAX(tl) - 1, MAX(sl) - 1) AS DOUBLE), 0)) AS cramers_v
     FROM terms
     """,
 )
@@ -323,7 +332,15 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         "n", "type_levels", "segment_levels",
         ((F.col("type_levels") - 1) * (F.col("segment_levels") - 1)).alias("dof"),
         chi2.alias("chi2"),
-        F.sqrt(chi2 / (F.col("n").cast("double") * dof_min.cast("double"))).alias("cramers_v"),
+        # NULLIF: a single-level factor (one event type in the
+        # partition) makes min(r−1, c−1) = 0 — Cramér's V is undefined
+        # there, NULL on both engines (the r14 sweep find)
+        F.sqrt(
+            chi2
+            / F.nullif(
+                F.col("n").cast("double") * dof_min.cast("double"), F.lit(0.0)
+            )
+        ).alias("cramers_v"),
     )
 
 

@@ -97,6 +97,51 @@ def main() -> None:
                 bad += 1
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+    # single-level-vocabulary leg (r14): every event is ONE type — a
+    # filtered partition any real pipeline produces. Collapses one
+    # two-sample side to empty (KS/Mann-Whitney) and one contingency
+    # factor to a single level (chi-square dof 0) — exactly the ANSI
+    # DIVIDE_BY_ZERO class the empty-table legs cannot reach because
+    # the stream itself is non-empty. First run caught three real
+    # crashes (events_ks_test, stats_mann_whitney,
+    # stats_chi_square_independence), NULLIF-pinned the same round.
+    d = tempfile.mkdtemp(prefix="degen_onetype_")
+    try:
+        import duckdb
+
+        for t in TABLES:
+            src_path = os.path.join(SRC_SF, f"{t}.parquet")
+            if t == "events":
+                duckdb.connect().execute(
+                    f"""COPY (SELECT event_id, ts, user_id,
+                        CAST('click' AS VARCHAR) AS event_type, value, props
+                        FROM '{src_path}')
+                        TO '{os.path.join(d, "events.parquet")}'
+                        (FORMAT PARQUET)"""
+                )
+            else:
+                shutil.copy(src_path, d)
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "check_oracle.py"), d,
+             "events_", "stats_", "funnel_", "cohort_", "sessionization",
+             "ml_logreg", "ml_perceptron"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        fails = [
+            ln.split()[1].rstrip(":") for ln in proc.stdout.splitlines()
+            if ln.startswith("FAIL")
+        ]
+        print(f"one-type events: "
+              f"{sum(1 for ln in proc.stdout.splitlines() if ln.startswith(('OK', 'ok?')))} ok, "
+              f"{len(fails)} fail ({len(fails)} unexpected)")
+        for f in fails:
+            print(f"  UNEXPECTED FAIL {f}")
+            bad += 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
     print(f"\n{bad} unexpected degenerate-corpus findings")
     sys.exit(1 if bad else 0)
 
