@@ -77,6 +77,18 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     "events_ks_test": 14,
     "stats_mann_whitney": 14,
     "stats_chi_square_independence": 14,
+    # r14 second sweep wave (one-user / constant-timestamp corpora —
+    # same class, same round, same NULLIF discipline; etl_flagship is
+    # the one VALUE bug: the dedup survivor tie-break ordered the
+    # VARCHAR projection of event_id while the oracle bound the
+    # source BIGINT — numeric order, the true first-arriving
+    # semantics, now pinned on both):
+    "etl_flagship": 14,
+    "events_ab_ttest": 14,
+    "events_ab_proportion_ztest": 14,
+    "events_power_analysis": 14,
+    "stats_spearman_rho": 14,
+    "events_cuped_adjustment": 14,
 }
 
 

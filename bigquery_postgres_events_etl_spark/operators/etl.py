@@ -63,6 +63,7 @@ def dedup_application_events(
     df: DataFrame,
     keys: list[str],
     order_col: str = "event_id",
+    numeric_order: bool = True,
 ) -> DataFrame:
     """K4 — conflict-skipping dedup with a deterministic survivor.
 
@@ -71,8 +72,20 @@ def dedup_application_events(
     one. For oracle-reproducible semantics we keep the row with the
     smallest ``order_col`` via row_number — same single shuffle as
     dropDuplicates, deterministic survivor (SURVEY §7 risk 3).
+
+    ``numeric_order`` pins the tie-break to the NUMERIC id even after
+    the projection has cast event_id to its string output shape: ids
+    are assigned in arrival order, so numeric-min IS first-arriving —
+    while string order ranks "10" before "2". The r14 constant-
+    timestamp sweep caught the divergence: the oracle's window bound
+    to the source BIGINT while the engine ordered the VARCHAR
+    projection, and the two minima coincide only while collision
+    groups are small (every driver fixture — the latent-bug shape).
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    oc = F.col(order_col)
+    if numeric_order:
+        oc = oc.cast("long")
+    w = Window.partitionBy(*keys).orderBy(oc.asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

@@ -692,7 +692,8 @@ def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_user GROUP BY variant
     ),
     stats AS (
-      SELECT variant, n, s / n AS mean, (ss - s * s / n) / (n - 1) AS var
+      SELECT variant, n, s / n AS mean,
+             (ss - s * s / n) / NULLIF(n - 1, 0) AS var
       FROM sums
     ),
     wide AS (
@@ -706,10 +707,10 @@ def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM stats
     )
     SELECT n_a, n_b, mean_a, mean_b,
-           (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+           (mean_a - mean_b) / NULLIF(sqrt(var_a / n_a + var_b / n_b), 0) AS t_stat,
            (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
-             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
-                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS welch_df
+             / NULLIF((var_a / n_a) * (var_a / n_a) / NULLIF(n_a - 1, 0)
+                + (var_b / n_b) * (var_b / n_b) / NULLIF(n_b - 1, 0), 0) AS welch_df
     FROM wide
     """,
 )
@@ -739,8 +740,16 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum_sq("metric").alias("ss"),
     )
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    # NULLIF pins the degenerate corpora to NULL on BOTH engines (the
+    # r14 single-user sweep find): a 1-user arm zeroes (n−1), and a
+    # zero-variance pair zeroes the t/Welch denominators
     stats = sums.select(
-        "variant", "n", (s / n).alias("mean"), ((ss - s * s / n) / (n - 1)).alias("var")
+        "variant",
+        "n",
+        (s / n).alias("mean"),
+        ((ss - s * s / n) / F.nullif((n - 1).cast("double"), F.lit(0.0))).alias(
+            "var"
+        ),
     )
 
     def pick(col: str, variant: int):
@@ -756,10 +765,19 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     se2 = se2_a + se2_b
     return wide.select(
         "n_a", "n_b", "mean_a", "mean_b",
-        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)).alias("t_stat"),
+        (
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.nullif(F.sqrt(se2), F.lit(0.0))
+        ).alias("t_stat"),
         (
             se2 * se2
-            / (se2_a * se2_a / (F.col("n_a") - 1) + se2_b * se2_b / (F.col("n_b") - 1))
+            / F.nullif(
+                se2_a * se2_a
+                / F.nullif((F.col("n_a") - 1).cast("double"), F.lit(0.0))
+                + se2_b * se2_b
+                / F.nullif((F.col("n_b") - 1).cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            )
         ).alias("welch_df"),
     )
 
@@ -1114,12 +1132,12 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wide
     )
     SELECT n_a, n_b,
-           (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+           (sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0) AS theta,
            (sxy - sx * sy / n) * (sxy - sx * sy / n)
-             / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rho_sq,
+             / NULLIF((sxx - sx * sx / n) * (syy - sy * sy / n), 0) AS rho_sq,
            sy_a / n_a - sy_b / n_b AS raw_diff,
            (sy_a / n_a - sy_b / n_b)
-             - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+             - (sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0)
                * (sx_a / n_a - sx_b / n_b) AS adjusted_diff
     FROM calc
     """,
@@ -1199,14 +1217,18 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("sxy") - sx * sy / n
     varx = F.col("sxx") - sx * sx / n
     vary = F.col("syy") - sy * sy / n
-    theta = cov / varx
+    # NULLIF pins the degenerate corpora to NULL on BOTH engines (the
+    # r14 constant-timestamp sweep find): a zero-variance covariate or
+    # post-period (every event on one side of the midpoint) zeroes
+    # var(X)·var(Y), and a single user zeroes var(X) itself
+    theta = cov / F.nullif(varx, F.lit(0.0))
     mean_dx = F.col("sx_a") / F.col("n_a") - F.col("sx_b") / F.col("n_b")
     raw = F.col("sy_a") / F.col("n_a") - F.col("sy_b") / F.col("n_b")
     return wide.select(
         "n_a",
         "n_b",
         theta.alias("theta"),
-        (cov * cov / (varx * vary)).alias("rho_sq"),
+        (cov * cov / F.nullif(varx * vary, F.lit(0.0))).alias("rho_sq"),
         raw.alias("raw_diff"),
         (raw - theta * mean_dx).alias("adjusted_diff"),
     )

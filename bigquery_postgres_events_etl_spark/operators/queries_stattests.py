@@ -1179,8 +1179,11 @@ def _wilson_col(x, n):
     )
 
 
-_AB_LO_A, _AB_HI_A = _wilson_sql("x_a", "n_a")
-_AB_LO_B, _AB_HI_B = _wilson_sql("x_b", "n_b")
+# call-site NULLIF (not in the helper: events_wilson_ci's n is a
+# nonzero count by construction and its plan must not change): an
+# empty arm NULLs the whole interval on both engines (r14 sweep find)
+_AB_LO_A, _AB_HI_A = _wilson_sql("x_a", "NULLIF(n_a, 0)")
+_AB_LO_B, _AB_HI_B = _wilson_sql("x_b", "NULLIF(n_b, 0)")
 
 
 @register(
@@ -1200,9 +1203,9 @@ _AB_LO_B, _AB_HI_B = _wilson_sql("x_b", "n_b")
       FROM per_user
     )
     SELECT n_a, n_b, x_a, x_b,
-           CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
-           CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
-           CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN CAST(NULL AS DOUBLE)
+           CAST(x_a AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0) AS p_a,
+           CAST(x_b AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0) AS p_b,
+           CASE WHEN n_a = 0 OR n_b = 0 OR x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN CAST(NULL AS DOUBLE)
                 ELSE (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
                   / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
                          * (CAST(1 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
@@ -1242,24 +1245,34 @@ def events_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na, nb = F.col("n_a"), F.col("n_b")
     xa, xb = F.col("x_a"), F.col("x_b")
-    pa = xa.cast("double") / na.cast("double")
-    pb = xb.cast("double") / nb.cast("double")
+    # NULLIF pins the one-empty-arm corpus (a single-user stream) to
+    # NULL on both engines — the r14 sweep find (Spark ANSI raised,
+    # DuckDB yielded inf); the z CASE additionally short-circuits so
+    # the pooled-variance chain never divides by an empty arm
+    nad = F.nullif(na.cast("double"), F.lit(0.0))
+    nbd = F.nullif(nb.cast("double"), F.lit(0.0))
+    pa = xa.cast("double") / nad
+    pb = xb.cast("double") / nbd
     pool = (xa + xb).cast("double") / (na + nb).cast("double")
     z = F.when(
-        ((xa + xb) == 0) | ((xa + xb) == (na + nb)), F.lit(None).cast("double")
+        (na == 0)
+        | (nb == 0)
+        | ((xa + xb) == 0)
+        | ((xa + xb) == (na + nb)),
+        F.lit(None).cast("double"),
     ).otherwise(
         (pa - pb)
         / F.sqrt(
             pool
             * (F.lit(1).cast("double") - pool)
             * (
-                F.lit(1).cast("double") / na.cast("double")
-                + F.lit(1).cast("double") / nb.cast("double")
+                F.lit(1).cast("double") / nad
+                + F.lit(1).cast("double") / nbd
             )
         )
     )
-    lo_a, hi_a = _wilson_col(xa, na)
-    lo_b, hi_b = _wilson_col(xb, nb)
+    lo_a, hi_a = _wilson_col(xa, F.nullif(na, F.lit(0)))
+    lo_b, hi_b = _wilson_col(xb, F.nullif(nb, F.lit(0)))
     return wide.select(
         "n_a", "n_b", "x_a", "x_b",
         pa.alias("p_a"), pb.alias("p_b"), z.alias("z"),
@@ -1845,8 +1858,8 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
            CAST(n * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+             / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 0) AS spearman_rho
     FROM sums
     """,
 )
@@ -1909,9 +1922,15 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a",
         "type_b",
         F.col("n").cast("long").alias("n_days"),
+        # NULLIF: a constant rank series (single shared day, or a
+        # tied-everywhere count) zeroes a rank variance — ρ is
+        # undefined, NULL on both engines (the r14 sweep find)
         (
             num.cast("double")
-            / F.sqrt(den_a.cast("double") * den_b.cast("double"))
+            / F.nullif(
+                F.sqrt(den_a.cast("double") * den_b.cast("double")),
+                F.lit(0.0),
+            )
         ).alias("spearman_rho"),
     )
 
@@ -1923,9 +1942,12 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evaluated in-engine.
 _PWR_ZA = repr(1.959963984540054)
 _PWR_ZB = repr(0.8416212335729143)
-_PWR_PA = "(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
-_PWR_PB = "(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
-_PWR_POOL = "(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+# NULLIF pins the one-empty-arm corpus (a single-user stream) to NULL
+# on both engines — the r14 sweep find; the text is shared, so one
+# edit guards both plans
+_PWR_PA = "(CAST(x_a AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE), 0))"
+_PWR_PB = "(CAST(x_b AS DOUBLE) / NULLIF(CAST(n_b AS DOUBLE), 0))"
+_PWR_POOL = "(CAST(x_a + x_b AS DOUBLE) / NULLIF(CAST(n_a + n_b AS DOUBLE), 0))"
 _PWR_NUM = (
     f"({_PWR_ZA} * sqrt(2.0 * {_PWR_POOL} * (1.0 - {_PWR_POOL}))"
     f" + {_PWR_ZB} * sqrt({_PWR_PA} * (1.0 - {_PWR_PA})"

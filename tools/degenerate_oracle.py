@@ -98,49 +98,61 @@ def main() -> None:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
-    # single-level-vocabulary leg (r14): every event is ONE type — a
-    # filtered partition any real pipeline produces. Collapses one
-    # two-sample side to empty (KS/Mann-Whitney) and one contingency
-    # factor to a single level (chi-square dof 0) — exactly the ANSI
-    # DIVIDE_BY_ZERO class the empty-table legs cannot reach because
-    # the stream itself is non-empty. First run caught three real
-    # crashes (events_ks_test, stats_mann_whitney,
-    # stats_chi_square_independence), NULLIF-pinned the same round.
-    d = tempfile.mkdtemp(prefix="degen_onetype_")
-    try:
-        import duckdb
+    # collapsed-dimension legs (r14): the stream is NON-empty but one
+    # dimension is degenerate — shapes real filtered partitions / tiny
+    # tenants / bulk-loaded batches produce, unreachable by the
+    # empty-table legs. First runs caught NINE real bugs, all fixed
+    # the same round: one-type → events_ks_test / stats_mann_whitney /
+    # stats_chi_square_independence ANSI crashes; one-user →
+    # events_ab_ttest / events_ab_proportion_ztest /
+    # events_power_analysis crashes; const-ts → stats_spearman_rho /
+    # events_cuped_adjustment crashes AND the etl_flagship survivor
+    # tie-break VALUE bug (VARCHAR vs BIGINT event_id ordering).
+    _EVENT_FILTERS = [
+        "events_", "stats_", "funnel_", "cohort_", "sessionization",
+        "tumbling", "sliding", "etl_", "ml_logreg", "ml_perceptron",
+    ]
+    COLLAPSED_LEGS = [
+        ("one-type", """SELECT event_id, ts, user_id,
+            CAST('click' AS VARCHAR) AS event_type, value, props FROM SRC"""),
+        ("one-user", """SELECT event_id, ts, CAST(13 AS BIGINT) AS user_id,
+            event_type, value, props FROM SRC"""),
+        ("const-ts", """SELECT event_id,
+            TIMESTAMP '2024-01-05 12:00:00' AS ts, user_id, event_type,
+            value, props FROM SRC"""),
+    ]
+    import duckdb
 
-        for t in TABLES:
-            src_path = os.path.join(SRC_SF, f"{t}.parquet")
-            if t == "events":
-                duckdb.connect().execute(
-                    f"""COPY (SELECT event_id, ts, user_id,
-                        CAST('click' AS VARCHAR) AS event_type, value, props
-                        FROM '{src_path}')
-                        TO '{os.path.join(d, "events.parquet")}'
-                        (FORMAT PARQUET)"""
-                )
-            else:
-                shutil.copy(src_path, d)
-        proc = subprocess.run(
-            [sys.executable,
-             os.path.join(REPO, "tools", "check_oracle.py"), d,
-             "events_", "stats_", "funnel_", "cohort_", "sessionization",
-             "ml_logreg", "ml_perceptron"],
-            capture_output=True, text=True, cwd=REPO,
-        )
-        fails = [
-            ln.split()[1].rstrip(":") for ln in proc.stdout.splitlines()
-            if ln.startswith("FAIL")
-        ]
-        print(f"one-type events: "
-              f"{sum(1 for ln in proc.stdout.splitlines() if ln.startswith(('OK', 'ok?')))} ok, "
-              f"{len(fails)} fail ({len(fails)} unexpected)")
-        for f in fails:
-            print(f"  UNEXPECTED FAIL {f}")
-            bad += 1
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    for leg, sql in COLLAPSED_LEGS:
+        d = tempfile.mkdtemp(prefix=f"degen_{leg}_")
+        try:
+            for t in TABLES:
+                src_path = os.path.join(SRC_SF, f"{t}.parquet")
+                if t == "events":
+                    duckdb.connect().execute(
+                        f"COPY ({sql.replace('SRC', repr(src_path))}) TO "
+                        f"'{os.path.join(d, 'events.parquet')}' (FORMAT PARQUET)"
+                    )
+                else:
+                    shutil.copy(src_path, d)
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "tools", "check_oracle.py"), d,
+                 *_EVENT_FILTERS],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            fails = [
+                ln.split()[1].rstrip(":") for ln in proc.stdout.splitlines()
+                if ln.startswith("FAIL")
+            ]
+            print(f"{leg} events: "
+                  f"{sum(1 for ln in proc.stdout.splitlines() if ln.startswith(('OK', 'ok?')))} ok, "
+                  f"{len(fails)} fail ({len(fails)} unexpected)")
+            for f in fails:
+                print(f"  UNEXPECTED FAIL {f}")
+                bad += 1
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
 
     print(f"\n{bad} unexpected degenerate-corpus findings")
     sys.exit(1 if bad else 0)
