@@ -1060,6 +1060,47 @@ def _wp_merge_label(a: str, b: str) -> str:
     return a + (b[2:] if b.startswith("##") and len(b) > 2 else b)
 
 
+# Driver-pick gate for the tokenizer merge loops (r14 optimization
+# round): below this many aggregated count rows the per-round argmax
+# happens on the driver from ONE collected aggregation; above it the
+# original join + orderBy().first() plan runs distributed. The count
+# table is (distinct adjacent symbol bigrams + symbols) — charset²-
+# bounded, NOT corpus-sized (a CJK-heavy corpus has ~10⁴ chars in use,
+# ~10⁶ observed bigrams; English ≈ 10³). 200k rows ≈ a few MB on the
+# driver, the same order as the tfidf/unigram bounded collects.
+TOKENIZER_DRIVER_COUNTS_MAX_ROWS = 200_000
+
+
+def _wp_tagged_counts(vocab: DataFrame) -> DataFrame:
+    """ONE aggregation pass over the vocab yielding BOTH count tables
+    the WordPiece pick rule needs: adjacent-pair counts (rows with
+    ``y`` non-null) and symbol counts (rows with ``y`` null). The
+    previous shape ran these as two separate aggregations + two joins
+    + a global sort per merge round — ~5 AQE-materialized jobs per
+    round against a KB-sized sliver; fusing them into one tagged
+    explode halves the per-round shuffle count and makes the result
+    small enough to argmax on the driver (guide §2.4: remove shuffles
+    outright; §1.2: the distributed algorithm first)."""
+    return (
+        vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "concat("
+                    "transform(zip_with(slice(syms, 1, size(syms) - 1),"
+                    " slice(syms, 2, size(syms) - 1),"
+                    " (a, b) -> struct(a, b)),"
+                    " p -> struct(p.a AS x, p.b AS y)),"
+                    " transform(syms, s -> struct(s AS x,"
+                    " CAST(NULL AS STRING) AS y)))"
+                )
+            ).alias("k"),
+        )
+        .groupBy(F.col("k.x").alias("x"), F.col("k.y").alias("y"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
 def wordpiece_train(
     docs: DataFrame, n_merges: int = 10, min_pair: int = 2
 ) -> DataFrame:
@@ -1094,6 +1135,40 @@ def wordpiece_train(
     Reference behavior derived from the published algorithm only
     (Schuster & Nakajima 2012, Wu et al. 2016 §4.1); no reference-repo
     counterpart exists (extract_bq.py has no tokenizer)."""
+    merges, _alpha = _wordpiece_train_impl(docs, n_merges, min_pair)
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "rank BIGINT, left STRING, right STRING, merged STRING,"
+        " n_pair BIGINT, n_left BIGINT, n_right BIGINT",
+    )
+
+
+def _wordpiece_train_impl(
+    docs: DataFrame, n_merges: int, min_pair: int
+) -> tuple[list[tuple[int, str, str, str, int, int, int]], list[str] | None]:
+    """Shared WordPiece merge loop → (merges, alphabet-or-None).
+
+    r14 optimization: per round the pick rule needs the pair counts
+    AND the symbol counts — previously two aggregations, two joins and
+    a global sort (~5 tiny AQE-materialized jobs per round; the
+    job_profile evidence shows the entry's wall dominated by the
+    driver gaps BETWEEN those jobs, not by compute). Now ONE tagged
+    aggregation (:func:`_wp_tagged_counts`) is collected per round
+    (gated on TOKENIZER_DRIVER_COUNTS_MAX_ROWS — charset²-bounded,
+    never corpus-sized) and the argmax runs on the driver with
+    BIT-IDENTICAL semantics: score = IEEE double n/(ca·cb) exactly as
+    the previous plan's cast-divide expression, ties (score, a, b)
+    with Python string order == Spark's UTF8 binary order (UTF-8 byte
+    order preserves codepoint order). Above the gate the original
+    join + orderBy().first() plan runs unchanged (the tfidf
+    measured-cardinality fallback pattern). The merge-apply step
+    checkpoints LAZILY — it materializes inside the next round's
+    aggregation job instead of spending a dedicated job per round.
+
+    The alphabet (round-0 symbol keys — exactly the distinct initial
+    segmentation pieces) rides along for :func:`wordpiece_vocab`,
+    which previously re-scanned the corpus to derive it; None when the
+    gate tripped before round 0's counts were collected."""
     spark = docs.sparkSession
     words = (
         with_tokens(docs)
@@ -1109,48 +1184,92 @@ def wordpiece_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, str, int, int, int]] = []
+    alphabet: list[str] | None = None
+    driver_mode = True
     for rank in range(n_merges):
-        pairs = (
-            vocab.select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "zip_with(slice(syms, 1, size(syms) - 1),"
-                        " slice(syms, 2, size(syms) - 1),"
-                        " (a, b) -> struct(a, b))"
-                    )
-                ).alias("p"),
+        best_pick: tuple[str, str, int, int, int] | None = None
+        if driver_mode:
+            rows = _wp_tagged_counts(vocab).take(
+                TOKENIZER_DRIVER_COUNTS_MAX_ROWS + 1
             )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("n"))
-        )
-        sym_counts = (
-            vocab.select("freq", F.explode("syms").alias("s"))
-            .groupBy("s")
-            .agg(F.sum("freq").alias("c"))
-        )
-        best = (
-            pairs.where(F.col("n") >= min_pair)
-            .join(sym_counts.select(F.col("s").alias("a"), F.col("c").alias("ca")), "a")
-            .join(sym_counts.select(F.col("s").alias("b"), F.col("c").alias("cb")), "b")
-            .orderBy(
-                F.desc(
-                    F.col("n").cast("double")
-                    / (F.col("ca").cast("double") * F.col("cb").cast("double"))
-                ),
-                F.asc("a"),
-                F.asc("b"),
+            if len(rows) > TOKENIZER_DRIVER_COUNTS_MAX_ROWS:
+                driver_mode = False  # charset too wide: distributed pick
+            else:
+                if rank == 0:
+                    alphabet = sorted({r["x"] for r in rows if r["y"] is None})
+                sym_c = {r["x"]: int(r["n"]) for r in rows if r["y"] is None}
+                cand = None
+                for r in rows:
+                    if r["y"] is None or r["n"] < min_pair:
+                        continue
+                    a, b, n = r["x"], r["y"], int(r["n"])
+                    ca, cb = sym_c[a], sym_c[b]
+                    # the exact IEEE chain the distributed plan
+                    # compiled: double(n) / (double(ca) * double(cb))
+                    key = (-(float(n) / (float(ca) * float(cb))), a, b)
+                    if cand is None or key < cand[0]:
+                        cand = (key, (a, b, n, ca, cb))
+                if cand is None:
+                    break
+                best_pick = cand[1]
+        if not driver_mode:
+            pairs = (
+                vocab.select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "zip_with(slice(syms, 1, size(syms) - 1),"
+                            " slice(syms, 2, size(syms) - 1),"
+                            " (a, b) -> struct(a, b))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("n"))
             )
-            .first()  # bounded single-row fetch (the bpe_train contract)
-        )
-        if best is None:
-            break
-        a, b = best["a"], best["b"]
+            sym_counts = (
+                vocab.select("freq", F.explode("syms").alias("s"))
+                .groupBy("s")
+                .agg(F.sum("freq").alias("c"))
+            )
+            best = (
+                pairs.where(F.col("n") >= min_pair)
+                .join(
+                    sym_counts.select(F.col("s").alias("a"), F.col("c").alias("ca")),
+                    "a",
+                )
+                .join(
+                    sym_counts.select(F.col("s").alias("b"), F.col("c").alias("cb")),
+                    "b",
+                )
+                .orderBy(
+                    F.desc(
+                        F.col("n").cast("double")
+                        / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+                    ),
+                    F.asc("a"),
+                    F.asc("b"),
+                )
+                .first()  # bounded single-row fetch (the bpe_train contract)
+            )
+            if best is None:
+                break
+            best_pick = (
+                best["a"],
+                best["b"],
+                int(best["n"]),
+                int(best["ca"]),
+                int(best["cb"]),
+            )
+        a, b, n_pair, ca, cb = best_pick
         merged = _wp_merge_label(a, b)
-        merges.append(
-            (rank, a, b, merged, int(best["n"]), int(best["ca"]), int(best["cb"]))
-        )
+        merges.append((rank, a, b, merged, n_pair, ca, cb))
         qa, qb, qm = (x.replace("'", "\\'") for x in (a, b, merged))
+        # lazy checkpoint: lineage still truncates once materialized,
+        # but the materialization happens inside the NEXT round's
+        # aggregation job (or the fallback's .first()) instead of a
+        # dedicated eager job per round; the final round's vocab is
+        # never consumed and never materializes at all
         vocab = vocab.withColumn(
             "syms",
             F.expr(
@@ -1160,13 +1279,9 @@ def wordpiece_train(
                 f" THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}'))"
                 f" ELSE concat(acc, array(s)) END)"
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
-    return spark.createDataFrame(
-        merges,
-        "rank BIGINT, left STRING, right STRING, merged STRING,"
-        " n_pair BIGINT, n_left BIGINT, n_right BIGINT",
-    )
+    return merges, alphabet
 
 
 def wordpiece_vocab(docs: DataFrame, n_merges: int = 10) -> list[str]:
@@ -1175,17 +1290,28 @@ def wordpiece_vocab(docs: DataFrame, n_merges: int = 10) -> list[str]:
     exactly the symbols training starts from) plus the learned merged
     tokens. Two bounded collects — alphabet ≤ 2·|charset| rows,
     merges ≤ n_merges rows (the bpe_encode merge-table contract:
-    deployment constants, never corpus-sized)."""
-    alpha = (
-        with_tokens(docs)
-        .select(F.explode("tokens").alias("word"))
-        .where(F.col("word") != "")
-        .select(F.explode(F.expr(_wp_initial_syms_expr())).alias("piece"))
-        .distinct()
-        .collect()
-    )
-    merged = wordpiece_train(docs, n_merges).select("merged").collect()
-    return sorted({r["piece"] for r in alpha} | {r["merged"] for r in merged})
+    deployment constants, never corpus-sized).
+
+    r14 optimization: the alphabet rides out of the train loop's
+    round-0 symbol counts (the same distinct set the dedicated
+    explode+distinct pass computed — every initial symbol occurs in
+    some word, so the round-0 count table's null-tagged keys ARE the
+    alphabet), saving one full corpus re-scan + distinct per call.
+    The explicit scan remains as the above-gate fallback."""
+    merges, alphabet = _wordpiece_train_impl(docs, n_merges, min_pair=2)
+    if alphabet is None:  # driver gate tripped before round 0
+        alphabet = sorted(
+            r["piece"]
+            for r in (
+                with_tokens(docs)
+                .select(F.explode("tokens").alias("word"))
+                .where(F.col("word") != "")
+                .select(F.explode(F.expr(_wp_initial_syms_expr())).alias("piece"))
+                .distinct()
+                .collect()
+            )
+        )
+    return sorted(set(alphabet) | {m[3] for m in merges})
 
 
 def wordpiece_encode(
