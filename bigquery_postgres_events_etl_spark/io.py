@@ -54,6 +54,15 @@ def _pin_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     try:
+        # AQE coalescing inside cached plans (see session.py) — static
+        # in some deployments; the session.py default covers our own
+        # sessions and this runtime set covers driver-built ones.
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
+    except Exception:
+        pass
+    try:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         pass  # immutable under AQE in some configs; AQE coalesce covers it

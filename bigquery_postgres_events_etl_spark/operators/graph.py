@@ -118,17 +118,22 @@ def pagerank(
     # localCheckpoint truncates the upstream lineage but DROPS
     # partitioning (the r6-r8 watch item); the branch below pins the
     # join-appropriate partitioning before persisting.
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=False)
     # ONE aggregation pass builds the node set AND out-degrees (a src
     # occurrence weighs 1, a dst occurrence 0 — dst-only nodes appear
     # with outdeg 0): replaces the former distinct + left-join chain
     # (two exchanges + an extra checkpoint) with one exchange.
+    # r14: deg stays LAZY — in the broadcast branch it is consumed
+    # exactly once (the head scalars below; initial ranks now read the
+    # persisted in_adj, whose aggregation covers the same key set), so
+    # the former eager checkpoint spent a job + a cached |V| frame on
+    # a single-consumer subtree. The fallback branch still checkpoints
+    # it (zero_rows reads deg every iteration).
     deg = (
         e.select(F.col("src").alias("node"), F.lit(1).alias("w"))
         .union(e.select(F.col("dst").alias("node"), F.lit(0).alias("w")))
         .groupBy("node")
         .agg(F.sum("w").cast("long").alias("outdeg"))
-        .localCheckpoint(eager=True)
     )
     # loop-control scalars in ONE job: |V|, and whether any dangling
     # node exists at all. Symmetric edge sets (both directions
@@ -194,7 +199,9 @@ def pagerank(
     else:
         # ranks too large to broadcast: hash-join path — pinning
         # hashpartitioning(src) means each iteration only exchanges
-        # the rank side + the contribution groupBy.
+        # the rank side + the contribution groupBy. deg is read every
+        # iteration here (zero_rows), so materialize it once.
+        deg = deg.localCheckpoint(eager=True)
         e = e.repartition("src").persist()
 
     # Lineage-truncation cadence: with dangling nodes each iteration
@@ -222,7 +229,11 @@ def pagerank(
         zero_c = F.lit(0).cast("decimal(38,18)")
         share = (F.col("rank") / F.col("outdeg")).cast("decimal(38,18)")
         mass_t = "double"
-    ranks = deg.select("node", "outdeg", init_rank.alias("rank"))
+    # initial ranks: same (node, outdeg) key set either way — from the
+    # persisted in_adj in the broadcast branch (deg stays lazy there)
+    ranks = (in_adj if broadcast_ranks else deg).select(
+        "node", "outdeg", init_rank.alias("rank")
+    )
     for it in range(n_iter):
         if broadcast_ranks:
             # per-node share broadcasts into the adjacency lookup:
@@ -325,7 +336,7 @@ def pagerank(
             rank_col = base + F.lit(damping) * F.col("in_mass")
         ranks = stepped.select("node", "outdeg", rank_col.alias("rank"))
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
 
 
@@ -454,11 +465,14 @@ def personalized_pagerank_fixed(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=False)
     seed_flags = seeds.select(
         F.col(seeds.columns[0]).alias("node"), F.lit(1).alias("is_seed")
     ).distinct()
     n_seeds = seed_flags.count()  # loop-control scalar (bounded seed set)
+    # r14: deg stays LAZY (the pagerank prelude change) — consumed
+    # once for the head scalars in the broadcast branch, where initial
+    # ranks now read the persisted in_adj; the fallback checkpoints it.
     deg = (
         e.select(F.col("src").alias("node"), F.lit(1).alias("w"))
         .union(e.select(F.col("dst").alias("node"), F.lit(0).alias("w")))
@@ -468,7 +482,6 @@ def personalized_pagerank_fixed(
         .select(
             "node", "outdeg", F.coalesce("is_seed", F.lit(0)).alias("is_seed")
         )
-        .localCheckpoint(eager=True)
     )
     head = deg.agg(
         F.count(F.lit(1)).alias("n"), F.min("outdeg").alias("min_outdeg")
@@ -505,11 +518,12 @@ def personalized_pagerank_fixed(
             .persist()
         )
     else:
+        deg = deg.localCheckpoint(eager=True)  # zero_rows reads it per iter
         e = e.repartition("src").persist()
 
     checkpoint_every = 1 if has_dangling else PAGERANK_CHECKPOINT_EVERY
     base_const = ((dden - dnum) * scale) // (dden * n_seeds)
-    ranks = deg.select(
+    ranks = (in_adj if broadcast_ranks else deg).select(
         "node",
         "outdeg",
         "is_seed",
@@ -586,7 +600,7 @@ def personalized_pagerank_fixed(
             "node", "outdeg", "is_seed", upd.cast("long").alias("rank")
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
 
 
@@ -713,14 +727,15 @@ def hits_fixed(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=False)
     # node set WITH degrees in one weighted-union aggregation (the
     # pagerank deg pattern): the normalization totals then come from
-    # the STATE frame via the edge-sum identity Σ_j raw(j) =
-    # Σ_edges hub(src) = Σ_i hub(i)·outdeg(i) — a 1-row agg over |V|
-    # rows instead of a second pass over the |E|-row raw subtree
-    # (which would otherwise re-run per half-step or need an eager
-    # checkpoint; r11 profile: 6.9 → ~4 s solo at sf0.1)
+    # the edge-sum identity Σ_j raw(j) = Σ_edges hub(src) =
+    # Σ_i hub(i)·outdeg(i) — a 1-row agg over |V| rows instead of a
+    # second pass over the |E|-row raw subtree. r14: LAZY in the
+    # broadcast branch (single consumer — the count; state then
+    # initializes off the persisted adjacency), checkpointed in the
+    # fallback where every half-step reads it.
     nodes = (
         e.select(F.col("src").alias("node"), F.lit(1).alias("wo"), F.lit(0).alias("wi"))
         .union(
@@ -731,61 +746,162 @@ def hits_fixed(
             F.sum("wo").cast("long").alias("outdeg"),
             F.sum("wi").cast("long").alias("indeg"),
         )
-        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     broadcast_state = n <= _state_broadcast_gate(edges, RANKS_BROADCAST_MAX_NODES)
-    state = nodes.select(
-        "node",
-        "outdeg",
-        "indeg",
-        F.lit(scale // n).cast("long").alias("hub"),
-        F.lit(0).cast("long").alias("auth"),
-    )
 
-    def _half(state: DataFrame, from_col: str, join_on: str, to_col: str) -> DataFrame:
-        """One normalized half-step: propagate ``from_col`` across
-        edges joined on ``join_on`` ('src' propagates hub→auth,
-        'dst' propagates auth→hub), write ``to_col``."""
-        side = state.select(F.col("node").alias("jn"), F.col(from_col).alias("v"))
-        side = F.broadcast(side) if broadcast_state else side
-        out_key = "dst" if join_on == "src" else "src"
-        deg = "outdeg" if join_on == "src" else "indeg"
-        raw = (
-            e.join(side, F.col(join_on) == F.col("jn"))
-            .groupBy(F.col(out_key).alias("node"))
-            .agg(F.sum("v").cast("long").alias("raw"))
-        )
-        tot = state.agg(
-            F.sum(F.col(from_col) * F.col(deg)).cast("long").alias("tot")
-        )
-        keep = "auth" if to_col == "hub" else "hub"
-        return (
-            state.join(raw, "node", "left")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "node",
-                "outdeg",
-                "indeg",
-                F.col(keep),
-                F.expr(f"(coalesce(raw, 0) * {scale}) div nullif(tot, 0)")
-                .cast("long")
-                .alias(to_col),
+    if broadcast_state:
+        # r14: the pagerank in-neighbor-adjacency pattern ported to
+        # HITS — BOTH directions pre-aggregated ONCE into a persisted
+        # (node, outdeg, indeg, in_nbrs[], out_nbrs[]) frame, so each
+        # half-step is a map-side explode over the |V|-row cache + a
+        # broadcast state lookup + an exchange-free aggregation
+        # (Generate and the broadcast join preserve the pinned
+        # hashpartitioning(node)). Replaces the per-half |E|-row
+        # e⨝side shuffle (guide §2.4: 8 shuffles per run removed;
+        # job_profile: ~8 jobs per half-step → ~3). Array rows are
+        # gate-bounded exactly as in pagerank — above the gate a
+        # skewed web-scale node would OOM a collect_list, so the flat
+        # edge path below remains the super-gate branch.
+        nbr_t = e.schema["src"].dataType
+        adj = (
+            e.select(
+                F.col("src").alias("node"),
+                F.lit(1).alias("wo"),
+                F.lit(0).alias("wi"),
+                F.col("dst").alias("o_nbr"),
+                F.lit(None).cast(nbr_t).alias("i_nbr"),
             )
-            .select("node", "outdeg", "indeg", "hub", "auth")
+            .union(
+                e.select(
+                    F.col("dst").alias("node"),
+                    F.lit(0).alias("wo"),
+                    F.lit(1).alias("wi"),
+                    F.lit(None).cast(nbr_t).alias("o_nbr"),
+                    F.col("src").alias("i_nbr"),
+                )
+            )
+            .groupBy("node")
+            .agg(
+                F.sum("wo").cast("long").alias("outdeg"),
+                F.sum("wi").cast("long").alias("indeg"),
+                F.sort_array(F.collect_list("o_nbr")).alias("out_nbrs"),
+                F.sort_array(F.collect_list("i_nbr")).alias("in_nbrs"),
+            )
+            .persist()
         )
+        state = adj.select(
+            "node",
+            F.lit(scale // n).cast("long").alias("hub"),
+            F.lit(0).cast("long").alias("auth"),
+        )
+
+        def _half(
+            state: DataFrame, from_col: str, join_on: str, to_col: str
+        ) -> DataFrame:
+            """Exchange-free half-step: raw(node) = Σ ``from_col`` over
+            the adjacency direction the old e-join keyed on
+            (join_on='src' → in_nbrs: hub→auth; 'dst' → out_nbrs:
+            auth→hub); tot = Σ from·deg over the SAME broadcast state
+            (identical integer chain to the former state-side
+            aggregate — adj and state share one key set)."""
+            nbr_col = "in_nbrs" if join_on == "src" else "out_nbrs"
+            deg = "outdeg" if join_on == "src" else "indeg"
+            keep = "auth" if to_col == "hub" else "hub"
+            side = state.select(
+                F.col("node").alias("jn"), F.col("hub"), F.col("auth")
+            )
+            raw = (
+                adj.select("node", F.explode_outer(nbr_col).alias("nbr"))
+                .join(F.broadcast(side), F.col("nbr") == F.col("jn"), "left")
+                .groupBy("node")
+                .agg(
+                    F.sum(
+                        F.coalesce(F.col(from_col), F.lit(0).cast("long"))
+                    )
+                    .cast("long")
+                    .alias("raw")
+                )
+            )
+            tot = (
+                adj.select(F.col("node").alias("tn"), deg)
+                .join(F.broadcast(side), F.col("tn") == F.col("jn"))
+                .agg(
+                    F.sum(F.col(from_col) * F.col(deg)).cast("long").alias("tot")
+                )
+            )
+            return (
+                raw.join(
+                    F.broadcast(side), F.col("node") == F.col("jn")
+                )
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    "node",
+                    F.col(keep),
+                    F.expr(f"(raw * {scale}) div nullif(tot, 0)")
+                    .cast("long")
+                    .alias(to_col),
+                )
+                .select("node", "hub", "auth")
+            )
+
+    else:
+        nodes = nodes.localCheckpoint(eager=True)
+        state = nodes.select(
+            "node",
+            "outdeg",
+            "indeg",
+            F.lit(scale // n).cast("long").alias("hub"),
+            F.lit(0).cast("long").alias("auth"),
+        )
+
+        def _half(
+            state: DataFrame, from_col: str, join_on: str, to_col: str
+        ) -> DataFrame:
+            """One normalized half-step: propagate ``from_col`` across
+            edges joined on ``join_on`` ('src' propagates hub→auth,
+            'dst' propagates auth→hub), write ``to_col``."""
+            side = state.select(F.col("node").alias("jn"), F.col(from_col).alias("v"))
+            out_key = "dst" if join_on == "src" else "src"
+            deg = "outdeg" if join_on == "src" else "indeg"
+            raw = (
+                e.join(side, F.col(join_on) == F.col("jn"))
+                .groupBy(F.col(out_key).alias("node"))
+                .agg(F.sum("v").cast("long").alias("raw"))
+            )
+            tot = state.agg(
+                F.sum(F.col(from_col) * F.col(deg)).cast("long").alias("tot")
+            )
+            keep = "auth" if to_col == "hub" else "hub"
+            return (
+                state.join(raw, "node", "left")
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    "node",
+                    "outdeg",
+                    "indeg",
+                    F.col(keep),
+                    F.expr(f"(coalesce(raw, 0) * {scale}) div nullif(tot, 0)")
+                    .cast("long")
+                    .alias(to_col),
+                )
+                .select("node", "outdeg", "indeg", "hub", "auth")
+            )
 
     for it in range(n_iter):
-        # checkpoint EVERY half-step: the next half's normalization
-        # total aggregates the state frame, so an unmaterialized state
-        # would replay its whole |E|-join subtree once per consumer —
-        # progressively deeper each round (quadratic replay). Each
-        # checkpoint pins a |V|-row sliver and runs the half's single
-        # |E| join exactly once.
-        state = _half(state, "hub", "src", "auth").localCheckpoint(eager=True)
+        # checkpoint EVERY half-step: the next half re-reads the state
+        # frame several times, so an unmaterialized state would replay
+        # its whole subtree once per consumer — progressively deeper
+        # each round (quadratic replay). Each checkpoint pins a
+        # |V|-row sliver and runs the half's work exactly once. r14:
+        # LAZY checkpoints — the materialization happens inside the
+        # next consumer's first job (the following half's broadcast
+        # build) instead of a dedicated driver-synchronized job per
+        # half-step; replay protection after first use is identical.
+        state = _half(state, "hub", "src", "auth").localCheckpoint(eager=False)
         hub_half = _half(state, "auth", "dst", "hub")
         if it + 1 < n_iter:
-            hub_half = hub_half.localCheckpoint(eager=True)
+            hub_half = hub_half.localCheckpoint(eager=False)
         state = hub_half
     return state.select(
         "node", F.col("hub").alias("hub_fp"), F.col("auth").alias("auth_fp")
@@ -1223,22 +1339,99 @@ def markov_removal_p4(
         events, user_col, ts_col, type_col, conv_type
     )
     totals = counts.groupBy("src").agg(F.sum("cnt").alias("tot"))
-    p = (
-        counts.join(totals, "src")
-        .select(
-            "src",
-            "dst",
-            F.expr(f"(cnt * {scale}) div tot").cast("long").alias("v"),
-        )
-        .localCheckpoint(eager=True)
+    p = counts.join(totals, "src").select(
+        "src",
+        "dst",
+        F.expr(f"(cnt * {scale}) div tot").cast("long").alias("v"),
     )
+    spark = events.sparkSession
+    tc = touches.groupBy(F.col("etype").alias("channel")).agg(
+        F.count(F.lit(1)).alias("touches")
+    )
+
+    # r14: gated DRIVER tail — the markov_attribution precedent
+    # (graph.py:989) extended to the hash tier. Everything downstream
+    # of ``p`` is constant-size ((c+3)² entries × (c+1) scenarios),
+    # yet the distributed squaring spent ~40 micro-jobs of pure
+    # scheduling per run (tools/job_profile.py: 55 jobs, most 1-task,
+    # assembling sub-KB frames). Below the channel gate the whole
+    # tail runs off ONE bounded fetch of p (≤ (c+2)(c+3) rows), in
+    # exact Python ints replicating the DataFrame semantics
+    # join-for-join: sparse entries exist iff the join matched (v=0
+    # rows included), `div` ≡ `//` on the non-negative values, SQL
+    # NULL ≡ None (CASE WHEN full>0, SUM-skips-NULLs, nullif(·,0)).
+    # The distributed loop below remains the super-gate path.
+    _c = MARKOV_DRIVER_SQUARING_MAX_CHANNELS
+    _limit = (_c + 2) * (_c + 3)
+    p_rows = p.take(_limit + 1)
+    chans = sorted({r["src"] for r in p_rows if r["src"] != "START"})
+    if len(p_rows) <= _limit and len(chans) <= _c:
+        p_entries = [(r["src"], r["dst"], int(r["v"])) for r in p_rows]
+
+        def _square(m: dict[tuple[str, str], int]) -> dict[tuple[str, str], int]:
+            byk: dict[str, list[tuple[str, int]]] = {}
+            for (k, j), v in m.items():
+                byk.setdefault(k, []).append((j, v))
+            acc: dict[tuple[str, str], int] = {}
+            for (i, k), v in m.items():
+                for j, w in byk.get(k, ()):
+                    acc[(i, j)] = acc.get((i, j), 0) + v * w
+            return {key: val // scale for key, val in acc.items()}
+
+        p4_by_scen: dict[str, int] = {}  # key present iff the row exists
+        for scen_name in chans + ["full"]:
+            m: dict[tuple[str, str], int] = {}
+            for i, j, v in p_entries:
+                if scen_name != "full" and i == scen_name:
+                    continue
+                jj = "NULL" if (scen_name != "full" and j == scen_name) else j
+                m[(i, jj)] = m.get((i, jj), 0) + v
+            for s in ("CONV", "NULL"):
+                m[(s, s)] = m.get((s, s), 0) + scale
+            q4_d = _square(_square(m))
+            if ("START", "CONV") in q4_d:
+                p4_by_scen[scen_name] = q4_d[("START", "CONV")]
+
+        full_v = p4_by_scen.get("full")  # None ≡ SQL NULL (MAX over ∅)
+        out_rows: list[tuple] = []
+        effs: dict[str, int | None] = {}
+        for c in chans:
+            removed = p4_by_scen.get(c, 0)
+            if full_v is not None and full_v > 0:
+                effs[c] = max(0, scale - (removed * scale) // full_v)
+            else:
+                effs[c] = None
+        nonnull = [e for e in effs.values() if e is not None]
+        eff_sum = sum(nonnull) if nonnull else None  # SUM skips NULLs; ∅→NULL
+        for c in chans:
+            e = effs[c]
+            credit = (
+                (e * scale) // eff_sum
+                if (e is not None and eff_sum is not None and eff_sum != 0)
+                else None
+            )
+            out_rows.append((c, full_v, p4_by_scen.get(c, 0), e, credit))
+        eff_df = spark.createDataFrame(
+            out_rows,
+            "channel STRING, p4_full_fp BIGINT, p4_removed_fp BIGINT,"
+            " removal_effect_fp BIGINT, credit_share_fp BIGINT",
+        )
+        return eff_df.join(tc, "channel", "left").select(
+            "channel",
+            F.coalesce("touches", F.lit(0).cast("long")).alias("touches"),
+            "p4_full_fp",
+            "p4_removed_fp",
+            "removal_effect_fp",
+            "credit_share_fp",
+        )
+
+    p = p.localCheckpoint(eager=True)
     channels = (
         p.where(F.col("src") != "START")
         .select(F.col("src").alias("scenario"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    spark = events.sparkSession
     scen = channels.unionByName(
         spark.range(1).select(F.lit("full").alias("scenario"))
     )

@@ -1551,6 +1551,14 @@ def kmeans_q8(
     the DuckDB unrolled-CTE twin bit-for-bit, pinned by the pure-
     Python Lloyd parity pytest."""
     spark = vectors.sparkSession
+    # r14 measured dead end (kept single-split on purpose): the
+    # fixture corpus arrives as ONE parquet split, so each round's
+    # kernel runs as one ~0.26 s task — fanning it out with
+    # io.parallelize() to defaultParallelism made rounds ~2× SLOWER
+    # (0.26 → 0.5-0.7 s: 32 × per-task Python/Arrow fixed cost
+    # dwarfs the ~3 MB of vectorized work; tools/job_profile.py
+    # capture in OPTIMIZATION_r14.md). At cluster scale the source
+    # has many splits and per-task overhead amortizes naturally.
     q = quantize_embeddings_int8(vectors, id_col, emb_col).select(
         id_col, F.expr("transform(q8, x -> CAST(x AS BIGINT))").alias("q8")
     ).persist()

@@ -512,6 +512,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 10) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, str, int]] = []
+    driver_mode = True  # r14: gated driver argmax (see wordpiece twin)
     for rank in range(n_merges):
         pairs = (
             vocab.select(
@@ -527,12 +528,29 @@ def bpe_train(docs: DataFrame, n_merges: int = 10) -> DataFrame:
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("n"))
         )
-        best = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).first()
+        if driver_mode:
+            # ONE collect of the charset²-bounded pair-count table and
+            # a driver argmax with identical semantics (max n, ties
+            # lexicographic — Python string order == Spark UTF8 binary
+            # order), replacing the global sort + .first() plan whose
+            # AQE materializations cost several jobs per round; the
+            # distributed sort remains as the above-gate fallback
+            rows = pairs.take(TOKENIZER_DRIVER_COUNTS_MAX_ROWS + 1)
+            if len(rows) > TOKENIZER_DRIVER_COUNTS_MAX_ROWS:
+                driver_mode = False
+            else:
+                best = min(
+                    rows, key=lambda r: (-r["n"], r["a"], r["b"]), default=None
+                )
+        if not driver_mode:
+            best = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).first()
         if best is None or best["n"] < 2:
             break
         a, b = best["a"], best["b"]
         merges.append((rank, a, b, a + b, int(best["n"])))
         qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        # lazy checkpoint: materializes inside the next round's
+        # aggregation instead of a dedicated job (wordpiece twin)
         vocab = vocab.withColumn(
             "syms",
             F.expr(
@@ -542,7 +560,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 10) -> DataFrame:
                 f" THEN concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}'))"
                 f" ELSE concat(acc, array(s)) END)"
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     return spark.createDataFrame(
         merges, "rank BIGINT, left STRING, right STRING, merged STRING, n_occurrences BIGINT"

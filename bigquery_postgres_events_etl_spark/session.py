@@ -37,6 +37,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r14 optimization: let AQE coalesce INSIDE cached plans too
+        # (off by default). The iterative operators persist() small
+        # keyed slivers (graph adjacency, NB token counts, dedup
+        # signatures); without this the cache pins the raw
+        # shuffle.partitions count and every iteration job relaunches
+        # that many tasks over KB-sized cached data. With it the
+        # cached partitioning follows AQE's advisory size — few
+        # partitions at fixture scale, proportionally many at 100 TB
+        # (scale-adaptive by construction, guide §2.2). Downstream
+        # exchange-free groupBys still hold: hash partitioning on the
+        # same key satisfies the clustered distribution at ANY
+        # partition count.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
