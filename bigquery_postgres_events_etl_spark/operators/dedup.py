@@ -604,39 +604,50 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", hash_fn: str = "md5") -> Da
     of the DuckDB twin (rows-only driver check; parity with the md5
     tier is pinned by pytest on planted near-duplicates).
     """
+    # r14: expressions built as a handful of F.expr strings instead of
+    # ~450 Column-DSL calls — the Catalyst plan is identical (same
+    # functions, same left-associated sum), but each Column operation
+    # is a py4j round-trip and the former DSL chain alone cost seconds
+    # of pure driver build latency per invocation (measured in
+    # OPTIMIZATION_r14.md). Parsing one SQL string is one round-trip.
     tok = with_tokens(docs).select(
         F.col(id_col).alias("doc_id"), F.explode("tokens").alias("token")
     )
     if hash_fn == "md5":
-        tok = (
-            tok.withColumn("md5", F.md5("token"))
-            .withColumn("th_lo", F.conv(F.substring("md5", 1, 8), 16, 10).cast("long"))
-            .withColumn("th_hi", F.conv(F.substring("md5", 9, 8), 16, 10).cast("long"))
+        tok = tok.withColumn("md5", F.md5("token")).select(
+            "doc_id",
+            F.expr("CAST(conv(substring(md5, 1, 8), 16, 10) AS BIGINT)").alias(
+                "th_lo"
+            ),
+            F.expr("CAST(conv(substring(md5, 9, 8), 16, 10) AS BIGINT)").alias(
+                "th_hi"
+            ),
         )
 
-        def _bit(b: int):
+        def _bit(b: int) -> str:
             src, shift = ("th_lo", b) if b < 32 else ("th_hi", b - 32)
-            return F.shiftright(src, shift).bitwiseAND(F.lit(1))
+            return f"shiftright({src}, {shift}) & 1"
 
     elif hash_fn == "xxhash64":
         tok = tok.withColumn("th", F.xxhash64("token"))
 
-        def _bit(b: int):
-            return F.shiftrightunsigned("th", b).bitwiseAND(F.lit(1))
+        def _bit(b: int) -> str:
+            return f"shiftrightunsigned(th, {b}) & 1"
 
     else:  # pragma: no cover
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
 
-    bit_sums = [F.sum(_bit(b)).alias(f"s{b}") for b in range(SIMHASH_BITS)]
+    bit_sums = [F.expr(f"sum({_bit(b)})").alias(f"s{b}") for b in range(SIMHASH_BITS)]
     agg = tok.groupBy("doc_id").agg(*bit_sums, F.count(F.lit(1)).alias("n_occ"))
-    sim = None
-    for b in range(SIMHASH_BITS):
-        weight = -(2**63) if b == 63 else 2**b
-        bit = F.when(F.col(f"s{b}") * 2 > F.col("n_occ"), F.lit(weight).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = bit if sim is None else sim + bit
-    return agg.select("doc_id", sim.alias("simhash"))
+    # two's-complement sign bit: -9223372036854775808 parses as the
+    # BIGINT minimum (verified), matching the former lit(-(2**63))
+    terms = " + ".join(
+        f"CASE WHEN s{b} * 2 > n_occ THEN CAST("
+        f"{-(2**63) if b == 63 else 2**b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", F.expr(terms).alias("simhash"))
 
 
 def simhash_near_pairs(
