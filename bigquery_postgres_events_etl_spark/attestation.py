@@ -89,6 +89,29 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     "events_power_analysis": 14,
     "stats_spearman_rho": 14,
     "events_cuped_adjustment": 14,
+    # r14 OPTIMIZATION-round plan rewrites (values identical — every
+    # one re-proved against the DuckDB oracle at sf0.001 and sf0.01
+    # in-round; see OPTIMIZATION_r14.md): tokenizer merge loops now
+    # fuse per-round aggregations and argmax on the driver below a
+    # cardinality gate; simhash expressions rebuilt as SQL strings
+    # (same plan, but flagged with its consumers for safety);
+    # markov-p4 constant-size tail runs driver-side below the channel
+    # gate; HITS half-steps de-shuffled via the pre-aggregated
+    # two-direction adjacency; pagerank/PPR preludes lost the deg
+    # checkpoint and loop checkpoints went lazy:
+    "text_wordpiece_train": 14,
+    "text_wordpiece_encode_trained": 14,
+    "text_bpe_train_merges": 14,
+    "text_bpe_encode_trained": 14,
+    "dedup_simhash": 14,
+    "dedup_simhash_pairs": 14,
+    "dedup_simhash_fast": 14,
+    "dedup_edit_distance_banded": 14,
+    "events_markov_removal_p4": 14,
+    "events_markov_attribution": 14,
+    "graph_pagerank_copurchase": 14,
+    "graph_ppr_seeded": 14,
+    "graph_hits_copurchase": 14,
 }
 
 

@@ -1029,10 +1029,15 @@ def _journey_frames(
         .persist()
     )
     j = evs.join(fp, "user", "left")
+    # lazy checkpoint (r14): materializes inside the first consumer's
+    # job; later consumers (per_user, terminals, tc) read the cache —
+    # one fewer driver-synchronized job, identical replay protection.
+    # Deterministic subtree (filter over a join), so concurrent first
+    # computation is safe.
     touches = j.where(
         (F.col("etype") != conv_type)
         & (F.col("fp_key").isNull() | (order_key < F.col("fp_key")))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     w = Window.partitionBy("user").orderBy("ts", "event_id")
     trans_mid = touches.select(
@@ -1093,9 +1098,11 @@ def markov_attribution(
         events, user_col, ts_col, type_col, conv_type
     )
     totals = counts.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    # lazy checkpoint (r14): first consumer (the channels collect)
+    # materializes it; the probs.collect() below reads the cache
     probs = counts.join(totals, "src").select(
         "src", "dst", (F.col("cnt").cast("double") / F.col("tot").cast("double")).alias("p")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     spark = events.sparkSession
     channels = [

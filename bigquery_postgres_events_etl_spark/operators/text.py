@@ -509,7 +509,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 10) -> DataFrame:
     vocab = words.withColumn(
         "syms",
         F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # materializes in round 0's take (r14)
 
     merges: list[tuple[int, str, str, str, int]] = []
     driver_mode = True  # r14: gated driver argmax (see wordpiece twin)
@@ -1199,7 +1199,7 @@ def _wordpiece_train_impl(
     )
     vocab = words.withColumn(
         "syms", F.expr(_wp_initial_syms_expr())
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # materializes in round 0's take (r14)
 
     merges: list[tuple[int, str, str, str, int, int, int]] = []
     alphabet: list[str] | None = None
