@@ -397,3 +397,73 @@ def test_state_broadcast_gate_malformed_conf(spark):
     finally:
         spark.conf.unset(STATE_BROADCAST_CONF)
     assert _state_broadcast_gate(df, 123) == 123
+
+
+def test_hits_flat_edge_fallback_matches_adjacency_path(spark):
+    """r14 moved the under-gate HITS half-steps onto a pre-aggregated
+    two-direction adjacency (map-side explode + broadcast lookup, no
+    per-half edge shuffle). Above the gate the flat-edge path remains;
+    both must produce IDENTICAL integers (the whole chain is exact
+    BIGINT: raw sums, the edge-sum total, the div-normalize)."""
+    from bigquery_postgres_events_etl_spark.operators import graph
+    from bigquery_postgres_events_etl_spark.operators.graph import hits_fixed
+
+    edges = [(1, 10), (1, 11), (2, 10), (3, 12), (2, 11), (3, 10), (4, 12), (10, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got_adj = {r.node: (r.hub_fp, r.auth_fp) for r in hits_fixed(df).collect()}
+    old = graph.RANKS_BROADCAST_MAX_NODES
+    graph.RANKS_BROADCAST_MAX_NODES = 0  # force the flat-edge path
+    try:
+        got_flat = {
+            r.node: (r.hub_fp, r.auth_fp) for r in hits_fixed(df).collect()
+        }
+    finally:
+        graph.RANKS_BROADCAST_MAX_NODES = old
+    assert got_adj == got_flat  # bit-identical, not approximately equal
+
+
+def test_markov_p4_driver_tail_matches_distributed_tail(spark):
+    """r14 moved the under-gate markov_removal_p4 tail driver-side
+    (one bounded fetch of the transition table + exact-int squarings
+    replicating the sparse-join semantics). Both tails are all-integer
+    and must agree EXACTLY on every output column."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.operators import graph
+    from bigquery_postgres_events_etl_spark.operators.graph import (
+        markov_removal_p4,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(1, 30):
+        for i in range(u % 4 + 1):
+            rows.append((eid, u, f"ch{(u + i) % 3}", f"2024-01-01 00:{i:02d}:00"))
+            eid += 1
+        if u % 3 != 0:  # two thirds convert
+            rows.append((eid, u, "purchase", f"2024-01-01 00:{(u % 4) + 1:02d}:30"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def snap(df):
+        return {
+            r.channel: (
+                r.touches,
+                r.p4_full_fp,
+                r.p4_removed_fp,
+                r.removal_effect_fp,
+                r.credit_share_fp,
+            )
+            for r in df.collect()
+        }
+
+    got_d = snap(markov_removal_p4(events))
+    old = graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS
+    graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS = 0  # force distributed
+    try:
+        got_s = snap(markov_removal_p4(events))
+    finally:
+        graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS = old
+    assert got_d and got_d == got_s  # exact integers on both tails

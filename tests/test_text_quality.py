@@ -1326,3 +1326,37 @@ def test_wordpiece_encode_property_random_vocab(spark):
         assert row.first_tokens == " ".join(want[:8])
 
     run()
+
+
+def test_tokenizer_driver_argmax_matches_distributed_pick(spark):
+    """r14 moved the under-gate per-round best-pair pick driver-side
+    for BOTH trained tokenizers (one collected tagged aggregation +
+    Python argmax with the same IEEE score and UTF8 tie-break). The
+    distributed join+orderBy path above the gate must produce the
+    IDENTICAL merge table — forced by zeroing the gate."""
+    from bigquery_postgres_events_etl_spark.operators import text as text_mod
+    from bigquery_postgres_events_etl_spark.operators.text import (
+        bpe_train,
+        wordpiece_train,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            "low lower lowest low low",
+            "new newer newest new new",
+            "wide wider widest wide",
+            "low newer low wide wide",
+        ],
+    )
+    wp_d = [tuple(r) for r in wordpiece_train(docs, n_merges=6).collect()]
+    bpe_d = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+    old = text_mod.TOKENIZER_DRIVER_COUNTS_MAX_ROWS
+    text_mod.TOKENIZER_DRIVER_COUNTS_MAX_ROWS = 0  # force distributed
+    try:
+        wp_s = [tuple(r) for r in wordpiece_train(docs, n_merges=6).collect()]
+        bpe_s = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+    finally:
+        text_mod.TOKENIZER_DRIVER_COUNTS_MAX_ROWS = old
+    assert wp_d and wp_d == wp_s
+    assert bpe_d and bpe_d == bpe_s
