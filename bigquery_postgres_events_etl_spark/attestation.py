@@ -46,6 +46,15 @@ import re
 # green row from a round >= the flagged value supersedes the flag
 # automatically; anything older keeps the entry on the 0.5 tier.
 #
+# Session-conf scope note (r14 ADVICE): a session-wide conf that
+# changes physical plans in bulk (e.g. the r14
+# canChangeCachedPlanOutputPartitioning flip, which touches every
+# entry that persists a shuffled sliver) is NOT flagged per-entry
+# here — the flag list is for targeted rewrites; conf-induced plan
+# changes are instead verified by the full-registry oracle sweeps at
+# sf0.001/0.01/0.1 recorded in ORACLE_SF01_FULL_r*.md (0 failures),
+# which cover every entry at once rather than rotating 50 at a time.
+#
 # r7 flags (17 entries, shared-shingle / scan-tail campaigns) were all
 # re-attested green in CORRECTNESS_r07 and removed; likewise every r8
 # flag (11 entries) attested green in CORRECTNESS_r08, and every r9
@@ -112,6 +121,13 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     "graph_pagerank_copurchase": 14,
     "graph_ppr_seeded": 14,
     "graph_hits_copurchase": 14,
+    # r15 driver hash-parity fix (the r14 CORRECTNESS gate failure):
+    # conformal nonconformity now reads the NB score's EXACT decimal
+    # (nb_quality_score_dec) instead of re-rounding the double through
+    # the engine-divergent double→decimal cast the oracle never took.
+    # Values are identical wherever the old round-trip was lossless;
+    # the plan changed (one fewer cast pair), so re-attest:
+    "ml_eval_conformal": 15,
 }
 
 

@@ -1370,6 +1370,13 @@ def markov_removal_p4(
     # The distributed loop below remains the super-gate path.
     _c = MARKOV_DRIVER_SQUARING_MAX_CHANNELS
     _limit = (_c + 2) * (_c + 3)
+    # ONE evaluation of the counts→totals→p subtree for BOTH tiers
+    # (r15 ADVICE fix): checkpoint p eagerly, then the gate probe
+    # reads the materialized blocks and the distributed fallback
+    # reuses them — previously take() evaluated the subtree and the
+    # fallback's own eager checkpoint recomputed it, one redundant
+    # full pass on exactly the path meant for large inputs.
+    p = p.localCheckpoint(eager=True)
     p_rows = p.take(_limit + 1)
     chans = sorted({r["src"] for r in p_rows if r["src"] != "START"})
     if len(p_rows) <= _limit and len(chans) <= _c:
@@ -1386,7 +1393,12 @@ def markov_removal_p4(
             return {key: val // scale for key, val in acc.items()}
 
         p4_by_scen: dict[str, int] = {}  # key present iff the row exists
-        for scen_name in chans + ["full"]:
+        # dict.fromkeys: a channel literally named 'full' must yield
+        # ONE 'full' scenario (the full matrix), matching the
+        # DISTINCT-deduplicated scenario set of the distributed tier
+        # and the oracle (r15 ADVICE fix — the duplicate scenario row
+        # doubled every 'full' matrix entry in the distributed path)
+        for scen_name in dict.fromkeys(chans + ["full"]):
             m: dict[tuple[str, str], int] = {}
             for i, j, v in p_entries:
                 if scen_name != "full" and i == scen_name:
@@ -1432,16 +1444,20 @@ def markov_removal_p4(
             "credit_share_fp",
         )
 
-    p = p.localCheckpoint(eager=True)
     channels = (
         p.where(F.col("src") != "START")
         .select(F.col("src").alias("scenario"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # distinct: a channel literally named 'full' must not produce a
+    # SECOND 'full' scenario row — the crossJoin+groupBy-sum would
+    # double every 'full'-scenario matrix entry (and the absorbing
+    # +scale loops), diverging from the driver tail (r15 ADVICE fix;
+    # the oracle deduplicates identically via UNION)
     scen = channels.unionByName(
         spark.range(1).select(F.lit("full").alias("scenario"))
-    )
+    ).distinct()
     # scenario-keyed removal matrices: for scenario c, drop c's rows
     # and re-route …→c into …→NULL; 'full' keeps p verbatim; absorbing
     # self-loops enter as explicit +scale rows folded by the groupBy
@@ -1525,9 +1541,6 @@ def markov_removal_p4(
         )
     )
     tot_eff = eff.agg(F.sum("removal_effect_fp").cast("long").alias("eff_sum"))
-    tc = touches.groupBy(F.col("etype").alias("channel")).agg(
-        F.count(F.lit(1)).alias("touches")
-    )
     return (
         eff.crossJoin(F.broadcast(tot_eff))
         .join(tc, "channel", "left")
@@ -1604,7 +1617,9 @@ def markov_removal_p4(
         USING (src)
     ),
     channels AS (SELECT DISTINCT src AS scenario FROM p WHERE src <> 'START'),
-    scen AS (SELECT scenario FROM channels UNION ALL SELECT 'full'),
+    -- UNION (not ALL): a channel literally named 'full' must not
+    -- produce a second 'full' scenario row (mirrors the Spark side)
+    scen AS (SELECT scenario FROM channels UNION SELECT 'full'),
     m AS (
       SELECT scenario, i, j, SUM(v) AS v FROM (
         SELECT s.scenario, p.src AS i,

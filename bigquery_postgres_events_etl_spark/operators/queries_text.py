@@ -2483,10 +2483,13 @@ def ml_eval_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tutorial form).
 
     Hash-oracle friendly by construction: nonconformity is the exact
-    DECIMAL(20,9) NB score negated (the doremi double→decimal
-    round-trip precedent), the quantile rank is pure integer
-    arithmetic, q̂ is an exact decimal, coverage flags are integers,
-    and the one division at the end is a single IEEE op. n_cal < 9
+    DECIMAL(20,9) NB score negated — taken from the score's exact
+    decimal (nb_quality_score_dec), never round-tripped through the
+    double (the r14 driver hash-fail: CAST(double AS DECIMAL) is
+    engine-divergent and the oracle side never did it) — the quantile
+    rank is pure integer arithmetic, q̂ is an exact decimal, coverage
+    flags are integers, and the one division at the end is a single
+    IEEE op. n_cal < 9
     makes k_rank > n_cal → q̂ NULL → everything covered (q̂ = +∞, the
     conformal convention for an undersized calibration set).
 
@@ -2496,15 +2499,26 @@ def ml_eval_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (the bm25-stats contract)."""
     from .dedup import md5_hash60
     from .ranking import with_global_ranks
-    from .text import nb_quality_score
+    from .text import nb_quality_score_dec
 
     docs = parallelize(load_table(spark, sf_dir, "documents"))
     h = md5_hash60(F.col("doc_id").cast("string"))
     base = (
-        nb_quality_score(docs)
+        # EXACT-decimal score (r15 driver hash-parity fix): the oracle
+        # computes nonconf = CAST(-(llr + prior) AS DECIMAL(20,9))
+        # straight from exact decimals, but this side used to re-round
+        # the nb_score DOUBLE back to DECIMAL(20,9) — an asymmetric
+        # chain through the engine-divergent double→decimal cast
+        # (registry hazard; the r14 CORRECTNESS hash_match=false).
+        # nb_score_dec IS the oracle's exact decimal, so both engines
+        # now run the identical exact chain; negation of a scale-9
+        # decimal is exact, so values equal the oracle's by
+        # construction (and equal the old output everywhere the old
+        # round-trip happened to be lossless).
+        nb_quality_score_dec(docs)
         .select(
             "doc_id",
-            (-F.expr("CAST(nb_score AS DECIMAL(20,9))")).alias("nonconf"),
+            (-F.col("nb_score_dec")).cast("decimal(20,9)").alias("nonconf"),
             (h % _CONFORMAL_SPLIT_MOD == 0).alias("is_cal"),
         )
         # narrow persisted projection: ranked (cal) and coverage (test)

@@ -683,6 +683,60 @@ def nb_score_with_tc(
     (a LongType multiplicand would widen to DECIMAL(20,0) and push
     the product past 38 digits, where Spark truncates the scale to 6
     and parity dies)."""
+    scored, prior, tc = _nb_scored_base(docs, target_sources, max_broadcast_terms)
+    score_dec = F.col("llr_dec") + prior
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            score_dec.cast("double").alias("nb_score"),
+            (score_dec > 0).alias("predicted_curated"),
+        ),
+        tc,
+    )
+
+
+def nb_quality_score_dec(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = NB_TARGET_SOURCES,
+    max_broadcast_terms: int = 1_000_000,
+) -> DataFrame:
+    """EXACT-DECIMAL variant of the NB score: ``(doc_id, n_tokens,
+    nb_score_dec DECIMAL(20,9))`` where nb_score_dec is the exact
+    decimal ``llr + prior`` — the same value the SQL oracle's
+    ``d.llr + p.prior`` carries, with NO double round-trip.
+
+    Exists for consumers whose COMPARED output descends from the
+    score's decimal value (ml_eval_conformal's q̂/nonconformity):
+    ``CAST(nb_score AS DECIMAL(20,9))`` of the double re-rounds an
+    already-exact decimal through the engine-divergent double→decimal
+    cast (registry double→decimal hazard — Spark rounds the exact
+    binary value via BigDecimal, DuckDB scales in floats), and the
+    oracle side never takes that round-trip, so the chain was
+    asymmetric by construction (the r14 driver ml_eval_conformal
+    hash-fail). The (30,9)+(20,9) sum is DECIMAL(31,9); per-doc LLRs
+    are ≪ 10^11 so the (20,9) rescale is lossless (scale already 9 —
+    no rounding step at all)."""
+    scored, prior, _tc = _nb_scored_base(docs, target_sources, max_broadcast_terms)
+    score_dec = F.col("llr_dec") + prior
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        score_dec.cast("decimal(20,9)").alias("nb_score_dec"),
+    )
+
+
+def _nb_scored_base(
+    docs: DataFrame,
+    target_sources: tuple[str, ...],
+    max_broadcast_terms: int,
+):
+    """Shared NB scoring chain up to the per-doc exact-decimal LLR:
+    returns ``(scored(doc_id, n_tokens, llr_dec, n_pos_docs,
+    n_neg_docs), prior_expr, tc)``. Split out so the double-valued
+    scorer (nb_score_with_tc) and the exact-decimal scorer
+    (nb_quality_score_dec) are one construction — identical subplans,
+    no drift."""
     # persisted: the broadcast gate's count job materializes the vocab
     # table once and the returned plan reuses the cache (unpersisting
     # here would drop it before the caller executes; eviction is left
@@ -739,16 +793,7 @@ def nb_score_with_tc(
         )
         .crossJoin(F.broadcast(priors))
     )
-    score_dec = F.col("llr_dec") + prior
-    return (
-        scored.select(
-            "doc_id",
-            "n_tokens",
-            score_dec.cast("double").alias("nb_score"),
-            (score_dec > 0).alias("predicted_curated"),
-        ),
-        tc,
-    )
+    return scored, prior, tc
 
 
 def _bigram_lm_joined(

@@ -194,10 +194,12 @@ ALLOWED_BROADCAST_SITES: dict[tuple[str, str], str] = {
         "query set bounded by N_QUERIES — same contract as brute_force_topk",
     ("queries_similarity.py", "pipeline_negative_sampling"):
         "query set bounded by N_QUERIES — same contract as brute_force_topk",
-    ("text.py", "nb_score_with_tc"):
+    ("text.py", "_nb_scored_base"):
         "vocab-sized count table broadcast GATED on measured cardinality "
         "≤ max_broadcast_terms (same contract as tfidf_top_terms); the "
-        "totals and prior frames are 1-row scalars — unconditionally safe",
+        "totals and prior frames are 1-row scalars — unconditionally safe "
+        "(was nb_score_with_tc; r15 split the shared chain out so the "
+        "exact-decimal scorer nb_quality_score_dec reuses it)",
     ("text.py", "bm25_topk"):
         "1-row (N, avgdl, df...) stats scalar — width bounded by the fixed "
         "query-term list, unconditionally safe at any corpus size",

@@ -467,3 +467,61 @@ def test_markov_p4_driver_tail_matches_distributed_tail(spark):
     finally:
         graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS = old
     assert got_d and got_d == got_s  # exact integers on both tails
+
+
+def test_markov_p4_channel_named_full_both_tiers_agree(spark):
+    """r15 ADVICE fix: a channel literally NAMED 'full' used to create
+    a duplicate 'full' scenario row in the distributed tier (the
+    unionByName carried no distinct), doubling every 'full'-scenario
+    matrix entry, while the driver tail computed the full matrix once
+    — under vs over the gate gave different p4_full_fp. Scenarios are
+    now deduplicated on both tiers (and in the oracle via UNION);
+    channel 'full' is its own removal scenario == the full matrix, so
+    its removal effect is exactly 0 and both tiers agree bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from bigquery_postgres_events_etl_spark.operators import graph
+    from bigquery_postgres_events_etl_spark.operators.graph import (
+        markov_removal_p4,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(1, 24):
+        # journeys mixing an ordinary channel with one literally
+        # named 'full' (the scenario-sentinel collision)
+        for i, ch in enumerate(["full", "ch1"][: u % 2 + 1]):
+            rows.append((eid, u, ch, f"2024-01-01 00:{i:02d}:00"))
+            eid += 1
+        if u % 3 != 0:
+            rows.append((eid, u, "purchase", f"2024-01-01 00:{(u % 2) + 1:02d}:30"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def snap(df):
+        return {
+            r.channel: (
+                r.touches,
+                r.p4_full_fp,
+                r.p4_removed_fp,
+                r.removal_effect_fp,
+                r.credit_share_fp,
+            )
+            for r in df.collect()
+        }
+
+    got_d = snap(markov_removal_p4(events))
+    old = graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS
+    graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS = 0  # force distributed
+    try:
+        got_s = snap(markov_removal_p4(events))
+    finally:
+        graph.MARKOV_DRIVER_SQUARING_MAX_CHANNELS = old
+    assert "full" in got_d
+    assert got_d == got_s  # bit-identical across the gate
+    # the deduplicated scenario 'full' IS the full matrix, so channel
+    # 'full' has removed mass == full mass and its effect collapses
+    # to exactly 0 — the collision semantics both tiers now share
+    assert got_d["full"][3] == 0

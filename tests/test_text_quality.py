@@ -1338,6 +1338,7 @@ def test_tokenizer_driver_argmax_matches_distributed_pick(spark):
     from bigquery_postgres_events_etl_spark.operators.text import (
         bpe_train,
         wordpiece_train,
+        wordpiece_vocab,
     )
 
     docs = _docs(
@@ -1351,12 +1352,20 @@ def test_tokenizer_driver_argmax_matches_distributed_pick(spark):
     )
     wp_d = [tuple(r) for r in wordpiece_train(docs, n_merges=6).collect()]
     bpe_d = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+    # vocab under the gate takes the round-0 null-tagged-key alphabet
+    # shortcut; above the gate it falls back to the dedicated
+    # explode+distinct scan — pin the two alphabet sources equal too
+    # (r14 ADVICE: a drift in the empty-word filter on one side only
+    # would otherwise go unnoticed)
+    vocab_d = wordpiece_vocab(docs, n_merges=6)
     old = text_mod.TOKENIZER_DRIVER_COUNTS_MAX_ROWS
     text_mod.TOKENIZER_DRIVER_COUNTS_MAX_ROWS = 0  # force distributed
     try:
         wp_s = [tuple(r) for r in wordpiece_train(docs, n_merges=6).collect()]
         bpe_s = [tuple(r) for r in bpe_train(docs, n_merges=6).collect()]
+        vocab_s = wordpiece_vocab(docs, n_merges=6)
     finally:
         text_mod.TOKENIZER_DRIVER_COUNTS_MAX_ROWS = old
     assert wp_d and wp_d == wp_s
     assert bpe_d and bpe_d == bpe_s
+    assert vocab_d and vocab_d == vocab_s
