@@ -128,6 +128,28 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     # Values are identical wherever the old round-trip was lossless;
     # the plan changed (one fewer cast pair), so re-attest:
     "ml_eval_conformal": 15,
+    # r15 iterative-loop treatment (verdict items 3/7): CC loops lost
+    # the per-round convergence join (prev rides the checkpoint) and
+    # gained a pre-partitioned persisted edge frame; kcore/LPA/MMR
+    # checkpoints went lazy (plan text unchanged — LogicalRDD either
+    # way — but flagged with their consumers per the r14 discipline):
+    "dedup_dup_clusters": 15,
+    "dedup_cluster_star": 15,
+    "multimodal_phash_clusters": 15,
+    "graph_kcore": 15,
+    "graph_label_propagation": 15,
+    "graph_modularity": 15,
+    "similarity_mmr_topk": 15,
+    # r15 expression-build fix (the r14 dedup_simhash class): minhash
+    # signature/band/agreement expressions rebuilt as SQL strings —
+    # plans verified bit-identical (plans/r15 diffs), flagged with
+    # consumers for safety exactly as the r14 simhash flags were:
+    "dedup_minhash_signatures": 15,
+    "dedup_minhash_lsh": 15,
+    "dedup_minhash_jaccard_est": 15,
+    "dedup_entity_resolve": 15,
+    "dedup_minhash_incremental": 15,
+    "dedup_lsh_recall_report": 15,
 }
 
 

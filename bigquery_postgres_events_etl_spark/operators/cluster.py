@@ -47,8 +47,12 @@ def connected_components(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     # localCheckpoint: iterative algorithms must truncate lineage or
-    # the logical plan doubles per round (analysis-time blowup)
-    edges = edges.localCheckpoint(eager=True)
+    # the logical plan doubles per round (analysis-time blowup).
+    # Pre-partition on the per-round join key and persist (the kcore
+    # `und` precedent): every round's edges⋈labels join then reuses
+    # this one exchange instead of re-shuffling the O(|E|) edge list
+    # per round — only the O(|V|) label side moves each round.
+    edges = edges.localCheckpoint(eager=True).repartition("v").persist()
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -63,8 +67,12 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # prev rides along so convergence is a column compare on the
+        # materialized frame, not a second |V| join against the old
+        # labels (r15: one join + one dedicated job fewer per round)
         stepped = labels.join(nbr_min, labels.node == nbr_min.u, "left").select(
             "node",
+            F.col("comp").alias("prev"),
             F.least(
                 F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
             ).alias("comp"),
@@ -84,20 +92,23 @@ def connected_components(
             )
             .select(
                 F.col("s.node").alias("node"),
+                F.col("s.prev").alias("prev"),
                 F.least(
                     F.col("s.comp"), F.coalesce(F.col("jcomp"), F.col("s.comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below is the first action and
+            # materializes the checkpoint inside its own job — an eager
+            # checkpoint here would add a dedicated per-round job that
+            # computes the identical frame (the r14 lazy-checkpoint
+            # discipline extended to this loop)
+            .localCheckpoint(eager=False)
         )
-        # scalar convergence check — an aggregate, not a data collect
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = jumped
+        # scalar convergence check — an aggregate over the checkpoint
+        # being materialized, not a data collect and (since r15) not a
+        # join: prev was carried through the step
+        changed = jumped.where(F.col("comp") != F.col("prev")).count()
+        labels = jumped.select("node", "comp")
         if changed == 0:
             break
     else:
@@ -175,7 +186,9 @@ def connected_components_star(
         .union(edges.select(F.col("v").alias("u")))
         .distinct()
         .select(F.col("u").alias("node"))
-        .localCheckpoint(eager=True)
+        # lazy: consumed exactly once, by the final roots anti-join —
+        # materializes inside that job instead of a dedicated one
+        .localCheckpoint(eager=False)
     )
 
     def _fingerprint(e: DataFrame) -> tuple:
@@ -189,7 +202,11 @@ def connected_components_star(
 
     prev = None
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # lazy: the fingerprint aggregate below is the first action and
+        # materializes the round's edge set inside its own job (the
+        # eager variant ran a dedicated checkpoint job per round that
+        # computed the identical frame)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         fp = _fingerprint(edges)
         if fp == prev:
             break

@@ -323,12 +323,23 @@ def signatures_from_shingles(
         h = F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P))
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    aggs = []
-    for k in range(num_hashes):
-        a, b = minhash_coeffs(k)
-        aggs.append(F.min((F.col("h") * a + b) % MINHASH_P).alias(f"sig_{k}"))
+    # one SQL string per min-aggregate instead of a per-k Column-DSL
+    # chain (the r14 simhash expression-build fix, r15 applied here:
+    # the `(col * a + b) % p` chains were ~8 py4j round-trips each — a
+    # measurable slice of the ~1.4 s driver build latency on every
+    # signature consumer). Integer literals ≤ 2^31−1 parse as INT
+    # exactly like F.lit, so the expressions — and the physical plan —
+    # are bit-identical to the Column version (diffed in plans/r15).
+    aggs = [
+        F.expr(
+            "min((h * {a} + {b}) % {p}) AS sig_{k}".format(
+                a=minhash_coeffs(k)[0], b=minhash_coeffs(k)[1], p=MINHASH_P, k=k
+            )
+        )
+        for k in range(num_hashes)
+    ]
     if with_size:
-        aggs.append(F.count(F.lit(1)).alias("sz"))
+        aggs.append(F.expr("count(1) AS sz"))
     return sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(*aggs)
 
 
@@ -381,19 +392,26 @@ def lsh_pairs_from_signatures(
 
 
 def _bands(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, band_id, band_key) rows from a signature frame."""
+    """(doc_id, band_id, band_key) rows from a signature frame.
+
+    Built as ONE SQL string (r15, the signature-aggregate treatment):
+    the per-band struct/concat_ws/cast Column chains were ~10 py4j
+    round-trips per band on every LSH consumer's driver build path;
+    `CAST(x AS STRING)` + INT literals are exactly what the Column
+    version lowered to, so the plan is unchanged."""
     rows = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        key = F.concat_ws(
-            "_", *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+    items = ", ".join(
+        "struct({b} AS band_id, concat_ws('_', {cols}) AS band_key)".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(sig_{b * rows + r} AS STRING)" for r in range(rows)
+            ),
         )
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), key.alias("band_key")).alias(f"b{b}")
-        )
-    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_key"
+        for b in range(bands)
     )
+    return sig.select(
+        "doc_id", F.expr(f"explode(array({items}))").alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
 
 
 def minhash_lsh_incremental(
@@ -791,18 +809,20 @@ def minhash_jaccard_estimate(
     # semi-join, and the exact-tier inner join) — unpersisted, the
     # band explode + bucket groupBy + distinct re-executes per branch
     pairs = lsh_pairs_from_signatures(sig, num_hashes, bands).persist()
-    a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"sig_{k}").alias(f"a{k}") for k in range(num_hashes)],
+    # selectExpr/F.expr strings instead of per-k Column chains (the
+    # r14 simhash expression-build fix — these 3 sites were ~200 py4j
+    # round-trips of the entry's ~1.4 s driver build latency); the
+    # parsed expressions, and the plan, are identical to the Column
+    # versions (CAST(x = y AS BIGINT) chains, left-assoc +)
+    a = sig.selectExpr(
+        "doc_id AS doc_a", *[f"sig_{k} AS a{k}" for k in range(num_hashes)]
     )
-    b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"sig_{k}").alias(f"b{k}") for k in range(num_hashes)],
+    b = sig.selectExpr(
+        "doc_id AS doc_b", *[f"sig_{k} AS b{k}" for k in range(num_hashes)]
     )
-    match = None
-    for k in range(num_hashes):
-        m = (F.col(f"a{k}") == F.col(f"b{k}")).cast("long")
-        match = m if match is None else match + m
+    match = F.expr(
+        " + ".join(f"CAST((a{k} = b{k}) AS BIGINT)" for k in range(num_hashes))
+    )
     est = pairs.join(a, "doc_a").join(b, "doc_b").select(
         "doc_a", "doc_b", match.alias("n_agree")
     )

@@ -1746,7 +1746,11 @@ def label_propagation(
             .alias("neg_label")
         ).select("node", (-F.col("neg_label")).alias("label"))
         if (it + 1) % 3 == 0 and it + 1 < n_iter:
-            labels = labels.localCheckpoint(eager=True)
+            # lazy (r15): same plan-growth truncation, but the
+            # materialization happens inside the next round's join job
+            # instead of a dedicated eager checkpoint job (the r14
+            # pagerank/HITS loop-checkpoint discipline)
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 

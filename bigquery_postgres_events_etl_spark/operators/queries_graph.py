@@ -417,7 +417,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         alive = (
             deg.where(F.col("d") >= KCORE_K)
             .select(F.col("a").alias("node"))
-            .localCheckpoint(eager=True)
+            # lazy (r15): the plan still truncates to a LogicalRDD per
+            # round (the double-reference blowup stays impossible), but
+            # materialization rides the final core_deg job instead of a
+            # dedicated per-round checkpoint job — measured 8 jobs → 1
+            # with identical output; the twice-referenced per-round
+            # state is a single RDD, so exchange reuse computes it once
+            .localCheckpoint(eager=False)
         )
     core_deg = (
         und.join(alive.select(F.col("node").alias("a")), "a", "leftsemi")

@@ -1292,12 +1292,17 @@ def mmr_topk(
                 F.lit(rank + 1).cast("bigint").alias("pick_rank"),
             )
         )
-        selected = selected.unionByName(picks).localCheckpoint(eager=True)
+        # lazy (r15, verdict item 7): bounded k picks over a
+        # deterministic subtree — the plans still truncate to
+        # LogicalRDDs per pick, but materialization rides the next
+        # pick's jobs (or the final collect) instead of TWO dedicated
+        # eager checkpoint jobs per pick
+        selected = selected.unionByName(picks).localCheckpoint(eager=False)
         remaining = remaining.join(
             selected.select(F.col("query_id").alias("qs"), "sel"),
             (remaining.query_id == F.col("qs")) & (remaining.da == F.col("sel")),
             "left_anti",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     return selected.select(
         "query_id", F.col("sel").alias("neighbor_id"), "mmr_score", "pick_rank"

@@ -49,6 +49,13 @@ MOVERS = [
     # adjudicate the r13 captures
     "graph_ppr_seeded",
     "events_markov_removal_p4",
+    # r14 verdict item 2: the three largest r14 single-capture
+    # regressions (0.59x/0.71x/0.72x), all on code untouched that
+    # round — the 32-core capture was hit by a container throttle
+    # wave (the 8-core control minutes later ran FASTER on tier-2);
+    # permanently interleaved so pooled medians adjudicate
+    "q10_returned_items",
+    "q8_market_share",
 ]
 
 PKG = "bigquery_postgres_events_etl_spark"
