@@ -116,11 +116,14 @@ PLAN_CHANGED_REATTEST: dict[str, int] = {
     "dedup_simhash_pairs": 14,
     "dedup_simhash_fast": 14,
     "dedup_edit_distance_banded": 14,
-    "events_markov_removal_p4": 14,
     "events_markov_attribution": 14,
-    "graph_pagerank_copurchase": 14,
-    "graph_ppr_seeded": 14,
-    "graph_hits_copurchase": 14,
+    # r15 re-touches on r14-flagged entries: markov-p4 gained the
+    # single-evaluation checkpoint + scenario dedup; the three rank
+    # loops gained the hub-degree sub-gate (occ in the head aggregate)
+    "events_markov_removal_p4": 15,
+    "graph_pagerank_copurchase": 15,
+    "graph_ppr_seeded": 15,
+    "graph_hits_copurchase": 15,
     # r15 driver hash-parity fix (the r14 CORRECTNESS gate failure):
     # conformal nonconformity now reads the NB score's EXACT decimal
     # (nb_quality_score_dec) instead of re-rounding the double through

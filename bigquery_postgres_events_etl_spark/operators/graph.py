@@ -48,6 +48,15 @@ from ..registry import register
 # which remains the default and the tests' forced-path toggle).
 RANKS_BROADCAST_MAX_NODES = 2_000_000
 
+# Degree sub-gate for the adjacency-ARRAY broadcast branches (r14
+# verdict watch item / r15 item 6): the per-node neighbor arrays are
+# |V|-gated, but a single hub node under that gate can still carry a
+# ~2M-element array row (~tens of MB). Cap max(per-direction degree);
+# a hub above it falls to the flat-edge path, whose parity the
+# forced-path tests already pin. 1M longs ≈ 8 MB per row — bounded,
+# and far above every fixture/copurchase degree.
+ADJ_MAX_NBRS = 1_000_000
+
 # No-dangling lineage-truncation cadence (see the in-loop comment);
 # module-level so perf experiments can tune it without editing code.
 # r10 re-measured under the adjacency-broadcast path (shallower
@@ -133,20 +142,33 @@ def pagerank(
         e.select(F.col("src").alias("node"), F.lit(1).alias("w"))
         .union(e.select(F.col("dst").alias("node"), F.lit(0).alias("w")))
         .groupBy("node")
-        .agg(F.sum("w").cast("long").alias("outdeg"))
+        # occ (total occurrences) rides the same aggregation so the
+        # head job below can derive max in-degree (= occ − outdeg) for
+        # the r15 hub sub-gate without a second pass over e
+        .agg(
+            F.sum("w").cast("long").alias("outdeg"),
+            F.count(F.lit(1)).cast("long").alias("occ"),
+        )
     )
-    # loop-control scalars in ONE job: |V|, and whether any dangling
-    # node exists at all. Symmetric edge sets (both directions
-    # emitted, e.g. the co-purchase entry) structurally have none —
-    # and then the per-iteration dangling aggregate + broadcast would
-    # be n_iter jobs spent folding in a constant zero. The dangling
-    # SET is fixed across iterations (outdeg never changes), so the
-    # predicate is loop-invariant by construction.
+    # loop-control scalars in ONE job: |V|, whether any dangling node
+    # exists at all, and the max in-degree (the r15 hub sub-gate for
+    # the adjacency-array branch). Symmetric edge sets (both
+    # directions emitted, e.g. the co-purchase entry) structurally
+    # have no dangling nodes — and then the per-iteration dangling
+    # aggregate + broadcast would be n_iter jobs spent folding in a
+    # constant zero. The dangling SET is fixed across iterations
+    # (outdeg never changes), so the predicate is loop-invariant by
+    # construction.
     head = deg.agg(
-        F.count(F.lit(1)).alias("n"), F.min("outdeg").alias("min_outdeg")
+        F.count(F.lit(1)).alias("n"),
+        F.min("outdeg").alias("min_outdeg"),
+        F.max(F.col("occ") - F.col("outdeg")).alias("max_indeg"),
     ).first()
     n, has_dangling = head["n"], head["min_outdeg"] == 0
-    broadcast_ranks = n <= _state_broadcast_gate(edges, RANKS_BROADCAST_MAX_NODES)
+    broadcast_ranks = (
+        n <= _state_broadcast_gate(edges, RANKS_BROADCAST_MAX_NODES)
+        and (head["max_indeg"] or 0) <= ADJ_MAX_NBRS
+    )
     if broadcast_ranks:
         # rank state fits a broadcast (cardinality-GATED on the
         # measured |V|, shuffle fallback below — the tfidf df-gate
@@ -477,17 +499,30 @@ def personalized_pagerank_fixed(
         e.select(F.col("src").alias("node"), F.lit(1).alias("w"))
         .union(e.select(F.col("dst").alias("node"), F.lit(0).alias("w")))
         .groupBy("node")
-        .agg(F.sum("w").cast("long").alias("outdeg"))
+        # occ: max in-degree (= occ − outdeg) for the r15 hub sub-gate
+        # rides the same aggregation (the pagerank head pattern)
+        .agg(
+            F.sum("w").cast("long").alias("outdeg"),
+            F.count(F.lit(1)).cast("long").alias("occ"),
+        )
         .join(F.broadcast(seed_flags), "node", "left")
         .select(
-            "node", "outdeg", F.coalesce("is_seed", F.lit(0)).alias("is_seed")
+            "node",
+            "outdeg",
+            "occ",
+            F.coalesce("is_seed", F.lit(0)).alias("is_seed"),
         )
     )
     head = deg.agg(
-        F.count(F.lit(1)).alias("n"), F.min("outdeg").alias("min_outdeg")
+        F.count(F.lit(1)).alias("n"),
+        F.min("outdeg").alias("min_outdeg"),
+        F.max(F.col("occ") - F.col("outdeg")).alias("max_indeg"),
     ).first()
     n, has_dangling = head["n"], head["min_outdeg"] == 0
-    broadcast_ranks = n <= _state_broadcast_gate(edges, RANKS_BROADCAST_MAX_NODES)
+    broadcast_ranks = (
+        n <= _state_broadcast_gate(edges, RANKS_BROADCAST_MAX_NODES)
+        and (head["max_indeg"] or 0) <= ADJ_MAX_NBRS
+    )
     if broadcast_ranks:
         nbr_t = e.schema["src"].dataType
         in_adj = (
@@ -747,8 +782,18 @@ def hits_fixed(
             F.sum("wi").cast("long").alias("indeg"),
         )
     )
-    n = nodes.count()
-    broadcast_state = n <= _state_broadcast_gate(edges, RANKS_BROADCAST_MAX_NODES)
+    # head scalars in ONE job (was a bare count): |V| plus the max
+    # per-direction degree for the r15 hub sub-gate — a single hub
+    # node under the |V| gate must not produce a multi-MB array row
+    head = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("outdeg").alias("max_outdeg"),
+        F.max("indeg").alias("max_indeg"),
+    ).first()
+    n = head["n"]
+    broadcast_state = n <= _state_broadcast_gate(
+        edges, RANKS_BROADCAST_MAX_NODES
+    ) and max(head["max_outdeg"] or 0, head["max_indeg"] or 0) <= ADJ_MAX_NBRS
 
     if broadcast_state:
         # r14: the pagerank in-neighbor-adjacency pattern ported to

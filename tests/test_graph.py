@@ -422,6 +422,46 @@ def test_hits_flat_edge_fallback_matches_adjacency_path(spark):
     assert got_adj == got_flat  # bit-identical, not approximately equal
 
 
+def test_hub_degree_subgate_forces_flat_edge_paths(spark):
+    """r15 (verdict item 6): a hub node whose degree exceeds
+    ADJ_MAX_NBRS must push HITS/pagerank/PPR off the adjacency-array
+    branch (one multi-MB collect_list row at web scale) onto the
+    flat-edge fallback — with IDENTICAL outputs, since the fallback is
+    the same exact-integer chain. Forced by zeroing the sub-gate."""
+    from bigquery_postgres_events_etl_spark.operators import graph
+    from bigquery_postgres_events_etl_spark.operators.graph import (
+        hits_fixed,
+        pagerank,
+        personalized_pagerank_fixed,
+    )
+
+    edges = [(1, 10), (1, 11), (2, 10), (3, 12), (2, 11), (3, 10), (4, 12), (10, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+
+    def snap():
+        return (
+            {r.node: (r.hub_fp, r.auth_fp) for r in hits_fixed(df).collect()},
+            {
+                r.node: r.rank
+                for r in pagerank(df, n_iter=3, fixed_scale=10**12).collect()
+            },
+            {
+                r.node: r.rank
+                for r in personalized_pagerank_fixed(df, seeds, n_iter=3).collect()
+            },
+        )
+
+    got_adj = snap()
+    old = graph.ADJ_MAX_NBRS
+    graph.ADJ_MAX_NBRS = 0  # every node is now a "hub": flat-edge path
+    try:
+        got_flat = snap()
+    finally:
+        graph.ADJ_MAX_NBRS = old
+    assert got_adj == got_flat  # bit-identical across the sub-gate
+
+
 def test_markov_p4_driver_tail_matches_distributed_tail(spark):
     """r14 moved the under-gate markov_removal_p4 tail driver-side
     (one bounded fetch of the transition table + exact-int squarings
