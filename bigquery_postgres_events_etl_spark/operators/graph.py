@@ -256,6 +256,63 @@ def pagerank(
     ranks = (in_adj if broadcast_ranks else deg).select(
         "node", "outdeg", init_rank.alias("rank")
     )
+    # r15: every loop-INVARIANT Column/DataFrame is built ONCE here —
+    # reusing the same immutable expression trees each iteration
+    # yields the identical plan while cutting the per-iteration py4j
+    # construction latency (the entry spent ~3000 driver round-trips
+    # per build; the r14 simhash latency class, loop flavor)
+    has_outdeg = F.col("outdeg") > 0
+    shares_cols = (F.col("node").alias("src_node"), share.alias("c"))
+    if broadcast_ranks:
+        ex = in_adj.select(
+            "node", "outdeg", F.explode_outer("in_nbrs").alias("src_nbr")
+        )
+        lookup_cond = F.col("src_nbr") == F.col("src_node")
+        in_mass_agg = (
+            F.sum(F.coalesce(F.col("c"), zero_c)).cast(mass_t).alias("in_mass")
+        )
+    else:
+        contrib_cond = F.col("src") == F.col("node")
+        contrib_cols = (
+            F.col("dst").alias("node"),
+            F.lit(None).cast("long").alias("deg_row"),
+            share.alias("c"),
+        )
+        zero_rows = deg.select(
+            "node", F.col("outdeg").alias("deg_row"), zero_c.alias("c")
+        )
+        step_aggs = (
+            F.max("deg_row").alias("outdeg"),
+            F.sum("c").cast(mass_t).alias("in_mass"),
+        )
+    is_dangling = F.col("outdeg") == 0
+    if fixed:
+        # integer dangling mass: exact sum of fixed-point ranks
+        dangling_agg = (
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dangling_mass")
+        )
+        # all-integer update: base is a driver-constant, the damped
+        # terms are exact-rational `div`s — no IEEE op anywhere, so a
+        # second engine replays this bit-for-bit
+        upd = F.lit(base_const).cast("long") + F.expr(
+            f"({dnum} * in_mass) div {dden}"
+        )
+        if has_dangling:
+            upd = upd + F.expr(f"({dnum} * dangling_mass) div {dden * n}")
+        rank_col = upd.cast("long").alias("rank")
+    else:
+        dangling_agg = F.coalesce(
+            F.sum(F.col("rank").cast("decimal(38,18)")).cast("double"),
+            F.lit(0.0),
+        ).alias("dangling_mass")
+        # same IEEE association as the pure-Python reference:
+        # (1-d)/n + (d*dangling)/n + d*in_mass; with no dangling
+        # nodes base reduces to the same float the reference
+        # computes ((1-d)/n + d*0.0/n ≡ (1-d)/n in IEEE)
+        base = F.lit((1.0 - damping) / n)
+        if has_dangling:
+            base = base + F.lit(damping) * F.col("dangling_mass") / F.lit(float(n))
+        rank_col = (base + F.lit(damping) * F.col("in_mass")).alias("rank")
     for it in range(n_iter):
         if broadcast_ranks:
             # per-node share broadcasts into the adjacency lookup:
@@ -269,24 +326,11 @@ def pagerank(
             # deg-left-join's coalesce(in_mass, 0.0). outdeg rides the
             # groupBy key (node-determined, so partitioning on node
             # alone still satisfies the grouping) — no restore join.
-            shares = ranks.where(F.col("outdeg") > 0).select(
-                F.col("node").alias("src_node"), share.alias("c")
-            )
-            ex = in_adj.select(
-                "node", "outdeg", F.explode_outer("in_nbrs").alias("src_nbr")
-            )
+            shares = ranks.where(has_outdeg).select(*shares_cols)
             stepped = (
-                ex.join(
-                    F.broadcast(shares),
-                    ex.src_nbr == F.col("src_node"),
-                    "left",
-                )
+                ex.join(F.broadcast(shares), lookup_cond, "left")
                 .groupBy("node", "outdeg")
-                .agg(
-                    F.sum(F.coalesce(F.col("c"), zero_c))
-                    .cast(mass_t)
-                    .alias("in_mass")
-                )
+                .agg(in_mass_agg)
             )
         else:
             # contribution delivery and the rank update in ONE
@@ -298,21 +342,11 @@ def pagerank(
             # exact-decimal sum is unchanged by the added zero, so
             # every node emerges with exactly the old
             # coalesce(in_mass, 0) value.
-            contrib_rows = e.join(ranks, e.src == ranks.node).select(
-                F.col("dst").alias("node"),
-                F.lit(None).cast("long").alias("deg_row"),
-                share.alias("c"),
-            )
-            zero_rows = deg.select(
-                "node", F.col("outdeg").alias("deg_row"), zero_c.alias("c")
-            )
+            contrib_rows = e.join(ranks, contrib_cond).select(*contrib_cols)
             stepped = (
                 contrib_rows.union(zero_rows)
                 .groupBy("node")
-                .agg(
-                    F.max("deg_row").alias("outdeg"),
-                    F.sum("c").cast(mass_t).alias("in_mass"),
-                )
+                .agg(*step_aggs)
             )
         if has_dangling:
             # dangling mass stays IN-FRAME: a 1-row aggregate
@@ -320,43 +354,9 @@ def pagerank(
             # pattern) instead of a per-iteration .first() — the r7
             # verdict's "only loop control lives on the driver"
             # inconsistency; n_iter driver round-trips saved per run
-            if fixed:
-                # integer dangling mass: exact sum of fixed-point ranks
-                dangling = ranks.where(F.col("outdeg") == 0).agg(
-                    F.coalesce(F.sum("rank"), F.lit(0))
-                    .cast("long")
-                    .alias("dangling_mass")
-                )
-            else:
-                dangling = ranks.where(F.col("outdeg") == 0).agg(
-                    F.coalesce(
-                        F.sum(F.col("rank").cast("decimal(38,18)")).cast("double"),
-                        F.lit(0.0),
-                    ).alias("dangling_mass")
-                )
+            dangling = ranks.where(is_dangling).agg(dangling_agg)
             stepped = stepped.crossJoin(F.broadcast(dangling))
-        if fixed:
-            # all-integer update: base is a driver-constant, the
-            # damped terms are exact-rational `div`s — no IEEE op
-            # anywhere, so a second engine replays this bit-for-bit
-            upd = F.lit(base_const).cast("long") + F.expr(
-                f"({dnum} * in_mass) div {dden}"
-            )
-            if has_dangling:
-                upd = upd + F.expr(f"({dnum} * dangling_mass) div {dden * n}")
-            rank_col = upd.cast("long")
-        else:
-            # same IEEE association as the pure-Python reference:
-            # (1-d)/n + (d*dangling)/n + d*in_mass; with no dangling
-            # nodes base reduces to the same float the reference
-            # computes ((1-d)/n + d*0.0/n ≡ (1-d)/n in IEEE)
-            base = F.lit((1.0 - damping) / n)
-            if has_dangling:
-                base = base + F.lit(damping) * F.col("dangling_mass") / F.lit(
-                    float(n)
-                )
-            rank_col = base + F.lit(damping) * F.col("in_mass")
-        ranks = stepped.select("node", "outdeg", rank_col.alias("rank"))
+        ranks = stepped.select("node", "outdeg", rank_col)
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
@@ -567,73 +567,78 @@ def personalized_pagerank_fixed(
         .cast("long")
         .alias("rank"),
     )
+    # r15: loop-invariant Columns/DataFrames built ONCE (the pagerank
+    # hoist — identical expression trees each iteration, a fraction of
+    # the per-build py4j round-trips)
+    has_outdeg = F.col("outdeg") > 0
+    shares_cols = (
+        F.col("node").alias("src_node"),
+        F.expr("rank div outdeg").cast("long").alias("c"),
+    )
+    if broadcast_ranks:
+        ex = in_adj.select(
+            "node",
+            "outdeg",
+            "is_seed",
+            F.explode_outer("in_nbrs").alias("src_nbr"),
+        )
+        lookup_cond = F.col("src_nbr") == F.col("src_node")
+        in_mass_agg = (
+            F.sum(F.coalesce(F.col("c"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("in_mass")
+        )
+    else:
+        contrib_cond = F.col("src") == F.col("node")
+        contrib_cols = (
+            F.col("dst").alias("node"),
+            F.lit(None).cast("long").alias("deg_row"),
+            F.lit(None).cast("long").alias("seed_row"),
+            F.expr("rank div outdeg").cast("long").alias("c"),
+        )
+        zero_rows = deg.select(
+            "node",
+            F.col("outdeg").alias("deg_row"),
+            F.col("is_seed").cast("long").alias("seed_row"),
+            F.lit(0).cast("long").alias("c"),
+        )
+        step_aggs = (
+            F.max("deg_row").alias("outdeg"),
+            F.max("seed_row").alias("is_seed"),
+            F.sum("c").cast("long").alias("in_mass"),
+        )
+    is_dangling = F.col("outdeg") == 0
+    dangling_agg = (
+        F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dangling_mass")
+    )
+    upd = F.when(
+        F.col("is_seed") == 1, F.lit(base_const).cast("long")
+    ).otherwise(F.lit(0).cast("long")) + F.expr(
+        f"({dnum} * in_mass) div {dden}"
+    )
+    if has_dangling:
+        upd = upd + F.when(
+            F.col("is_seed") == 1,
+            F.expr(f"({dnum} * dangling_mass) div {dden * n_seeds}"),
+        ).otherwise(F.lit(0).cast("long"))
+    rank_col = upd.cast("long").alias("rank")
     for it in range(n_iter):
         if broadcast_ranks:
-            shares = ranks.where(F.col("outdeg") > 0).select(
-                F.col("node").alias("src_node"),
-                F.expr("rank div outdeg").cast("long").alias("c"),
-            )
-            ex = in_adj.select(
-                "node",
-                "outdeg",
-                "is_seed",
-                F.explode_outer("in_nbrs").alias("src_nbr"),
-            )
+            shares = ranks.where(has_outdeg).select(*shares_cols)
             stepped = (
-                ex.join(
-                    F.broadcast(shares),
-                    ex.src_nbr == F.col("src_node"),
-                    "left",
-                )
+                ex.join(F.broadcast(shares), lookup_cond, "left")
                 .groupBy("node", "outdeg", "is_seed")
-                .agg(
-                    F.sum(F.coalesce(F.col("c"), F.lit(0).cast("long")))
-                    .cast("long")
-                    .alias("in_mass")
-                )
+                .agg(in_mass_agg)
             )
         else:
-            contrib_rows = e.join(ranks, e.src == ranks.node).select(
-                F.col("dst").alias("node"),
-                F.lit(None).cast("long").alias("deg_row"),
-                F.lit(None).cast("long").alias("seed_row"),
-                F.expr("rank div outdeg").cast("long").alias("c"),
-            )
-            zero_rows = deg.select(
-                "node",
-                F.col("outdeg").alias("deg_row"),
-                F.col("is_seed").cast("long").alias("seed_row"),
-                F.lit(0).cast("long").alias("c"),
-            )
+            contrib_rows = e.join(ranks, contrib_cond).select(*contrib_cols)
             stepped = (
-                contrib_rows.union(zero_rows)
-                .groupBy("node")
-                .agg(
-                    F.max("deg_row").alias("outdeg"),
-                    F.max("seed_row").alias("is_seed"),
-                    F.sum("c").cast("long").alias("in_mass"),
-                )
+                contrib_rows.union(zero_rows).groupBy("node").agg(*step_aggs)
             )
         if has_dangling:
-            dangling = ranks.where(F.col("outdeg") == 0).agg(
-                F.coalesce(F.sum("rank"), F.lit(0))
-                .cast("long")
-                .alias("dangling_mass")
-            )
+            dangling = ranks.where(is_dangling).agg(dangling_agg)
             stepped = stepped.crossJoin(F.broadcast(dangling))
-        upd = F.when(
-            F.col("is_seed") == 1, F.lit(base_const).cast("long")
-        ).otherwise(F.lit(0).cast("long")) + F.expr(
-            f"({dnum} * in_mass) div {dden}"
-        )
-        if has_dangling:
-            upd = upd + F.when(
-                F.col("is_seed") == 1,
-                F.expr(f"({dnum} * dangling_mass) div {dden * n_seeds}"),
-            ).otherwise(F.lit(0).cast("long"))
-        ranks = stepped.select(
-            "node", "outdeg", "is_seed", upd.cast("long").alias("rank")
-        )
+        ranks = stepped.select("node", "outdeg", "is_seed", rank_col)
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
@@ -841,6 +846,45 @@ def hits_fixed(
             F.lit(0).cast("long").alias("auth"),
         )
 
+        # r15: loop-invariant Columns/DataFrames built ONCE per
+        # direction (the pagerank hoist) — the exploded adjacency
+        # frames, join conditions and per-direction aggregate/update
+        # expressions are identical every round, so reusing the same
+        # immutable trees keeps the plan bit-identical while cutting
+        # the ~4600 per-build py4j round-trips the 16 half-steps spent
+        # re-constructing them.
+        side_cols = (F.col("node").alias("jn"), F.col("hub"), F.col("auth"))
+        nbr_cond = F.col("nbr") == F.col("jn")
+        node_cond = F.col("node") == F.col("jn")
+        tot_cond = F.col("tn") == F.col("jn")
+        _dir: dict[str, dict] = {}
+        for join_on, from_col, to_col in (
+            ("src", "hub", "auth"),
+            ("dst", "auth", "hub"),
+        ):
+            nbr_col = "in_nbrs" if join_on == "src" else "out_nbrs"
+            deg = "outdeg" if join_on == "src" else "indeg"
+            keep = "auth" if to_col == "hub" else "hub"
+            _dir[join_on] = {
+                "ex": adj.select("node", F.explode_outer(nbr_col).alias("nbr")),
+                "tot_in": adj.select(F.col("node").alias("tn"), deg),
+                "raw_agg": F.sum(
+                    F.coalesce(F.col(from_col), F.lit(0).cast("long"))
+                )
+                .cast("long")
+                .alias("raw"),
+                "tot_agg": F.sum(F.col(from_col) * F.col(deg))
+                .cast("long")
+                .alias("tot"),
+                "out_cols": (
+                    "node",
+                    F.col(keep),
+                    F.expr(f"(raw * {scale}) div nullif(tot, 0)")
+                    .cast("long")
+                    .alias(to_col),
+                ),
+            }
+
         def _half(
             state: DataFrame, from_col: str, join_on: str, to_col: str
         ) -> DataFrame:
@@ -850,43 +894,19 @@ def hits_fixed(
             auth→hub); tot = Σ from·deg over the SAME broadcast state
             (identical integer chain to the former state-side
             aggregate — adj and state share one key set)."""
-            nbr_col = "in_nbrs" if join_on == "src" else "out_nbrs"
-            deg = "outdeg" if join_on == "src" else "indeg"
-            keep = "auth" if to_col == "hub" else "hub"
-            side = state.select(
-                F.col("node").alias("jn"), F.col("hub"), F.col("auth")
-            )
+            d = _dir[join_on]
+            side = state.select(*side_cols)
             raw = (
-                adj.select("node", F.explode_outer(nbr_col).alias("nbr"))
-                .join(F.broadcast(side), F.col("nbr") == F.col("jn"), "left")
+                d["ex"]
+                .join(F.broadcast(side), nbr_cond, "left")
                 .groupBy("node")
-                .agg(
-                    F.sum(
-                        F.coalesce(F.col(from_col), F.lit(0).cast("long"))
-                    )
-                    .cast("long")
-                    .alias("raw")
-                )
+                .agg(d["raw_agg"])
             )
-            tot = (
-                adj.select(F.col("node").alias("tn"), deg)
-                .join(F.broadcast(side), F.col("tn") == F.col("jn"))
-                .agg(
-                    F.sum(F.col(from_col) * F.col(deg)).cast("long").alias("tot")
-                )
-            )
+            tot = d["tot_in"].join(F.broadcast(side), tot_cond).agg(d["tot_agg"])
             return (
-                raw.join(
-                    F.broadcast(side), F.col("node") == F.col("jn")
-                )
+                raw.join(F.broadcast(side), node_cond)
                 .crossJoin(F.broadcast(tot))
-                .select(
-                    "node",
-                    F.col(keep),
-                    F.expr(f"(raw * {scale}) div nullif(tot, 0)")
-                    .cast("long")
-                    .alias(to_col),
-                )
+                .select(*d["out_cols"])
                 .select("node", "hub", "auth")
             )
 
